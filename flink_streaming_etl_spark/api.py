@@ -1,0 +1,129 @@
+"""Query registry — the driver-facing surface (__spark_entry__.py).
+
+Each entry pairs a Spark query builder with its DuckDB oracle SQL (None →
+genuinely non-SQL-expressible, driver records a rows-only check). Column
+names/types are aligned between the two sides; see the determinism rules in
+operators/relational.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_streaming_etl_spark.catalog import load_tables
+from flink_streaming_etl_spark.operators import dedup, relational, similarity, text
+from flink_streaming_etl_spark.operators import multimodal
+from flink_streaming_etl_spark.session import tune_session
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _q(builder: Callable[..., DataFrame], *tables: str) -> QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tune_session(spark)
+        dfs = load_tables(spark, sf_dir, register=False)
+        return builder(*[dfs[t] for t in tables])
+
+    return run
+
+
+#: name → (spark fn, oracle sql | None)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # --- relational core (reference parity, SURVEY.md §2.2-2.4) ---
+    "pricing_summary": (
+        _q(relational.pricing_summary, "lineitem"),
+        relational.PRICING_SUMMARY_SQL,
+    ),
+    "order_enrich_join": (
+        _q(relational.order_enrich_join, "orders", "customer"),
+        relational.ORDER_ENRICH_JOIN_SQL,
+    ),
+    "user_view": (_q(relational.user_view, "customer"), relational.USER_VIEW_SQL),
+    "product_view": (_q(relational.product_view, "part"), relational.PRODUCT_VIEW_SQL),
+    "user_day_stats": (
+        _q(relational.user_day_stats, "orders"),
+        relational.USER_DAY_STATS_SQL,
+    ),
+    "user_day_stats_salted": (
+        _q(relational.user_day_stats_salted, "orders"),
+        relational.USER_DAY_STATS_SQL,  # must equal the plain rollup (A2)
+    ),
+    "day_stats": (_q(relational.day_stats, "orders"), relational.DAY_STATS_SQL),
+    "product_stats": (
+        _q(relational.product_stats, "lineitem", "orders"),
+        relational.PRODUCT_STATS_SQL,
+    ),
+    "listagg_items": (
+        _q(relational.listagg_items, "lineitem"),
+        relational.LISTAGG_ITEMS_SQL,
+    ),
+    "collect_items": (_q(relational.collect_items, "lineitem"), None),  # nested arrays
+    "latest_event_per_user": (
+        _q(relational.latest_event_per_user, "events"),
+        relational.LATEST_EVENT_PER_USER_SQL,
+    ),
+    "region_rollup": (
+        _q(relational.region_rollup, "customer", "nation", "region"),
+        relational.REGION_ROLLUP_SQL,
+    ),
+    "scalar_battery": (
+        _q(relational.scalar_battery, "events"),
+        relational.SCALAR_BATTERY_SQL,
+    ),
+    # --- dedup (training-data pipeline) ---
+    "dedup_exact": (_q(dedup.dedup_exact, "documents"), dedup.DEDUP_EXACT_SQL),
+    "ngram_jaccard_pairs": (
+        _q(dedup.ngram_jaccard_pairs, "documents"),
+        dedup.ngram_jaccard_pairs_sql(),
+    ),
+    "minhash_signatures": (
+        _q(dedup.minhash_signatures, "documents"),
+        dedup.minhash_signatures_sql(),
+    ),
+    "minhash_lsh_pairs": (
+        _q(dedup.minhash_lsh_pairs, "documents"),
+        dedup.minhash_lsh_pairs_sql(),
+    ),
+    "simhash": (_q(dedup.simhash, "documents"), dedup.simhash_sql()),
+    # --- similarity search ---
+    "cosine_topk": (_q(similarity.cosine_topk, "embeddings"), similarity.cosine_topk_sql()),
+    "embedding_neardup": (
+        _q(similarity.embedding_neardup, "embeddings"),
+        similarity.embedding_neardup_sql(),
+    ),
+    "ann_lsh_bucketed": (
+        _q(similarity.ann_lsh_bucketed, "embeddings"),
+        similarity.ann_lsh_bucketed_sql(),
+    ),
+    # --- text analysis ---
+    "lang_id": (_q(text.lang_id, "documents"), text.lang_id_sql()),
+    "token_count": (_q(text.token_count, "documents"), text.TOKEN_COUNT_SQL),
+    "quality_score": (_q(text.quality_score, "documents"), text.quality_score_sql()),
+    "doc_fingerprint": (_q(text.doc_fingerprint, "documents"), text.DOC_FINGERPRINT_SQL),
+    # --- multimodal plumbing ---
+    "media_metadata": (
+        _q(multimodal.media_metadata, "documents"),
+        multimodal.MEDIA_METADATA_SQL,
+    ),
+    "media_features": (
+        lambda spark, sf_dir: multimodal.extract_features(
+            multimodal.documents_as_media(load_tables(spark, sf_dir, register=False)["documents"])
+        ),
+        None,  # mapInPandas feature extraction — not SQL-expressible
+    ),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship query (pricing summary) on sf0.001."""
+    return queries()["pricing_summary"](spark, "/root/testdata/sf0.001")

@@ -1,0 +1,271 @@
+"""Deduplication operators over the ``documents`` table.
+
+Scale notes (100 TB target):
+- Exact dedup: one hash-shuffle on a 16-byte digest — the minimum possible.
+- MinHash: signatures are computed *per-row* with array expressions (one md5
+  per shingle, then pure integer arithmetic per permutation) — no explode, no
+  shuffle until the LSH band join. Bands fan out rows ×n_bands only.
+- Shingle self-join (exact Jaccard) is the quadratic-risk path; it is the
+  verification stage applied to LSH *candidates*, not to all pairs.
+
+Cross-engine determinism: every hash is md5-derived (see functions/__init__),
+so DuckDB oracle SQL (generated alongside each operator) reproduces the exact
+bits; Jaccard values are ratios of ints → identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_streaming_etl_spark.functions import (
+    MERSENNE32,
+    md5_int_sql,
+    perm_params,
+    q6,
+    q6_sql,
+    word_shingles,
+)
+
+# ---------------------------------------------------------------------------
+# Shared shingle plumbing
+
+SHINGLE_K = 2  # word-bigram shingles (vocab is small; bigrams discriminate)
+N_PERMS = 8
+N_BANDS = 4  # bands of 2 rows each
+PERMS = perm_params(N_PERMS)
+
+
+def _shingles(text: Column | str, k: int = SHINGLE_K) -> Column:
+    return F.array_distinct(word_shingles(text, k))
+
+
+def _h32(elem: Column) -> Column:
+    """md5-derived 32-bit int of a shingle (portable; see functions)."""
+    return F.conv(F.substring(F.md5(elem), 1, 8), 16, 10).cast("long")
+
+
+def shingle_cte(k: int = SHINGLE_K) -> str:
+    """DuckDB CTEs `words` + `shingles` mirroring :func:`_shingles`."""
+    shingle_expr = "concat_ws(' ', " + ", ".join(f"w[i+{j}]" for j in range(k)) + ")"
+    return f"""
+words AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, {shingle_expr} AS shingle
+  FROM words, UNNEST(range(1, greatest(len(w) - {k - 1}, 1) + 1)) AS t(i)
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on a normalized content digest.
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    return (
+        documents.select(F.col("doc_id"), F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = r"""
+SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
+       MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard pairs (the ground-truth near-dup relation).
+
+
+def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.05) -> DataFrame:
+    sh = documents.select(
+        "doc_id", F.explode(_shingles("text")).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na, nb = sizes.alias("na"), sizes.alias("nb")
+    jac = F.col("common") / (F.col("na.n") + F.col("nb.n") - F.col("common"))
+    return (
+        common.join(na, F.col("a_id") == F.col("na.doc_id"))
+        .join(nb, F.col("b_id") == F.col("nb.doc_id"))
+        .filter(jac >= threshold)
+        .select(
+            "a_id",
+            "b_id",
+            "common",
+            F.col("na.n").alias("n_a"),
+            F.col("nb.n").alias("n_b"),
+            q6(jac).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs_sql(threshold: float = 0.05) -> str:
+    return f"""
+WITH {shingle_cte()},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id, common, na.n AS n_a, nb.n AS n_b,
+       floor((common / (na.n + nb.n - common)) * 1000000.0) / 1000000.0 AS jaccard
+FROM common
+JOIN sizes na ON a_id = na.doc_id
+JOIN sizes nb ON b_id = nb.doc_id
+WHERE common / (na.n + nb.n - common) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (per-row, no shuffle) + LSH banding candidate pairs.
+
+
+def _sig_cols() -> list[Column]:
+    """m_i = MIN over shingles of (a_i * h32(shingle) + b_i) mod p."""
+    cols = []
+    h32s = F.transform(_shingles("text"), _h32)
+    for i, (a, b) in enumerate(PERMS):
+        perm = F.transform(h32s, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE32))
+        cols.append(F.array_min(perm).alias(f"m{i}"))
+    return cols
+
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    return documents.select("doc_id", *_sig_cols())
+
+
+def minhash_signatures_sql() -> str:
+    h = md5_int_sql("shingle", 8)
+    sigs = ", ".join(
+        f"MIN(({a} * h32 + {b}) % {MERSENNE32}) AS m{i}"
+        for i, (a, b) in enumerate(PERMS)
+    )
+    return f"""
+WITH {shingle_cte()},
+h AS (SELECT doc_id, {h} AS h32 FROM shingles)
+SELECT doc_id, {sigs} FROM h GROUP BY doc_id
+"""
+
+
+def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.05) -> DataFrame:
+    """LSH: band signatures → bucket join → exact-Jaccard verification of
+    candidates only. rows_per_band = N_PERMS / N_BANDS = 2."""
+    sigs = documents.select("doc_id", _shingles("text").alias("sh"), *_sig_cols())
+    bands = F.array(
+        *[
+            F.concat_ws(":", F.lit(bi), F.col(f"m{2 * bi}"), F.col(f"m{2 * bi + 1}"))
+            for bi in range(N_BANDS)
+        ]
+    )
+    banded = sigs.select("doc_id", "sh", F.explode(bands).alias("band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - common
+    jac = common.cast("double") / union
+    return (
+        cand.withColumn("jaccard", q6(jac))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def minhash_lsh_pairs_sql(threshold: float = 0.05) -> str:
+    h = md5_int_sql("shingle", 8)
+    sigs = ", ".join(
+        f"MIN(({a} * h32 + {b}) % {MERSENNE32}) AS m{i}"
+        for i, (a, b) in enumerate(PERMS)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, '{bi}:' || m{2 * bi} || ':' || m{2 * bi + 1} AS band_key FROM sig"
+        for bi in range(N_BANDS)
+    )
+    return f"""
+WITH {shingle_cte()},
+h AS (SELECT doc_id, {h} AS h32 FROM shingles),
+sig AS (SELECT doc_id, {sigs} FROM h GROUP BY doc_id),
+banded AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM banded a JOIN banded b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+common AS (
+  SELECT c.a_id, c.b_id, COUNT(*) AS common
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.a_id
+  JOIN shingles sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT c.a_id, c.b_id,
+       floor((common / (na.n + nb.n - common)) * 1000000.0) / 1000000.0 AS jaccard
+FROM common c
+JOIN sizes na ON c.a_id = na.doc_id
+JOIN sizes nb ON c.b_id = nb.doc_id
+WHERE floor((common / (na.n + nb.n - common)) * 1000000.0) / 1000000.0 >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit, md5-derived bit votes) — per-row, no shuffle.
+
+SIMHASH_BITS = 32
+
+
+def _bit_vote(h32s: Column, bit: int) -> Column:
+    def merge(acc: Column, h: Column) -> Column:
+        is_set = F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1
+        return acc + F.when(is_set, F.lit(1)).otherwise(F.lit(-1))
+
+    return F.aggregate(h32s, F.lit(0).cast("long"), merge)
+
+
+def simhash(documents: DataFrame) -> DataFrame:
+    h32s = F.transform(_shingles("text"), _h32)
+    sig = F.lit(0).cast("long")
+    for bit in range(SIMHASH_BITS):
+        vote = _bit_vote(h32s, bit)
+        sig = sig + F.when(vote >= 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(F.lit(0))
+    return documents.select("doc_id", sig.alias("simhash32"))
+
+
+def simhash_sql() -> str:
+    h = md5_int_sql("shingle", 8)
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h32 >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{b} >= 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH {shingle_cte()},
+h AS (SELECT doc_id, {h} AS h32 FROM shingles),
+votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, {bits} AS simhash32 FROM votes
+"""

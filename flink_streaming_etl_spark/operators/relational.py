@@ -1,0 +1,386 @@
+"""Batch relational core — the reference's six continuous queries
+(SURVEY.md §2.2-2.3) re-expressed over the driver testdata schema, plus the
+flagship pricing-summary rollup.
+
+Schema mapping (reference → testdata): orders→orders, users→customer,
+products→part, order_items→lineitem. The reference's ES "views" are just the
+query results; its `status <> 'closed'` filter maps to
+`o_orderstatus <> 'F'`.
+
+Determinism-for-oracle rules used throughout (the driver hash-compares
+against DuckDB):
+- Money aggregates are summed in DECIMAL (exact, order-independent), then
+  either kept DECIMAL or converted to double *after* the exact sum.
+- Averages = exact decimal sum cast to double, divided by the count —
+  a single IEEE op, bit-identical in any engine.
+- String aggs sort their inputs (`LISTAGG` has no deterministic order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_streaming_etl_spark.functions import day_bucket, salt_bucket
+
+DEC = "decimal(18,2)"
+
+
+def _dec(c: str) -> Column:
+    return F.col(c).cast(DEC)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (TPC-H Q1 shape) — scan-heavy agg, the classic
+# "does partial aggregation + codegen hold up" probe.
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    sum_qty = F.sum(_dec("l_quantity"))
+    sum_base = F.sum(_dec("l_extendedprice"))
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast(DEC) + _dec("l_tax"))
+    cnt = F.count(F.lit(1))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("2000-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty.cast("double").alias("sum_qty"),
+            sum_base.cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (sum_qty.cast("double") / cnt).alias("avg_qty"),
+            (sum_base.cast("double") / cnt).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# order_view — streaming enrichment join (reference flink-ddl.sql:179-190):
+# orders JOIN users projected with renamed columns. P1+P3.
+
+
+def order_enrich_join(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    # customer is the small side at any scale factor → broadcast; at real
+    # scale a sort-merge join on the (already co-partitioned) key is what
+    # AQE would pick — either way no driver-side logic.
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_totalprice").alias("order_amount"),
+            F.col("o_orderstatus").alias("order_status"),
+            F.col("o_orderpriority").alias("order_channel"),
+            F.col("c_name").alias("user_name"),
+            F.col("c_mktsegment").alias("user_segment"),
+            F.col("o_orderdate").alias("ctime"),
+        )
+    )
+
+
+ORDER_ENRICH_JOIN_SQL = """
+SELECT o_orderkey AS id,
+       o_totalprice AS order_amount,
+       o_orderstatus AS order_status,
+       o_orderpriority AS order_channel,
+       c_name AS user_name,
+       c_mktsegment AS user_segment,
+       o_orderdate AS ctime
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# user_view / product_view — plain projections (flink-ddl.sql:192,194). P1.
+
+
+def user_view(customer: DataFrame) -> DataFrame:
+    return customer.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+
+
+USER_VIEW_SQL = """
+SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment,
+       c_acctbal AS acctbal
+FROM customer
+"""
+
+
+def product_view(part: DataFrame) -> DataFrame:
+    return part.select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_name").alias("name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_retailprice").alias("price"),
+    )
+
+
+PRODUCT_VIEW_SQL = """
+SELECT p_partkey AS id, p_name AS name, p_brand AS brand,
+       p_retailprice AS price
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# user_order_stats_view — per-user per-day SUM/COUNT excluding cancelled
+# orders (flink-ddl.sql:197-211). A1+A3 semantics; the reference's manual
+# two-level salted rollup (A2) is the *_salted variant below.
+
+
+def user_day_stats(orders: DataFrame) -> DataFrame:
+    return (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .groupBy(
+            F.col("o_custkey").alias("id"),
+            day_bucket("o_orderdate").alias("cday"),
+        )
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("order_amount_day"),
+            F.count(F.lit(1)).alias("order_count_day"),
+        )
+    )
+
+
+USER_DAY_STATS_SQL = """
+SELECT o_custkey AS id, strftime(o_orderdate, '%Y-%m-%d') AS cday,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_amount_day,
+       COUNT(*) AS order_count_day
+FROM orders WHERE o_orderstatus <> 'F'
+GROUP BY 1, 2
+"""
+
+
+def user_day_stats_salted(orders: DataFrame, buckets: int = 256) -> DataFrame:
+    """The reference's hand-rolled split aggregation (flink-ddl.sql:197-211):
+    inner agg over (key, salt-bucket) partials, outer re-agg (A2+A6).
+
+    On Spark this is strictly redundant — hash aggregation is already
+    partial+final and AQE splits skewed partitions — so the engine's test
+    contract is that this equals :func:`user_day_stats` exactly.
+    """
+    partial = (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .groupBy(
+            F.col("o_custkey").alias("id"),
+            day_bucket("o_orderdate").alias("cday"),
+            salt_bucket(F.col("o_orderkey"), buckets).alias("bucket"),
+        )
+        .agg(
+            F.sum(_dec("o_totalprice")).alias("amount"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return partial.groupBy("id", "cday").agg(
+        F.sum("amount").cast("double").alias("order_amount_day"),
+        F.sum("cnt").alias("order_count_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# order_stats_view — per-day totals with retraction semantics
+# (flink-ddl.sql:214-227): totals must drop when an order flips to closed.
+# In batch recompute form that's simply "filter then aggregate".
+
+
+def day_stats(orders: DataFrame) -> DataFrame:
+    return (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .groupBy(day_bucket("o_orderdate").alias("id"))
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("amount"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+DAY_STATS_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m-%d') AS id,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount,
+       COUNT(*) AS cnt
+FROM orders WHERE o_orderstatus <> 'F'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# product_stats_view — fact-to-fact join + per-product rollup
+# (flink-ddl.sql:243-259). P4+A2.
+
+
+def product_stats(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    # Both sides are fact-sized: this is the one genuinely shuffle-bound
+    # join in the reference workload. l_orderkey/o_orderkey are the natural
+    # co-partitioning keys; AQE handles skewed orders.
+    open_orders = orders.filter(F.col("o_orderstatus") != "F").select("o_orderkey")
+    return (
+        lineitem.join(open_orders, lineitem.l_orderkey == open_orders.o_orderkey, "inner")
+        .groupBy(F.col("l_partkey").alias("id"))
+        .agg(
+            F.count(F.lit(1)).alias("quantity"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("amount"),
+        )
+    )
+
+
+PRODUCT_STATS_SQL = """
+SELECT l_partkey AS id, COUNT(*) AS quantity,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus <> 'F'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# order_view_items — LISTAGG (A4) and COLLECT(ROW(...)) (A5) per order
+# (flink-ddl.sql:124-132). LISTAGG is order-sensitive → sort for determinism.
+
+
+def listagg_items(lineitem: DataFrame) -> DataFrame:
+    return lineitem.groupBy(F.col("l_orderkey").alias("id")).agg(
+        F.array_join(
+            F.sort_array(F.collect_list(F.col("l_partkey").cast("string"))), ","
+        ).alias("order_items"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+LISTAGG_ITEMS_SQL = """
+SELECT l_orderkey AS id,
+       string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY CAST(l_partkey AS VARCHAR)) AS order_items,
+       COUNT(*) AS n_items
+FROM lineitem GROUP BY 1
+"""
+
+
+def collect_items(lineitem: DataFrame) -> DataFrame:
+    """COLLECT(ROW(product_id, price, quantity)) → array<struct> per order
+    (flink-ddl.sql:129-132; ES target schema flink-ddl.sql:113-117).
+    Sorted for determinism. Struct-array results are rows-only-checked by
+    the driver (no portable cross-engine hash for nested arrays)."""
+    item = F.struct(
+        F.col("l_partkey").alias("product_id"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("quantity"),
+    )
+    return lineitem.groupBy(F.col("l_orderkey").alias("id")).agg(
+        F.array_sort(F.collect_list(item)).alias("order_items")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Latest-state per key — the batch shape of CDC upsert materialization
+# (SURVEY.md §7: changelog → latest row per PK ordered by ts). Expressed on
+# the events stream table: last event per user.
+
+
+def latest_event_per_user(events: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").alias("id"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        )
+    )
+
+
+LATEST_EVENT_PER_USER_SQL = """
+SELECT user_id AS id, event_id AS last_event_id, event_type AS last_event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dimension-chain broadcast join: region ⋈ nation ⋈ customer rollup — the
+# lookup-join capability (S3/P5) in batch form; both dims broadcast.
+
+
+def region_rollup(customer: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+REGION_ROLLUP_SQL = """
+SELECT r_name AS region_name, COUNT(*) AS customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function battery (F1-F11) over events, incl. JSON extraction (the
+# MongoDB path lands documents as JSON strings, flink-mongodb.sql:3).
+
+
+def scalar_battery(events: DataFrame) -> DataFrame:
+    return events.select(
+        F.col("event_id").alias("id"),
+        day_bucket("ts").alias("day"),                                    # F1
+        F.date_format("ts", "yyyyMMdd").alias("day_compact"),             # F2
+        F.floor(F.col("value")).cast("long").alias("value_floor"),        # F5
+        F.pmod(F.floor(F.col("value") * 10).cast("long"), F.lit(256)).alias("bucket"),  # F7/F9
+        F.get_json_object("props", "$.k").alias("prop_k"),                # F11
+        F.upper(F.substring("event_type", 1, 3)).alias("type_prefix"),
+        F.concat_ws("-", "event_type", F.col("user_id").cast("string")).alias("type_user"),
+        F.when(F.col("event_type") == "purchase", F.lit("revenue"))
+        .otherwise(F.lit("activity"))
+        .alias("kind"),
+    ).filter(F.col("event_type") != "error")                              # F10
+
+
+SCALAR_BATTERY_SQL = """
+SELECT event_id AS id,
+       strftime(ts, '%Y-%m-%d') AS day,
+       strftime(ts, '%Y%m%d') AS day_compact,
+       CAST(floor(value) AS BIGINT) AS value_floor,
+       ((CAST(floor(value * 10) AS BIGINT) % 256) + 256) % 256 AS bucket,
+       json_extract_string(props, '$.k') AS prop_k,
+       upper(substr(event_type, 1, 3)) AS type_prefix,
+       event_type || '-' || CAST(user_id AS VARCHAR) AS type_user,
+       CASE WHEN event_type = 'purchase' THEN 'revenue' ELSE 'activity' END AS kind
+FROM events WHERE event_type <> 'error'
+"""

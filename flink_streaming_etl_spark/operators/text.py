@@ -1,0 +1,166 @@
+"""Text-analysis operators over the ``documents`` table: language ID,
+quality scoring, token counting, fingerprinting.
+
+Everything is built-in-function arithmetic (no UDFs): marker-substring
+counts use the replace-length trick (identical in Spark and DuckDB), token
+counts use regex splits with identical semantics, and fingerprints are md5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_streaming_etl_spark.functions import q6, q6_sql
+
+# language → marker substrings (padded with spaces: whole-word matches)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and "],
+    "de": [" der ", " und "],
+    "fr": [" le ", " et "],
+    "es": [" el ", " y "],
+    "zh": [" zh ", " de "],
+}
+
+
+def _count_sub(text: Column, sub: str) -> Column:
+    """Occurrences of ``sub`` via length difference after replace —
+    deterministic and identical across engines (non-overlapping count)."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(sub), F.lit("")))) / F.lit(len(sub))
+
+
+def _count_sub_sql(expr: str, sub: str) -> str:
+    return f"(length({expr}) - length(replace({expr}, '{sub}', ''))) / {len(sub)}"
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """n-gram-heuristic language ID: argmax of marker-word counts with a
+    fixed precedence order (en→de→fr→es→zh, then 'und' when no marker)."""
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    scores = {
+        lang: sum([_count_sub(padded, m) for m in markers], F.lit(0).cast("double"))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
+        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return documents.select(
+        "doc_id",
+        pred.alias("predicted_lang"),
+        F.col("lang").alias("actual_lang"),
+        (pred == F.col("lang")).alias("is_match"),
+    )
+
+
+def lang_id_sql() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    scores = {
+        lang: "(" + " + ".join(_count_sub_sql(padded, m) for m in markers) + ")"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = " ".join(
+        f"WHEN {scores[lang]} = best AND best > 0 THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {best} AS best, text FROM documents)
+SELECT doc_id,
+       CASE {whens} ELSE 'und' END AS predicted_lang,
+       lang AS actual_lang,
+       (CASE {whens} ELSE 'und' END) = lang AS is_match
+FROM scored
+"""
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """Whitespace tokenization + a BPE-ish proxy (4 chars ≈ 1 token)."""
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    return documents.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        F.length("text").alias("n_chars_text"),
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("n_tokens_bpe_est"),
+        q6(F.length("text") / toks.cast("double")).alias("chars_per_token"),
+    )
+
+
+TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       length(text) AS n_chars_text,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est,
+       floor((length(text) / len(string_split_regex(trim(text), '\s+'))::DOUBLE) * 1000000.0) / 1000000.0 AS chars_per_token
+FROM documents
+"""
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality: length score + word-shape score + stopword ratio
+    (the classic Gopher/C4-style cheap filters, arithmetic only)."""
+    text = F.col("text")
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("double")
+    avg_word_len = (F.length(F.replace(text, F.lit(" "), F.lit(""))) / toks)
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    stop_hits = sum(
+        [_count_sub(padded, m) for ms in LANG_MARKERS.values() for m in ms],
+        F.lit(0).cast("double"),
+    )
+    len_score = F.least(F.lit(1.0), toks / F.lit(64.0))
+    shape_score = F.least(F.lit(1.0), avg_word_len / F.lit(6.0))
+    stop_score = F.least(F.lit(1.0), stop_hits / toks * F.lit(10.0))
+    score = q6(len_score * 0.5 + shape_score * 0.3 + stop_score * 0.2)
+    return documents.select(
+        "doc_id",
+        toks.cast("long").alias("n_tokens"),
+        q6(avg_word_len).alias("avg_word_len"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        score.alias("quality"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+def quality_score_sql() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    toks = r"len(string_split_regex(trim(text), '\s+'))::DOUBLE"
+    avg_word_len = f"(length(replace(text, ' ', '')) / {toks})"
+    stop_hits = "(" + " + ".join(
+        _count_sub_sql(padded, m) for ms in LANG_MARKERS.values() for m in ms
+    ) + ")"
+    score = q6_sql(
+        f"least(1.0, {toks} / 64.0) * 0.5 + least(1.0, {avg_word_len} / 6.0) * 0.3 "
+        f"+ least(1.0, {stop_hits} / {toks} * 10.0) * 0.2"
+    )
+    q6_awl = q6_sql(avg_word_len)
+    return f"""
+SELECT doc_id,
+       CAST({toks} AS BIGINT) AS n_tokens,
+       {q6_awl} AS avg_word_len,
+       CAST({stop_hits} AS BIGINT) AS stopword_hits,
+       {score} AS quality,
+       {score} >= 0.5 AS keep
+FROM documents
+"""
+
+
+def doc_fingerprint(documents: DataFrame) -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text,
+    plus a 16-bit shard bucket (the partitioning key a 100 TB dedup job
+    would shuffle on) and a coarse length class."""
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    fp = F.md5(norm)
+    return documents.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 4), 16, 10).cast("long").alias("shard_bucket"),
+        F.floor(F.log2(F.length("text").cast("double"))).cast("long").alias("len_class"),
+    )
+
+
+DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+       ('0x' || substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 4))::BIGINT AS shard_bucket,
+       CAST(floor(log2(length(text))) AS BIGINT) AS len_class
+FROM documents
+"""

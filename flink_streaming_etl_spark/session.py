@@ -1,0 +1,65 @@
+"""SparkSession bootstrap tuned for the engine.
+
+Reference parity: the Flink side is configured in
+/root/reference/client-image/conf/sql-client-conf.yaml:28-34 (Blink planner,
+streaming mode, parallelism 1, max-parallelism 128). Our equivalents are
+Catalyst + AQE with shuffle parallelism sized to the host; at cluster scale the
+same settings hold with `spark.sql.shuffle.partitions` sized to ~2-3x cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _cpus() -> int:
+    try:
+        return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    except ValueError:
+        return 32
+
+
+def get_spark(
+    app_name: str = "flink-streaming-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-oriented defaults.
+
+    - AQE on: runtime coalescing, skew-join splitting (replaces the
+      reference's manual 256-bucket salted rollup, flink-ddl.sql:209).
+    - Arrow on: any Pandas-UDF path is batch-transferred, never per-row.
+    - UTC session timezone: deterministic date bucketing regardless of host.
+    """
+    cpus = _cpus()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(2 * cpus, 32)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    tune_session(spark)
+    return spark
+
+
+def tune_session(spark: SparkSession) -> None:
+    """Runtime-settable knobs, safe to apply to a session we didn't build
+    (the driver hands us its own session in ``__spark_entry__``)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -1,0 +1,167 @@
+"""CDC source: changelog → latest-state materialization.
+
+The core design decision (SURVEY.md §7): Spark's Structured Streaming has no
+native retract-stream relational algebra, so we *materialize-then-recompute*:
+reduce the changelog to the latest row per primary key (deletes drop the
+key), then run plain relational queries on the materialized state. This
+reproduces Flink's retraction results exactly — same final table after any
+changelog prefix (flink-ddl.sql:213's cancellable-order daily stats).
+
+Latest-state reduction is one shuffle on the PK (max_by over monotonically
+ordered (ts_ms, seq)); at scale this is the same keyed repartition Flink's
+changelog operators do, and parquet/Delta state tables keep it incremental
+per micro-batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+from pyspark.sql.window import Window
+
+from flink_streaming_etl_spark.sources.debezium import parse_envelopes
+
+
+def latest_state(
+    changelog: DataFrame,
+    primary_key: list[str] | str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Reduce an envelope changelog to the live latest row per PK.
+
+    ``changelog`` must have columns (before, after, op, ts_ms) as produced
+    by :func:`parse_envelopes`; ``order_cols`` defaults to (ts_ms, _seq)
+    where _seq is the within-batch arrival order (Kafka offset analog).
+    """
+    if isinstance(primary_key, str):
+        primary_key = [primary_key]
+    order_cols = order_cols or ["ts_ms", "_seq"]
+    if "_seq" in order_cols and "_seq" not in changelog.columns:
+        changelog = changelog.withColumn("_seq", F.monotonically_increasing_id())
+
+    img = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
+    rows = changelog.filter(F.col("op").isin("c", "u", "d", "r")).select(
+        img.alias("_row"), "op", *order_cols
+    )
+    w = Window.partitionBy(*[F.col(f"_row.{k}") for k in primary_key]).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("op") != "d"))
+        .select("_row.*")
+    )
+
+
+def apply_changelog(
+    state: DataFrame | None,
+    changelog: DataFrame,
+    primary_key: list[str] | str,
+) -> DataFrame:
+    """Merge a new changelog chunk into an existing latest-state table:
+    new-chunk rows win over prior state for the same PK (upsert), deletes
+    remove keys. This is the per-micro-batch MERGE of SURVEY.md §7."""
+    if isinstance(primary_key, str):
+        primary_key = [primary_key]
+    chunk = latest_state_with_deletes(changelog, primary_key)
+    if state is None:
+        return chunk.filter(F.col("_deleted") == False).drop("_deleted")  # noqa: E712
+    old = state.withColumn("_deleted", F.lit(False)).withColumn("_gen", F.lit(0))
+    new = chunk.withColumn("_gen", F.lit(1))
+    w = Window.partitionBy(*primary_key).orderBy(F.col("_gen").desc())
+    return (
+        old.unionByName(new)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("_deleted") == False))  # noqa: E712
+        .drop("_rn", "_gen", "_deleted")
+    )
+
+
+def latest_state_with_deletes(
+    changelog: DataFrame, primary_key: list[str]
+) -> DataFrame:
+    """Like :func:`latest_state` but keeps tombstones (``_deleted`` flag) so
+    a downstream merge can propagate deletions."""
+    order_cols = ["ts_ms", "_seq"]
+    if "_seq" not in changelog.columns:
+        changelog = changelog.withColumn("_seq", F.monotonically_increasing_id())
+    img = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
+    rows = changelog.filter(F.col("op").isin("c", "u", "d", "r")).select(
+        img.alias("_row"), "op", *order_cols
+    )
+    w = Window.partitionBy(*[F.col(f"_row.{k}") for k in primary_key]).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_row.*", (F.col("op") == "d").alias("_deleted"))
+    )
+
+
+class CdcSource:
+    """A named CDC table: replayable changelog (JSONL of Debezium envelopes)
+    → typed latest-state DataFrame.
+
+    Batch mode reads the whole file (test oracle path); streaming mode is
+    the same parser over ``readStream`` (file or Kafka source — the
+    reference's own Kafka+debezium-json path, README.md:132-150).
+    """
+
+    def __init__(
+        self,
+        name: str,
+        row_schema: StructType,
+        primary_key: list[str] | str,
+        mongo: bool = False,
+    ):
+        self.name = name
+        self.row_schema = row_schema
+        self.primary_key = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+        self.mongo = mongo
+
+    def parse(self, raw: DataFrame, value_col: str = "value") -> DataFrame:
+        return parse_envelopes(raw, self.row_schema, value_col=value_col, mongo=self.mongo)
+
+    def read_changelog(self, spark: SparkSession, path: str) -> DataFrame:
+        raw = spark.read.text(os.fspath(path)).withColumnRenamed("value", "value")
+        return self.parse(raw)
+
+    def read_state(self, spark: SparkSession, path: str) -> DataFrame:
+        return latest_state(self.read_changelog(spark, path), self.primary_key)
+
+    def stream_changelog(self, spark: SparkSession, path: str) -> DataFrame:
+        raw = (
+            spark.readStream.format("text")
+            .option("maxFilesPerTrigger", 1)
+            .load(os.fspath(path))
+        )
+        return self.parse(raw)
+
+
+def kafka_changelog(
+    spark: SparkSession,
+    source: CdcSource,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka + debezium-json source (reference README.md:132-150:
+    `scan.startup.mode='earliest-offset'`, group id, ISO-8601 timestamps).
+    Untestable in this container (no Kafka broker) but the parser and all
+    downstream stages are shared with the file-replay path above."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+        .select(
+            F.col("key").cast("string").alias("key"),  # PK struct (S6)
+            F.col("value").cast("string").alias("value"),
+        )
+    )
+    return source.parse(raw)

@@ -1,0 +1,85 @@
+"""Keyed upsert sink with delete propagation (SURVEY.md §2.1 S5, §2.5 T3).
+
+Stand-in for the reference's Elasticsearch-7 upsert sink (flink-ddl.sql:
+96-109: PK-keyed index, several queries share one index): a parquet-backed
+keyed table that merges each micro-batch by primary key. On a real cluster
+the same ``merge`` call targets Delta ``MERGE INTO`` or the ES connector
+(`es.write.operation=upsert`, `es.mapping.id=id`); the orchestration and
+semantics here are identical.
+
+Idempotence: re-merging the same batch is a no-op (same keys, same rows) —
+this is what turns at-least-once delivery into effectively-once end-to-end
+(reference claim README.md:347; SURVEY.md §2.5 T6).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+class KeyedParquetSink:
+    """An upsert-by-PK materialized table at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str, primary_key: list[str] | str):
+        self.spark = spark
+        self.path = os.fspath(path)
+        self.primary_key = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.path, "_SUCCESS"))
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def merge(self, batch: DataFrame, deletes: DataFrame | None = None) -> None:
+        """Upsert ``batch`` rows by PK; drop PKs present in ``deletes``.
+
+        Dotted ES field names (flink-ddl.sql:98-102) are handled upstream
+        by nesting into structs (see ``nest_dotted``)."""
+        pk = self.primary_key
+        if self.exists():
+            current = self.read()
+            merged = (
+                current.withColumn("_gen", F.lit(0))
+                .unionByName(batch.withColumn("_gen", F.lit(1)))
+            )
+            w = Window.partitionBy(*pk).orderBy(F.col("_gen").desc())
+            merged = (
+                merged.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_gen")
+            )
+        else:
+            merged = batch.dropDuplicates(pk)
+        if deletes is not None:
+            merged = merged.join(
+                deletes.select(*pk).dropDuplicates(pk), on=pk, how="left_anti"
+            )
+        tmp = self.path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.replace(tmp, self.path)
+
+
+def nest_dotted(df: DataFrame) -> DataFrame:
+    """Rewrite dotted column names into nested structs — the ES document
+    mapping of the reference (`order.amount` → {"order": {"amount": ...}},
+    flink-ddl.sql:98-102)."""
+    plain = [c for c in df.columns if "." not in c]
+    nested: dict[str, list[str]] = {}
+    for c in df.columns:
+        if "." in c:
+            top, rest = c.split(".", 1)
+            nested.setdefault(top, []).append(rest)
+    cols = [F.col(f"`{c}`") for c in plain]
+    for top, fields in nested.items():
+        cols.append(
+            F.struct(*[F.col(f"`{top}.{f}`").alias(f) for f in fields]).alias(top)
+        )
+    return df.select(*cols)
