@@ -117,6 +117,18 @@ def vec_dot(a: Column, b: Column) -> Column:
     )
 
 
+def vec_dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Dot product with a statically known dimension, expanded to a flat
+    left-associated scalar expression — whole-stage-codegen'd, unlike the
+    interpreted HOF fold in :func:`vec_dot`. Same summation order, so the
+    result is bit-identical to the fold (and to DuckDB's list_dot_product).
+    """
+    acc: Column = F.lit(0.0)
+    for j in range(1, dim + 1):
+        acc = acc + F.element_at(a, j) * F.element_at(b, j)
+    return acc
+
+
 def vec_norm(a: Column) -> Column:
     return F.sqrt(vec_dot(a, a))
 

@@ -135,18 +135,26 @@ WHERE common / (na.n + nb.n - common) >= {threshold}
 # MinHash signatures (per-row, no shuffle) + LSH banding candidate pairs.
 
 
-def _sig_cols() -> list[Column]:
-    """m_i = MIN over shingles of (a_i * h32(shingle) + b_i) mod p."""
-    cols = []
-    h32s = F.transform(_shingles("text"), _h32)
-    for i, (a, b) in enumerate(PERMS):
-        perm = F.transform(h32s, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE32))
-        cols.append(F.array_min(perm).alias(f"m{i}"))
-    return cols
+def _shingle_rows(documents: DataFrame) -> DataFrame:
+    """(doc_id, shingle, h32) rows — explode keeps the md5 inside
+    whole-stage codegen and computes it exactly once per shingle (array-fold
+    formulations re-evaluate the interpreted HOF tree per output column)."""
+    return documents.select(
+        "doc_id", F.explode(_shingles("text")).alias("shingle")
+    ).withColumn("h32", _h32(F.col("shingle")))
+
+
+def _sig_aggs() -> list[Column]:
+    """m_i = MIN over shingles of (a_i * h32 + b_i) mod p — codegen'd
+    partial+final min aggregation, one shuffle on doc_id."""
+    return [
+        F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(MERSENNE32)).alias(f"m{i}")
+        for i, (a, b) in enumerate(PERMS)
+    ]
 
 
 def minhash_signatures(documents: DataFrame) -> DataFrame:
-    return documents.select("doc_id", *_sig_cols())
+    return _shingle_rows(documents).groupBy("doc_id").agg(*_sig_aggs())
 
 
 def minhash_signatures_sql() -> str:
@@ -164,25 +172,30 @@ SELECT doc_id, {sigs} FROM h GROUP BY doc_id
 
 def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.05) -> DataFrame:
     """LSH: band signatures → bucket join → exact-Jaccard verification of
-    candidates only. rows_per_band = N_PERMS / N_BANDS = 2."""
-    sigs = documents.select("doc_id", _shingles("text").alias("sh"), *_sig_cols())
+    candidates only. rows_per_band = N_PERMS / N_BANDS = 2.
+
+    Scale shape: signatures via one explode+groupBy (codegen md5, one
+    shuffle); banding fans out ×N_BANDS rows; the candidate self-join
+    shuffles on band_key; only *candidates* pay the exact-Jaccard check
+    (array_intersect over per-doc shingle arrays, broadcast-joined back)."""
+    sigs = minhash_signatures(documents)
     bands = F.array(
         *[
             F.concat_ws(":", F.lit(bi), F.col(f"m{2 * bi}"), F.col(f"m{2 * bi + 1}"))
             for bi in range(N_BANDS)
         ]
     )
-    banded = sigs.select("doc_id", "sh", F.explode(bands).alias("band_key"))
+    banded = sigs.select("doc_id", F.explode(bands).alias("band_key"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
+    )
+    arrays = documents.select("doc_id", _shingles("text").alias("sh"))
+    cand = (
+        cand.join(arrays.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a")), "a_id")
+        .join(arrays.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b")), "b_id")
     )
     common = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - common
@@ -236,21 +249,24 @@ WHERE floor((common / (na.n + nb.n - common)) * 1000000.0) / 1000000.0 >= {thres
 SIMHASH_BITS = 32
 
 
-def _bit_vote(h32s: Column, bit: int) -> Column:
-    def merge(acc: Column, h: Column) -> Column:
-        is_set = F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1
-        return acc + F.when(is_set, F.lit(1)).otherwise(F.lit(-1))
-
-    return F.aggregate(h32s, F.lit(0).cast("long"), merge)
-
-
 def simhash(documents: DataFrame) -> DataFrame:
-    h32s = F.transform(_shingles("text"), _h32)
+    """One explode + one groupBy: 32 codegen'd conditional-sum aggregates
+    (bit votes), then the signature is assembled from the vote columns."""
+    rows = _shingle_rows(documents)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h32"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    g = rows.groupBy("doc_id").agg(*votes)
     sig = F.lit(0).cast("long")
-    for bit in range(SIMHASH_BITS):
-        vote = _bit_vote(h32s, bit)
-        sig = sig + F.when(vote >= 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(F.lit(0))
-    return documents.select("doc_id", sig.alias("simhash32"))
+    for b in range(SIMHASH_BITS):
+        sig = sig + F.when(
+            F.col(f"v{b}") >= 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0))
+    return g.select("doc_id", sig.alias("simhash32"))
 
 
 def simhash_sql() -> str:

@@ -21,11 +21,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from flink_streaming_etl_spark.functions import cosine, q6
+from flink_streaming_etl_spark.functions import q6, vec_dot, vec_norm
 
 N_QUERIES = 10  # vec_id < 10 are the probe vectors
 TOP_K = 5
 BUCKET_DIMS = 6  # sign bits of the first 6 dims → 64 buckets
+EMBED_DIM = 64  # testdata embedding dimensionality (embeddings.parquet)
 
 _COS_SQL = (
     "floor((list_dot_product({a}, {b}) / "
@@ -34,21 +35,34 @@ _COS_SQL = (
 
 
 def _as_double(df: DataFrame) -> DataFrame:
-    return df.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    """vec_id, v (array<double>), norm — the norm is materialized once per
+    vector here so pair scoring pays one dot product, not three. The
+    arithmetic (dot / (norm_a * norm_b)) is unchanged → oracle-identical."""
+    # NOTE: the HOF fold is interpreted (no codegen) but still beats a flat
+    # 64-term element_at expansion, whose generated method exceeds JIT limits.
+    return df.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("norm", vec_norm(F.col("v")))
+
+
+def _pair_cos(va: str, na: str, vb: str, nb: str) -> F.Column:
+    return q6(vec_dot(F.col(va), F.col(vb)) / (F.col(na) * F.col(nb)))
 
 
 def cosine_topk(embeddings: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) -> DataFrame:
     """Brute-force cosine top-k for the probe set (baseline ANN)."""
     e = _as_double(embeddings)
     q = e.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
     )
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            q6(cosine(F.col("qv"), F.col("v"))).alias("cos"),
+            _pair_cos("qv", "qnorm", "v", "norm").alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -79,11 +93,11 @@ def embedding_neardup(embeddings: DataFrame, threshold: float = 0.4) -> DataFram
     """All-pairs cosine near-duplicates (exact baseline; LSH variant below
     is the scale path)."""
     e = _as_double(embeddings)
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", q6(cosine(F.col("va"), F.col("vb"))).alias("cosine"))
+        .select("a_id", "b_id", _pair_cos("va", "na", "vb", "nb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -112,14 +126,14 @@ def ann_lsh_bucketed(embeddings: DataFrame, threshold: float = 0.1) -> DataFrame
     components, then exact cosine only within buckets (vectors in the same
     orthant are the high-cosine candidates)."""
     e = _as_double(embeddings).withColumn("bucket", _bucket_expr_spark())
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"), "bucket")
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), "bucket")
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("norm").alias("na"), "bucket")
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("norm").alias("nb"), "bucket")
     return (
         a.join(b, ["bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select(
             "a_id", "b_id", "bucket",
-            q6(cosine(F.col("va"), F.col("vb"))).alias("cosine"),
+            _pair_cos("va", "na", "vb", "nb").alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

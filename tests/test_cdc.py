@@ -1,0 +1,192 @@
+"""End-to-end CDC pipeline tests (SURVEY.md §7 minimum slice + §2.3 A3).
+
+Replays a synthetic Debezium changelog — same envelope shape as the golden
+sample /root/reference/sample/cdc.orders.change-log-mysql.json — through
+``CdcPipeline.run_batch`` with a ``KeyedParquetSink``, asserting the exact
+acceptance scenario the reference encodes (SURVEY.md §5.3):
+
+- inserts aggregate into daily totals,
+- an ``op:"u"`` flipping status to ``closed`` *drops* the totals
+  (retraction, flink-ddl.sql:213),
+- an ``op:"d"`` removes the key from the sink (delete propagation),
+- replaying the same batch is a no-op (idempotence → effectively-once),
+- a corrupt JSON line doesn't poison the batch (ignore-parse-errors, S2).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from flink_streaming_etl_spark.sources.cdc import CdcSource, latest_state
+from flink_streaming_etl_spark.sources.debezium import parse_envelopes
+from flink_streaming_etl_spark.streaming.pipeline import CdcPipeline
+from flink_streaming_etl_spark.streaming.upsert_sink import KeyedParquetSink
+
+ORDER_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("user_id", StringType()),
+        StructField("amount", DoubleType()),
+        StructField("status", StringType()),
+        StructField("ctime", StringType()),
+    ]
+)
+
+
+def env(op, after=None, before=None, ts=0):
+    return json.dumps(
+        {
+            "before": before,
+            "after": after,
+            "source": {"db": "ec", "table": "orders", "ts_ms": ts},
+            "op": op,
+            "ts_ms": ts,
+        }
+    )
+
+
+def order(oid, user, amount, status, day="2020-07-30"):
+    return {
+        "id": oid,
+        "user_id": user,
+        "amount": amount,
+        "status": status,
+        "ctime": f"{day} 10:00:00",
+    }
+
+
+def raw_df(spark, lines):
+    return spark.createDataFrame([(l,) for l in lines], "value string")
+
+
+def day_stats_query(states):
+    o = states["orders"].filter(F.col("status") != "closed")
+    return o.groupBy(
+        F.col("user_id"), F.substring("ctime", 1, 10).alias("day")
+    ).agg(
+        F.sum("amount").alias("amount"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.concat_ws("|", "user_id", F.substring("ctime", 1, 10)).alias("id"),
+    ).select("id", "user_id", "day", "amount", "cnt")
+
+
+@pytest.fixture()
+def pipeline(spark, tmp_path):
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    sink = KeyedParquetSink(spark, str(tmp_path / "sink"), "id")
+    return CdcPipeline(spark, {"orders": src}, day_stats_query, sink), src
+
+
+def parse(spark, src, lines):
+    return src.parse(raw_df(spark, lines))
+
+
+def sink_rows(sink):
+    return {r["id"]: (r["amount"], r["cnt"]) for r in sink.read().collect()}
+
+
+def test_cdc_full_scenario(spark, pipeline):
+    pipe, src = pipeline
+
+    # Batch 1: three inserts, two users.
+    b1 = [
+        env("c", order("o1", "u1", 100.0, "payed"), ts=1),
+        env("c", order("o2", "u1", 50.0, "payed"), ts=2),
+        env("c", order("o3", "u2", 30.0, "created"), ts=3),
+    ]
+    pipe.run_batch({"orders": parse(spark, src, b1)})
+    assert sink_rows(pipe.sink) == {
+        "u1|2020-07-30": (150.0, 2),
+        "u2|2020-07-30": (30.0, 1),
+    }
+
+    # Batch 2: o2 flips to closed → u1's totals must DROP (retraction, A3).
+    b2 = [
+        env(
+            "u",
+            order("o2", "u1", 50.0, "closed"),
+            before=order("o2", "u1", 50.0, "payed"),
+            ts=4,
+        )
+    ]
+    pipe.run_batch({"orders": parse(spark, src, b2)})
+    assert sink_rows(pipe.sink) == {
+        "u1|2020-07-30": (100.0, 1),
+        "u2|2020-07-30": (30.0, 1),
+    }
+
+    # Batch 3: delete u2's only order → its key disappears from the sink.
+    b3 = [env("d", before=order("o3", "u2", 30.0, "created"), ts=5)]
+    pipe.run_batch({"orders": parse(spark, src, b3)})
+    assert sink_rows(pipe.sink) == {"u1|2020-07-30": (100.0, 1)}
+
+    # Replaying batch 3 is a no-op (idempotence / effectively-once, T6).
+    pipe.run_batch({"orders": parse(spark, src, b3)})
+    assert sink_rows(pipe.sink) == {"u1|2020-07-30": (100.0, 1)}
+
+
+def test_corrupt_line_does_not_poison_batch(spark, pipeline):
+    pipe, src = pipeline
+    lines = [
+        env("c", order("o1", "u1", 10.0, "payed"), ts=1),
+        "{not valid json at all",
+        env("c", order("o4", "u3", 7.0, "payed"), ts=2),
+    ]
+    pipe.run_batch({"orders": parse(spark, src, lines)})
+    assert sink_rows(pipe.sink) == {
+        "u1|2020-07-30": (10.0, 1),
+        "u3|2020-07-30": (7.0, 1),
+    }
+
+
+def test_latest_state_orders_by_ts(spark):
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    lines = [
+        env("c", order("o1", "u1", 10.0, "created"), ts=1),
+        env("u", order("o1", "u1", 10.0, "payed"), before=order("o1", "u1", 10.0, "created"), ts=2),
+        env("u", order("o1", "u1", 10.0, "shipped"), before=order("o1", "u1", 10.0, "payed"), ts=3),
+    ]
+    state = latest_state(parse(spark, src, lines), "id").collect()
+    assert len(state) == 1 and state[0]["status"] == "shipped"
+
+
+def test_golden_sample_parses(spark):
+    """The verbatim reference golden envelope (op:"u", closed→payed flip at
+    cdc.orders.change-log-mysql.json:116-131) must parse."""
+    golden = json.dumps(
+        {
+            "before": {
+                "id": "o-gold",
+                "user_id": "0001",
+                "amount": 100.0,
+                "status": "closed",
+                "ctime": "2020-07-30 10:08:22",
+            },
+            "after": {
+                "id": "o-gold",
+                "user_id": "0001",
+                "amount": 100.0,
+                "status": "payed",
+                "ctime": "2020-07-30 10:08:22",
+            },
+            "source": {"db": "ec", "table": "orders", "ts_ms": 1596067944000},
+            "op": "u",
+            "ts_ms": 1596068186537,
+        }
+    )
+    parsed = parse_envelopes(raw_df(spark, [golden]), ORDER_SCHEMA).collect()
+    assert len(parsed) == 1
+    row = parsed[0]
+    assert row["op"] == "u"
+    assert row["before"]["status"] == "closed"
+    assert row["after"]["status"] == "payed"
