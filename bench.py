@@ -4,8 +4,9 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed with a count-style action (foreach noop) so results
-materialize fully without driver-side collection cost dominating.
+Each query is materialized with the JVM-side ``noop`` datasource write so
+every result row is fully computed without paying Python row serialization
+or driver-side collection — the engine's cost, nothing else.
 """
 
 from __future__ import annotations
@@ -57,14 +58,17 @@ def main() -> None:
     spark = get_spark("flink-streaming-etl-spark-bench")
     qs = api.queries()
 
+    def materialize(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     # Warm the JVM/codegen once on the smallest query so the first measured
     # query doesn't pay session startup.
-    qs["region_rollup"](spark, sf_dir).foreach(lambda r: None)
+    materialize(qs["region_rollup"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).foreach(lambda r: None)
+        materialize(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)

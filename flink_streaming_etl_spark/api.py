@@ -78,6 +78,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(dedup.ngram_jaccard_pairs, "documents"),
         dedup.ngram_jaccard_pairs_sql(),
     ),
+    "ngram_jaccard_pairs_sparse": (
+        _q(dedup.ngram_jaccard_pairs_sparse, "documents"),
+        dedup.ngram_jaccard_pairs_sql(),  # same relation, sparse-regime plan
+    ),
     "minhash_signatures": (
         _q(dedup.minhash_signatures, "documents"),
         dedup.minhash_signatures_sql(),

@@ -49,6 +49,7 @@ def load_tables(
     # rejects; read nanos as long and convert to a micro timestamp (what
     # DuckDB does implicitly).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    cpus = spark.sparkContext.defaultParallelism
     dfs: dict[str, DataFrame] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -59,6 +60,16 @@ def load_tables(
                     df = df.withColumn(
                         "ts", F.timestamp_micros(F.expr("ts div 1000"))
                     )
+            # Single-row-group files scan as ONE split, serializing all
+            # map-side work onto one core. Only the tables with genuinely
+            # CPU-heavy map sides (per-shingle hashing, vector math) earn
+            # the extra exchange; relational tables keep their scan
+            # partitioning — their map side is cheap projection and the
+            # groupBy/join shuffle parallelizes them anyway. At cluster
+            # scale data arrives in thousands of splits and this branch
+            # never fires.
+            if name in ("documents", "embeddings") and df.rdd.getNumPartitions() < cpus:
+                df = df.repartition(cpus)
             dfs[name] = df
             if register:
                 df.createOrReplaceTempView(name)

@@ -1,32 +1,43 @@
 """Similarity search over the ``embeddings`` table (array<float> column).
 
-Scale design:
-- Brute-force top-k: the *query* side is tiny → broadcast it; the corpus
-  scan is embarrassingly parallel, no shuffle except the final per-query
-  top-k (a window over ~n_queries * corpus rows — at real scale replace
-  with per-partition heap + re-rank; see tests/test_similarity.py).
-- LSH-bucketed variant: sign-bit bucket key computed per-row, then a
-  bucket-local self-join — candidate volume drops ~|buckets|x vs the full
-  cross product. The scale path for all-pairs near-dup.
+Scale design (100 TB target):
+- All exact scoring runs through ONE physical pattern: **blocked all-pairs
+  GEMM** — vectors are grouped into fixed-size blocks (`collect_list` per
+  block id, one shuffle), block pairs are enumerated with a tiny
+  blocks×blocks join, and each block pair is scored inside a vectorized
+  Arrow `mapInPandas` task (numpy, float64). Work per task is
+  O(block² · dim) with dense CPU math instead of per-pair interpreted
+  expressions; tasks scale out linearly with the number of block pairs.
+- Brute-force top-k additionally does **partial top-k inside each task**
+  (per query, per corpus block) so the final global window only merges
+  n_blocks·k candidates per query — the classic two-stage top-k.
+- The LSH-bucketed variant cuts candidate generation itself (sign-bit
+  orthant buckets → bucket-local join); it is the scale path for all-pairs
+  near-dup when even blocked O(n²) is too much.
 
-All vector math is JVM-side (`zip_with`/`aggregate` fold — sequential,
-deterministic summation order) on array<double>; cosines are rounded to 6
-decimals *before* any ranking/threshold so the DuckDB oracle (same fold
-order via list_dot_product over DOUBLE[]) agrees bit-for-bit.
+Cross-engine bit-exactness: the numpy kernel accumulates the dot product
+**sequentially over dimensions** (`acc += A[:,j]·B[:,j]`, acc initialised
+to 0.0) — the identical left-associated float64 summation the DuckDB oracle
+performs in `list_dot_product`, so cosines match the oracle bit-for-bit;
+quantization is floor(x·1e6)/1e6 (`q6`) on both sides.
 """
 
 from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from flink_streaming_etl_spark.functions import q6, vec_dot, vec_norm
-
 N_QUERIES = 10  # vec_id < 10 are the probe vectors
 TOP_K = 5
 BUCKET_DIMS = 6  # sign bits of the first 6 dims → 64 buckets
-EMBED_DIM = 64  # testdata embedding dimensionality (embeddings.parquet)
+BLOCK_SIZE = 512  # target vectors per GEMM block
 
 _COS_SQL = (
     "floor((list_dot_product({a}, {b}) / "
@@ -35,39 +46,188 @@ _COS_SQL = (
 
 
 def _as_double(df: DataFrame) -> DataFrame:
-    """vec_id, v (array<double>), norm — the norm is materialized once per
-    vector here so pair scoring pays one dot product, not three. The
-    arithmetic (dot / (norm_a * norm_b)) is unchanged → oracle-identical."""
-    # NOTE: the HOF fold is interpreted (no codegen) but still beats a flat
-    # 64-term element_at expansion, whose generated method exceeds JIT limits.
-    return df.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("norm", vec_norm(F.col("v")))
+    return df.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
 
 
-def _pair_cos(va: str, na: str, vb: str, nb: str) -> F.Column:
-    return q6(vec_dot(F.col(va), F.col(vb)) / (F.col(na) * F.col(nb)))
-
-
-def cosine_topk(embeddings: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) -> DataFrame:
-    """Brute-force cosine top-k for the probe set (baseline ANN)."""
-    e = _as_double(embeddings)
-    q = e.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"),
+def _blocks(e: DataFrame, n_blocks: int, blk_expr=None) -> DataFrame:
+    """(blk, vecs: array<struct<vec_id,v>>) — one row per block, one shuffle.
+    collect_list over a struct keeps ids and vectors positionally aligned."""
+    blk = blk_expr if blk_expr is not None else F.pmod(F.col("vec_id"), F.lit(n_blocks))
+    return e.groupBy(blk.alias("blk")).agg(
+        F.collect_list(F.struct("vec_id", "v")).alias("vecs")
     )
-    scored = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+
+
+def _vec_helpers():
+    """Numpy helpers for the Arrow kernels, defined in a nested scope so
+    cloudpickle captures them BY VALUE inside each kernel closure. Kernels
+    must not reference this module's globals: executor Python workers don't
+    have the repo on sys.path when the driver session comes from outside
+    (the driver contract in __spark_entry__.py), so a by-reference pickle
+    would fail with ModuleNotFoundError on the worker."""
+
+    def unpack(cell):
+        ids = np.fromiter((d["vec_id"] for d in cell), dtype=np.int64, count=len(cell))
+        V = np.stack([np.asarray(d["v"], dtype=np.float64) for d in cell])
+        return ids, V
+
+    def seq_gemm(A, B):
+        # Left-associated sequential accumulation over dimensions —
+        # bit-identical to the scalar fold / DuckDB list_dot_product.
+        acc = np.zeros((A.shape[0], B.shape[0]))
+        for j in range(A.shape[1]):
+            acc += A[:, j, None] * B[None, :, j]
+        return acc
+
+    def seq_norms(A):
+        acc = np.zeros(A.shape[0])
+        for j in range(A.shape[1]):
+            acc += A[:, j] * A[:, j]
+        return np.sqrt(acc)
+
+    def q6_np(x):
+        return np.floor(x * 1000000.0) / 1000000.0
+
+    return unpack, seq_gemm, seq_norms, q6_np
+
+
+_PAIR_SCHEMA = "a_id long, b_id long, cosine double"
+
+
+def _score_block_pairs(threshold: float):
+    """mapInPandas kernel: rows of (vecs_a, vecs_b) → unordered pairs
+    (a_id < b_id) with q6 cosine ≥ threshold."""
+    unpack, seq_gemm, seq_norms, q6_np = _vec_helpers()
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                ids_a, A = unpack(row.vecs_a)
+                ids_b, B = unpack(row.vecs_b)
+                cos = q6_np(
+                    seq_gemm(A, B) / (seq_norms(A)[:, None] * seq_norms(B)[None, :])
+                )
+                ii, kk = np.nonzero((cos >= threshold) & (ids_a[:, None] < ids_b[None, :]))
+                if len(ii):
+                    outs.append(
+                        pd.DataFrame(
+                            {"a_id": ids_a[ii], "b_id": ids_b[kk], "cosine": cos[ii, kk]}
+                        )
+                    )
+            yield (
+                pd.concat(outs)
+                if outs
+                else pd.DataFrame({"a_id": [], "b_id": [], "cosine": []}).astype(
+                    {"a_id": "int64", "b_id": "int64", "cosine": "float64"}
+                )
+            )
+
+    return fn
+
+
+def _n_blocks(e: DataFrame, block_size: int) -> int:
+    # One cheap count job to size the blocking; at cluster scale this is a
+    # parquet-metadata scan, not a data read.
+    return max(1, math.ceil(e.count() / block_size))
+
+
+def embedding_neardup(
+    embeddings: DataFrame, threshold: float = 0.4, block_size: int = BLOCK_SIZE
+) -> DataFrame:
+    """All-pairs cosine near-duplicates — exact, via blocked GEMM tasks.
+
+    Every unordered vector pair is scored exactly once: blocks are joined on
+    blk_a <= blk_b (each unordered block pair once) and the kernel keeps
+    id_a < id_b (which also drops self-pairs and dedups the diagonal block).
+    """
+    e = _as_double(embeddings)
+    g = _blocks(e, _n_blocks(e, block_size))
+    bp = (
+        g.alias("A")
+        .join(g.alias("B"), F.col("A.blk") <= F.col("B.blk"))
         .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _pair_cos("qv", "qnorm", "v", "norm").alias("cos"),
+            F.col("A.vecs").alias("vecs_a"),
+            F.col("B.vecs").alias("vecs_b"),
         )
+    )
+    # Spread block-pair rows across the cluster before the CPU-heavy kernel.
+    return bp.repartition(F.rand(42)).mapInPandas(
+        _score_block_pairs(threshold), _PAIR_SCHEMA
+    )
+
+
+def embedding_neardup_sql(threshold: float = 0.4) -> str:
+    cos = _COS_SQL.format(a="a.v", b="b.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id, {cos} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}
+"""
+
+
+def _topk_kernel(k: int):
+    """mapInPandas kernel for (query block × corpus block): per query, the
+    block-local top-k by (cosine desc, neighbor_id asc). Global top-k is a
+    subset of the union of block-local top-ks under the same total order, so
+    the downstream window merge is exact."""
+    unpack, seq_gemm, seq_norms, q6_np = _vec_helpers()
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                q_ids, Q = unpack(row.vecs_a)
+                c_ids, C = unpack(row.vecs_b)
+                cos = q6_np(
+                    seq_gemm(Q, C) / (seq_norms(Q)[:, None] * seq_norms(C)[None, :])
+                )
+                for qi in range(len(q_ids)):
+                    mask = c_ids != q_ids[qi]
+                    scores, nbrs = cos[qi][mask], c_ids[mask]
+                    order = np.lexsort((nbrs, -scores))[:k]
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(len(order), q_ids[qi]),
+                                "neighbor_id": nbrs[order],
+                                "cos": scores[order],
+                            }
+                        )
+                    )
+            yield (
+                pd.concat(outs)
+                if outs
+                else pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []}).astype(
+                    {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
+                )
+            )
+
+    return fn
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    block_size: int = BLOCK_SIZE,
+) -> DataFrame:
+    """Brute-force cosine top-k for the probe set (baseline ANN): the tiny
+    query set rides along as a single block crossed with every corpus block;
+    each task emits its block-local top-k, the final window merges them."""
+    e = _as_double(embeddings)
+    q = _blocks(e.filter(F.col("vec_id") < n_queries), 1, blk_expr=F.lit(0)).select(
+        F.col("vecs").alias("vecs_a")
+    )
+    g = _blocks(e, _n_blocks(e, block_size)).select(F.col("vecs").alias("vecs_b"))
+    bp = q.crossJoin(g)
+    partial = bp.repartition(F.rand(42)).mapInPandas(
+        _topk_kernel(k), "query_id long, neighbor_id long, cos double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        partial.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.col("cos").alias("cosine"))
     )
@@ -89,29 +249,6 @@ SELECT query_id, neighbor_id, cos AS cosine FROM (
 """
 
 
-def embedding_neardup(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
-    """All-pairs cosine near-duplicates (exact baseline; LSH variant below
-    is the scale path)."""
-    e = _as_double(embeddings)
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("norm").alias("na"))
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", _pair_cos("va", "na", "vb", "nb").alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
-
-
-def embedding_neardup_sql(threshold: float = 0.4) -> str:
-    cos = _COS_SQL.format(a="a.v", b="b.v")
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS a_id, b.vec_id AS b_id, {cos} AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE {cos} >= {threshold}
-"""
-
-
 def _bucket_expr_spark() -> F.Column:
     return F.concat(
         *[
@@ -124,8 +261,14 @@ def _bucket_expr_spark() -> F.Column:
 def ann_lsh_bucketed(embeddings: DataFrame, threshold: float = 0.1) -> DataFrame:
     """Sign-bit LSH: bucket on the signs of the first ``BUCKET_DIMS``
     components, then exact cosine only within buckets (vectors in the same
-    orthant are the high-cosine candidates)."""
-    e = _as_double(embeddings).withColumn("bucket", _bucket_expr_spark())
+    orthant are the high-cosine candidates). The scale path: candidate
+    volume drops ~|buckets|× before any scoring; the bucket-local join is
+    AQE-skew-handled when orthant populations are uneven."""
+    from flink_streaming_etl_spark.functions import q6, vec_dot, vec_norm
+
+    e = _as_double(embeddings).withColumn("bucket", _bucket_expr_spark()).withColumn(
+        "norm", vec_norm(F.col("v"))
+    )
     a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("norm").alias("na"), "bucket")
     b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("norm").alias("nb"), "bucket")
     return (
@@ -133,7 +276,7 @@ def ann_lsh_bucketed(embeddings: DataFrame, threshold: float = 0.1) -> DataFrame
         .filter(F.col("a_id") < F.col("b_id"))
         .select(
             "a_id", "b_id", "bucket",
-            _pair_cos("va", "na", "vb", "nb").alias("cosine"),
+            q6(vec_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
