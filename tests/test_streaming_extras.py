@@ -1,0 +1,220 @@
+"""Coverage for the reference surfaces not exercised by the oracle gate:
+true streaming mode (T1), the MongoDB JSON-string payload path (F11),
+the TTL dimension cache (S3/P5), dotted ES field names (S5), and the
+session catalog DDL surface (D1-D7)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from flink_streaming_etl_spark.catalog import (
+    CatalogManager,
+    JdbcCatalog,
+    TableRegistry,
+    TtlDimensionCache,
+)
+from flink_streaming_etl_spark.sources.cdc import CdcSource
+from flink_streaming_etl_spark.sources.debezium import mongo_after_json, parse_envelopes
+from flink_streaming_etl_spark.streaming.pipeline import CdcPipeline
+from flink_streaming_etl_spark.streaming.upsert_sink import KeyedParquetSink, nest_dotted
+
+from tests.test_cdc import ORDER_SCHEMA, day_stats_query, env, order
+
+
+# ---------------------------------------------------------------------------
+# T1: continuous query off a real readStream (file replay, availableNow)
+
+
+def test_run_stream_file_replay(spark, tmp_path):
+    changelog_dir = tmp_path / "changelog"
+    changelog_dir.mkdir()
+    (changelog_dir / "batch1.jsonl").write_text(
+        "\n".join(
+            [
+                env("c", order("o1", "u1", 100.0, "payed"), ts=1),
+                env("c", order("o2", "u1", 50.0, "payed"), ts=2),
+                env("u", order("o2", "u1", 50.0, "closed"),
+                    before=order("o2", "u1", 50.0, "payed"), ts=3),
+            ]
+        )
+    )
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    sink = KeyedParquetSink(spark, str(tmp_path / "sink"), "id")
+    pipe = CdcPipeline(spark, {"orders": src}, day_stats_query, sink)
+    q = pipe.run_stream(
+        "orders",
+        src.stream_changelog(spark, str(changelog_dir)),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    rows = {r["id"]: (r["amount"], r["cnt"]) for r in sink.read().collect()}
+    # o2 was cancelled inside the replay → only o1 counts.
+    assert rows == {"u1|2020-07-30": (100.0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# F11: MongoDB payload — `after` is a JSON *string* with _id.$oid
+
+
+MONGO_DOC_SCHEMA = StructType(
+    [
+        StructField("title", StringType()),
+        StructField("price", DoubleType()),
+    ]
+)
+
+
+def test_mongo_json_string_path(spark):
+    # Envelope shape of /root/reference/sample/cdc.crawler.change-log-mongodb.json:
+    # op:"c", after = serialized JSON document string.
+    after_doc = json.dumps(
+        {"_id": {"$oid": "5f1cdbdac0fcba4a748203dc"}, "title": "t-shirt", "price": 12.5}
+    )
+    envelope = json.dumps(
+        {
+            "before": None,
+            "after": after_doc,
+            "source": {"db": "crawler", "table": "products", "ts_ms": 1595727837000},
+            "op": "c",
+            "ts_ms": 1595727837832,
+        }
+    )
+    raw = spark.createDataFrame([(envelope,)], "value string")
+    envs = parse_envelopes(raw, MONGO_DOC_SCHEMA, mongo=True)
+    out = mongo_after_json(envs, MONGO_DOC_SCHEMA).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["id"] == "5f1cdbdac0fcba4a748203dc"  # lifted _id.$oid
+    assert row["content"] == after_doc  # whole doc as STRING (flink-mongodb.sql:3)
+    assert row["doc"]["title"] == "t-shirt" and row["doc"]["price"] == 12.5
+
+
+# ---------------------------------------------------------------------------
+# S3/P5: dimension lookup join with TTL cache
+
+
+def test_ttl_dimension_cache(spark):
+    calls = {"n": 0}
+
+    def loader():
+        calls["n"] += 1
+        return spark.createDataFrame(
+            [("u1", f"Alice v{calls['n']}")], "id string, name string"
+        )
+
+    # ttl=1h → one load serves repeated joins (lookup.cache.ttl semantics).
+    dim = TtlDimensionCache(loader, ttl_seconds=3600)
+    stream = spark.createDataFrame([("u1", 5.0), ("u1", 7.0)], "id string, amount double")
+    assert dim.join(stream, "id").count() == 2
+    assert dim.join(stream, "id").count() == 2
+    assert calls["n"] == 1
+    # ttl=0 → every snapshot reloads (cache expiry).
+    dim0 = TtlDimensionCache(loader, ttl_seconds=0.0)
+    dim0.join(stream, "id").collect()
+    dim0.join(stream, "id").collect()
+    assert calls["n"] == 3
+
+
+def test_ttl_cache_retries(spark):
+    attempts = {"n": 0}
+
+    def flaky_loader():
+        attempts["n"] += 1
+        if attempts["n"] < 3:
+            raise RuntimeError("transient")
+        return spark.createDataFrame([("u1", "ok")], "id string, v string")
+
+    dim = TtlDimensionCache(flaky_loader, ttl_seconds=3600, max_retries=3)
+    assert dim.snapshot().count() == 1  # 3rd attempt succeeds (lookup.max-retries=3)
+
+    def always_fails():
+        raise RuntimeError("down")
+
+    with pytest.raises(RuntimeError):
+        TtlDimensionCache(always_fails, ttl_seconds=0, max_retries=3).snapshot()
+
+
+# ---------------------------------------------------------------------------
+# S5: dotted column names → nested documents (flink-ddl.sql:98-102)
+
+
+def test_nest_dotted(spark):
+    df = spark.createDataFrame(
+        [("o1", 100.0, "Alice", 30)],
+        ["id", "order.amount", "user.name", "user.age"],
+    )
+    out = nest_dotted(df)
+    assert set(out.columns) == {"id", "order", "user"}
+    row = out.collect()[0]
+    assert row["order"]["amount"] == 100.0
+    assert row["user"]["name"] == "Alice" and row["user"]["age"] == 30
+
+
+def test_shared_sink_two_queries(spark, tmp_path):
+    """Two queries upsert into ONE keyed index (reference: user_view and
+    user_order_stats_view both write index `user_view`, flink-ddl.sql:143,165)."""
+    sink = KeyedParquetSink(spark, str(tmp_path / "user_view"), "id")
+    schema = "id string, name string, order_count long"
+    base = spark.createDataFrame([("u1", "Alice", None), ("u2", "Bob", None)], schema)
+    sink.merge(base)
+    stats = spark.createDataFrame([("u1", "Alice", 5)], schema)
+    sink.merge(stats)
+    rows = {r["id"]: r for r in sink.read().collect()}
+    assert rows["u1"]["order_count"] == 5 and rows["u2"]["name"] == "Bob"
+
+
+# ---------------------------------------------------------------------------
+# D1-D7: session catalog surface
+
+
+def test_table_registry_ddl():
+    reg = TableRegistry()
+    schema = StructType([StructField("id", StringType()), StructField("amount", DoubleType())])
+    reg.create_table(
+        "orders", schema, options={"connector": "kafka", "topic": "shard1.ec.orders"},
+        primary_key="id", proc_time="proc_time",
+    )
+    # D5: LIKE ... EXCLUDING OPTIONS (README.md:215-225)
+    excl = reg.create_table_like("orders_copy", "orders")
+    assert excl.schema == schema and excl.options == {} and excl.primary_key == ("id",)
+    # D5: LIKE ... INCLUDING OPTIONS with override (README.md:252-254)
+    incl = reg.create_table_like(
+        "orders_kafka2", "orders", including_options=True, options={"topic": "other"}
+    )
+    assert incl.options["connector"] == "kafka" and incl.options["topic"] == "other"
+    assert reg.names() == ["orders", "orders_copy", "orders_kafka2"]
+    reg.drop("orders_copy")
+    assert "orders_copy" not in reg.names()
+
+
+def test_catalog_manager():
+    mgr = CatalogManager()
+    jdbc = JdbcCatalog("jdbc:mysql://mysql:3306", "ec", "root", "secret")
+    mgr.create_catalog("mysql", jdbc)  # D4 (README.md:109-126)
+    mgr.use_catalog("mysql")  # D6 (README.md:260)
+    assert mgr.current_catalog is jdbc
+    assert jdbc._jdbc_options("users")["url"] == "jdbc:mysql://mysql:3306/ec"
+    mgr.use_catalog("default_catalog")
+    with pytest.raises(KeyError):
+        mgr.use_catalog("nope")
+
+
+def test_registry_materialize_proctime(spark):
+    reg = TableRegistry()
+    schema = StructType([StructField("id", StringType())])
+    reg.create_table("t", schema, proc_time="proc_time")
+    df = reg.materialize(
+        spark, "t", lambda s, spec: s.createDataFrame([("a",)], spec.schema)
+    )
+    assert "proc_time" in df.columns  # D3: computed PROCTIME() column
+    assert df.schema["proc_time"].dataType.typeName() == "timestamp"
