@@ -43,6 +43,12 @@ HEADLINE = [
     "cosine_topk",
     "embedding_neardup",
     "ann_lsh_bucketed",
+    "ann_ivf",
+    "neardup_drop_list",
+    "windowed_event_stats",
+    "hopping_event_stats",
+    "session_windows",
+    "top_quality_per_lang",
     "lang_id",
     "token_count",
     "quality_score",

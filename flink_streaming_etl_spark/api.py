@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_streaming_etl_spark.catalog import load_tables
 from flink_streaming_etl_spark.operators import dedup, relational, similarity, text
-from flink_streaming_etl_spark.operators import multimodal
+from flink_streaming_etl_spark.operators import multimodal, windows
 from flink_streaming_etl_spark.session import tune_session
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -91,6 +91,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.minhash_lsh_pairs_sql(),
     ),
     "simhash": (_q(dedup.simhash, "documents"), dedup.simhash_sql()),
+    "neardup_drop_list": (
+        _q(dedup.neardup_drop_list, "documents"),
+        dedup.neardup_drop_list_sql(),
+    ),
     # --- similarity search ---
     "cosine_topk": (_q(similarity.cosine_topk, "embeddings"), similarity.cosine_topk_sql()),
     "embedding_neardup": (
@@ -101,11 +105,33 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(similarity.ann_lsh_bucketed, "embeddings"),
         similarity.ann_lsh_bucketed_sql(),
     ),
+    "ann_ivf": (_q(similarity.ann_ivf, "embeddings"), similarity.ann_ivf_sql()),
+    # --- event-time windowing (beyond-reference streaming extension) ---
+    "windowed_event_stats": (
+        _q(windows.windowed_event_stats, "events"),
+        windows.WINDOWED_EVENT_STATS_SQL,
+    ),
+    "hopping_event_stats": (
+        _q(windows.hopping_event_stats, "events"),
+        windows.HOPPING_EVENT_STATS_SQL,
+    ),
+    "session_windows": (
+        _q(windows.session_windows, "events"),
+        windows.session_windows_sql(),
+    ),
     # --- text analysis ---
     "lang_id": (_q(text.lang_id, "documents"), text.lang_id_sql()),
     "token_count": (_q(text.token_count, "documents"), text.TOKEN_COUNT_SQL),
     "quality_score": (_q(text.quality_score, "documents"), text.quality_score_sql()),
     "doc_fingerprint": (_q(text.doc_fingerprint, "documents"), text.DOC_FINGERPRINT_SQL),
+    "doc_sample_hash": (
+        _q(text.doc_sample_hash, "documents"),
+        text.doc_sample_hash_sql(),
+    ),
+    "top_quality_per_lang": (
+        _q(text.top_quality_per_lang, "documents"),
+        text.top_quality_per_lang_sql(),
+    ),
     # --- multimodal plumbing ---
     "media_metadata": (
         _q(multimodal.media_metadata, "documents"),

@@ -426,3 +426,26 @@ h AS (SELECT doc_id, {h} AS h32 FROM shingles),
 votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
 SELECT doc_id, {bits} AS simhash32 FROM votes
 """
+
+
+# ---------------------------------------------------------------------------
+# Dedup decision: which docs to DROP (keep-first policy over near-dup pairs).
+
+
+def neardup_drop_list(documents: DataFrame, threshold: float = 0.05) -> DataFrame:
+    """Keep-first near-dup removal: a document is dropped iff it is the
+    larger id of any LSH-verified near-dup pair. One projection over the
+    pair relation — the decision stage a 100 TB dedup job applies as an
+    anti-join against the corpus."""
+    return (
+        minhash_lsh_pairs(documents, threshold)
+        .select(F.col("b_id").alias("doc_id"))
+        .dropDuplicates(["doc_id"])
+    )
+
+
+def neardup_drop_list_sql(threshold: float = 0.05) -> str:
+    return f"""
+WITH pairs AS ({minhash_lsh_pairs_sql(threshold)})
+SELECT DISTINCT b_id AS doc_id FROM pairs
+"""

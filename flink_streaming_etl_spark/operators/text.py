@@ -164,3 +164,57 @@ SELECT doc_id,
        CAST(floor(log2(length(text))) AS BIGINT) AS len_class
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling + per-group curation — the selection stages of a
+# training-data pipeline (sample for eval/ablation, keep best-k per slice).
+
+
+def doc_sample_hash(documents: DataFrame, pct: int = 10) -> DataFrame:
+    """Deterministic hash sampling: keep ``pct``% of docs by a salted md5 of
+    the doc id. Reproducible across engines and runs (unlike RAND-based
+    sampling), stable under re-partitioning, and composable — disjoint
+    salts give disjoint samples. One narrow filter, no shuffle; the
+    predicate stays in whole-stage codegen at any scale."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long") % 100
+    return documents.select("doc_id", bucket.alias("sample_bucket")).filter(
+        F.col("sample_bucket") < pct
+    )
+
+
+def doc_sample_hash_sql(pct: int = 10) -> str:
+    bucket = "('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+    return f"""
+SELECT doc_id, {bucket} AS sample_bucket
+FROM documents WHERE {bucket} < {pct}
+"""
+
+
+def top_quality_per_lang(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Best-k documents per language by the quality score — the per-slice
+    curation pattern (one shuffle on lang, per-partition top-k)."""
+    from pyspark.sql.window import Window
+
+    scored = quality_score(documents).select("doc_id", "quality")
+    ranked = documents.select("doc_id", "lang").join(scored, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lang", F.col("rank").cast("long").alias("rank"), "doc_id", "quality")
+    )
+
+
+def top_quality_per_lang_sql(k: int = 5) -> str:
+    return f"""
+WITH scored AS ({quality_score_sql()})
+SELECT lang, rank, doc_id, quality FROM (
+  SELECT d.lang, s.doc_id, s.quality,
+         row_number() OVER (PARTITION BY d.lang ORDER BY s.quality DESC, s.doc_id) AS rank
+  FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+) WHERE rank <= {k}
+"""

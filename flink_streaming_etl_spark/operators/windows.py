@@ -1,0 +1,144 @@
+"""Event-time windowing over the ``events`` table — the beyond-reference
+streaming extension (SURVEY.md §7 phase 6: the reference is processing-time
+only, flink-ddl.sql:10; no WATERMARK clause exists anywhere in it).
+
+Each operator is written so its batch form IS the streaming form's result:
+`windowed_event_stats` is exactly what `readStream.withWatermark(...)
+.groupBy(window(...))` emits once the watermark passes (tested in
+tests/test_streaming_extras.py), so correctness is checkable against a SQL
+oracle without a streaming trigger.
+
+Scale notes: tumbling/hopping aggs are one shuffle on (window, keys) with
+partial aggregation; hop windows fan out rows ×(size/slide) before the
+shuffle — that factor is the knob to watch at 100 TB. Sessionization is one
+shuffle on user_id then a linear per-partition pass (window functions), the
+same shape Spark's native session_window uses.
+
+Determinism: window bounds are formatted strings (UTC), money-style sums go
+through DECIMAL (order-independent), microsecond longs for gap arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEC = "decimal(18,6)"
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_SQL = "%Y-%m-%d %H:%M:%S"
+
+
+def windowed_event_stats(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type: count + exact sum.
+    In streaming this is `withWatermark('ts', ...)` + the same groupBy —
+    identical output (append mode emits each window once, final)."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+WINDOWED_EVENT_STATS_SQL = f"""
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_TS_FMT_SQL}') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def hopping_event_stats(events: DataFrame) -> DataFrame:
+    """Hopping (sliding) windows: 1-hour size, 30-minute slide — every event
+    lands in exactly 2 windows. The ×(size/slide) row fan-out happens before
+    the shuffle; at scale prefer the tumbling+re-merge decomposition when
+    slide divides size."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+HOPPING_EVENT_STATS_SQL = f"""
+WITH hops AS (
+  SELECT event_type,
+         time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS window_start
+  FROM events, UNNEST([0, 1]) AS t(k)
+)
+SELECT strftime(window_start, '{_TS_FMT_SQL}') AS window_start, event_type,
+       COUNT(*) AS n_events
+FROM hops GROUP BY 1, 2
+"""
+
+
+SESSION_GAP_MINUTES = 30
+
+
+def session_windows(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """Gap-based sessionization per user: a new session starts when the gap
+    since the previous event exceeds ``gap_minutes``. Formulated with window
+    functions (lag + running sum) so the SQL oracle is exact; the streaming
+    twin is Spark's native `session_window` / `applyInPandasWithState`."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    us = F.unix_micros("ts")
+    prev_us = F.lag(us).over(w)
+    is_new = F.when(prev_us.isNull() | ((us - prev_us) > gap_us), 1).otherwise(0)
+    sess = (
+        events.withColumn("session_idx", F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), _TS_FMT).alias("session_start"),
+            F.date_format(F.max("ts"), _TS_FMT).alias("session_end"),
+        )
+        .select("user_id", "session_idx", "n_events", "session_start", "session_end")
+    )
+
+
+def session_windows_sql(gap_minutes: int = SESSION_GAP_MINUTES) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       strftime(MIN(ts), '{_TS_FMT_SQL}') AS session_start,
+       strftime(MAX(ts), '{_TS_FMT_SQL}') AS session_end
+FROM sessions GROUP BY 1, 2
+"""

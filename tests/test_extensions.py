@@ -1,0 +1,108 @@
+"""Property tests for the beyond-reference extensions: ANN recall and
+event-time windowing (batch ≡ streaming-with-watermark)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_streaming_etl_spark.catalog import load_tables
+from flink_streaming_etl_spark.operators import similarity, windows
+from tests.conftest import SF_SMOKE
+
+
+def _load(spark, name):
+    return load_tables(spark, SF_SMOKE, register=False)[name]
+
+
+def test_ann_ivf_recall(spark):
+    """IVF probes a fraction of the corpus; its top-k must still recover a
+    decent share of the exact top-k (sanity floor, not a tuned benchmark)."""
+    emb = _load(spark, "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"]) for r in similarity.ann_ivf(emb).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    # and IVF must return k rows per query (enough candidates in probed cells)
+    per_q = similarity.ann_ivf(emb).groupBy("query_id").count().collect()
+    assert all(r["count"] == similarity.TOP_K for r in per_q)
+
+
+def test_ann_lsh_subset_of_exact(spark):
+    """Bucketed LSH pairs are a strict subset of the exact all-pairs
+    relation at the same threshold (it only prunes, never invents)."""
+    emb = _load(spark, "embeddings")
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in similarity.embedding_neardup(emb, threshold=0.1).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"])
+        for r in similarity.ann_lsh_bucketed(emb, threshold=0.1).collect()
+    }
+    assert lsh <= exact
+    assert lsh, "LSH found nothing at a threshold where exact pairs exist"
+
+
+def test_windowed_stats_streaming_equals_batch(spark, tmp_path):
+    """The watermarked streaming aggregation emits exactly the batch result
+    once the source is exhausted (availableNow drains everything)."""
+    events = _load(spark, "events").limit(2000).cache()
+    src_dir = tmp_path / "events_json"
+    events.select(
+        F.col("event_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "event_type",
+        "value",
+    ).coalesce(1).write.json(str(src_dir))
+
+    schema = "event_id long, ts string, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src_dir))
+        .withColumn("ts", F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(windows.DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windows.windowed_event_stats(events).collect()
+    }
+    # Append mode holds back windows the watermark hasn't passed; with
+    # availableNow + in-order-ish data that's at most the trailing window(s).
+    assert got, "streaming emitted nothing"
+    assert set(got) <= set(want)
+    for key, val in got.items():
+        assert val == want[key], key
+    assert len(got) >= len(want) - 2 * len({k[1] for k in want})
