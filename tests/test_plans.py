@@ -1,0 +1,74 @@
+"""Physical-plan assertions — the scale contract, pinned.
+
+Correctness tests can't see a 100 TB problem; these lock the plan shapes
+that decide whether an operator survives the scale-up: filters reaching the
+parquet scan, column pruning, broadcast for dimension joins, partial+final
+hash aggregation, and whole-stage codegen in scalar paths."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from flink_streaming_etl_spark.catalog import load_tables
+from flink_streaming_etl_spark.operators import relational
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _tables(spark):
+    return load_tables(spark, SF_SMOKE, register=False)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    t = _tables(spark)
+    p = plan_of(relational.pricing_summary(t["lineitem"]))
+    assert "PushedFilters" in p
+    assert "LessThanOrEqual(l_shipdate" in p, p
+
+
+def test_column_pruning(spark):
+    t = _tables(spark)
+    p = plan_of(relational.pricing_summary(t["lineitem"]))
+    # lineitem has 16 columns; the rollup needs 7. The scan schema must not
+    # include untouched wide columns like l_comment.
+    assert "l_comment" not in p
+    assert "l_partkey" not in p
+
+
+def test_dimension_join_broadcasts(spark):
+    t = _tables(spark)
+    p = plan_of(relational.region_rollup(t["customer"], t["nation"], t["region"]))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # dims must not shuffle the fact side
+
+
+def test_partial_final_aggregation(spark):
+    t = _tables(spark)
+    p = plan_of(relational.user_day_stats(t["orders"]))
+    # Spark plans partial (map-side) + final hash aggregation — the built-in
+    # equivalent of the reference's manual 256-bucket salted rollup
+    # (flink-ddl.sql:209); this is why user_day_stats_salted ≡ user_day_stats.
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_whole_stage_codegen(spark):
+    t = _tables(spark)
+    p = plan_of(relational.scalar_battery(t["events"]))
+    # formatted mode marks whole-stage-codegen'd operators with a codegen id
+    assert "codegen id" in p, p
+    # every operator above the scan must be inside codegen (starred)
+    assert "Filter [codegen id" in p and "Project [codegen id" in p
+
+
+def test_enrichment_join_no_cartesian(spark):
+    t = _tables(spark)
+    p = plan_of(relational.order_enrich_join(t["orders"], t["customer"]))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
