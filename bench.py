@@ -49,6 +49,8 @@ HEADLINE = [
     "hopping_event_stats",
     "session_windows",
     "top_quality_per_lang",
+    "latest_order_asof",
+    "vocab_top_tokens",
     "lang_id",
     "token_count",
     "quality_score",

@@ -72,6 +72,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(relational.scalar_battery, "events"),
         relational.SCALAR_BATTERY_SQL,
     ),
+    "latest_order_asof": (
+        _q(relational.latest_order_asof, "events", "orders"),
+        relational.LATEST_ORDER_ASOF_SQL,
+    ),
     # --- dedup (training-data pipeline) ---
     "dedup_exact": (_q(dedup.dedup_exact, "documents"), dedup.DEDUP_EXACT_SQL),
     "ngram_jaccard_pairs": (
@@ -131,6 +135,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "top_quality_per_lang": (
         _q(text.top_quality_per_lang, "documents"),
         text.top_quality_per_lang_sql(),
+    ),
+    "vocab_top_tokens": (
+        _q(text.vocab_top_tokens, "documents"),
+        text.vocab_top_tokens_sql(),
     ),
     # --- multimodal plumbing ---
     "media_metadata": (

@@ -384,3 +384,85 @@ SELECT event_id AS id,
        CASE WHEN event_type = 'purchase' THEN 'revenue' ELSE 'activity' END AS kind
 FROM events WHERE event_type <> 'error'
 """
+
+
+# ---------------------------------------------------------------------------
+# As-of join (beyond-reference): each event matched to the user's latest
+# order at-or-before the event time — the enrichment pattern for feature
+# backfill / point-in-time-correct training data.
+
+
+def latest_order_asof(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """As-of (point-in-time) left join, expressed as union + windowed
+    last_value — ONE shuffle on the join key, no range-join blowup:
+
+    1. tag order rows 0 and event rows 1, union them;
+    2. sort within each user by (ts, tag, orderkey) — an order at exactly
+       the event timestamp sorts first, making the match inclusive (<=),
+       and concurrent orders resolve to the highest orderkey;
+    3. running last_value(..., ignoreNulls) carries the latest order's
+       columns forward onto every later event row.
+
+    At 100 TB this is the scale-correct as-of plan: a single hash exchange
+    on user_id + per-partition sort, versus a range join's quadratic
+    candidate generation. DuckDB's native ASOF JOIN is the oracle.
+    """
+    o = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    # Deduplicate concurrent orders per (user, ts) to the max orderkey so
+    # both engines resolve ties identically.
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.col("o_orderkey").desc())
+    o = o.withColumn("_rn", F.row_number().over(w_dedup)).filter(F.col("_rn") == 1).drop("_rn")
+
+    e = events.select("user_id", "ts", "event_id")
+    tagged = o.select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey", "o_totalprice", F.lit(0).alias("_tag"),
+    ).unionByName(
+        e.select(
+            "user_id", "ts", "event_id",
+            F.lit(None).cast("long").alias("o_orderkey"),
+            F.lit(None).cast("double").alias("o_totalprice"),
+            F.lit(1).alias("_tag"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_tag", F.col("o_orderkey").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "user_id", "ts", "event_id", "_tag",
+        F.last("o_orderkey", ignorenulls=True).over(w).alias("order_key"),
+        F.last("o_totalprice", ignorenulls=True).over(w).alias("order_amount"),
+    )
+    return carried.filter(F.col("_tag") == 1).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("event_ts"),
+        "order_key",
+        "order_amount",
+    )
+
+
+LATEST_ORDER_ASOF_SQL = """
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderdate AS ts, o_orderkey, o_totalprice
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                 ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+)
+SELECT e.event_id,
+       e.user_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
+       o.o_orderkey AS order_key,
+       o.o_totalprice AS order_amount
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.ts
+"""

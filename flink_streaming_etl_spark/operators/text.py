@@ -218,3 +218,35 @@ SELECT lang, rank, doc_id, quality FROM (
   FROM documents d JOIN scored s ON d.doc_id = s.doc_id
 ) WHERE rank <= {k}
 """
+
+
+def vocab_top_tokens(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Corpus vocabulary extraction: global top-k tokens by frequency
+    (tokenizer-training / stopword-mining stage). Map-side explode feeds a
+    partial+final count aggregation — the shuffle carries one row per
+    distinct token, not per occurrence; the final top-k ranks the (small)
+    aggregated vocabulary."""
+    from pyspark.sql.window import Window
+
+    toks = documents.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("rank").cast("long").alias("rank"), "token", "n")
+    )
+
+
+def vocab_top_tokens_sql(k: int = 100) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY 1)
+SELECT rank, token, n FROM (
+  SELECT *, row_number() OVER (ORDER BY n DESC, token) AS rank FROM counts
+) WHERE rank <= {k}
+"""

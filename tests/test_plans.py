@@ -7,19 +7,14 @@ hash aggregation, and whole-stage codegen in scalar paths."""
 
 from __future__ import annotations
 
-import contextlib
-import io
-
 from flink_streaming_etl_spark.catalog import load_tables
 from flink_streaming_etl_spark.operators import relational
+from flink_streaming_etl_spark.plans import audit, plan_text
 from tests.conftest import SF_SMOKE
 
 
 def plan_of(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    return plan_text(df)
 
 
 def _tables(spark):
@@ -72,3 +67,19 @@ def test_enrichment_join_no_cartesian(spark):
     p = plan_of(relational.order_enrich_join(t["orders"], t["customer"]))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_asof_join_single_shuffle_no_range_join(spark):
+    t = _tables(spark)
+    a = audit(relational.latest_order_asof(t["events"], t["orders"]))
+    # The union+window as-of must not plan any join at all — one exchange
+    # per union branch on user_id, zero range-join candidate blowup.
+    assert a.joins == [], a.joins
+    assert not a.cartesian
+
+
+def test_audit_api_shape(spark):
+    t = _tables(spark)
+    a = audit(relational.pricing_summary(t["lineitem"]))
+    assert a.pushed_filters and a.read_schemas
+    assert a.n_hash_aggregates >= 2 and (a.has_codegen or a.adaptive)

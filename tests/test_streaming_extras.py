@@ -218,3 +218,61 @@ def test_registry_materialize_proctime(spark):
     )
     assert "proc_time" in df.columns  # D3: computed PROCTIME() column
     assert df.schema["proc_time"].dataType.typeName() == "timestamp"
+
+
+# ---------------------------------------------------------------------------
+# T5: custom stateful operator (applyInPandasWithState) — running per-user
+# totals with keyed state, the GroupState analog of Flink's keyed state +
+# idle-state retention.
+
+
+def test_running_user_stats_stateful(spark, tmp_path):
+    from flink_streaming_etl_spark.streaming.stateful import running_user_stats
+
+    src_dir = tmp_path / "stream"
+    src_dir.mkdir()
+    # Two files → two micro-batches (maxFilesPerTrigger=1): state must carry
+    # counts across batches.
+    (src_dir / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"user_id": 1, "value": 2.0},
+                {"user_id": 1, "value": 3.0},
+                {"user_id": 2, "value": 10.0},
+            ]
+        )
+    )
+    (src_dir / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [{"user_id": 1, "value": 5.0}, {"user_id": 3, "value": 1.0}]
+        )
+    )
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src_dir))
+    )
+    out = running_user_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from running_stats").collect()
+    # The LAST emission per user is the running total over all batches.
+    latest = {}
+    for r in rows:
+        latest[r["user_id"]] = (r["n_events"], r["sum_value"])
+    assert latest[1] == (3, 10.0)
+    assert latest[2] == (1, 10.0)
+    assert latest[3] == (1, 1.0)
+    # user 1 must have emitted an intermediate (2, 5.0) in the first batch
+    assert (2, 5.0) in [
+        (r["n_events"], r["sum_value"]) for r in rows if r["user_id"] == 1
+    ]
