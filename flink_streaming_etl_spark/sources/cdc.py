@@ -141,6 +141,19 @@ class CdcSource:
         )
         return self.parse(raw)
 
+    def snapshot_then_changelog(
+        self, snapshot: DataFrame, changelog: DataFrame
+    ) -> DataFrame:
+        """The mysql-cdc snapshot→binlog handover (S1, README.md:347: "not
+        one row more, not one row less"): bootstrap from a consistent
+        snapshot (JDBC/parquet read of the source table), then apply the
+        binlog tail ON TOP — changelog rows win over snapshot rows for the
+        same key, deletes remove keys. Any changelog prefix replayed after
+        the snapshot yields the same state as replaying everything, which
+        is exactly the exactly-once handover guarantee expressed as
+        idempotent state."""
+        return apply_changelog(snapshot, changelog, self.primary_key)
+
 
 def kafka_changelog(
     spark: SparkSession,

@@ -190,3 +190,63 @@ def test_golden_sample_parses(spark):
     assert row["op"] == "u"
     assert row["before"]["status"] == "closed"
     assert row["after"]["status"] == "payed"
+
+
+def test_snapshot_then_changelog_handover(spark):
+    """S1/T6: snapshot + binlog tail ≡ full-changelog replay — the
+    mysql-cdc handover expressed as state equality."""
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    full_log = [
+        env("c", order("o1", "u1", 10.0, "created"), ts=1),
+        env("c", order("o2", "u2", 20.0, "created"), ts=2),
+        env("u", order("o1", "u1", 10.0, "payed"),
+            before=order("o1", "u1", 10.0, "created"), ts=3),
+        env("c", order("o3", "u3", 30.0, "created"), ts=4),
+        env("d", before=order("o2", "u2", 20.0, "created"), ts=5),
+    ]
+    # Snapshot taken after ts=2 (o1 created, o2 created), tail = ts>=3.
+    snapshot = spark.createDataFrame(
+        [
+            ("o1", "u1", 10.0, "created", "2020-07-30 10:00:00"),
+            ("o2", "u2", 20.0, "created", "2020-07-30 10:00:00"),
+        ],
+        ORDER_SCHEMA,
+    )
+    tail = parse(spark, src, full_log[2:])
+    handover = src.snapshot_then_changelog(snapshot, tail)
+    replay = latest_state(parse(spark, src, full_log), "id")
+    got = {r["id"]: r["status"] for r in handover.collect()}
+    want = {r["id"]: r["status"] for r in replay.collect()}
+    assert got == want == {"o1": "payed", "o3": "created"}
+
+    # Overlap tolerance: the tail re-delivering pre-snapshot events (an
+    # at-least-once handover) must not change the result.
+    overlap = src.snapshot_then_changelog(snapshot, parse(spark, src, full_log))
+    got2 = {r["id"]: r["status"] for r in overlap.collect()}
+    assert got2 == want
+
+
+def test_stream_restart_from_checkpoint(spark, tmp_path, pipeline):
+    """T6: kill the streaming query, add more changelog, restart from the
+    same checkpoint — previously-processed files are not reapplied and the
+    sink converges to the full-replay result."""
+    pipe, src = pipeline
+    changelog_dir = tmp_path / "log"
+    changelog_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt2")
+    (changelog_dir / "f1.jsonl").write_text(
+        env("c", order("o1", "u1", 100.0, "payed"), ts=1)
+    )
+    q = pipe.run_stream("orders", src.stream_changelog(spark, str(changelog_dir)), ckpt)
+    q.awaitTermination(120)
+    assert sink_rows(pipe.sink) == {"u1|2020-07-30": (100.0, 1)}
+
+    (changelog_dir / "f2.jsonl").write_text(
+        "\n".join([
+            env("c", order("o2", "u1", 50.0, "payed"), ts=2),
+            env("d", before=order("o1", "u1", 100.0, "payed"), ts=3),
+        ])
+    )
+    q2 = pipe.run_stream("orders", src.stream_changelog(spark, str(changelog_dir)), ckpt)
+    q2.awaitTermination(120)
+    assert sink_rows(pipe.sink) == {"u1|2020-07-30": (50.0, 1)}

@@ -1,0 +1,84 @@
+"""Property-based check of the changelog→state core: for ANY sequence of
+insert/update/delete events and ANY micro-batch chunking, incremental
+``apply_changelog`` must produce the same final state as a naive
+one-key-dict replay (and as a single-shot ``latest_state``)."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from flink_streaming_etl_spark.sources.cdc import CdcSource, latest_state
+
+from tests.test_cdc import ORDER_SCHEMA, raw_df
+
+KEYS = ["o1", "o2", "o3"]
+STATUSES = ["created", "payed", "closed"]
+
+event_st = st.tuples(
+    st.sampled_from(["c", "u", "d"]),
+    st.sampled_from(KEYS),
+    st.sampled_from(STATUSES),
+    st.floats(min_value=1.0, max_value=9.0, allow_nan=False),
+)
+
+
+def _envelope(op, key, status, amount, ts):
+    row = {
+        "id": key,
+        "user_id": "u",
+        "amount": amount,
+        "status": status,
+        "ctime": "2020-07-30 10:00:00",
+    }
+    before = row if op == "d" else None
+    after = None if op == "d" else row
+    return json.dumps(
+        {"before": before, "after": after, "source": None, "op": op, "ts_ms": ts}
+    )
+
+
+def _model(events):
+    state = {}
+    for op, key, status, amount in events:
+        if op == "d":
+            state.pop(key, None)
+        else:
+            state[key] = (status, amount)
+    return state
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    events=st.lists(event_st, min_size=1, max_size=10),
+    n_chunks=st.integers(min_value=1, max_value=3),
+)
+def test_apply_changelog_equals_model(spark, events, n_chunks):
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    lines = [
+        _envelope(op, key, status, amount, ts)
+        for ts, (op, key, status, amount) in enumerate(events, start=1)
+    ]
+    # Single-shot reduction.
+    single = latest_state(src.parse(raw_df(spark, lines)), "id")
+    # Incremental reduction over an arbitrary chunking.
+    size = max(1, len(lines) // n_chunks)
+    state = None
+    for i in range(0, len(lines), size):
+        chunk = src.parse(raw_df(spark, lines[i : i + size]))
+        state = src.snapshot_then_changelog(state, chunk) if state is not None else None
+        if state is None:
+            from flink_streaming_etl_spark.sources.cdc import apply_changelog
+
+            state = apply_changelog(None, chunk, ["id"])
+    want = _model(events)
+    got_single = {r["id"]: (r["status"], r["amount"]) for r in single.collect()}
+    got_incr = {r["id"]: (r["status"], r["amount"]) for r in state.collect()}
+    assert got_single == want
+    assert got_incr == want
