@@ -151,6 +151,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         ),
         None,  # mapInPandas feature extraction — not SQL-expressible
     ),
+    "media_resize": (
+        lambda spark, sf_dir: multimodal.resize_images(
+            multimodal.documents_as_media(load_tables(spark, sf_dir, register=False)["documents"])
+        ),
+        None,  # stubbed decode (deterministic fake) — not SQL-expressible
+    ),
+    "media_frames": (
+        lambda spark, sf_dir: multimodal.sample_frames(
+            multimodal.documents_as_media(load_tables(spark, sf_dir, register=False)["documents"])
+        ),
+        None,  # stubbed decode (deterministic fake) — not SQL-expressible
+    ),
 }
 
 

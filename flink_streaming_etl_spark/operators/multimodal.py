@@ -125,3 +125,95 @@ def _decode_media(payload: bytes, media_type: str):
     raise NotImplementedError(
         "media decoding requires image/audio libs not present in this environment"
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize / frame-sample: the transform stages of a media pipeline. Decode is
+# stubbed (no PIL/ffmpeg in this container) behind a deterministic fake so
+# the Spark-side contract — schema, Arrow batch shape, payload-local
+# processing, metadata passthrough — is real and tested end to end.
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """'Resize' every image payload to width×height.
+
+    Real implementation decodes with PIL and re-encodes (see
+    ``_decode_media``); the deterministic fake tiles/truncates the payload
+    bytes to exactly width*height bytes — preserving the contract that the
+    output payload is a fixed-size function of (input payload, target dims)
+    and never leaves the executor."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+
+        def fake_resize(b):
+            if not b:
+                return bytes(target)
+            reps = -(-target // len(b))
+            return (bytes(b) * reps)[:target]
+
+        for pdf in batches:
+            out = pdf[pdf["media_type"] == "image"].copy()
+            out["payload"] = out["payload"].map(fake_resize)
+            yield pd.DataFrame(
+                {
+                    "media_id": out["media_id"],
+                    "media_type": out["media_type"],
+                    "width": width,
+                    "height": height,
+                    "payload": out["payload"],
+                    "n_bytes": out["payload"].map(len),
+                }
+            )
+
+    return media.mapInPandas(compute, schema=_RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+FRAME_SIZE = 64  # fake decode: one "frame" per 64 payload bytes
+
+
+def sample_frames(media: DataFrame, every_n: int = 2, max_frames: int = 4) -> DataFrame:
+    """Sample every ``every_n``-th frame (up to ``max_frames``) from each
+    video payload — the 1:N explode stage of a video pipeline. Real decode
+    would use ffmpeg; the fake treats each 64-byte slice as one frame.
+    Output fans out rows ×max_frames at most; frames stay executor-local."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            vids = pdf[pdf["media_type"] == "video"]
+            for mid, payload in zip(vids["media_id"], vids["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                n_frames = max(1, len(b) // FRAME_SIZE)
+                taken = 0
+                for fi in range(0, n_frames, every_n):
+                    if taken >= max_frames:
+                        break
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(b[fi * FRAME_SIZE : (fi + 1) * FRAME_SIZE])
+                    taken += 1
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(compute, schema=_FRAME_SCHEMA)

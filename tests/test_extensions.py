@@ -106,3 +106,38 @@ def test_windowed_stats_streaming_equals_batch(spark, tmp_path):
     for key, val in got.items():
         assert val == want[key], key
     assert len(got) >= len(want) - 2 * len({k[1] for k in want})
+
+
+def test_multimodal_resize_contract(spark):
+    from flink_streaming_etl_spark.operators import multimodal
+
+    docs = _load(spark, "documents").filter(F.col("doc_id") < 200)
+    media = multimodal.documents_as_media(docs)
+    out = multimodal.resize_images(media, width=8, height=4).collect()
+    n_images = media.filter(F.col("media_type") == "image").count()
+    assert len(out) == n_images > 0
+    assert all(r["n_bytes"] == 32 and len(r["payload"]) == 32 for r in out)
+    assert all(r["width"] == 8 and r["height"] == 4 for r in out)
+
+
+def test_multimodal_frame_sampling(spark):
+    from flink_streaming_etl_spark.operators import multimodal
+
+    docs = _load(spark, "documents").filter(F.col("doc_id") < 200)
+    media = multimodal.documents_as_media(docs)
+    frames = multimodal.sample_frames(media, every_n=2, max_frames=3)
+    rows = frames.collect()
+    assert rows
+    per_media = {}
+    for r in rows:
+        per_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for mid, idxs in per_media.items():
+        assert len(idxs) <= 3
+        assert sorted(idxs) == idxs == [2 * i for i in range(len(idxs))]
+    assert all(len(r["frame"]) <= 64 for r in rows)
+
+    # payload column prunes away for metadata-only consumers of the same
+    # media relation (scan-level pruning contract)
+    from flink_streaming_etl_spark.plans import plan_text
+    meta_plan = plan_text(multimodal.media_metadata(docs))
+    assert "payload" not in meta_plan
