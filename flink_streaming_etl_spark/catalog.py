@@ -39,11 +39,21 @@ TABLES = [
 ]
 
 
+#: (session id, sf_dir) → loaded DataFrames. DataFrames are immutable plan
+#: handles; reusing them skips re-reading parquet footers and re-planning
+#: the repartition probe on every registry call (measurable per-query
+#: driver-side overhead when a bench run touches 30+ queries).
+_LOAD_CACHE: dict[tuple[int, str, bool], dict[str, DataFrame]] = {}
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, register: bool = True
 ) -> dict[str, DataFrame]:
     """Load the driver-generated parquet tables lazily (scan-time column
     pruning and predicate pushdown stay available to Catalyst)."""
+    cache_key = (id(spark), os.path.abspath(sf_dir), register)
+    if cache_key in _LOAD_CACHE:
+        return dict(_LOAD_CACHE[cache_key])
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
     # rejects; read nanos as long and convert to a micro timestamp (what
@@ -73,6 +83,7 @@ def load_tables(
             dfs[name] = df
             if register:
                 df.createOrReplaceTempView(name)
+    _LOAD_CACHE[cache_key] = dict(dfs)
     return dfs
 
 

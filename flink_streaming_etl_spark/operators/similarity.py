@@ -327,7 +327,7 @@ def ann_ivf(
 
     Candidate volume — not scoring — is what drops ×(n_centroids/n_probe)
     vs brute force; recall tradeoff is measured against cosine_topk in
-    tests/test_similarity_ops.py."""
+    tests/test_extensions.py."""
     from flink_streaming_etl_spark.functions import q6, vec_dot, vec_norm
 
     e = _as_double(embeddings).withColumn("norm", vec_norm(F.col("v")))
