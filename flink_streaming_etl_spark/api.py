@@ -99,6 +99,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(dedup.neardup_drop_list, "documents"),
         dedup.neardup_drop_list_sql(),
     ),
+    "dedup_apply": (_q(dedup.dedup_apply, "documents"), dedup.dedup_apply_sql()),
     # --- similarity search ---
     "cosine_topk": (_q(similarity.cosine_topk, "embeddings"), similarity.cosine_topk_sql()),
     "embedding_neardup": (
@@ -139,6 +140,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "vocab_top_tokens": (
         _q(text.vocab_top_tokens, "documents"),
         text.vocab_top_tokens_sql(),
+    ),
+    "length_percentiles": (
+        _q(text.length_percentiles, "documents"),
+        text.LENGTH_PERCENTILES_SQL,
     ),
     # --- multimodal plumbing ---
     "media_metadata": (

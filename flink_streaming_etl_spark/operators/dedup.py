@@ -453,3 +453,21 @@ def neardup_drop_list_sql(threshold: float = 0.05) -> str:
 WITH pairs AS ({minhash_lsh_pairs_sql(threshold)})
 SELECT DISTINCT b_id AS doc_id FROM pairs
 """
+
+
+def dedup_apply(documents: DataFrame, threshold: float = 0.05) -> DataFrame:
+    """The dedup pipeline's OUTPUT: the kept corpus — documents anti-joined
+    against the near-dup drop list. One broadcast-able anti-join at any
+    scale (the drop list is a small fraction of the corpus by
+    construction)."""
+    drops = neardup_drop_list(documents, threshold)
+    return documents.join(drops, on="doc_id", how="left_anti").select("doc_id", "lang")
+
+
+def dedup_apply_sql(threshold: float = 0.05) -> str:
+    return f"""
+WITH pairs AS ({minhash_lsh_pairs_sql(threshold)}),
+drops AS (SELECT DISTINCT b_id AS doc_id FROM pairs)
+SELECT d.doc_id, d.lang FROM documents d
+ANTI JOIN drops USING (doc_id)
+"""

@@ -250,3 +250,48 @@ SELECT rank, token, n FROM (
   SELECT *, row_number() OVER (ORDER BY n DESC, token) AS rank FROM counts
 ) WHERE rank <= {k}
 """
+
+
+def length_percentiles(documents: DataFrame) -> DataFrame:
+    """Exact per-language token-length percentiles (p50/p90/max) via rank
+    arithmetic — nearest-rank percentiles are deterministic across engines,
+    unlike interpolating percentile functions. One shuffle on lang; the
+    per-group sort is the same work an exact percentile always costs."""
+    from pyspark.sql.window import Window
+
+    toks = documents.select(
+        "doc_id", "lang", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    ranked = toks.withColumn("rank", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+    )
+    at = lambda p: F.max(  # noqa: E731 — nearest-rank: value at ceil(p*n)
+        F.when(F.col("rank") == F.ceil(F.col("n") * p), F.col("n_tokens"))
+    )
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        at(0.5).alias("p50_tokens"),
+        at(0.9).alias("p90_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+LENGTH_PERCENTILES_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT lang, n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rank,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM toks
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       MAX(CASE WHEN rank = CAST(ceil(n * 0.5) AS BIGINT) THEN n_tokens END) AS p50_tokens,
+       MAX(CASE WHEN rank = CAST(ceil(n * 0.9) AS BIGINT) THEN n_tokens END) AS p90_tokens,
+       MAX(n_tokens) AS max_tokens
+FROM ranked GROUP BY lang
+"""
