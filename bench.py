@@ -51,6 +51,9 @@ HEADLINE = [
     "top_quality_per_lang",
     "latest_order_asof",
     "vocab_top_tokens",
+    "dedup_apply",
+    "neardup_clusters",
+    "length_percentiles",
     "lang_id",
     "token_count",
     "quality_score",

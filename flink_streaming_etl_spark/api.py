@@ -100,6 +100,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.neardup_drop_list_sql(),
     ),
     "dedup_apply": (_q(dedup.dedup_apply, "documents"), dedup.dedup_apply_sql()),
+    "neardup_clusters": (
+        _q(dedup.neardup_clusters, "documents"),
+        dedup.neardup_clusters_sql(),
+    ),
     # --- similarity search ---
     "cosine_topk": (_q(similarity.cosine_topk, "embeddings"), similarity.cosine_topk_sql()),
     "embedding_neardup": (

@@ -471,3 +471,69 @@ drops AS (SELECT DISTINCT b_id AS doc_id FROM pairs)
 SELECT d.doc_id, d.lang FROM documents d
 ANTI JOIN drops USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components of the pair graph.
+
+
+def neardup_clusters(documents: DataFrame, threshold: float = 0.05, max_iter: int = 30) -> DataFrame:
+    """Connected components over the LSH near-dup pair graph: every doc in a
+    component gets the component's smallest doc_id as cluster id — the
+    cluster-level dedup decision (keep one representative per component,
+    not merely per pair, so transitive near-dups collapse too).
+
+    Pregel-style min-label propagation: each iteration is one distributed
+    join+groupBy (labels flow along edges); the driver only checks
+    convergence. Iterations ≈ graph diameter (near-dup components are
+    shallow). At extreme scale swap the loop body for the alternating
+    large-star/small-star contraction — same driver shape, fewer rounds.
+    Deterministic: min over a component is order-independent.
+    """
+    pairs = minhash_lsh_pairs(documents, threshold).select("a_id", "b_id")
+    edges = pairs.unionByName(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a_id").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["a_id"] == labels["node"])
+            .groupBy(F.col("b_id").alias("node2"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+                (F.col("nlabel") < F.col("label")).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def neardup_clusters_sql(threshold: float = 0.05) -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({minhash_lsh_pairs_sql(threshold)}),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM pairs
+  UNION ALL
+  SELECT b_id AS src, a_id AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN edges e ON re.r = e.src
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+"""

@@ -141,3 +141,33 @@ def test_multimodal_frame_sampling(spark):
     from flink_streaming_etl_spark.plans import plan_text
     meta_plan = plan_text(multimodal.media_metadata(docs))
     assert "payload" not in meta_plan
+
+
+def test_neardup_clusters_transitive(spark):
+    """Clusters collapse transitive near-dups: if (a,b) and (b,c) are pairs
+    then a, b, c share one cluster id = min of the component."""
+    from flink_streaming_etl_spark.operators import dedup
+
+    docs = _load(spark, "documents")
+    pairs = [
+        (r["a_id"], r["b_id"])
+        for r in dedup.minhash_lsh_pairs(docs).select("a_id", "b_id").collect()
+    ]
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.neardup_clusters(docs).collect()
+    }
+    # union-find ground truth over the pair list
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert clusters == want
