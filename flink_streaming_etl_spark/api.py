@@ -115,6 +115,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.ann_lsh_bucketed_sql(),
     ),
     "ann_ivf": (_q(similarity.ann_ivf, "embeddings"), similarity.ann_ivf_sql()),
+    "kmeans_assign": (
+        _q(similarity.kmeans_assign, "embeddings"),
+        None,  # iterative (Lloyd) — not SQL-expressible
+    ),
+    "standardize_by_label": (
+        _q(similarity.standardize_by_label, "embeddings"),
+        None,  # float mean/std accumulation order differs across engines
+    ),
     # --- event-time windowing (beyond-reference streaming extension) ---
     "windowed_event_stats": (
         _q(windows.windowed_event_stats, "events"),

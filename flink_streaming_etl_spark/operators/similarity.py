@@ -397,3 +397,119 @@ SELECT query_id, neighbor_id, cosine FROM (
   FROM cand
 ) WHERE rn <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# K-means codebook training (Lloyd) — the offline step a production IVF
+# index uses instead of ann_ivf's fixed corpus-subset centroids.
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = N_CENTROIDS,
+    n_iter: int = 5,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus, returning the final
+    (vec_id, centroid_idx, cosine-to-centroid) assignment.
+
+    Deterministic init: centroids seeded from vec_ids [n_queries,
+    n_queries+k). Each iteration = broadcast the k centroids, one argmax
+    assignment pass over the corpus, one groupBy(centroid) mean — the
+    standard distributed Lloyd step (work O(n·k·dim) map-side + a k-row
+    shuffle). Iterative ⇒ rows-only driver check; the monotone-inertia
+    property is tested in tests/test_extensions.py."""
+    e = _as_double(embeddings).withColumn("norm", vec_norm_col())
+    corpus = e.select("vec_id", "v", "norm")
+
+    def assign_to(cents_df: DataFrame) -> DataFrame:
+        cents = F.broadcast(cents_df)
+        scored = corpus.join(cents)
+        from flink_streaming_etl_spark.functions import q6, vec_dot
+
+        cos = q6(vec_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")))
+        w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cidx"))
+        return (
+            scored.withColumn("cos", cos)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", F.col("cidx").alias("centroid_idx"), F.col("cos"))
+        )
+
+    def centroid_frame(df: DataFrame) -> DataFrame:
+        # normalize mean vectors so the cosine argmax stays scale-free
+        from flink_streaming_etl_spark.functions import vec_norm
+
+        return df.select(
+            F.col("cidx"), F.col("cv"), vec_norm(F.col("cv")).alias("cnorm")
+        ).filter(F.col("cnorm") > 0)
+
+    init = (
+        e.filter((F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + k))
+        .select(
+            (F.col("vec_id") - n_queries).alias("cidx"),
+            F.col("v").alias("cv"),
+        )
+    )
+    cents = centroid_frame(init).localCheckpoint(eager=True)
+    assigned = assign_to(cents)
+    for _ in range(n_iter):
+        # new centroid = element-wise mean of member vectors (posexplode +
+        # groupBy(cidx, dim) keeps the shuffle at k·dim rows)
+        means = (
+            assigned.select("centroid_idx", F.posexplode("v").alias("j", "x"))
+            .groupBy("centroid_idx", "j")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_idx")
+            .agg(F.array_sort(F.collect_list(F.struct("j", "m"))).alias("jm"))
+            .select(
+                F.col("centroid_idx").alias("cidx"),
+                F.expr("transform(jm, p -> p.m)").alias("cv"),
+            )
+        )
+        cents = centroid_frame(means).localCheckpoint(eager=True)
+        assigned = assign_to(cents)
+    return assigned.select("vec_id", "centroid_idx", F.col("cos").alias("cosine"))
+
+
+def vec_norm_col():
+    from flink_streaming_etl_spark.functions import vec_norm
+
+    return vec_norm(F.col("v"))
+
+
+# ---------------------------------------------------------------------------
+# Per-group standardization via groupBy().applyInPandas — the split-apply-
+# combine Pandas surface (group fits in one Arrow batch by construction).
+
+
+def standardize_by_label(embeddings: DataFrame) -> DataFrame:
+    """Standardize embeddings within each label group ((x-mean)/std per
+    dimension) — the per-slice feature-normalization stage. One shuffle on
+    label; each group is processed as a single Arrow batch, so group size
+    must fit an executor (guard: repartition by a composite key or switch
+    to a two-pass agg+join formulation for giant groups)."""
+
+    def norm_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        V = np.stack(pdf["v"].map(np.asarray))
+        mu = V.mean(axis=0)
+        sd = V.std(axis=0)
+        sd[sd == 0] = 1.0
+        Z = (V - mu) / sd
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "label": pdf["label"],
+                "z": list(Z),
+            }
+        )
+
+    e = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return e.groupBy("label").applyInPandas(
+        norm_group, "vec_id long, label int, z array<double>"
+    )

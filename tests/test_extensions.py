@@ -171,3 +171,30 @@ def test_neardup_clusters_transitive(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {x: find(x) for x in parent}
     assert clusters == want
+
+
+def test_kmeans_assign_properties(spark):
+    """Lloyd iterations must not decrease assignment quality: mean best-
+    cosine with 5 iterations >= with 0 iterations (init centroids)."""
+    from flink_streaming_etl_spark.operators import similarity
+
+    emb = _load(spark, "embeddings")
+    a0 = similarity.kmeans_assign(emb, n_iter=0)
+    a5 = similarity.kmeans_assign(emb, n_iter=5)
+    m0 = a0.agg(F.avg("cosine")).collect()[0][0]
+    m5 = a5.agg(F.avg("cosine")).collect()[0][0]
+    assert a5.count() == emb.count()
+    assert a5.select("centroid_idx").distinct().count() > 1
+    assert m5 >= m0 - 1e-9, (m0, m5)
+
+
+def test_standardize_by_label(spark):
+    from flink_streaming_etl_spark.operators import similarity
+    import numpy as np
+
+    emb = _load(spark, "embeddings")
+    out = similarity.standardize_by_label(emb)
+    assert out.count() == emb.count()
+    rows = out.filter(F.col("label") == out.select("label").first()[0]).collect()
+    Z = np.stack([np.asarray(r["z"]) for r in rows])
+    assert np.abs(Z.mean(axis=0)).max() < 1e-9  # per-dim mean ~ 0 per group
