@@ -232,6 +232,33 @@ class ReferencePipeline:
             self._states[name] = self.spark.createDataFrame([], src.row_schema)
         return self._states[name]
 
+    def run_streams(self, changelog_dirs: dict[str, str], checkpoint_root: str):
+        """Continuous mode: one streaming query per CDC topic (the reference
+        consumes one Kafka topic per table), every micro-batch folding into
+        the SHARED states and refreshing every sink. Micro-batches from
+        different sources are serialized by a lock — the single-writer
+        discipline an upsert sink needs; sources stay independently paced,
+        exactly like N Flink jobs sharing session tables."""
+        import threading
+
+        lock = getattr(self, "_lock", None) or threading.Lock()
+        self._lock = lock
+        queries = []
+        for name, path in changelog_dirs.items():
+            stream = self.sources[name].stream_changelog(self.spark, path)
+
+            def process(batch_df: DataFrame, batch_id: int, _name=name) -> None:
+                with lock:
+                    self.run_batch({_name: batch_df})
+
+            queries.append(
+                stream.writeStream.foreachBatch(process)
+                .option("checkpointLocation", f"{checkpoint_root}/{name}")
+                .trigger(availableNow=True)
+                .start()
+            )
+        return queries
+
     def run_batch(self, chunks: dict[str, DataFrame]) -> None:
         """One micro-batch: merge every source's chunk once, then refresh
         every sink from the SAME states (multi-query source sharing)."""

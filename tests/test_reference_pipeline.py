@@ -126,3 +126,34 @@ def test_upsert_key_analyzer_check(spark, tmp_path):
     finally:
         QUERIES.clear()
         QUERIES.update(QUERIES_BACKUP)
+
+
+def test_reference_pipeline_streaming_multi_source(spark, tmp_path):
+    """Continuous mode: independent per-topic streams fold into shared
+    states; after both drain, the enrichment join sees both sources."""
+    t = "2020-07-30 10:08:22"
+    pipe = ReferencePipeline(spark, str(tmp_path / "sinks"))
+    users_dir, orders_dir = tmp_path / "users", tmp_path / "orders"
+    users_dir.mkdir(), orders_dir.mkdir()
+    (users_dir / "u.jsonl").write_text(
+        env("c", {"id": "0001", "name": "Jark", "age": 22, "ctime": t, "utime": t}, ts=1)
+    )
+    (orders_dir / "o.jsonl").write_text(
+        "\n".join([
+            env("c", {"id": "o001", "user_id": "0001", "amount": 100.0,
+                      "status": "payed", "channel": "web", "ctime": t, "utime": t}, ts=2),
+            env("c", {"id": "o002", "user_id": "0001", "amount": 50.0,
+                      "status": "closed", "channel": "app", "ctime": t, "utime": t}, ts=3),
+        ])
+    )
+    qs = pipe.run_streams(
+        {"users": str(users_dir), "orders": str(orders_dir)},
+        checkpoint_root=str(tmp_path / "ckpt"),
+    )
+    for q in qs:
+        q.awaitTermination(180)
+    ov = rows_by_id(pipe.sinks["order_view"])
+    assert ov["o001"]["user"]["name"] == "Jark"
+    assert set(ov) == {"o001", "o002"}
+    os_ = rows_by_id(pipe.sinks["order_stats"])
+    assert os_ == {"2020-07-30": {"id": "2020-07-30", "amount": 100.0, "cnt": 1}}
