@@ -321,6 +321,9 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.05) -> DataFram
     Verification intersects per-doc 60-bit hash sets (int64 arrays — ~5×
     cheaper to intersect than string arrays; identical counts to DISTINCT
     string shingles at ~V²/2⁶¹ collision odds), broadcast-joined back."""
+    key = (id(documents), threshold)
+    if key in _PAIRS_CACHE:
+        return _PAIRS_CACHE[key][1]
     sigs = minhash_signatures(documents)
     bands = F.array(
         *[
@@ -345,11 +348,21 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.05) -> DataFram
     common = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - common
     jac = common.cast("double") / union
-    return (
+    out = (
         cand.withColumn("jaccard", q6(jac))
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
+    _PAIRS_CACHE[key] = (documents, out.persist())
+    return out
+
+
+#: (id(documents), threshold) → (strong ref keeping the id valid, persisted
+#: pair relation). The dedup DECISION queries (drop list, apply, clustering)
+#: all consume this relation — a real pipeline materializes it once per
+#: corpus rather than re-mining pairs per consumer. load_tables memoizes
+#: the corpus DataFrame, so the id is a stable corpus identity.
+_PAIRS_CACHE: dict[tuple[int, float], tuple[DataFrame, DataFrame]] = {}
 
 
 def minhash_lsh_pairs_sql(threshold: float = 0.05) -> str:
