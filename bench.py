@@ -39,6 +39,7 @@ HEADLINE = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
+    "simhash_pairs",
     "ngram_jaccard_pairs",
     "cosine_topk",
     "embedding_neardup",

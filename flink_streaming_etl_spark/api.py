@@ -95,6 +95,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         dedup.minhash_lsh_pairs_sql(),
     ),
     "simhash": (_q(dedup.simhash, "documents"), dedup.simhash_sql()),
+    "simhash_pairs": (_q(dedup.simhash_pairs, "documents"), dedup.simhash_pairs_sql()),
     "neardup_drop_list": (
         _q(dedup.neardup_drop_list, "documents"),
         dedup.neardup_drop_list_sql(),

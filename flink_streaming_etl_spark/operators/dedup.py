@@ -550,3 +550,68 @@ reach(node, r) AS (
 )
 SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs: hamming-ball search via byte-band bucketing.
+
+HAMMING_MAX = 3
+N_SIM_BANDS = 4  # 4 bytes of the 32-bit signature
+
+
+def simhash_pairs(documents: DataFrame, max_hamming: int = HAMMING_MAX) -> DataFrame:
+    """Pairs whose SimHash signatures differ in ≤ ``max_hamming`` bits.
+
+    Pigeonhole banding: with 4 byte-bands and max_hamming ≤ 3, any
+    qualifying pair agrees exactly on ≥ 1 band → bucket-join on (band idx,
+    band byte) generates every candidate (no recall loss), then the exact
+    popcount(xor) check keeps true pairs. Candidate volume is the classic
+    LSH trade: ×4 row fan-out, bucket-local joins, no all-pairs scan."""
+    sigs = simhash(documents)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftright(F.col("simhash32"), 8 * bi).bitwiseAND(F.lit(255)).alias("byte"),
+            )
+            for bi in range(N_SIM_BANDS)
+        ]
+    )
+    banded = sigs.select("doc_id", "simhash32", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash32", F.col("b.band").alias("band"), F.col("b.byte").alias("byte")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash32").bitwiseXOR(F.col("b.simhash32"))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
+def simhash_pairs_sql(max_hamming: int = HAMMING_MAX) -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash32, {bi} AS band, (simhash32 >> {8 * bi}) & 255 AS byte FROM sigs"
+        for bi in range(N_SIM_BANDS)
+    )
+    return f"""
+WITH sigs AS ({simhash_sql()}),
+banded AS ({bands})
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.simhash32, b.simhash32)) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash32, b.simhash32)) <= {max_hamming}
+"""

@@ -155,6 +155,22 @@ class CdcSource:
         return apply_changelog(snapshot, changelog, self.primary_key)
 
 
+def decode_kafka_records(source: CdcSource, records: DataFrame) -> DataFrame:
+    """Kafka record batch (binary key/value) → parsed envelopes + PK key.
+
+    The Kafka message key is the primary-key struct (S6, golden sample
+    cdc.orders.change-log-mysql.json:1-15) — it survives as a `key` column
+    so stateful stages can repartition by PK without re-parsing the value.
+    Shared by the live connector below and the broker-free tests."""
+    raw = records.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+    )
+    return parse_envelopes(
+        raw, source.row_schema, mongo=source.mongo, extra_cols=["key"]
+    )
+
+
 def kafka_changelog(
     spark: SparkSession,
     source: CdcSource,
@@ -164,17 +180,13 @@ def kafka_changelog(
 ) -> DataFrame:
     """Kafka + debezium-json source (reference README.md:132-150:
     `scan.startup.mode='earliest-offset'`, group id, ISO-8601 timestamps).
-    Untestable in this container (no Kafka broker) but the parser and all
-    downstream stages are shared with the file-replay path above."""
-    raw = (
+    The record decoding is `decode_kafka_records` (broker-free tested); this
+    wrapper only binds it to the live connector."""
+    records = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
         .load()
-        .select(
-            F.col("key").cast("string").alias("key"),  # PK struct (S6)
-            F.col("value").cast("string").alias("value"),
-        )
     )
-    return source.parse(raw)
+    return decode_kafka_records(source, records)

@@ -57,6 +57,7 @@ def parse_envelopes(
     value_col: str = "value",
     mongo: bool = False,
     ignore_parse_errors: bool = True,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Decode a column of Debezium-JSON strings into typed envelope columns.
 
@@ -69,7 +70,9 @@ def parse_envelopes(
     if ignore_parse_errors:
         opts["mode"] = "PERMISSIVE"
     parsed = raw.withColumn("_env", F.from_json(F.col(value_col), schema, opts))
+    passthrough = [F.col(c) for c in (extra_cols or [])]
     out = parsed.select(
+        *passthrough,
         F.col(f"_env.before").alias("before"),
         F.col(f"_env.after").alias("after"),
         F.col(f"_env.op").alias("op"),

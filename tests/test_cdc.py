@@ -250,3 +250,24 @@ def test_stream_restart_from_checkpoint(spark, tmp_path, pipeline):
     q2 = pipe.run_stream("orders", src.stream_changelog(spark, str(changelog_dir)), ckpt)
     q2.awaitTermination(120)
     assert sink_rows(pipe.sink) == {"u1|2020-07-30": (50.0, 1)}
+
+
+def test_kafka_record_decoding_mocked(spark):
+    """S2/S6 without a broker: a batch DataFrame shaped exactly like the
+    Kafka connector's output (binary key/value) decodes through the same
+    path the live connector uses; the PK-struct message key survives as a
+    repartitionable column."""
+    from flink_streaming_etl_spark.sources.cdc import decode_kafka_records
+
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    key = json.dumps({"id": "o1"})  # Kafka message key = PK struct (S6)
+    value = env("c", order("o1", "u1", 10.0, "payed"), ts=1)
+    records = spark.createDataFrame(
+        [(key.encode(), value.encode(), "shard1.ec.orders", 0, 0)],
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+    out = decode_kafka_records(src, records).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["key"] == key
+    assert row["op"] == "c" and row["after"]["id"] == "o1"
