@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_apply",
     "neardup_clusters",
     "length_percentiles",
+    "source_mix_report",
     "lang_id",
     "token_count",
     "quality_score",

@@ -158,6 +158,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.length_percentiles, "documents"),
         text.LENGTH_PERCENTILES_SQL,
     ),
+    "source_mix_report": (
+        _q(text.source_mix_report, "documents"),
+        text.SOURCE_MIX_REPORT_SQL,
+    ),
+    # --- textual SQL surface (spark.sql over registered views, D7) ---
+    "sql_pricing_summary": (
+        lambda spark, sf_dir: (
+            load_tables(spark, sf_dir, register=True)
+            and relational.sql_pricing_summary(spark)
+        ),
+        relational.SQL_PRICING_SUMMARY_ORACLE,
+    ),
     # --- multimodal plumbing ---
     "media_metadata": (
         _q(multimodal.media_metadata, "documents"),

@@ -466,3 +466,37 @@ SELECT e.event_id,
 FROM events e
 ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.ts
 """
+
+
+# ---------------------------------------------------------------------------
+# Textual SQL surface: the same engine through spark.sql over the session
+# catalog's registered views (D7) — how a reference user's SQL text ports.
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def sql_pricing_summary(spark, _unused=None):
+    """`spark.sql` twin of :func:`pricing_summary` (reduced column set) —
+    proves the registered-view catalog path (D7) yields the same plans the
+    DataFrame API builds."""
+    return spark.sql(SQL_PRICING_SUMMARY)
+
+
+SQL_PRICING_SUMMARY_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""

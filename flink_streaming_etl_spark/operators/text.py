@@ -295,3 +295,35 @@ SELECT lang,
        MAX(n_tokens) AS max_tokens
 FROM ranked GROUP BY lang
 """
+
+
+def source_mix_report(documents: DataFrame) -> DataFrame:
+    """Corpus-composition report: per (source, lang) document counts, char
+    volume, and share of total chars — the mixing-weights input of a
+    training-data pipeline. One partial+final aggregation; the global total
+    rides in on a broadcast of the 1-row aggregate."""
+    per = documents.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    total = documents.agg(F.sum("n_chars").alias("_grand"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_chars",
+        q6(F.col("total_chars") / F.col("_grand")).alias("char_share"),
+    )
+
+
+SOURCE_MIX_REPORT_SQL = """
+WITH per AS (
+  SELECT source, lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY 1, 2
+),
+total AS (SELECT SUM(n_chars) AS grand FROM documents)
+SELECT source, lang, n_docs, total_chars,
+       floor((total_chars / grand::DOUBLE) * 1000000.0) / 1000000.0 AS char_share
+FROM per, total
+"""
