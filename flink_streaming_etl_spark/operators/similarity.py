@@ -351,7 +351,12 @@ def ann_ivf(
         .select(F.col("vec_id").alias("query_id"), F.col("cent_id"),
                 F.col("v").alias("qv"), F.col("norm").alias("qnorm"))
     )
-    cand = probes.join(assign, "cent_id").filter(F.col("vec_id") != F.col("query_id"))
+    # probes is n_queries×n_probe rows — broadcast it; a shuffle join on
+    # cent_id would hash-partition the corpus across only n_centroids keys
+    # (guaranteed skew at scale).
+    cand = F.broadcast(probes).join(assign, "cent_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
     pair_cos = q6(vec_dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")))
     scored = cand.select(
         "query_id", F.col("vec_id").alias("neighbor_id"), pair_cos.alias("cosine")
