@@ -407,9 +407,17 @@ WHERE floor((common / (na.n + nb.n - common)) * 1000000.0) / 1000000.0 >= {thres
 SIMHASH_BITS = 32
 
 
+#: (id(documents)) → (strong ref, persisted signatures); same
+#: materialize-once rationale as _PAIRS_CACHE (simhash_pairs re-consumes
+#: the signature relation).
+_SIMHASH_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
+
+
 def simhash(documents: DataFrame) -> DataFrame:
     """One explode + one groupBy: 32 codegen'd conditional-sum aggregates
     (bit votes), then the signature is assembled from the vote columns."""
+    if id(documents) in _SIMHASH_CACHE:
+        return _SIMHASH_CACHE[id(documents)][1]
     rows = _shingle_rows(documents, distinct=True)
     votes = [
         F.sum(
@@ -424,7 +432,9 @@ def simhash(documents: DataFrame) -> DataFrame:
         sig = sig + F.when(
             F.col(f"v{b}") >= 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0))
-    return g.select("doc_id", sig.alias("simhash32"))
+    out = g.select("doc_id", sig.alias("simhash32"))
+    _SIMHASH_CACHE[id(documents)] = (documents, out.persist())
+    return out
 
 
 def simhash_sql() -> str:
