@@ -54,6 +54,8 @@ HEADLINE = [
     "vocab_top_tokens",
     "dedup_apply",
     "neardup_clusters",
+    "stratified_sample",
+    "curated_corpus",
     "length_percentiles",
     "source_mix_report",
     "lang_id",

@@ -162,6 +162,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.source_mix_report, "documents"),
         text.SOURCE_MIX_REPORT_SQL,
     ),
+    "stratified_sample": (
+        _q(text.stratified_sample, "documents"),
+        text.stratified_sample_sql(),
+    ),
+    "curated_corpus": (
+        _q(text.curated_corpus, "documents"),
+        text.curated_corpus_sql(),
+    ),
     # --- textual SQL surface (spark.sql over registered views, D7) ---
     "sql_pricing_summary": (
         lambda spark, sf_dir: (

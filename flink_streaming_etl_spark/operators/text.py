@@ -327,3 +327,102 @@ SELECT source, lang, n_docs, total_chars,
        floor((total_chars / grand::DOUBLE) * 1000000.0) / 1000000.0 AS char_share
 FROM per, total
 """
+
+
+STRAT_MOD = 10000  # hash-bucket resolution for stratified rates
+
+
+def _strat_bucket() -> Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % STRAT_MOD
+    )
+
+
+_STRAT_BUCKET_SQL = (
+    f"('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {STRAT_MOD}"
+)
+
+
+def stratified_sample(documents: DataFrame, per_stratum: int = 2000) -> DataFrame:
+    """Balanced corpus sampling: keep ~``per_stratum`` documents per
+    language via a deterministic hash rate (bucket*n < per_stratum*MOD is
+    pure integer arithmetic — exact in every engine, no float rate). The
+    per-stratum counts are a broadcast of a tiny aggregate; the keep
+    decision is a codegen'd filter on the scan — no data shuffle at any
+    scale, so this is how a 100 TB corpus is rebalanced in one pass."""
+    counts = documents.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        documents.select("doc_id", "lang", _strat_bucket().alias("strat_bucket"))
+        .join(F.broadcast(counts), "lang")
+        .filter(F.col("strat_bucket") * F.col("_n") < F.lit(per_stratum * STRAT_MOD))
+        .select("doc_id", "lang", "strat_bucket")
+    )
+
+
+def stratified_sample_sql(per_stratum: int = 2000) -> str:
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang, {_STRAT_BUCKET_SQL} AS strat_bucket FROM documents
+),
+counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1)
+SELECT b.doc_id, b.lang, b.strat_bucket
+FROM b JOIN counts c ON b.lang = c.lang
+WHERE b.strat_bucket * c.n < {per_stratum * STRAT_MOD}
+"""
+
+
+def curated_corpus(
+    documents: DataFrame, threshold: float = 0.05, per_stratum: int = 2000
+) -> DataFrame:
+    """The full curation composition a training-data pipeline runs: quality
+    filter → near-dup removal (anti-join against the materialized LSH drop
+    list) → per-language stratified rebalance, with the stratum rates
+    computed over the ELIGIBLE (post-filter, post-dedup) population. Each
+    stage reuses the corpus-level relations the individual operators
+    already materialize (quality is a scan-local projection; the pair
+    relation is cached once per corpus), so composing them adds one
+    broadcast join over the ~#langs count table and nothing else."""
+    from flink_streaming_etl_spark.operators import dedup
+
+    scored = quality_score(documents).filter("keep").select("doc_id", "quality")
+    drops = dedup.neardup_drop_list(documents, threshold)
+    eligible = (
+        documents.select("doc_id", "lang")
+        .join(scored, "doc_id")
+        .join(drops, "doc_id", "left_anti")
+    )
+    counts = eligible.groupBy("lang").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        eligible.withColumn("strat_bucket", _strat_bucket())
+        .join(F.broadcast(counts), "lang")
+        .filter(F.col("strat_bucket") * F.col("_n") < F.lit(per_stratum * STRAT_MOD))
+        .select("doc_id", "lang", "quality")
+    )
+
+
+def curated_corpus_sql(threshold: float = 0.05, per_stratum: int = 2000) -> str:
+    from flink_streaming_etl_spark.operators.dedup import minhash_lsh_pairs_sql
+
+    return f"""
+WITH scored AS ({quality_score_sql()}),
+pairs AS ({minhash_lsh_pairs_sql(threshold)}),
+drops AS (SELECT DISTINCT b_id AS doc_id FROM pairs),
+eligible AS (
+  SELECT d.doc_id, d.lang, s.quality
+  FROM documents d
+  JOIN scored s ON d.doc_id = s.doc_id AND s.keep
+  ANTI JOIN drops ON d.doc_id = drops.doc_id
+),
+counts AS (SELECT lang, COUNT(*) AS n FROM eligible GROUP BY 1),
+b AS (SELECT *, {_STRAT_BUCKET_SQL} AS strat_bucket FROM eligible)
+SELECT b.doc_id, b.lang, b.quality
+FROM b JOIN counts c ON b.lang = c.lang
+WHERE b.strat_bucket * c.n < {per_stratum * STRAT_MOD}
+"""

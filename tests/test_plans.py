@@ -83,3 +83,14 @@ def test_audit_api_shape(spark):
     a = audit(relational.pricing_summary(t["lineitem"]))
     assert a.pushed_filters and a.read_schemas
     assert a.n_hash_aggregates >= 2 and (a.has_codegen or a.adaptive)
+
+
+def test_stratified_sample_broadcasts_counts(spark):
+    from flink_streaming_etl_spark.operators import text
+
+    t = _tables(spark)
+    p = plan_of(text.stratified_sample(t["documents"]))
+    # The per-stratum count table is ~#langs rows: it must broadcast; the
+    # corpus side must not shuffle for the join.
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
