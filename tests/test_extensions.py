@@ -198,3 +198,42 @@ def test_standardize_by_label(spark):
     rows = out.filter(F.col("label") == out.select("label").first()[0]).collect()
     Z = np.stack([np.asarray(r["z"]) for r in rows])
     assert np.abs(Z.mean(axis=0)).max() < 1e-9  # per-dim mean ~ 0 per group
+
+
+def test_stratified_sample_balances_strata(spark):
+    """Hash-rate sampling must keep ~per_stratum docs per lang (exactly
+    min(n, per_stratum) in expectation; the integer-rate bound guarantees
+    kept <= ceil(per_stratum/MOD * MOD) per stratum scaled) and be a
+    subset of the corpus, deterministic across invocations."""
+    from flink_streaming_etl_spark.operators import text
+
+    docs = _load(spark, "documents")
+    per = 50
+    s = text.stratified_sample(docs, per_stratum=per)
+    kept = {r["lang"]: r["n"] for r in s.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in kept.items():
+        cap = totals[lang]
+        # a stratum smaller than the target is kept whole; larger strata
+        # land near the target (hash variance: generous 3x bound)
+        if cap <= per:
+            assert n == cap, (lang, n, cap)
+        else:
+            assert n <= 3 * per, (lang, n)
+    # deterministic: second invocation identical
+    s2 = text.stratified_sample(docs, per_stratum=per)
+    assert s.exceptAll(s2).count() == 0 and s2.exceptAll(s).count() == 0
+
+
+def test_curated_corpus_excludes_drops_and_low_quality(spark):
+    from flink_streaming_etl_spark.operators import dedup, text
+
+    docs = _load(spark, "documents")
+    cur = text.curated_corpus(docs)
+    assert cur.count() > 0
+    # no kept doc may be in the near-dup drop list
+    drops = dedup.neardup_drop_list(docs)
+    assert cur.join(drops, "doc_id").count() == 0
+    # every kept doc passes the quality filter
+    q = text.quality_score(docs).select("doc_id", "keep")
+    assert cur.join(q, "doc_id").filter(~F.col("keep")).count() == 0
