@@ -63,6 +63,7 @@ HEADLINE = [
     "quality_score",
     "doc_fingerprint",
     "media_metadata",
+    "media_dedup",
     "media_features",
 ]
 

@@ -183,6 +183,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(multimodal.media_metadata, "documents"),
         multimodal.MEDIA_METADATA_SQL,
     ),
+    "media_dedup": (
+        _q(multimodal.media_dedup, "documents"),
+        multimodal.MEDIA_DEDUP_SQL,
+    ),
     "media_features": (
         lambda spark, sf_dir: multimodal.extract_features(
             multimodal.documents_as_media(load_tables(spark, sf_dir, register=False)["documents"])
