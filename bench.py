@@ -43,6 +43,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "cosine_topk",
     "embedding_neardup",
+    "embedding_dedup_apply",
     "ann_lsh_bucketed",
     "ann_ivf",
     "neardup_drop_list",

@@ -111,6 +111,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(similarity.embedding_neardup, "embeddings"),
         similarity.embedding_neardup_sql(),
     ),
+    "embedding_dedup_apply": (
+        _q(similarity.embedding_dedup_apply, "embeddings"),
+        similarity.embedding_dedup_apply_sql(),
+    ),
     "ann_lsh_bucketed": (
         _q(similarity.ann_lsh_bucketed, "embeddings"),
         similarity.ann_lsh_bucketed_sql(),

@@ -167,6 +167,30 @@ WHERE {cos} >= {threshold}
 """
 
 
+def embedding_dedup_apply(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Semantic dedup OUTPUT: the kept vectors — keep-first over the
+    cosine near-dup pairs, applied as one anti-join (the drop list is a
+    small fraction of the corpus by construction, same decision shape as
+    the text pipeline's :func:`dedup.dedup_apply`). At 100 TB the pair
+    source swaps to the LSH/IVF candidate path; the decision stage is
+    unchanged."""
+    drops = (
+        embedding_neardup(embeddings, threshold)
+        .select(F.col("b_id").alias("vec_id"))
+        .dropDuplicates(["vec_id"])
+    )
+    return embeddings.join(drops, "vec_id", "left_anti").select("vec_id", "label")
+
+
+def embedding_dedup_apply_sql(threshold: float = 0.4) -> str:
+    return f"""
+WITH pairs AS ({embedding_neardup_sql(threshold)}),
+drops AS (SELECT DISTINCT b_id AS vec_id FROM pairs)
+SELECT e.vec_id, e.label FROM embeddings e
+ANTI JOIN drops ON e.vec_id = drops.vec_id
+"""
+
+
 def _topk_kernel(k: int):
     """mapInPandas kernel for (query block × corpus block): per query, the
     block-local top-k by (cosine desc, neighbor_id asc). Global top-k is a
