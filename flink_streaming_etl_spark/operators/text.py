@@ -73,14 +73,24 @@ FROM scored
 """
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation — the
+#: classic subword-segmenter front end, expressed as one regex both Java
+#: (Spark codegen) and RE2-style (DuckDB) engines interpret identically.
+BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def token_count(documents: DataFrame) -> DataFrame:
-    """Whitespace tokenization + a BPE-ish proxy (4 chars ≈ 1 token)."""
+    """Whitespace tokenization + two BPE-ish proxies: a 4-chars≈1-token
+    estimate and an exact count of subword-segmenter pre-tokens
+    (``BPE_PAT`` matches — letter runs / digit runs / punctuation). All
+    codegen'd per-row expressions: zero shuffle at any scale."""
     toks = F.size(F.split(F.trim("text"), r"\s+"))
     return documents.select(
         "doc_id",
         toks.alias("n_tokens"),
         F.length("text").alias("n_chars_text"),
         F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("n_tokens_bpe_est"),
+        F.regexp_count("text", F.lit(BPE_PAT)).cast("long").alias("n_tokens_bpe_regex"),
         q6(F.length("text") / toks.cast("double")).alias("chars_per_token"),
     )
 
@@ -90,6 +100,7 @@ SELECT doc_id,
        len(string_split_regex(trim(text), '\s+')) AS n_tokens,
        length(text) AS n_chars_text,
        CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_bpe_regex,
        floor((length(text) / len(string_split_regex(trim(text), '\s+'))::DOUBLE) * 1000000.0) / 1000000.0 AS chars_per_token
 FROM documents
 """
@@ -143,23 +154,46 @@ FROM documents
 """
 
 
+#: Rolling-hash parameters: base/modulus sized so acc*B + h stays well
+#: inside int64 (acc < 2^31, B ≈ 2^20, h < 2^28 → < 2^52).
+RH_BASE = 1000003
+RH_MOD = 2147483647
+
+
 def doc_fingerprint(documents: DataFrame) -> DataFrame:
-    """Content fingerprint: md5 of whitespace-normalized lowercase text,
-    plus a 16-bit shard bucket (the partitioning key a 100 TB dedup job
-    would shuffle on) and a coarse length class."""
+    """Content fingerprints: md5 of whitespace-normalized lowercase text, a
+    token-order-sensitive polynomial ROLLING hash (Rabin-Karp style:
+    acc = acc*B + h(token) mod M, per-token h from md5 — exact integer
+    arithmetic, identical in any engine), a 16-bit shard bucket (the
+    partitioning key a 100 TB dedup job would shuffle on), and a coarse
+    length class. All per-row expressions — zero shuffle."""
     norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
     fp = F.md5(norm)
+    rolling = F.aggregate(
+        F.transform(
+            F.split(F.trim("text"), r"\s+"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(RH_BASE) + h) % F.lit(RH_MOD),
+    )
     return documents.select(
         "doc_id",
         fp.alias("fingerprint"),
+        rolling.alias("rolling_hash"),
         F.conv(F.substring(fp, 1, 4), 16, 10).cast("long").alias("shard_bucket"),
         F.floor(F.log2(F.length("text").cast("double"))).cast("long").alias("len_class"),
     )
 
 
-DOC_FINGERPRINT_SQL = r"""
+DOC_FINGERPRINT_SQL = rf"""
 SELECT doc_id,
        md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           [('0x' || substr(md5(t), 1, 7))::BIGINT FOR t IN string_split_regex(trim(text), '\s+')]),
+         (acc, h) -> (acc * {RH_BASE} + h) % {RH_MOD}
+       ) AS rolling_hash,
        ('0x' || substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 4))::BIGINT AS shard_bucket,
        CAST(floor(log2(length(text))) AS BIGINT) AS len_class
 FROM documents
