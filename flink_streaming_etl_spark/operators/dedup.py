@@ -114,6 +114,30 @@ FROM documents GROUP BY 1
 # Exact n-gram Jaccard pairs (the ground-truth near-dup relation).
 
 
+#: id(documents) → (strong ref, persisted per-doc sorted shingle-hash
+#: arrays). Shared by the GEMM kernel (ngram_jaccard_pairs) and the LSH
+#: verification stage (minhash_lsh_pairs): both need the same DISTINCT
+#: 60-bit-hash set per document, so a corpus materializes it once.
+_ARRAYS_CACHE: dict[int, tuple[DataFrame, DataFrame]] = {}
+
+
+def _hash_array_rel(documents: DataFrame) -> DataFrame:
+    """(doc_id, hashes): sorted DISTINCT 60-bit md5-prefix shingle hashes
+    per document — the set-representation every exact-Jaccard consumer
+    intersects. collect_set dedups ≡ DISTINCT string shingles (collision
+    odds ~V²/2⁶¹); the distinct rides the groupBy shuffle free."""
+    key = id(documents)
+    if key in _ARRAYS_CACHE:
+        return _ARRAYS_CACHE[key][1]
+    rows = _word_shingle_rows(documents).withColumn(
+        "h", F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    )
+    out = rows.groupBy("doc_id").agg(F.array_sort(F.collect_set("h")).alias("hashes"))
+    cached = out.persist()
+    _ARRAYS_CACHE[key] = (documents, cached)
+    return cached
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame, threshold: float = 0.05, block_size: int = 512
 ) -> DataFrame:
@@ -137,12 +161,7 @@ def ngram_jaccard_pairs(
     import numpy as np
     import pandas as pd
 
-    rows = _word_shingle_rows(documents).withColumn(
-        "h", F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-    )
-    # collect_set dedups hashes ≡ DISTINCT string shingles (60-bit prefix,
-    # collision odds ~V²/2⁶¹) — the distinct rides the groupBy shuffle free.
-    docs = rows.groupBy("doc_id").agg(F.array_sort(F.collect_set("h")).alias("hashes"))
+    docs = _hash_array_rel(documents)
     n_blocks = max(1, -(-documents.count() // block_size))
     g = docs.groupBy(F.pmod(F.col("doc_id"), F.lit(n_blocks)).alias("blk")).agg(
         F.collect_list(F.struct("doc_id", "hashes")).alias("docs")
@@ -338,9 +357,7 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.05) -> DataFram
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    arrays = _word_shingle_rows(documents).select(
-        "doc_id", F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("h")
-    ).groupBy("doc_id").agg(F.collect_set("h").alias("sh"))
+    arrays = _hash_array_rel(documents).withColumnRenamed("hashes", "sh")
     cand = (
         cand.join(arrays.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a")), "a_id")
         .join(arrays.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b")), "b_id")
