@@ -66,6 +66,16 @@ HEADLINE = [
     "media_metadata",
     "media_dedup",
     "media_features",
+    "revenue_rollup",
+    "window_battery",
+    "customers_without_orders",
+    "customer_cohort_setops",
+    "order_priority_pivot",
+    "clicks_before_purchase",
+    "tfidf_top_terms",
+    "bigram_top",
+    "segment_spend_correlation",
+    "sketch_profile",
 ]
 
 

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_streaming_etl_spark.catalog import load_tables
 from flink_streaming_etl_spark.operators import dedup, relational, similarity, text
-from flink_streaming_etl_spark.operators import multimodal, windows
+from flink_streaming_etl_spark.operators import analytics, multimodal, windows
 from flink_streaming_etl_spark.session import tune_session
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -173,6 +173,48 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "curated_corpus": (
         _q(text.curated_corpus, "documents"),
         text.curated_corpus_sql(),
+    ),
+    # --- analytics extensions (grouping sets / windows / joins / set ops) ---
+    "revenue_rollup": (
+        _q(analytics.revenue_rollup, "customer", "nation", "region"),
+        analytics.REVENUE_ROLLUP_SQL,
+    ),
+    "window_battery": (
+        _q(analytics.window_battery, "orders"),
+        analytics.WINDOW_BATTERY_SQL,
+    ),
+    "customers_without_orders": (
+        _q(analytics.customers_without_orders, "customer", "orders"),
+        analytics.CUSTOMERS_WITHOUT_ORDERS_SQL,
+    ),
+    "big_spender_customers": (
+        _q(analytics.big_spender_customers, "customer", "orders"),
+        analytics.BIG_SPENDER_CUSTOMERS_SQL,
+    ),
+    "customer_cohort_setops": (
+        _q(analytics.customer_cohort_setops, "customer", "orders"),
+        analytics.CUSTOMER_COHORT_SETOPS_SQL,
+    ),
+    "order_priority_pivot": (
+        _q(analytics.order_priority_pivot, "orders"),
+        analytics.ORDER_PRIORITY_PIVOT_SQL,
+    ),
+    "clicks_before_purchase": (
+        _q(analytics.clicks_before_purchase, "events"),
+        analytics.CLICKS_BEFORE_PURCHASE_SQL,
+    ),
+    "tfidf_top_terms": (
+        _q(analytics.tfidf_top_terms, "documents"),
+        analytics.tfidf_top_terms_sql(),
+    ),
+    "bigram_top": (_q(analytics.bigram_top, "documents"), analytics.bigram_top_sql()),
+    "segment_spend_correlation": (
+        _q(analytics.segment_spend_correlation, "customer", "orders"),
+        analytics.SEGMENT_SPEND_CORRELATION_SQL,
+    ),
+    "sketch_profile": (
+        _q(analytics.sketch_profile, "events"),
+        None,  # engine-specific estimators — error-bound-tested instead
     ),
     # --- textual SQL surface (spark.sql over registered views, D7) ---
     "sql_pricing_summary": (

@@ -1,0 +1,448 @@
+"""Analytics extensions beyond the reference's operator inventory.
+
+The reference (SURVEY.md §2.3 note) exercises *no* grouping sets, window
+functions, semi/anti joins, set operations, pivots, or range joins — a user
+migrating real workloads onto this engine needs them, so they are first-class
+here: each has a DataFrame builder, a DuckDB oracle, and a plan expectation
+(tests/test_plans.py).
+
+Determinism rules follow operators/relational.py: decimal sums (order
+independent), no round() (q6 floor-quantization), no transcendental
+functions in oracle-compared outputs (log/exp differ across libm
+implementations — ratio-based idf instead), explicit tie-breaks in every
+window ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_streaming_etl_spark.functions import q6, q6_sql
+
+DEC = "decimal(18,2)"
+
+
+def _dec(c: str) -> Column:
+    return F.col(c).cast(DEC)
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP / grouping sets. Spark's rollup() and DuckDB's ROLLUP both emit
+# NULL for the rolled-up level; GROUPING() disambiguates real NULLs. The
+# grouped columns are coalesced to 'ALL' so the hash-compare never sees
+# engine-specific NULL stringification. Scale: rollup is a single shuffle —
+# Spark expands grouping sets map-side (Expand node) then one hash agg; at
+# 100 TB the expand multiplies rows 3x pre-shuffle, still partial-agg'd.
+
+
+def revenue_rollup(customer: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
+    joined = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().alias("lvl"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("acctbal_sum"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "lvl",
+            "acctbal_sum",
+            "n_customers",
+        )
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT COALESCE(r_name, 'ALL') AS region_name,
+       COALESCE(n_name, 'ALL') AS nation_name,
+       GROUPING(r_name, n_name) AS lvl,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum,
+       COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window-function battery: rank / row_number / lag / cumulative sum over one
+# partition spec (per-customer order history). One shuffle on o_custkey
+# serves all four functions — Spark evaluates them in a single Window node.
+# The cumulative sum is decimal (exact under the frame's sequential scan);
+# ORDER BY carries o_orderkey as total tie-break so every engine sees the
+# same frame.
+
+
+def window_battery(orders: DataFrame) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.rank().over(
+            Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+        ).alias("price_rank"),
+        F.lag(_dec("o_totalprice"), 1).over(w).cast("double").alias("prev_price"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("spend_to_date"),
+    )
+
+
+WINDOW_BATTERY_SQL = """
+SELECT o_orderkey,
+       o_custkey,
+       ROW_NUMBER() OVER w AS order_seq,
+       RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_rank,
+       CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS prev_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_to_date
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins — the "does the other side have a match" pair. Spark
+# plans LEFT SEMI / LEFT ANTI natively (no row duplication, build side only
+# keeps keys); broadcastable when the filter side is small. At 100 TB the
+# orders side would broadcast its distinct custkeys (bloom-filter-like)
+# rather than shuffling customer.
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    open_orders = orders.filter(F.col("o_orderstatus") != "F").select("o_custkey")
+    return (
+        customer.join(open_orders, customer.c_custkey == open_orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus <> 'F'
+)
+"""
+
+
+def big_spender_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    big = orders.filter(F.col("o_totalprice") > 400000.0).select("o_custkey")
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+BIG_SPENDER_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations: UNION / INTERSECT / EXCEPT over two customer cohorts
+# (machinery segment vs urgent-order placers), tagged so one relation
+# carries all three results. Each set op is one shuffle on the full row;
+# Spark rewrites INTERSECT/EXCEPT to semi/anti joins under the hood.
+
+
+def customer_cohort_setops(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    seg = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return (
+        seg.union(urgent).distinct().withColumn("cohort", F.lit("either"))
+        .unionByName(seg.intersect(urgent).withColumn("cohort", F.lit("both")))
+        .unionByName(seg.subtract(urgent).withColumn("cohort", F.lit("seg_only")))
+    )
+
+
+CUSTOMER_COHORT_SETOPS_SQL = """
+WITH seg AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     urgent AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT custkey, 'either' AS cohort FROM (SELECT custkey FROM seg UNION SELECT custkey FROM urgent)
+UNION ALL
+SELECT custkey, 'both' AS cohort FROM (SELECT custkey FROM seg INTERSECT SELECT custkey FROM urgent)
+UNION ALL
+SELECT custkey, 'seg_only' AS cohort FROM (SELECT custkey FROM seg EXCEPT SELECT custkey FROM urgent)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot: order counts + decimal revenue by status x priority. Pivot values
+# are pinned (never inferred) — inference is an extra job and nondeterministic
+# column order. Conditional-aggregation oracle, same aliases.
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def order_priority_pivot(orders: DataFrame) -> DataFrame:
+    short = {p: p.split("-")[0] for p in _PRIORITIES}  # p1..p5 column stems
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderstatus",
+            *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{short[p]}_cnt") for p in _PRIORITIES],
+        )
+    )
+
+
+ORDER_PRIORITY_PIVOT_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1_cnt,
+       COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2_cnt,
+       COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3_cnt,
+       COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4_cnt,
+       COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5_cnt
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Interval (range) join: for each purchase event, count same-user clicks in
+# the preceding hour. Equi key (user_id) + range predicate on ts — Spark
+# plans the equi part as a hash/sort-merge join and evaluates the range as a
+# post-join filter, so state stays bounded by the per-user partition. At
+# 100 TB the right move is the same plus a coarse time-bucket equi key
+# (bucket join pruning the cross product); user_id alone bounds it here.
+
+
+def clicks_before_purchase(events: DataFrame) -> DataFrame:
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("pts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.u == clicks.cu)
+        & (clicks.cts >= purchases.pts - F.expr("INTERVAL 1 HOUR"))
+        & (clicks.cts < purchases.pts),
+        "left",
+    )
+    return joined.groupBy("purchase_id", F.col("u").alias("user_id")).agg(
+        F.count("cts").alias("clicks_1h_before")
+    )
+
+
+CLICKS_BEFORE_PURCHASE_SQL = """
+SELECT p.event_id AS purchase_id,
+       p.user_id AS user_id,
+       COUNT(c.ts) AS clicks_1h_before
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+GROUP BY p.event_id, p.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document. idf is the BM25-style *ratio*
+# (N - df + 0.5)/(df + 0.5) — deliberately log-free: ln() comes from libm
+# and differs across engines in the last ulp, which flips q6 boundaries;
+# one division + one multiply are exact IEEE ops on identical inputs.
+# Two shuffles: token explode→(doc,term) count, then df by term (broadcast
+# back — the vocabulary is tiny relative to the corpus).
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    tokens = documents.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.select("doc_id").distinct().count()
+    scored = tf.join(F.broadcast(df_rel), "term").withColumn(
+        "score",
+        q6(
+            F.col("tf")
+            * (
+                (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )
+
+
+def tfidf_top_terms_sql(k: int = 3) -> str:
+    score = q6_sql(
+        "tf * ((SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) FROM documents) - df + 0.5) / (df + 0.5)"
+    )
+    return f"""
+WITH tokens AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS term) t
+  WHERE t.term <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY doc_id, term
+), dfr AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+         {score} AS score
+  FROM tf JOIN dfr USING (term)
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, rk FROM ranked WHERE rk <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram frequencies — adjacent-token pairs per document, global
+# top-N. Bigrams via codegen-friendly arrays_zip(slice, slice) (no HOF
+# lambda over a re-evaluated split: see the measured re-inlining trap in
+# operators/dedup.py); one shuffle for the count, top-N via a single-
+# partition sort of the (tiny) distinct-bigram relation.
+
+
+def bigram_top(documents: DataFrame, n: int = 20) -> DataFrame:
+    toks = documents.select(
+        F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "").alias("w")
+    ).filter(F.size("w") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("w", 1, F.size("w") - 1).alias("a"),
+                F.slice("w", 2, F.size("w") - 1).alias("b"),
+            )
+        ).alias("p")
+    ).select(F.concat_ws(" ", "p.a", "p.b").alias("bigram"))
+    counted = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("bigram"))
+    return counted.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= n)
+
+
+def bigram_top_sql(n: int = 20) -> str:
+    return f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS w
+  FROM documents
+), pairs AS (
+  SELECT w[i] || ' ' || w[i + 1] AS bigram
+  FROM toks, LATERAL (SELECT UNNEST(range(1, len(w))) AS i)
+  WHERE len(w) >= 2
+), counted AS (
+  SELECT bigram, COUNT(*) AS cnt FROM pairs GROUP BY bigram
+)
+SELECT bigram, cnt, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, bigram) AS rk FROM counted
+) WHERE rk <= {n}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Correlation battery WITHOUT float-order sensitivity: Pearson r from exact
+# decimal moment sums. o_totalprice/c_acctbal carry <=2 decimals, so every
+# product x*y is exactly representable in DECIMAL(38,4) and the sums are
+# order-independent; the final r = (n*Sxy - Sx*Sy)/(sqrt(...)*sqrt(...)) is
+# a fixed sequence of IEEE doubles — bit-identical across engines (sqrt IS
+# IEEE-exact, unlike log/exp). Never use engine-native corr()/stddev() in
+# an oracle-compared output: their accumulation order is engine-defined.
+
+DEC4 = "decimal(38,4)"
+
+
+def segment_spend_correlation(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("spend_dec")
+    )
+    joined = customer.join(
+        spend, customer.c_custkey == spend.o_custkey, "inner"
+    ).select(
+        "c_mktsegment",
+        _dec("c_acctbal").alias("x"),
+        F.col("spend_dec").cast(DEC).alias("y"),
+    )
+    moments = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(DEC4)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(DEC4)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(DEC4)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC4)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(DEC4)).cast("double").alias("syy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return moments.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n_customers"),
+        q6(r).alias("pearson_r"),
+    )
+
+
+SEGMENT_SPEND_CORRELATION_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+  FROM orders GROUP BY o_custkey
+), joined AS (
+  SELECT c_mktsegment,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS x,
+         CAST(spend_dec AS DECIMAL(18,2)) AS y
+  FROM customer JOIN spend ON c_custkey = o_custkey
+), moments AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy
+  FROM joined GROUP BY c_mktsegment
+)
+SELECT c_mktsegment,
+       CAST(n AS BIGINT) AS n_customers,
+       {q6_sql('(n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))')} AS pearson_r
+FROM moments
+"""
+
+
+# ---------------------------------------------------------------------------
+# Approximate sketches — HLL distinct counts + quantile sketch per event
+# type. Engine-specific estimators can't hash-match an oracle; the
+# correctness contract is the error bound vs the exact answer
+# (tests/test_extensions.py asserts |approx-exact|/exact <= 5% for HLL at
+# rsd=0.02 and quantile rank error <= accuracy). This IS the 100 TB path:
+# exact distinct-count shuffles every value, the sketch ships 1.5 KB per
+# partition.
+
+
+def sketch_profile(events: DataFrame) -> DataFrame:
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

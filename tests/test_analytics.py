@@ -1,0 +1,113 @@
+"""Behavioral + plan + error-bound tests for the analytics extension battery
+(operators/analytics.py). Oracle parity is covered by test_oracle_parity.py;
+these pin semantics the hash-compare can't see: plan shapes (semi/anti join
+strategy, single window shuffle, no cartesian in the range join) and sketch
+error bounds vs exact answers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_streaming_etl_spark.catalog import load_tables
+from flink_streaming_etl_spark.operators import analytics
+from flink_streaming_etl_spark.plans import plan_text
+from tests.conftest import SF_SMOKE
+
+
+def _tables(spark):
+    return load_tables(spark, SF_SMOKE, register=False)
+
+
+def test_semi_anti_join_plans(spark):
+    t = _tables(spark)
+    anti = plan_text(analytics.customers_without_orders(t["customer"], t["orders"]))
+    semi = plan_text(analytics.big_spender_customers(t["customer"], t["orders"]))
+    # Planned as true semi/anti joins (no row duplication, keys-only build),
+    # not rewritten through an aggregate+outer-join.
+    assert "LeftAnti" in anti, anti
+    assert "LeftSemi" in semi, semi
+
+
+def test_window_battery_single_shuffle_for_main_spec(spark):
+    t = _tables(spark)
+    p = plan_text(analytics.window_battery(t["orders"]))
+    # Two partition specs (custkey/date and custkey/price) must reuse ONE
+    # exchange on o_custkey: same hash partitioning, only re-sort differs.
+    assert p.count("hashpartitioning(o_custkey") == 1, p
+    assert p.count("Window") >= 2, p
+
+
+def test_range_join_is_not_cartesian(spark):
+    t = _tables(spark)
+    p = plan_text(analytics.clicks_before_purchase(t["events"]))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p or "user_id" not in p.split(
+        "BroadcastNestedLoopJoin"
+    )[0], p
+
+
+def test_rollup_levels_are_consistent(spark):
+    t = _tables(spark)
+    rows = analytics.revenue_rollup(t["customer"], t["nation"], t["region"]).collect()
+    by_lvl = {}
+    for r in rows:
+        by_lvl.setdefault(r["lvl"], []).append(r)
+    # lvl 0 = leaf, 1 = per-region subtotal, 3 = grand total; each level's
+    # customer count must re-aggregate to the same grand total.
+    assert set(by_lvl) == {0, 1, 3}
+    grand = by_lvl[3][0]["n_customers"]
+    assert sum(r["n_customers"] for r in by_lvl[0]) == grand
+    assert sum(r["n_customers"] for r in by_lvl[1]) == grand
+    assert len(by_lvl[3]) == 1
+
+
+def test_pivot_counts_sum_to_group_totals(spark):
+    t = _tables(spark)
+    piv = analytics.order_priority_pivot(t["orders"]).collect()
+    totals = {
+        r["o_orderstatus"]: r["cnt"]
+        for r in t["orders"].groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for r in piv:
+        row_sum = sum(r[f"p{i}_cnt"] for i in range(1, 6))
+        assert row_sum == totals[r["o_orderstatus"]]
+
+
+def test_sketch_profile_error_bounds(spark):
+    t = _tables(spark)
+    approx = {r["event_type"]: r for r in analytics.sketch_profile(t["events"]).collect()}
+    exact = {
+        r["event_type"]: r
+        for r in t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a["approx_users"] - e["users"]) <= max(2, 0.05 * e["users"]), et
+        # percentile_approx with accuracy=10000 on ~1e3 rows per group is
+        # exact up to rank error 0; allow a loose value tolerance anyway.
+        assert abs(a["value_quantiles"][0] - e["p50"]) <= 0.05 * max(1.0, abs(e["p50"])), et
+        assert a["n_events"] == e["n"]
+
+
+def test_tfidf_scores_rank_rare_terms_above_common(spark):
+    t = _tables(spark)
+    scored = analytics.tfidf_top_terms(t["documents"], k=3)
+    rows = scored.limit(200).collect()
+    assert rows, "tfidf produced no rows"
+    # rank is dense per doc and scores are non-increasing within a doc
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in per_doc.values():
+        doc_rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in doc_rows] == list(range(1, len(doc_rows) + 1))
+        scores = [r["score"] for r in doc_rows]
+        assert scores == sorted(scores, reverse=True)
