@@ -272,9 +272,14 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
             F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
         ).alias("term"),
     )
-    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the df rollup and the scoring join — persist so the
+    # tokenize+explode pass (the expensive part) runs once. At cluster scale
+    # this is the pipeline's materialized stage boundary.
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = documents.select("doc_id").distinct().count()
+    # doc_id is the table's key: plain count() == COUNT(DISTINCT doc_id) and
+    # resolves from parquet row-group metadata — no shuffle.
+    n_docs = documents.count()
     scored = tf.join(F.broadcast(df_rel), "term").withColumn(
         "score",
         q6(

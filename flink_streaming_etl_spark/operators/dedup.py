@@ -547,6 +547,24 @@ def neardup_clusters(documents: DataFrame, threshold: float = 0.05, max_iter: in
     edges = pairs.unionByName(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).localCheckpoint(eager=True)
+    # The edge relation holds only docs that appear in some near-dup pair —
+    # orders of magnitude smaller than the corpus. Iterating at the session's
+    # corpus-sized shuffle width just buys per-stage task overhead (32 tasks
+    # of ~1k rows × ~4 stages × ~6 rounds); size the loop's shuffles to the
+    # graph instead and restore the conf after. On a cluster the same logic
+    # picks a width proportional to the measured edge count.
+    spark = documents.sparkSession
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    width = max(8, min(int(prev_width), edges.count() // 50_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        labels = _label_propagation_loop(edges, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _label_propagation_loop(edges: DataFrame, max_iter: int) -> DataFrame:
     labels = (
         edges.select(F.col("a_id").alias("node"))
         .distinct()
@@ -578,7 +596,7 @@ def neardup_clusters(documents: DataFrame, threshold: float = 0.05, max_iter: in
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    return labels
 
 
 def neardup_clusters_sql(threshold: float = 0.05) -> str:
