@@ -76,6 +76,8 @@ HEADLINE = [
     "bigram_top",
     "segment_spend_correlation",
     "sketch_profile",
+    "chunk_documents",
+    "redact_pii",
 ]
 
 

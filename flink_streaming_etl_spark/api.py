@@ -174,6 +174,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.curated_corpus, "documents"),
         text.curated_corpus_sql(),
     ),
+    "chunk_documents": (
+        _q(text.chunk_documents, "documents"),
+        text.chunk_documents_sql(),
+    ),
+    "redact_pii": (_q(text.redact_pii, "documents"), text.redact_pii_sql()),
     # --- analytics extensions (grouping sets / windows / joins / set ops) ---
     "revenue_rollup": (
         _q(analytics.revenue_rollup, "customer", "nation", "region"),

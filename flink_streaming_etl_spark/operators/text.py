@@ -460,3 +460,82 @@ SELECT b.doc_id, b.lang, b.quality
 FROM b JOIN counts c ON b.lang = c.lang
 WHERE b.strat_bucket * c.n < {per_stratum * STRAT_MOD}
 """
+
+
+# ---------------------------------------------------------------------------
+# Training-window chunking: fixed-size token chunks with overlap — the stage
+# that turns a document corpus into model-ready sequences. Pure codegen:
+# split once into a projected array column, starts via explode(sequence)
+# (NOT a HOF lambda over the split — those re-evaluate the split per
+# element, the measured 10x trap), chunk text via slice+concat_ws. One
+# narrow explode, no shuffle at all: chunking parallelizes embarrassingly
+# at any scale.
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap
+
+
+def chunk_documents(
+    documents: DataFrame, chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    toks = documents.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+    ).select("doc_id", "w", F.size("w").alias("n"))
+    starts = toks.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))).alias("start"),
+    )
+    piece = F.slice("w", F.col("start") + 1, F.lit(chunk))
+    return starts.select(
+        "doc_id",
+        (F.col("start") / stride).cast("long").alias("chunk_idx"),
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+def chunk_documents_sql(chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), starts AS (
+  SELECT doc_id, w, UNNEST(range(0, len(w), {stride})) AS start FROM toks
+)
+SELECT doc_id,
+       CAST(start / {stride} AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(w, start + 1, start + {chunk})) AS INTEGER) AS n_tokens,
+       array_to_string(list_slice(w, start + 1, start + {chunk}), ' ') AS chunk_text
+FROM starts
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: email/phone scrubbing before a corpus ships to training.
+# Both patterns are RE2-safe (no backrefs/lookaround) so Spark (Java regex)
+# and DuckDB (RE2) agree; redaction is a per-row map — no shuffle, pushes
+# down column pruning to (doc_id, text).
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    n_emails = F.regexp_count("text", F.lit(EMAIL_RE))
+    once = F.regexp_replace("text", EMAIL_RE, "[EMAIL]")
+    return documents.select(
+        "doc_id",
+        F.regexp_replace(once, PHONE_RE, "[PHONE]").alias("clean_text"),
+        n_emails.cast("long").alias("n_emails"),
+        F.regexp_count(once, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+    )
+
+
+def redact_pii_sql() -> str:
+    return f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'), '{PHONE_RE}', '[PHONE]', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'), '{PHONE_RE}')) AS BIGINT) AS n_phones
+FROM documents
+"""

@@ -111,3 +111,49 @@ def test_tfidf_scores_rank_rare_terms_above_common(spark):
         assert [r["rk"] for r in doc_rows] == list(range(1, len(doc_rows) + 1))
         scores = [r["score"] for r in doc_rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_redact_pii_scrubs_injected_pii(spark):
+    from flink_streaming_etl_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact me at alice.smith+x@example.co.uk or 555-867-5309 x"),
+            (2, "no pii here at all"),
+            (3, "two mails a@b.io c@d.org and phone +1 415.555.2671 end"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text_ops.redact_pii(df).collect()}
+    assert "[EMAIL]" in rows[1]["clean_text"] and "[PHONE]" in rows[1]["clean_text"]
+    assert "@" not in rows[1]["clean_text"]
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_phones"] == 1
+    assert rows[2]["clean_text"] == "no pii here at all"
+    assert rows[2]["n_emails"] == 0 and rows[2]["n_phones"] == 0
+    assert rows[3]["n_emails"] == 2 and rows[3]["n_phones"] == 1
+
+
+def test_chunk_documents_covers_and_overlaps(spark):
+    from flink_streaming_etl_spark.operators import text as text_ops
+
+    t = _tables(spark)
+    docs = t["documents"].limit(50).cache()
+    chunks = text_ops.chunk_documents(docs, chunk=32, stride=24).collect()
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+        ).collect()
+    }
+    per_doc = {}
+    for r in chunks:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(per_doc) == set(toks)
+    for doc_id, rs in per_doc.items():
+        rs.sort(key=lambda r: r["chunk_idx"])
+        # contiguous chunk indexes from 0, all tokens covered, every chunk
+        # bounded by the window size, stride-overlap reconstruction exact
+        assert [r["chunk_idx"] for r in rs] == list(range(len(rs)))
+        assert all(1 <= r["n_tokens"] <= 32 for r in rs)
+        covered = 24 * (len(rs) - 1) + rs[-1]["n_tokens"]
+        assert covered == toks[doc_id]

@@ -1,0 +1,66 @@
+"""Lake-layout sinks: partition pruning and exchange-free bucketed joins —
+the write-side half of the 100 TB story."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_streaming_etl_spark.catalog import load_tables
+from flink_streaming_etl_spark import sinks
+from flink_streaming_etl_spark.plans import plan_text
+from tests.conftest import SF_SMOKE
+
+
+def test_partitioned_write_prunes_at_read(spark, tmp_path):
+    docs = load_tables(spark, SF_SMOKE, register=False)["documents"]
+    out = str(tmp_path / "docs_by_lang")
+    sinks.write_partitioned(docs, out, ["lang"])
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    p = plan_text(back)
+    # Partition filter must prune directories, not scan-and-filter.
+    assert "PartitionFilters: [isnotnull(lang" in p, p
+    want = docs.filter(F.col("lang") == "en").count()
+    assert back.count() == want
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    t = load_tables(spark, SF_SMOKE, register=False)
+    try:
+        sinks.write_bucketed(
+            t["orders"], "b_orders", str(tmp_path / "b_orders"), "o_custkey"
+        )
+        sinks.write_bucketed(
+            t["customer"].withColumnRenamed("c_custkey", "o_custkey"),
+            "b_customer",
+            str(tmp_path / "b_customer"),
+            "o_custkey",
+        )
+        joined = (
+            sinks.read_table(spark, "b_orders")
+            .join(sinks.read_table(spark, "b_customer").hint("merge"), "o_custkey")
+            .select("o_orderkey", "c_name")
+        )
+        p = plan_text(joined)
+        assert "Exchange" not in p, p
+        assert joined.count() == t["orders"].count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_bucketed_aggregation_is_exchange_free(spark, tmp_path):
+    t = load_tables(spark, SF_SMOKE, register=False)
+    try:
+        sinks.write_bucketed(
+            t["orders"], "b_orders_agg", str(tmp_path / "b_orders_agg"), "o_custkey"
+        )
+        agg = (
+            sinks.read_table(spark, "b_orders_agg")
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        p = plan_text(agg)
+        assert "Exchange" not in p, p
+        assert agg.count() == t["orders"].select("o_custkey").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders_agg")
