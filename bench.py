@@ -78,6 +78,9 @@ HEADLINE = [
     "sketch_profile",
     "chunk_documents",
     "redact_pii",
+    "rolling_spend_7d",
+    "value_histogram",
+    "orders_snapshot_diff",
 ]
 
 

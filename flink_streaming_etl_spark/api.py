@@ -221,6 +221,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(analytics.sketch_profile, "events"),
         None,  # engine-specific estimators — error-bound-tested instead
     ),
+    "rolling_spend_7d": (
+        _q(analytics.rolling_spend_7d, "orders"),
+        analytics.ROLLING_SPEND_7D_SQL,
+    ),
+    "value_histogram": (
+        _q(analytics.value_histogram, "events"),
+        analytics.VALUE_HISTOGRAM_SQL,
+    ),
+    "orders_snapshot_diff": (
+        _q(analytics.orders_snapshot_diff, "orders"),
+        analytics.ORDERS_SNAPSHOT_DIFF_SQL,
+    ),
     # --- textual SQL surface (spark.sql over registered views, D7) ---
     "sql_pricing_summary": (
         lambda spark, sf_dir: (

@@ -451,3 +451,137 @@ def sketch_profile(events: DataFrame) -> DataFrame:
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range-frame rolling aggregate: 7-day trailing spend per customer. The
+# RANGE frame is over epoch seconds on the Spark side and a calendar
+# interval on the DuckDB side — identical inclusive bounds; peers (same
+# timestamp) enter the frame together so ties can't reorder results. One
+# shuffle on the key; the frame scan is a per-partition two-pointer pass.
+
+
+def rolling_spend_7d(orders: DataFrame) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("spend_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("orders_7d"),
+    )
+
+
+ROLLING_SPEND_7D_SQL = """
+SELECT o_orderkey,
+       o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_7d,
+       CAST(COUNT(*) OVER w AS BIGINT) AS orders_7d
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey ORDER BY o_orderdate
+  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram: 10 bins over [0, 500) per event type — pure floor
+# arithmetic (identical in any engine; width_bucket's edge semantics are
+# not portable), one partial+final count agg. Sketch-free exact histogram:
+# the shuffle carries (type x bin) partials only.
+
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 500.0, 10
+
+
+def value_histogram(events: DataFrame) -> DataFrame:
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    bin_ = F.least(
+        F.lit(HIST_BINS - 1),
+        F.greatest(F.lit(0), F.floor((F.col("value") - HIST_LO) / width)),
+    ).cast("long")
+    return (
+        events.groupBy("event_type", bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            (F.lit(HIST_LO) + F.col("bin") * width).alias("bin_lo"),
+            "n",
+        )
+    )
+
+
+VALUE_HISTOGRAM_SQL = f"""
+WITH binned AS (
+  SELECT event_type,
+         CAST(least({HIST_BINS - 1}, greatest(0, floor((value - {HIST_LO}) / {(HIST_HI - HIST_LO) / HIST_BINS}))) AS BIGINT) AS bin
+  FROM events
+)
+SELECT event_type, bin,
+       {HIST_LO} + bin * {(HIST_HI - HIST_LO) / HIST_BINS} AS bin_lo,
+       COUNT(*) AS n
+FROM binned GROUP BY event_type, bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: full-outer key join classifying added / removed / changed /
+# unchanged — the batch face of CDC (what a MERGE planner consumes). The two
+# snapshots here are deterministic derivations of `orders` (mod-key deletes
+# and price bumps) so the oracle sees the same inputs; the operator itself
+# takes any two keyed DataFrames. One shuffle per side on the key; at scale
+# both snapshots bucketed by key make it exchange-free (sinks.write_bucketed).
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str, cmp_col: str) -> DataFrame:
+    o = old.select(F.col(key).alias("k"), F.col(cmp_col).alias("old_val"))
+    n = new.select(F.col(key).alias("nk"), F.col(cmp_col).alias("new_val"))
+    j = o.join(n, o.k == n.nk, "full_outer")
+    status = (
+        F.when(F.col("k").isNull(), F.lit("added"))
+        .when(F.col("nk").isNull(), F.lit("removed"))
+        .when(F.col("old_val") != F.col("new_val"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.coalesce("k", "nk").alias(key),
+        status.alias("status"),
+        F.col("old_val").alias(f"old_{cmp_col}"),
+        F.col("new_val").alias(f"new_{cmp_col}"),
+    )
+
+
+def orders_snapshot_diff(orders: DataFrame) -> DataFrame:
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(old, new, "o_orderkey", "o_totalprice")
+
+
+ORDERS_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey AS k, o_totalprice AS old_val FROM orders WHERE o_orderkey % 7 <> 0
+), new AS (
+  SELECT o_orderkey AS nk,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS new_val
+  FROM orders WHERE o_orderkey % 11 <> 0
+)
+SELECT COALESCE(k, nk) AS o_orderkey,
+       CASE WHEN k IS NULL THEN 'added'
+            WHEN nk IS NULL THEN 'removed'
+            WHEN old_val <> new_val THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       old_val AS old_o_totalprice,
+       new_val AS new_o_totalprice
+FROM old FULL OUTER JOIN new ON k = nk
+"""
