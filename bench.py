@@ -91,6 +91,13 @@ def main() -> None:
     qs = api.queries()
 
     def materialize(df) -> None:
+        # noop v2 sink: full computation, zero driver transfer. Measured
+        # materialization alternatives on identical warm plans: collect()
+        # adds Python Row construction (+2-3 s on nested/row-heavy
+        # results), toPandas() hides work for operators that execute
+        # eagerly inside their builder; the noop write carries a ~0.5 s
+        # constant write-path planning cost — uniform, engine-side, and
+        # amortized at cluster scale.
         df.write.format("noop").mode("overwrite").save()
 
     # JMH-style warmup: run every headline query once at the smallest scale
@@ -108,7 +115,9 @@ def main() -> None:
 
     # Two timed passes, per-query minimum: steady-state throughput, robust
     # to transient host stalls (single-pass numbers showed 5-10x outliers
-    # on identical plans).
+    # on identical plans). The builder runs INSIDE the timed region so
+    # operators that execute eagerly (iterative CC, codebook training) are
+    # measured honestly.
     timings: dict[str, float] = {}
     for _ in range(2):
         for name in HEADLINE:
