@@ -565,37 +565,33 @@ def neardup_clusters(documents: DataFrame, threshold: float = 0.05, max_iter: in
 
 
 def _label_propagation_loop(edges: DataFrame, max_iter: int) -> DataFrame:
-    labels = (
-        edges.select(F.col("a_id").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
-    )
+    # Self-loop edges make "keep your own label" part of the same
+    # neighbor-min aggregation — no separate merge join per round. Labels
+    # only ever decrease, so SUM(label) is strictly monotone until the
+    # fixpoint: convergence = unchanged sum (a 1-column agg on materialized
+    # data, replacing a changed-flag join + filter + count).
+    nodes = edges.select(F.col("a_id").alias("node")).distinct()
+    edges_self = edges.unionByName(
+        nodes.select(F.col("node").alias("a_id"), F.col("node").alias("b_id"))
+    ).localCheckpoint(eager=True)
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(eager=True)
+    prev_sum = None
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges["a_id"] == labels["node"])
-            .groupBy(F.col("b_id").alias("node2"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        propagated = labels.join(neighbor_min, labels["node"] == F.col("node2"), "left").select(
-            "node",
-            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
-            (F.col("nlabel") < F.col("label")).alias("_changed"),
+        propagated = (
+            edges_self.join(labels, edges_self["a_id"] == labels["node"])
+            .groupBy(F.col("b_id").alias("node"))
+            .agg(F.min("label").alias("label"))
         )
         lk = propagated.select(F.col("node").alias("ln"), F.col("label").alias("ll"))
-        new_labels = (
+        labels = (
             propagated.join(lk, propagated["label"] == lk["ln"], "left")
-            .select(
-                "node",
-                F.coalesce(F.col("ll"), F.col("label")).alias("label"),
-                "_changed",
-            )
+            .select("node", F.coalesce(F.col("ll"), F.col("label")).alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter(F.col("_changed")).count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
