@@ -81,6 +81,7 @@ HEADLINE = [
     "rolling_spend_7d",
     "value_histogram",
     "orders_snapshot_diff",
+    "training_corpus_chunks",
 ]
 
 

@@ -179,6 +179,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         text.chunk_documents_sql(),
     ),
     "redact_pii": (_q(text.redact_pii, "documents"), text.redact_pii_sql()),
+    "training_corpus_chunks": (
+        _q(text.training_corpus_chunks, "documents"),
+        text.training_corpus_chunks_sql(),
+    ),
     # --- analytics extensions (grouping sets / windows / joins / set ops) ---
     "revenue_rollup": (
         _q(analytics.revenue_rollup, "customer", "nation", "region"),

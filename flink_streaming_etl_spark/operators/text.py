@@ -539,3 +539,59 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'), '{PHONE_RE}')) AS BIGINT) AS n_phones
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# The assembled training-data pipeline: quality gate -> near-dup removal ->
+# PII redaction -> token-window chunking, one composed relation. This is
+# the flagship "reference user switches to this engine" artifact for LLM
+# corpus prep: every stage is the already-tested operator, composed the
+# way a 100 TB job would run them — cheap row-local filters (quality,
+# redaction) BEFORE the shuffle-bearing dedup decision, chunking last so
+# dropped docs never tokenize. Anti-join against the (tiny) drop list
+# broadcasts; chunking is zero-shuffle codegen.
+
+
+def training_corpus_chunks(documents: DataFrame, threshold: float = 0.05) -> DataFrame:
+    from flink_streaming_etl_spark.operators.dedup import neardup_drop_list
+
+    kept = (
+        documents.join(
+            quality_score(documents).filter(F.col("keep")).select("doc_id"),
+            "doc_id",
+        )
+        .join(neardup_drop_list(documents, threshold), "doc_id", "left_anti")
+    )
+    clean = redact_pii(kept).select("doc_id", F.col("clean_text").alias("text"))
+    return chunk_documents(clean)
+
+
+def training_corpus_chunks_sql(threshold: float = 0.05) -> str:
+    from flink_streaming_etl_spark.operators.dedup import minhash_lsh_pairs_sql
+
+    chunk, stride = CHUNK_TOKENS, CHUNK_STRIDE
+    redact = (
+        f"regexp_replace(regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'), "
+        f"'{PHONE_RE}', '[PHONE]', 'g')"
+    )
+    return rf"""
+WITH scored AS ({quality_score_sql()}),
+pairs AS ({minhash_lsh_pairs_sql(threshold)}),
+drops AS (SELECT DISTINCT b_id AS doc_id FROM pairs),
+kept AS (
+  SELECT d.doc_id, {redact} AS text
+  FROM documents d
+  JOIN scored s ON d.doc_id = s.doc_id AND s.keep
+  ANTI JOIN drops ON d.doc_id = drops.doc_id
+),
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM kept
+), starts AS (
+  SELECT doc_id, w, UNNEST(range(0, len(w), {stride})) AS start FROM toks
+)
+SELECT doc_id,
+       CAST(start / {stride} AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(w, start + 1, start + {chunk})) AS INTEGER) AS n_tokens,
+       array_to_string(list_slice(w, start + 1, start + {chunk}), ' ') AS chunk_text
+FROM starts
+"""
