@@ -142,3 +142,29 @@ SELECT user_id, session_idx, COUNT(*) AS n_events,
        strftime(MAX(ts), '{_TS_FMT_SQL}') AS session_end
 FROM sessions GROUP BY 1, 2
 """
+
+
+def session_windows_stream(
+    events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming twin of ``session_windows``: Spark's native
+    ``session_window`` merges events within the gap in the state store and
+    emits a session once the watermark passes its close. Boundary nuance vs
+    the lag-based batch form: the native window opens a new session at
+    gap ≥ g (exclusive interval end) while the batch rule is gap > g —
+    indistinguishable on microsecond-jittered event time. State per key =
+    open sessions only; watermark bounds it (the reference's idle-state
+    answer, sql-client-conf.yaml:33-34)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), _TS_FMT).alias("session_start"),
+            "n_events",
+        )
+    )

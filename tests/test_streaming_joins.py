@@ -86,3 +86,25 @@ def test_streaming_dedup_bounded_state(spark, tmp_path):
     # Every unique id that entered must come out exactly once.
     want = {r["event_id"] for r in events.select("event_id").collect()}
     assert set(ids) == want
+
+
+def test_streaming_session_windows_equal_batch(spark, tmp_path):
+    from flink_streaming_etl_spark.operators import windows
+
+    events = load_tables(spark, SF_SMOKE, register=False)["events"].limit(2000).cache()
+    stream = _event_stream(spark, events, tmp_path)
+    _drain(windows.session_windows_stream(stream), tmp_path, "sess")
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.read.parquet(str(tmp_path / "sess_out")).collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in windows.session_windows(events).collect()
+    }
+    assert got, "streaming sessionization emitted nothing"
+    # Sessions still open at end-of-stream are held back by the watermark.
+    assert set(got) <= set(want)
+    assert len(got) >= int(0.8 * len(want))
+    for k, v in got.items():
+        assert v == want[k], k
