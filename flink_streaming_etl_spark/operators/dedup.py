@@ -330,7 +330,9 @@ SELECT doc_id, {sigs} FROM h GROUP BY doc_id
 """
 
 
-def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.05) -> DataFrame:
+def minhash_lsh_pairs(
+    documents: DataFrame, threshold: float = 0.05, max_bucket: int | None = None
+) -> DataFrame:
     """LSH: band signatures → bucket join → exact-Jaccard verification of
     candidates only. rows_per_band = N_PERMS / N_BANDS = 2.
 
@@ -339,8 +341,15 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.05) -> DataFram
     shuffles on band_key; only *candidates* pay the exact-Jaccard check.
     Verification intersects per-doc 60-bit hash sets (int64 arrays — ~5×
     cheaper to intersect than string arrays; identical counts to DISTINCT
-    string shingles at ~V²/2⁶¹ collision odds), broadcast-joined back."""
-    key = (id(documents), threshold)
+    string shingles at ~V²/2⁶¹ collision odds), broadcast-joined back.
+
+    ``max_bucket`` is the skew guard for web-scale corpora: a band bucket
+    holding K docs contributes K²/2 candidate pairs, so one boilerplate
+    bucket (navigation chrome, license headers) turns the self-join
+    quadratic. Capping drops those buckets entirely — their members still
+    pair through their other, non-boilerplate bands, which is exactly the
+    LSH recall argument. Off by default (small-SF parity is exact)."""
+    key = (id(documents), threshold, max_bucket)
     if key in _PAIRS_CACHE:
         return _PAIRS_CACHE[key][1]
     sigs = minhash_signatures(documents)
@@ -351,6 +360,17 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.05) -> DataFram
         ]
     )
     banded = sigs.select("doc_id", F.explode(bands).alias("band_key"))
+    if max_bucket is not None:
+        # Anti-join against the OVERSIZED buckets: that set is tiny (it's
+        # the skew tail) and broadcastable at any corpus size, unlike its
+        # complement.
+        hot = (
+            banded.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("band_key")
+        )
+        banded = banded.join(F.broadcast(hot), "band_key", "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))

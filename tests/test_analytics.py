@@ -157,3 +157,26 @@ def test_chunk_documents_covers_and_overlaps(spark):
         assert all(1 <= r["n_tokens"] <= 32 for r in rs)
         covered = 24 * (len(rs) - 1) + rs[-1]["n_tokens"]
         assert covered == toks[doc_id]
+
+
+def test_lsh_bucket_cap_semantics(spark):
+    from flink_streaming_etl_spark.operators import dedup
+
+    docs = _tables(spark)["documents"].limit(200).cache()
+    base = {
+        (r["a_id"], r["b_id"]) for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    # A cap larger than any bucket changes nothing.
+    loose = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.minhash_lsh_pairs(docs, max_bucket=10**6).collect()
+    }
+    assert loose == base
+    # max_bucket=1 kills every candidate (a pairing bucket has >= 2 docs).
+    assert dedup.minhash_lsh_pairs(docs, max_bucket=1).count() == 0
+    # Intermediate caps only ever remove pairs, never invent them.
+    capped = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.minhash_lsh_pairs(docs, max_bucket=3).collect()
+    }
+    assert capped <= base
