@@ -82,6 +82,7 @@ HEADLINE = [
     "value_histogram",
     "orders_snapshot_diff",
     "training_corpus_chunks",
+    "profile_orders",
 ]
 
 

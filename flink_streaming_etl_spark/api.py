@@ -237,6 +237,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(analytics.orders_snapshot_diff, "orders"),
         analytics.ORDERS_SNAPSHOT_DIFF_SQL,
     ),
+    "profile_orders": (
+        _q(analytics.profile_orders, "orders"),
+        analytics.PROFILE_ORDERS_SQL,
+    ),
     # --- textual SQL surface (spark.sql over registered views, D7) ---
     "sql_pricing_summary": (
         lambda spark, sf_dir: (

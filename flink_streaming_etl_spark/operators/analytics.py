@@ -585,3 +585,90 @@ SELECT COALESCE(k, nk) AS o_orderkey,
        new_val AS new_o_totalprice
 FROM old FULL OUTER JOIN new ON k = nk
 """
+
+
+# ---------------------------------------------------------------------------
+# Table profiler: per-column null / distinct / range stats in ONE pass —
+# the data-quality report every ingestion job runs first. All 6-per-column
+# aggregates ride a single job; multiple COUNT(DISTINCT)s lower to one
+# Expand (xNcols rows map-side) + one shuffle, the same shape Spark gives
+# GROUPING SETS. Numeric and timestamp ranges surface as doubles (epoch
+# seconds for time) — engine-native string rendering of doubles/timestamps
+# is NOT portable, so non-numeric columns report NULL ranges rather than
+# lossy casts.
+
+_NUMERIC = {"long", "bigint", "int", "integer", "double", "float", "smallint"}
+
+
+def profile_table(df: DataFrame, table_name: str) -> DataFrame:
+    aggs, rows = [], []
+    for f in df.schema.fields:
+        # timestamp_ntz vs timestamp is a session-zone spelling, not a
+        # semantic difference the report consumer cares about.
+        c, t = f.name, f.dataType.simpleString().replace("timestamp_ntz", "timestamp")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+        if t in _NUMERIC:
+            lo, hi = F.min(F.col(c)).cast("double"), F.max(F.col(c)).cast("double")
+        elif t.startswith("timestamp"):
+            lo = F.min(F.col(c).cast("timestamp")).cast("double")
+            hi = F.max(F.col(c).cast("timestamp")).cast("double")
+        else:
+            lo, hi = F.lit(None).cast("double"), F.lit(None).cast("double")
+        aggs += [lo.alias(f"{c}__min"), hi.alias(f"{c}__max")]
+        rows.append((c, t))
+    one = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.lit(t).alias("dtype"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+            for c, t in rows
+        ]
+    )
+    return (
+        one.select(F.explode(per_col).alias("s"))
+        .select(F.lit(table_name).alias("table_name"), "s.*")
+    )
+
+
+def profile_orders(orders: DataFrame) -> DataFrame:
+    return profile_table(orders, "orders")
+
+
+PROFILE_ORDERS_SQL = """
+SELECT 'orders' AS table_name, 'o_orderkey' AS column_name, 'bigint' AS dtype,
+       COUNT(*) AS n_rows, COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS DOUBLE) AS min_val, CAST(MAX(o_orderkey) AS DOUBLE) AS max_val
+FROM orders
+UNION ALL
+SELECT 'orders', 'o_custkey', 'bigint', COUNT(*), COUNT(*) - COUNT(o_custkey),
+       COUNT(DISTINCT o_custkey), CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'orders', 'o_orderstatus', 'string', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'orders', 'o_totalprice', 'double', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice), CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'orders', 'o_orderdate', 'timestamp', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+       COUNT(DISTINCT o_orderdate), CAST(epoch(MIN(o_orderdate)) AS DOUBLE), CAST(epoch(MAX(o_orderdate)) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'orders', 'o_orderpriority', 'string', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority), NULL, NULL
+FROM orders
+"""
