@@ -1,0 +1,112 @@
+"""Scale probe: measure headline operators at sf0.1 and a synthesized 10x
+corpus (~sf1) to verify near-linear scaling of the sub-quadratic paths.
+
+Builds /tmp/spark_graft_sf1 once by unioning 10 key-offset copies of the
+driver's sf0.1 tables (multi-file parquet → real scan parallelism), then
+times a representative operator set at both scales. Quadratic kernels
+(blocked GEMM) are intentionally excluded — their scale path is LSH/IVF
+candidate pruning, which IS measured. Results land in SCALE.md §"Measured
+scaling"; rerun: `python scale_probe.py`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from flink_streaming_etl_spark import api
+from flink_streaming_etl_spark.catalog import TABLES, load_tables
+from flink_streaming_etl_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+DST = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_sf1")
+COPIES = 10
+
+#: operator → key columns to offset per copy (keeps keys globally unique)
+OFFSETS = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "nation": [],
+    "region": [],
+}
+
+PROBES = [
+    "pricing_summary",
+    "user_day_stats",
+    "order_enrich_join",
+    "latest_event_per_user",
+    "windowed_event_stats",
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "ann_lsh_bucketed",
+    "chunk_documents",
+    "tfidf_top_terms",
+    "profile_orders",
+    "window_battery",
+]
+
+
+def build_sf1(spark) -> None:
+    if os.path.exists(os.path.join(DST, "_DONE")):
+        return
+    src = load_tables(spark, SRC, register=False)
+    for name in TABLES:
+        if name not in src:
+            continue
+        df = src[name]
+        key_max = {
+            c: (df.agg(F.max(c)).collect()[0][0] or 0) + 1 for c in OFFSETS.get(name, [])
+        }
+        parts = []
+        for i in range(COPIES if OFFSETS.get(name) else 1):
+            part = df
+            for c, m in key_max.items():
+                part = part.withColumn(c, (F.col(c) + F.lit(i * m)).cast(df.schema[c].dataType))
+            parts.append(part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(os.path.join(DST, f"{name}.parquet"))
+    with open(os.path.join(DST, "_DONE"), "w") as f:
+        f.write("ok")
+
+
+def main() -> None:
+    spark = get_spark("scale-probe")
+    build_sf1(spark)
+    qs = api.queries()
+
+    def materialize(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    results = {}
+    for name in PROBES:
+        row = {}
+        for label, sf_dir in [("sf0.1", SRC), ("sf1", DST)]:
+            materialize(qs[name](spark, sf_dir))  # warm this plan shape
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                materialize(qs[name](spark, sf_dir))
+                el = time.perf_counter() - t0
+                best = el if best is None or el < best else best
+            row[label] = round(best, 3)
+        row["ratio"] = round(row["sf1"] / max(row["sf0.1"], 1e-9), 1)
+        results[name] = row
+        print(json.dumps({name: row}))
+    print(json.dumps({"scale_probe": results}))
+
+
+if __name__ == "__main__":
+    main()
