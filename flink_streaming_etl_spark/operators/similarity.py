@@ -273,26 +273,34 @@ SELECT query_id, neighbor_id, cos AS cosine FROM (
 """
 
 
-def _bucket_expr_spark() -> F.Column:
+def _bucket_expr_spark(n_planes: int = BUCKET_DIMS) -> F.Column:
     return F.concat(
         *[
             F.when(F.element_at(F.col("v"), i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(BUCKET_DIMS)
+            for i in range(n_planes)
         ]
     )
 
 
-def ann_lsh_bucketed(embeddings: DataFrame, threshold: float = 0.1) -> DataFrame:
-    """Sign-bit LSH: bucket on the signs of the first ``BUCKET_DIMS``
+def ann_lsh_bucketed(
+    embeddings: DataFrame, threshold: float = 0.1, n_planes: int = BUCKET_DIMS
+) -> DataFrame:
+    """Sign-bit LSH: bucket on the signs of the first ``n_planes``
     components, then exact cosine only within buckets (vectors in the same
     orthant are the high-cosine candidates). The scale path: candidate
     volume drops ~|buckets|× before any scoring; the bucket-local join is
-    AQE-skew-handled when orthant populations are uneven."""
+    AQE-skew-handled when orthant populations are uneven.
+
+    ``n_planes`` is the corpus-growth dial: in-bucket candidate pairs grow
+    as (n/2^p)² per bucket, so every extra plane buys back a 4× candidate
+    blow-up from a 2× corpus at ~halved per-bucket recall mass — grow p
+    logarithmically with n (measured in SCALE.md §Measured scaling: fixed
+    p=6 at 10× corpus → 4.2× runtime; the fix is p+=3)."""
     from flink_streaming_etl_spark.functions import q6, vec_dot, vec_norm
 
-    e = _as_double(embeddings).withColumn("bucket", _bucket_expr_spark()).withColumn(
-        "norm", vec_norm(F.col("v"))
-    )
+    e = _as_double(embeddings).withColumn(
+        "bucket", _bucket_expr_spark(n_planes)
+    ).withColumn("norm", vec_norm(F.col("v")))
     a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("norm").alias("na"), "bucket")
     b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("norm").alias("nb"), "bucket")
     return (

@@ -180,3 +180,17 @@ def test_lsh_bucket_cap_semantics(spark):
         for r in dedup.minhash_lsh_pairs(docs, max_bucket=3).collect()
     }
     assert capped <= base
+
+
+def test_ann_plane_count_dial(spark):
+    from flink_streaming_etl_spark.operators import similarity
+
+    emb = load_tables(spark, SF_SMOKE, register=False)["embeddings"]
+    base = similarity.ann_lsh_bucketed(emb, n_planes=6)
+    finer = similarity.ann_lsh_bucketed(emb, n_planes=9)
+    base_pairs = {(r["a_id"], r["b_id"]) for r in base.collect()}
+    finer_pairs = {(r["a_id"], r["b_id"]) for r in finer.collect()}
+    # More planes → strictly fewer-or-equal candidates (buckets refine:
+    # a 9-bit bucket match implies the 6-bit prefix matched).
+    assert finer_pairs <= base_pairs
+    assert len(finer_pairs) < len(base_pairs)
