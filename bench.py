@@ -83,6 +83,7 @@ HEADLINE = [
     "orders_snapshot_diff",
     "training_corpus_chunks",
     "profile_orders",
+    "contamination_check",
 ]
 
 

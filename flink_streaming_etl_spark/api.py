@@ -105,6 +105,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(dedup.neardup_clusters, "documents"),
         dedup.neardup_clusters_sql(),
     ),
+    "contamination_check": (
+        _q(dedup.contamination_check, "documents"),
+        dedup.contamination_check_sql(),
+    ),
     # --- similarity search ---
     "cosine_topk": (_q(similarity.cosine_topk, "embeddings"), similarity.cosine_topk_sql()),
     "embedding_neardup": (

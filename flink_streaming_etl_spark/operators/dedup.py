@@ -696,3 +696,77 @@ FROM banded a JOIN banded b
   ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash32, b.simhash32)) <= {max_hamming}
 """
+
+
+# ---------------------------------------------------------------------------
+# Train/eval contamination check: the decontamination stage every LLM data
+# pipeline runs before a benchmark split ships. A held-out doc is
+# contaminated when a high fraction of its word shingles also occur
+# anywhere in the training split. Shingles are joined as 60-bit md5-prefix
+# int64s (portable across engines, ~5x cheaper to shuffle/compare than the
+# strings; collision odds ~V²/2⁶¹): one distinct pass per side, one
+# hash-join on the shingle key, one per-doc rollup. At 100 TB the train
+# shingle set is bucketed/bloom-filtered, not broadcast.
+
+
+def contamination_check(
+    documents: DataFrame, eval_source: str = "src0", min_ratio: float = 0.2
+) -> DataFrame:
+    h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    test_sh = _word_shingle_rows(
+        documents.filter(F.col("source") == eval_source), distinct=True
+    ).select("doc_id", h.alias("h"))
+    train_sh = (
+        _word_shingle_rows(documents.filter(F.col("source") != eval_source))
+        .select(h.alias("h"))
+        .distinct()
+    )
+    per_doc = test_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    overlap = (
+        test_sh.join(train_sh, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    from flink_streaming_etl_spark.functions import q6
+
+    ratio = q6(F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("n_shingles"))
+    return (
+        per_doc.join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            ratio.alias("contamination"),
+            (ratio >= min_ratio).alias("is_contaminated"),
+        )
+    )
+
+
+def contamination_check_sql(eval_source: str = "src0", min_ratio: float = 0.2) -> str:
+    from flink_streaming_etl_spark.functions import q6_sql
+
+    shingle_expr = "concat_ws(' ', w[i], w[i+1])"
+    ratio = q6_sql("COALESCE(o.n_overlap, 0) / t.n_shingles")
+    return rf"""
+WITH words AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         ('0x' || substr(md5({shingle_expr}), 1, 15))::BIGINT AS h
+  FROM words, UNNEST(range(1, greatest(len(w) - 1, 1) + 1)) AS t(i)
+),
+test_sh AS (SELECT doc_id, h FROM sh WHERE source = '{eval_source}'),
+train_sh AS (SELECT DISTINCT h FROM sh WHERE source <> '{eval_source}'),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_shingles FROM test_sh GROUP BY doc_id),
+overlap AS (
+  SELECT doc_id, COUNT(*) AS n_overlap
+  FROM test_sh WHERE h IN (SELECT h FROM train_sh)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_shingles,
+       COALESCE(o.n_overlap, 0) AS n_overlap,
+       {ratio} AS contamination,
+       {ratio} >= {min_ratio} AS is_contaminated
+FROM per_doc t LEFT JOIN overlap o ON t.doc_id = o.doc_id
+"""
