@@ -4,6 +4,8 @@ runs at sf0.01 — see test_oracle_parity_sf001's marker note)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from flink_streaming_etl_spark import api
@@ -36,3 +38,22 @@ def test_rows_only_queries_run(spark):
         df = fn(spark, SF_SMOKE)
         assert df.count() >= 0, name
         assert df.columns, name
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_FULL_GATE"),
+    reason="driver-scale gate simulation (sf0.01, ~4 min): set SPARK_GRAFT_FULL_GATE=1",
+)
+def test_oracle_parity_at_gate_scale(spark):
+    """The driver's correctness gate runs at sf0.01, not the sf0.001 the
+    fast suite uses — ties, value ranges, and overflow behave differently
+    with 10x data, so simulate the real gate on demand."""
+    from tests.conftest import SF_CORRECT
+
+    duck = duck_connection(SF_CORRECT)
+    bad = {}
+    for name, sql in api.oracle_sql().items():
+        ok, msg = compare(api.queries()[name](spark, SF_CORRECT), duck, sql)
+        if not ok:
+            bad[name] = msg[:140]
+    assert not bad, bad
