@@ -84,6 +84,8 @@ HEADLINE = [
     "training_corpus_chunks",
     "profile_orders",
     "contamination_check",
+    "weighted_sample",
+    "mixture_sample",
 ]
 
 

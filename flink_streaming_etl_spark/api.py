@@ -187,6 +187,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.training_corpus_chunks, "documents"),
         text.training_corpus_chunks_sql(),
     ),
+    "weighted_sample": (
+        _q(text.weighted_sample, "documents"),
+        text.weighted_sample_sql(),
+    ),
+    "mixture_sample": (
+        _q(text.mixture_sample, "documents"),
+        text.mixture_sample_sql(),
+    ),
     # --- analytics extensions (grouping sets / windows / joins / set ops) ---
     "revenue_rollup": (
         _q(analytics.revenue_rollup, "customer", "nation", "region"),

@@ -595,3 +595,68 @@ SELECT doc_id,
        array_to_string(list_slice(w, start + 1, start + {chunk}), ' ') AS chunk_text
 FROM starts
 """
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted sampling: keep a document with probability proportional
+# to its quality score — deterministic (hash-Bernoulli on doc_id, the same
+# portable md5-unit trick as stratified_sample) so reruns, retries, and the
+# DuckDB oracle all agree. Zero shuffle beyond quality_score's row-local
+# arithmetic: the decision is per-row.
+
+
+def weighted_sample(documents: DataFrame) -> DataFrame:
+    q = quality_score(documents).select("doc_id", "quality")
+    unit = _strat_bucket() / float(STRAT_MOD)  # uniform [0,1) per doc_id
+    return (
+        documents.select("doc_id", "lang", "source")
+        .join(q, "doc_id")
+        .withColumn("_u", unit)
+        .filter(F.col("_u") < F.col("quality"))
+        .select("doc_id", "lang", "source", "quality")
+    )
+
+
+def weighted_sample_sql() -> str:
+    return f"""
+WITH q AS ({quality_score_sql()})
+SELECT d.doc_id, d.lang, d.source, q.quality
+FROM documents d JOIN q ON d.doc_id = q.doc_id
+WHERE ({_STRAT_BUCKET_SQL.replace("doc_id", "d.doc_id")}) / {STRAT_MOD}.0 < q.quality
+"""
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture sampling: hit target source shares (the data-mixing /
+# domain-reweighting stage). Per-source rate = min(1, target_share * N /
+# n_source): over-represented sources downsample by deterministic hash,
+# under-represented ones pass through (upsampling is a repeat-epoch
+# decision, not a sampling one). Counts are a broadcast-joined aggregate —
+# the corpus itself never shuffles.
+
+MIX_TARGET_SHARE = 0.03  # below the uniform share (1/20): over-represented
+#: sources actually downsample on the driver corpus
+
+
+def mixture_sample(documents: DataFrame, target_share: float = MIX_TARGET_SHARE) -> DataFrame:
+    counts = documents.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    total = documents.count()
+    rate = F.least(F.lit(1.0), F.lit(target_share) * total / F.col("_n"))
+    unit = _strat_bucket() / float(STRAT_MOD)
+    return (
+        documents.select("doc_id", "source")
+        .join(F.broadcast(counts), "source")
+        .withColumn("_rate", rate)
+        .filter(unit < F.col("_rate"))
+        .select("doc_id", "source", q6(F.col("_rate")).alias("sample_rate"))
+    )
+
+
+def mixture_sample_sql(target_share: float = MIX_TARGET_SHARE) -> str:
+    rate = f"least(1.0, {target_share} * (SELECT COUNT(*) FROM documents) / c._n)"
+    return f"""
+WITH c AS (SELECT source, COUNT(*) AS _n FROM documents GROUP BY source)
+SELECT d.doc_id, d.source, {q6_sql(rate)} AS sample_rate
+FROM documents d JOIN c ON d.source = c.source
+WHERE ({_STRAT_BUCKET_SQL.replace("doc_id", "d.doc_id")}) / {STRAT_MOD}.0 < {rate}
+"""

@@ -194,3 +194,32 @@ def test_ann_plane_count_dial(spark):
     # a 9-bit bucket match implies the 6-bit prefix matched).
     assert finer_pairs <= base_pairs
     assert len(finer_pairs) < len(base_pairs)
+
+
+def test_mixture_sample_hits_target_shares(spark):
+    from flink_streaming_etl_spark.operators import text as text_ops
+
+    docs = load_tables(spark, "/root/testdata/sf0.01", register=False)["documents"]
+    total = docs.count()
+    target = 0.03
+    out = text_ops.mixture_sample(docs, target_share=target)
+    got = {r["source"]: r["cnt"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    src = {r["source"]: r["cnt"] for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for s, n in src.items():
+        want = min(n, target * total)
+        # hash-Bernoulli: binomial noise around the target share
+        assert abs(got.get(s, 0) - want) <= max(10, 0.35 * want), (s, got.get(s), want)
+
+
+def test_weighted_sample_prefers_high_quality(spark):
+    from flink_streaming_etl_spark.operators import text as text_ops
+
+    docs = load_tables(spark, "/root/testdata/sf0.01", register=False)["documents"]
+    q = text_ops.quality_score(docs).select("doc_id", "quality")
+    kept = text_ops.weighted_sample(docs).select("doc_id").withColumn("kept", F.lit(1))
+    joined = q.join(kept, "doc_id", "left").fillna(0, ["kept"])
+    rows = joined.groupBy((F.col("quality") > 0.7).alias("hi")).agg(
+        F.avg("kept").alias("keep_rate")
+    ).collect()
+    rates = {r["hi"]: r["keep_rate"] for r in rows}
+    assert rates.get(True, 0) > rates.get(False, 1), rates
