@@ -86,6 +86,7 @@ HEADLINE = [
     "contamination_check",
     "weighted_sample",
     "mixture_sample",
+    "repetition_score",
 ]
 
 

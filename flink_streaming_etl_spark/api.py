@@ -195,6 +195,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.mixture_sample, "documents"),
         text.mixture_sample_sql(),
     ),
+    "repetition_score": (
+        _q(text.repetition_score, "documents"),
+        text.repetition_score_sql(),
+    ),
     # --- analytics extensions (grouping sets / windows / joins / set ops) ---
     "revenue_rollup": (
         _q(analytics.revenue_rollup, "customer", "nation", "region"),

@@ -660,3 +660,89 @@ SELECT d.doc_id, d.source, {q6_sql(rate)} AS sample_rate
 FROM documents d JOIN c ON d.source = c.source
 WHERE ({_STRAT_BUCKET_SQL.replace("doc_id", "d.doc_id")}) / {STRAT_MOD}.0 < {rate}
 """
+
+
+# ---------------------------------------------------------------------------
+# Repetition scoring (the Gopher/C4 "repetitious text" filters): share of
+# the document owned by its single most frequent unigram and bigram, plus
+# the duplicate-token mass (1 - distinct/total). Degenerate, crawl-loop,
+# and template text score high and get filtered before training. One
+# explode + two-level aggregation; shuffle rows = distinct (doc, gram).
+
+
+def repetition_score(
+    documents: DataFrame, top_share_max: float = 0.2, dup_mass_max: float = 0.7
+) -> DataFrame:
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("g")
+    )
+    uni = toks.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = uni.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_unigram"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    # Projected array + explode(sequence) + slice: the codegen bigram shape
+    # (a transform() lambda referencing the split re-runs the regex per
+    # element — the measured 10x HOF trap; see operators/dedup.py).
+    big = (
+        documents.select("doc_id", F.split(F.trim("text"), r"\s+").alias("_w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size("_w") - 1, F.lit(1)))
+            ).alias("_i"),
+            "_w",
+        )
+        .select("doc_id", F.concat_ws(" ", F.slice("_w", F.col("_i"), 2)).alias("g"))
+    )
+    bigc = big.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    big_doc = bigc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram")
+    )
+    uni_share = q6(F.col("top_unigram") / F.col("n_tokens"))
+    big_share = q6(F.col("top_bigram") / F.col("n_bigrams"))
+    dup_mass = q6(F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens"))
+    return (
+        per_doc.join(big_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            uni_share.alias("top_unigram_share"),
+            big_share.alias("top_bigram_share"),
+            dup_mass.alias("dup_token_mass"),
+            (
+                (uni_share <= top_share_max) & (dup_mass <= dup_mass_max)
+            ).alias("keep_repetition"),
+        )
+    )
+
+
+def repetition_score_sql(top_share_max: float = 0.2, dup_mass_max: float = 0.7) -> str:
+    uni_share = q6_sql("top_unigram / n_tokens::DOUBLE")
+    big_share = q6_sql("top_bigram / n_bigrams::DOUBLE")
+    dup_mass = q6_sql("1.0 - n_distinct / n_tokens::DOUBLE")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS g FROM documents
+),
+uni AS (SELECT doc_id, g, COUNT(*) AS c FROM toks GROUP BY doc_id, g),
+per_doc AS (
+  SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_unigram, COUNT(*) AS n_distinct
+  FROM uni GROUP BY doc_id
+),
+words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+big AS (
+  SELECT doc_id, concat_ws(' ', w[i], w[i+1]) AS g
+  FROM words, UNNEST(range(1, greatest(len(w) - 1, 1) + 1)) AS t(i)
+),
+bigc AS (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY doc_id, g),
+big_doc AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram FROM bigc GROUP BY doc_id)
+SELECT p.doc_id,
+       CAST(p.n_tokens AS BIGINT) AS n_tokens,
+       {uni_share} AS top_unigram_share,
+       {big_share} AS top_bigram_share,
+       {dup_mass} AS dup_token_mass,
+       ({uni_share} <= {top_share_max} AND {dup_mass} <= {dup_mass_max}) AS keep_repetition
+FROM per_doc p JOIN big_doc USING (doc_id)
+"""
