@@ -594,7 +594,14 @@ def _label_propagation_loop(edges: DataFrame, max_iter: int) -> DataFrame:
     edges_self = edges.unionByName(
         nodes.select(F.col("node").alias("a_id"), F.col("node").alias("b_id"))
     ).localCheckpoint(eager=True)
-    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(eager=True)
+    # Initialize with round 1 already applied: with identity labels, the
+    # first propagation is just min(neighbor ids ∪ self) — computable
+    # directly from the edge list, one whole round cheaper.
+    labels = (
+        edges_self.groupBy(F.col("b_id").alias("node"))
+        .agg(F.min("a_id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
     prev_sum = None
     for _ in range(max_iter):
         propagated = (
