@@ -87,6 +87,7 @@ HEADLINE = [
     "weighted_sample",
     "mixture_sample",
     "repetition_score",
+    "quality_tier_report",
 ]
 
 

@@ -199,6 +199,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.repetition_score, "documents"),
         text.repetition_score_sql(),
     ),
+    "quality_tier_report": (
+        _q(text.quality_tier_report, "documents"),
+        text.quality_tier_report_sql(),
+    ),
     # --- analytics extensions (grouping sets / windows / joins / set ops) ---
     "revenue_rollup": (
         _q(analytics.revenue_rollup, "customer", "nation", "region"),

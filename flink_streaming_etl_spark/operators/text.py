@@ -746,3 +746,43 @@ SELECT p.doc_id,
        ({uni_share} <= {top_share_max} AND {dup_mass} <= {dup_mass_max}) AS keep_repetition
 FROM per_doc p JOIN big_doc USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Quality-decile token budget: how many documents/tokens live in each
+# quality tier — the report that decides where to set the filtering
+# threshold for a token-budgeted training run. NTILE over a totally
+# ordered (quality, doc_id) ranking is deterministic and identical across
+# engines; one window shuffle + one tier rollup. The global ORDER BY makes
+# the window single-partition — fine for a tiers-row report, but at 100 TB
+# compute tier boundaries from approx quantiles on a sample and assign by
+# range comparison instead (same output contract, no global sort).
+
+
+def quality_tier_report(documents: DataFrame, tiers: int = 10) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    scored = quality_score(documents).select("doc_id", "quality", "n_tokens")
+    w = Window.orderBy("quality", "doc_id")
+    tiered = scored.withColumn("tier", F.ntile(tiers).over(w))
+    return tiered.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+    )
+
+
+def quality_tier_report_sql(tiers: int = 10) -> str:
+    return f"""
+WITH scored AS ({quality_score_sql()}),
+tiered AS (
+  SELECT doc_id, quality, n_tokens,
+         NTILE({tiers}) OVER (ORDER BY quality, doc_id) AS tier
+  FROM scored
+)
+SELECT tier, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(quality) AS min_quality, MAX(quality) AS max_quality
+FROM tiered GROUP BY tier
+"""
