@@ -88,6 +88,10 @@ HEADLINE = [
     "mixture_sample",
     "repetition_score",
     "quality_tier_report",
+    "shipping_priority",
+    "local_supplier_volume",
+    "bloom_incremental_dedup",
+    "normalize_text",
 ]
 
 

@@ -109,6 +109,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(dedup.contamination_check, "documents"),
         dedup.contamination_check_sql(),
     ),
+    "bloom_incremental_dedup": (
+        _q(dedup.bloom_incremental_dedup, "documents"),
+        dedup.bloom_incremental_dedup_sql(),
+    ),
     # --- similarity search ---
     "cosine_topk": (_q(similarity.cosine_topk, "embeddings"), similarity.cosine_topk_sql()),
     "embedding_neardup": (
@@ -203,6 +207,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.quality_tier_report, "documents"),
         text.quality_tier_report_sql(),
     ),
+    "normalize_text": (
+        _q(text.normalize_text, "documents"),
+        text.NORMALIZE_TEXT_SQL,
+    ),
     # --- analytics extensions (grouping sets / windows / joins / set ops) ---
     "revenue_rollup": (
         _q(analytics.revenue_rollup, "customer", "nation", "region"),
@@ -227,6 +235,17 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "order_priority_pivot": (
         _q(analytics.order_priority_pivot, "orders"),
         analytics.ORDER_PRIORITY_PIVOT_SQL,
+    ),
+    "shipping_priority": (
+        _q(analytics.shipping_priority, "customer", "orders", "lineitem"),
+        analytics.SHIPPING_PRIORITY_SQL,
+    ),
+    "local_supplier_volume": (
+        _q(
+            analytics.local_supplier_volume,
+            "customer", "orders", "lineitem", "supplier", "nation", "region",
+        ),
+        analytics.LOCAL_SUPPLIER_VOLUME_SQL,
     ),
     "clicks_before_purchase": (
         _q(analytics.clicks_before_purchase, "events"),

@@ -672,3 +672,132 @@ SELECT 'orders', 'o_orderpriority', 'string', COUNT(*), COUNT(*) - COUNT(o_order
        COUNT(DISTINCT o_orderpriority), NULL, NULL
 FROM orders
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shape multi-join battery (extension). The reference's joins are all
+# two-table equi-joins; a real analytics migration brings 3-6-table star
+# joins where the *plan* is the product: dimension sides must broadcast,
+# the fact-fact join must shuffle exactly once on the shared key, and the
+# final top-k must not collect the full aggregate. Revenue uses the same
+# int64-cents kernel as pricing_summary (operators/relational.py) so sums
+# are order-independent and bit-identical to the DuckDB oracle.
+#
+# Scale (100 TB): lineitem⋈orders is the only big shuffle; customer/
+# supplier/nation/region broadcast (<1 GB even at sf100k for nation/region,
+# customer at real TPC-H 100TB is ~15B rows — there the customer filter
+# keeps the semi-join side small enough for a bloom/AQE strategy, and the
+# code keeps the join declarative so Catalyst can choose). The top-10 is
+# a TakeOrderedAndProject: per-partition heap, no global sort.
+
+
+def _revenue_cents() -> Column:
+    pc = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dc = F.round(F.col("l_discount") * 100).cast("long")
+    return pc * (100 - dc)
+
+
+_REVENUE_CENTS_SQL = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+def shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: int = 10
+) -> DataFrame:
+    """TPC-H Q3 shape: top-k open orders by revenue for one market segment.
+
+    Filters are applied *before* the joins so they push into the parquet
+    scans; the deterministic tie-break (revenue desc, date, orderkey) makes
+    top-k stable across engines.
+    """
+    cut = F.lit("1998-06-01").cast("timestamp")
+    cust = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ords = orders.filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    items = lineitem.filter(F.col("l_shipdate") > cut).select(
+        "l_orderkey", _revenue_cents().alias("_rev")
+    )
+    return (
+        # cust (1/5 of customers) is broadcast-small at bench SF and auto-
+        # broadcasts; unhinted so a 100 TB run can fall back to shuffle.
+        items.join(ords, items.l_orderkey == ords.o_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg((F.sum("_rev") / 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(k)
+    )
+
+
+SHIPPING_PRIORITY_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       SUM({_REVENUE_CENTS_SQL}) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where customer and supplier sit
+    in the same nation, one region, one year. Exercises a 6-table join
+    with a non-key equality (c_nationkey = s_nationkey) applied post-join.
+    """
+    y0 = F.lit("1996-01-01").cast("timestamp")
+    y1 = F.lit("1997-01-01").cast("timestamp")
+    asia_nations = (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    ords = orders.filter((F.col("o_orderdate") >= y0) & (F.col("o_orderdate") < y1)).select(
+        "o_orderkey", "o_custkey"
+    )
+    items = lineitem.select("l_orderkey", "l_suppkey", _revenue_cents().alias("_rev"))
+    return (
+        items.join(ords, items.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              items.l_suppkey == F.col("s_suppkey"))
+        # customer is NOT hinted: at 100 TB it is billions of rows — the
+        # join stays declarative so AQE picks shuffle-hash vs broadcast
+        # from runtime stats (at test SF it auto-broadcasts anyway).
+        .join(customer.select("c_custkey", "c_nationkey"),
+              (ords.o_custkey == F.col("c_custkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg((F.sum("_rev") / 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = f"""
+SELECT n_name, SUM({_REVENUE_CENTS_SQL}) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""

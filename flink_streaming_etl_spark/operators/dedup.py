@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from flink_streaming_etl_spark.functions import (
     MERSENNE32,
+    md5_int,
     md5_int_sql,
     perm_params,
     q6,
@@ -776,4 +777,82 @@ SELECT t.doc_id, t.n_shingles,
        {ratio} AS contamination,
        {ratio} >= {min_ratio} AS is_contaminated
 FROM per_doc t LEFT JOIN overlap o ON t.doc_id = o.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered incremental dedup: the "new batch vs existing corpus"
+# shape every production ingestion pipeline runs (the ops above dedup a
+# corpus against itself). Corpus = even doc_ids, incoming = odd doc_ids
+# (a deterministic stand-in for "yesterday's lake vs today's batch").
+#
+# Key = prefix fingerprint (first PREFIX_TOKENS whitespace tokens,
+# normalized) — prefix dedup is a standard crawl-pipeline key, and unlike
+# full-text md5 it actually collides on this corpus.
+#
+# Scale design (the whole point of this operator): the naive plan is an
+# anti-join of 100 TB incoming against a petabyte corpus — a full shuffle
+# of both sides on the fingerprint. Instead we build a Bloom filter OVER
+# THE CORPUS as data (explode each corpus key to BLOOM_HASHES bit
+# positions, distinct → at most BLOOM_BITS rows — a bounded, narrow-int
+# shuffle with map-side partial dedup), broadcast those set bits, and
+# semi-join incoming keys against them: rows matching all K positions are
+# *candidates* (dups + false positives); everything else is kept with NO
+# wide shuffle. Only candidates — |dups| + ~|incoming|·(1-e^{-Kn/m})^K —
+# pay the exact verification anti-join, whose shuffle is now tiny. No
+# false negatives, so kept = exact anti-join result, verified by oracle.
+# (Spark's own runtime row-filter does this inside one query; here the
+# corpus bloom would be *persisted* across daily runs — build once,
+# reuse per batch.)
+
+PREFIX_TOKENS = 8
+BLOOM_BITS = 1 << 17
+BLOOM_HASHES = 4
+
+
+def _prefix_fp(text: Column) -> Column:
+    return F.concat_ws(" ", F.slice(F.split(F.trim(text), r"\s+"), 1, PREFIX_TOKENS))
+
+
+_PREFIX_FP_SQL = (
+    "array_to_string((string_split_regex(trim(text), '\\s+'))"
+    f"[1:{PREFIX_TOKENS}], ' ')"
+)
+
+
+def bloom_incremental_dedup(documents: DataFrame) -> DataFrame:
+    """Kept incoming doc_ids: odd-id docs whose prefix fingerprint does not
+    appear among even-id (corpus) docs. Bloom prefilter + exact verify."""
+    fp = documents.select("doc_id", _prefix_fp(F.col("text")).alias("fp"))
+    corpus = fp.filter(F.col("doc_id") % 2 == 0)
+    incoming = fp.filter(F.col("doc_id") % 2 == 1)
+
+    positions = F.array(
+        *[
+            F.pmod(md5_int(F.col("fp"), salt=f"bloom{i}"), F.lit(BLOOM_BITS))
+            for i in range(BLOOM_HASHES)
+        ]
+    )
+    bits = corpus.select(F.explode(positions).alias("pos")).distinct()
+
+    hits = (
+        incoming.select("doc_id", "fp", F.explode(positions).alias("pos"))
+        .join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "fp")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") == BLOOM_HASHES)  # all K bits set → candidate
+        .select("doc_id", "fp")
+    )
+    clean = incoming.join(hits, "doc_id", "left_anti")  # bloom says new
+    false_pos = hits.join(corpus.select("fp"), "fp", "left_anti").select("doc_id")
+    return clean.select("doc_id").unionByName(false_pos)
+
+
+def bloom_incremental_dedup_sql() -> str:
+    return f"""
+WITH fp AS (SELECT doc_id, {_PREFIX_FP_SQL} AS f FROM documents)
+SELECT d.doc_id
+FROM fp d
+WHERE d.doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM fp c WHERE c.doc_id % 2 = 0 AND c.f = d.f)
 """

@@ -786,3 +786,32 @@ SELECT tier, COUNT(*) AS n_docs,
        MIN(quality) AS min_quality, MAX(quality) AS max_quality
 FROM tiered GROUP BY tier
 """
+
+
+# ---------------------------------------------------------------------------
+# Text normalization — the canonical first stage of every curation pipeline
+# (lowercase, collapse runs of whitespace, trim). Pure codegen'd string
+# expressions: zero shuffle, zero UDF — at 100 TB this runs at parquet scan
+# speed and is exactly the kind of op that must NOT be a Python UDF.
+# Unicode NFC is intentionally out: neither engine exposes a portable
+# normalizer as a built-in, and the corpus is ASCII; a mapInPandas
+# `unicodedata.normalize` stage slots in front when real data needs it.
+
+
+def normalize_text(documents: DataFrame) -> DataFrame:
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    return documents.select(
+        "doc_id",
+        norm.alias("text_norm"),
+        F.length(norm).alias("n_chars_norm"),
+        (F.length(norm) < F.col("n_chars")).alias("was_dirty"),
+    )
+
+
+NORMALIZE_TEXT_SQL = r"""
+SELECT doc_id,
+       lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS text_norm,
+       length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS n_chars_norm,
+       length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) < n_chars AS was_dirty
+FROM documents
+"""

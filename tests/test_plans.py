@@ -94,3 +94,45 @@ def test_stratified_sample_broadcasts_counts(spark):
     # corpus side must not shuffle for the join.
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_shipping_priority_topk_not_global_sort(spark):
+    from flink_streaming_etl_spark.operators import analytics
+
+    t = _tables(spark)
+    p = plan_of(analytics.shipping_priority(t["customer"], t["orders"], t["lineitem"]))
+    # top-10 must be a per-partition heap (TakeOrderedAndProject), never a
+    # full global Sort+collect of the aggregate.
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p
+    # the three filters must push into their parquet scans
+    assert "EqualTo(c_mktsegment,BUILDING)" in p, p
+    assert "LessThan(o_orderdate" in p, p
+    assert "GreaterThan(l_shipdate" in p, p
+
+
+def test_local_supplier_volume_plan(spark):
+    from flink_streaming_etl_spark.operators import analytics
+
+    t = _tables(spark)
+    p = plan_of(
+        analytics.local_supplier_volume(
+            t["customer"], t["orders"], t["lineitem"],
+            t["supplier"], t["nation"], t["region"],
+        )
+    )
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # supplier and nation⋈region are hinted broadcasts
+    assert "BroadcastHashJoin" in p, p
+    # date range pushed into the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in p, p
+
+
+def test_bloom_dedup_bits_broadcast(spark):
+    from flink_streaming_etl_spark.operators import dedup
+
+    t = _tables(spark)
+    p = plan_of(dedup.bloom_incremental_dedup(t["documents"]))
+    # The bloom bit-set (≤ BLOOM_BITS narrow-int rows) must broadcast to
+    # the incoming side — that is the entire scale story of this operator.
+    assert "BroadcastHashJoin" in p, p
