@@ -92,6 +92,8 @@ HEADLINE = [
     "local_supplier_volume",
     "bloom_incremental_dedup",
     "normalize_text",
+    "funnel_stages",
+    "cohort_retention",
 ]
 
 

@@ -247,6 +247,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         ),
         analytics.LOCAL_SUPPLIER_VOLUME_SQL,
     ),
+    "funnel_stages": (
+        _q(analytics.funnel_stages, "events"),
+        analytics.FUNNEL_STAGES_SQL,
+    ),
+    "cohort_retention": (
+        _q(analytics.cohort_retention, "events"),
+        analytics.COHORT_RETENTION_SQL,
+    ),
     "clicks_before_purchase": (
         _q(analytics.clicks_before_purchase, "events"),
         analytics.CLICKS_BEFORE_PURCHASE_SQL,

@@ -801,3 +801,118 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis — strictly-ordered stage progression (view → click →
+# purchase: each stage's first event must come AFTER the previous stage's
+# first event). The sequential dependency makes this a chained conditional-
+# min aggregation: stage N's per-user table joins back to events filtered
+# to stage N+1's type. All three aggregations shuffle on user_id, so at
+# 100 TB the exchange is reused (same key, same partitioning — Catalyst
+# plans one Exchange per branch over the SAME scan, and the per-user
+# intermediate is one row per user, pruned to two columns). The collect-
+# events-per-user-array alternative is one shuffle but unbounded per-user
+# state under heavy-user skew; chained aggs keep state at one timestamp
+# per user per stage.
+
+
+def funnel_stages(events: DataFrame) -> DataFrame:
+    """(stage, stage_order, n_users) for the ordered funnel
+    view → click → purchase."""
+    t_view = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    t_click = (
+        events.filter(F.col("event_type") == "click")
+        .join(t_view, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t_purchase = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(t_click, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+
+    def _count(df: DataFrame, stage: str, order: int) -> DataFrame:
+        return df.agg(
+            F.lit(stage).alias("stage"),
+            F.lit(order).cast("int").alias("stage_order"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    return (
+        _count(t_view, "view", 1)
+        .unionByName(_count(t_click, "click", 2))
+        .unionByName(_count(t_purchase, "purchase", 3))
+    )
+
+
+FUNNEL_STAGES_SQL = """
+WITH t_view AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+t_click AS (
+  SELECT e.user_id, MIN(e.ts) AS t1
+  FROM events e JOIN t_view v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t0
+  GROUP BY e.user_id
+),
+t_purchase AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN t_click c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t1
+  GROUP BY e.user_id
+)
+SELECT 'view' AS stage, CAST(1 AS INT) AS stage_order, COUNT(*) AS n_users FROM t_view
+UNION ALL
+SELECT 'click', 2, COUNT(*) FROM t_click
+UNION ALL
+SELECT 'purchase', 3, COUNT(*) FROM t_purchase
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention — users bucketed by first-seen week (vs a fixed epoch
+# anchor, not a global-min subquery: the anchor keeps the op a pure
+# two-aggregation plan with no extra all-reduce) × activity-week offset.
+# COUNT(DISTINCT user_id) inside each (cohort, offset) cell is exact —
+# Spark plans it as a two-phase Expand/agg; the first-seen table joins
+# back on user_id, the same key as its own groupBy, so the join reuses
+# the aggregation's partitioning (no second shuffle of the big side).
+
+_COHORT_ANCHOR = "2024-01-01"
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    first_seen = events.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    anchor = F.lit(_COHORT_ANCHOR).cast("date")
+    return (
+        events.select("user_id", F.to_date("ts").alias("d"))
+        .join(first_seen, "user_id")
+        .select(
+            F.floor(F.datediff(F.col("d0"), anchor) / 7).cast("long").alias("cohort_week"),
+            F.floor(F.datediff(F.col("d"), F.col("d0")) / 7).cast("long").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+COHORT_RETENTION_SQL = f"""
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+)
+SELECT CAST(FLOOR(date_diff('day', DATE '{_COHORT_ANCHOR}', d0) / 7.0) AS BIGINT) AS cohort_week,
+       CAST(FLOOR(date_diff('day', d0, CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN first_seen f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""

@@ -73,7 +73,13 @@ def apply_changelog(
     new = chunk.withColumn("_gen", F.lit(1))
     w = Window.partitionBy(*primary_key).orderBy(F.col("_gen").desc())
     return (
-        old.unionByName(new)
+        # allowMissingColumns = schema evolution: a column added upstream
+        # (Debezium ALTER TABLE event) appears only in the new chunk — old
+        # state rows read NULL for it; a column dropped upstream persists
+        # with NULLs on new rows. Same additive-merge policy as lake
+        # mergeSchema; PK columns must never change (enforced by the
+        # partitionBy failing loudly if they vanish).
+        old.unionByName(new, allowMissingColumns=True)
         .withColumn("_rn", F.row_number().over(w))
         .filter((F.col("_rn") == 1) & (F.col("_deleted") == False))  # noqa: E712
         .drop("_rn", "_gen", "_deleted")
@@ -125,6 +131,15 @@ class CdcSource:
 
     def parse(self, raw: DataFrame, value_col: str = "value") -> DataFrame:
         return parse_envelopes(raw, self.row_schema, value_col=value_col, mongo=self.mongo)
+
+    def evolve(self, new_row_schema: StructType) -> "CdcSource":
+        """Schema evolution (the Debezium schema-change-event analog): a new
+        source parsing envelopes with the widened schema. Old envelopes
+        lacking the added fields parse them as NULL (from_json is
+        permissive), and :func:`apply_changelog` merges old-schema state
+        with new-schema chunks additively — so the handover needs no state
+        rewrite: swap the source, keep streaming."""
+        return CdcSource(self.name, new_row_schema, self.primary_key, mongo=self.mongo)
 
     def read_changelog(self, spark: SparkSession, path: str) -> DataFrame:
         raw = spark.read.text(os.fspath(path)).withColumnRenamed("value", "value")

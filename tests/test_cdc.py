@@ -271,3 +271,53 @@ def test_kafka_record_decoding_mocked(spark):
     row = out[0]
     assert row["key"] == key
     assert row["op"] == "c" and row["after"]["id"] == "o1"
+
+
+def test_schema_evolution_mid_stream(spark):
+    """Upstream ALTER TABLE mid-stream: later envelopes carry a new column.
+    The evolved source parses both generations (old envelopes → NULL for
+    the added field), and apply_changelog merges old-schema state with
+    new-schema chunks additively — no state rewrite."""
+    from flink_streaming_etl_spark.sources.cdc import apply_changelog
+
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    state = apply_changelog(
+        None,
+        parse(spark, src, [
+            env("c", order("o1", "u1", 10.0, "created"), ts=1),
+            env("c", order("o2", "u2", 20.0, "created"), ts=2),
+        ]),
+        "id",
+    )
+
+    evolved_schema = StructType(
+        ORDER_SCHEMA.fields + [StructField("channel", StringType())]
+    )
+    src2 = src.evolve(evolved_schema)
+    assert src2.primary_key == ["id"] and src2.name == "orders"
+
+    row = order("o3", "u3", 30.0, "created")
+    row["channel"] = "web"
+    upd = order("o1", "u1", 10.0, "payed")
+    upd["channel"] = "app"
+    state2 = apply_changelog(
+        state,
+        parse(spark, src2, [
+            env("c", row, ts=3),
+            env("u", upd, before=order("o1", "u1", 10.0, "created"), ts=4),
+        ]),
+        "id",
+    )
+
+    got = {r["id"]: (r["status"], r["channel"]) for r in state2.collect()}
+    assert got == {
+        "o1": ("payed", "app"),       # updated row carries the new column
+        "o2": ("created", None),      # pre-evolution state row → NULL
+        "o3": ("created", "web"),
+    }
+
+    # the evolved source still parses OLD envelopes (missing field → NULL)
+    state3 = apply_changelog(
+        state2, parse(spark, src2, [env("c", order("o4", "u4", 5.0, "created"), ts=5)]), "id"
+    )
+    assert {r["id"]: r["channel"] for r in state3.collect()}["o4"] is None
