@@ -53,3 +53,68 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering — multi-column data skipping. Directory
+# partitioning prunes on ONE column; bucketing co-locates ONE key. When
+# reads filter on TWO range dimensions (user_id AND day; lat AND lon),
+# interleaving the bits of both keys into one Morton code and range-
+# partitioning files by that code gives every file a tight min/max envelope
+# on BOTH columns — parquet row-group stats then skip most files for a
+# point/range predicate on either dimension. This is the layout trick
+# behind Delta OPTIMIZE ZORDER BY, expressed with nothing but built-in
+# bit arithmetic + repartitionByRange.
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_Z_BITS = 16  # per-dimension bits: 2^16 rank buckets per column
+
+
+def _morton2(a: Column, b: Column, bits: int = _Z_BITS) -> Column:
+    """Interleave the low ``bits`` bits of two non-negative ints (a even
+    positions, b odd) — pure codegen'd shift/mask arithmetic."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return z
+
+
+def zorder_rank(df: DataFrame, col_a: str, col_b: str) -> Column:
+    """Morton code over per-column *ranks* (percent_rank scaled to 2^bits)
+    so arbitrary numeric distributions interleave uniformly. Rank columns
+    cost one window each over the full data — at 100 TB replace with a
+    sampled quantile map (approxQuantile on a 1% sample → broadcast
+    piecewise bucketizer): same envelope quality, no global sort."""
+    from pyspark.sql.window import Window
+
+    scale = (1 << _Z_BITS) - 1
+    ra = F.floor(F.percent_rank().over(Window.orderBy(col_a)) * scale).cast("long")
+    rb = F.floor(F.percent_rank().over(Window.orderBy(col_b)) * scale).cast("long")
+    return _morton2(ra, rb)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered by the 2-D Morton code of (col_a, col_b):
+    repartitionByRange on the code gives each output file a contiguous
+    Z-curve segment → tight per-file min/max on BOTH columns (verified by
+    tests/test_sinks.py: per-file envelope width shrinks vs a random
+    layout, which is exactly what row-group skipping consumes)."""
+    (
+        df.withColumn("_z", zorder_rank(df, col_a, col_b))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -64,3 +64,34 @@ def test_bucketed_aggregation_is_exchange_free(spark, tmp_path):
         assert agg.count() == t["orders"].select("o_custkey").distinct().count()
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders_agg")
+
+
+def test_zorder_layout_tightens_both_envelopes(spark, tmp_path):
+    """Z-ordered files must carry tighter per-file min/max envelopes on BOTH
+    cluster columns than a random layout — the statistic row-group skipping
+    consumes. Also: same rows, just reordered."""
+    t = load_tables(spark, SF_SMOKE, register=False)
+    ev = t["events"].select("event_id", "user_id", "value")
+
+    z_path = str(tmp_path / "z")
+    r_path = str(tmp_path / "r")
+    sinks.write_zordered(ev, z_path, "user_id", "value", n_files=8)
+    ev.repartition(8).write.parquet(r_path)  # round-robin: the anti-layout
+
+    def mean_envelope(path: str, col: str) -> float:
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg((F.max(col) - F.min(col)).alias("w"))
+        )
+        return per_file.agg(F.avg("w")).collect()[0][0]
+
+    for col in ["user_id", "value"]:
+        z_w, r_w = mean_envelope(z_path, col), mean_envelope(r_path, col)
+        # each file should cover a strict subrange on each dimension; random
+        # layout covers ~the full range in every file
+        assert z_w < 0.8 * r_w, (col, z_w, r_w)
+
+    got = spark.read.parquet(z_path)
+    assert got.count() == ev.count()
+    assert got.select(F.sum("event_id")).collect() == ev.select(F.sum("event_id")).collect()
