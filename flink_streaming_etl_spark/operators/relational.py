@@ -512,3 +512,35 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
+
+
+# ---------------------------------------------------------------------------
+# Salted join — the join-side twin of the reference's salted aggregation
+# (A2, flink-ddl.sql:209). AQE's skew-join split handles *partition*-level
+# skew by subdividing oversized partitions, but a single pathological key
+# (one user with 10% of a 100 TB fact table) still lands every probe row
+# on the tasks holding that key's build row. Salting replicates the small
+# side N ways and scatters the big side uniformly across the replicas:
+# hot-key rows spread over N tasks at the cost of an N-times-larger build
+# side. Correct for inner/left joins on the big side (each big row meets
+# exactly one replica of its key).
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big ⋈ small`` on ``key`` with an ``n_salts``-way salt.
+
+    The big side's salt must only be *uniform*, not content-derived —
+    hashing the full row spreads even identical rows. The small side
+    replicates via explode(sequence), a codegen'd row multiplier."""
+    salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    b = big.withColumn("_salt", salt)
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return b.join(s, [key, "_salt"], how).drop("_salt")

@@ -205,3 +205,59 @@ def kafka_changelog(
         .load()
     )
     return decode_kafka_records(source, records)
+
+
+def emit_changelog(
+    old: DataFrame | None,
+    new: DataFrame,
+    primary_key: list[str] | str,
+    ts_ms: int = 0,
+) -> DataFrame:
+    """The engine as CDC *producer*: diff two keyed states into a Debezium-
+    shaped changelog (op c/u/d with before/after row images) — the inverse
+    of :func:`apply_changelog`, closing the loop so a downstream consumer
+    (another pipeline, a Kafka topic) can ingest OUR sink the same way we
+    ingest MySQL's. Round-trip law (tested):
+    ``apply_changelog(old, emit_changelog(old, new, pk), pk) == new``.
+
+    Scale: one full-outer sort-merge join on the PK — the same single
+    exchange as the upsert MERGE itself; unchanged rows are filtered
+    before the envelope is built, so output ∝ churn, not state size.
+    """
+    if isinstance(primary_key, str):
+        primary_key = [primary_key]
+    cols = new.columns
+    after_struct = F.struct(*[F.col(c) for c in cols])
+    if old is None:  # bootstrap: every row is an insert
+        row_type = new.select(after_struct).schema[0].dataType
+        return new.select(
+            F.lit(None).cast(row_type).alias("before"),
+            after_struct.alias("after"),
+            F.lit("c").alias("op"),
+            F.lit(ts_ms).cast("long").alias("ts_ms"),
+        )
+    o = old.select([F.col(c).alias(f"_o_{c}") for c in cols])
+    n = new.select([F.col(c).alias(f"_n_{c}") for c in cols])
+    cond = [o[f"_o_{k}"].eqNullSafe(n[f"_n_{k}"]) for k in primary_key]
+    j = o.join(n, cond, "full_outer")
+
+    in_old = F.col(f"_o_{primary_key[0]}").isNotNull()
+    in_new = F.col(f"_n_{primary_key[0]}").isNotNull()
+    changed = F.concat_ws("\x00", *[F.coalesce(F.col(f"_o_{c}").cast("string"), F.lit("\x01")) for c in cols]) != \
+        F.concat_ws("\x00", *[F.coalesce(F.col(f"_n_{c}").cast("string"), F.lit("\x01")) for c in cols])
+    op = (
+        F.when(~in_old, F.lit("c"))
+        .when(~in_new, F.lit("d"))
+        .when(changed, F.lit("u"))
+    )
+    before = F.struct(*[F.col(f"_o_{c}").alias(c) for c in cols])
+    after = F.struct(*[F.col(f"_n_{c}").alias(c) for c in cols])
+    return (
+        j.select(
+            F.when(in_old, before).alias("before"),
+            F.when(in_new, after).alias("after"),
+            op.alias("op"),
+            F.lit(ts_ms).cast("long").alias("ts_ms"),
+        )
+        .filter(F.col("op").isNotNull())
+    )

@@ -223,3 +223,26 @@ def test_weighted_sample_prefers_high_quality(spark):
     ).collect()
     rates = {r["hi"]: r["keep_rate"] for r in rows}
     assert rates.get(True, 0) > rates.get(False, 1), rates
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is a physical rewrite only: result set identical to the
+    plain equi-join, on a synthetically hot-keyed fact table (half the
+    rows share one key)."""
+    from flink_streaming_etl_spark.operators.relational import salted_join
+
+    t = load_tables(spark, SF_SMOKE, register=False)
+    # skew: fold half the user_ids onto one hot key
+    fact = t["events"].select(
+        "event_id",
+        F.when(F.col("user_id") % 2 == 0, F.lit(7)).otherwise(F.col("user_id")).alias("user_id"),
+        "value",
+    )
+    dim = fact.select("user_id").distinct().withColumn("attr", F.col("user_id") * 10)
+
+    plain = fact.join(dim, "user_id")
+    salted = salted_join(fact, dim, "user_id", n_salts=8)
+    assert salted.count() == plain.count()
+    a = plain.agg(F.sum("event_id"), F.sum("attr")).collect()
+    b = salted.agg(F.sum("event_id"), F.sum("attr")).collect()
+    assert a == b

@@ -321,3 +321,46 @@ def test_schema_evolution_mid_stream(spark):
         state2, parse(spark, src2, [env("c", order("o4", "u4", 5.0, "created"), ts=5)]), "id"
     )
     assert {r["id"]: r["channel"] for r in state3.collect()}["o4"] is None
+
+
+def test_emit_changelog_round_trip(spark):
+    """The engine as CDC producer: emit_changelog(old, new) must be a
+    changelog that apply_changelog replays old → new exactly (c/u/d all
+    exercised), and unchanged rows must emit nothing."""
+    from flink_streaming_etl_spark.sources.cdc import apply_changelog, emit_changelog
+
+    old = spark.createDataFrame(
+        [
+            ("o1", "u1", 10.0, "created", "2020-07-30 10:00:00"),
+            ("o2", "u2", 20.0, "created", "2020-07-30 10:00:00"),
+            ("o3", "u3", 30.0, "payed", "2020-07-30 10:00:00"),
+        ],
+        ORDER_SCHEMA,
+    )
+    new = spark.createDataFrame(
+        [
+            ("o1", "u1", 10.0, "payed", "2020-07-30 10:00:00"),   # changed
+            ("o3", "u3", 30.0, "payed", "2020-07-30 10:00:00"),   # unchanged
+            ("o4", "u4", 40.0, "created", "2020-07-30 11:00:00"), # added
+        ],                                                         # o2 deleted
+        ORDER_SCHEMA,
+    )
+
+    log = emit_changelog(old, new, "id", ts_ms=99)
+    ops = {r["op"]: r for r in log.collect()}
+    assert set(ops) == {"c", "u", "d"}
+    assert ops["c"]["after"]["id"] == "o4" and ops["c"]["before"] is None
+    assert ops["d"]["before"]["id"] == "o2" and ops["d"]["after"] is None
+    assert ops["u"]["before"]["status"] == "created"
+    assert ops["u"]["after"]["status"] == "payed"
+
+    replayed = apply_changelog(old, log, "id")
+    got = sorted((r["id"], r["status"]) for r in replayed.collect())
+    want = sorted((r["id"], r["status"]) for r in new.collect())
+    assert got == want
+
+    # bootstrap: old=None emits pure inserts, replay builds the state
+    boot = emit_changelog(None, new, "id", ts_ms=1)
+    assert {r["op"] for r in boot.collect()} == {"c"}
+    built = apply_changelog(None, boot, "id")
+    assert sorted(r["id"] for r in built.collect()) == ["o1", "o3", "o4"]
