@@ -94,6 +94,7 @@ HEADLINE = [
     "normalize_text",
     "funnel_stages",
     "cohort_retention",
+    "pack_sequences",
 ]
 
 

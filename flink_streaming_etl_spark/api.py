@@ -211,6 +211,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.normalize_text, "documents"),
         text.NORMALIZE_TEXT_SQL,
     ),
+    "pack_sequences": (
+        _q(text.pack_sequences, "documents"),
+        text.pack_sequences_sql(),
+    ),
     # --- analytics extensions (grouping sets / windows / joins / set ops) ---
     "revenue_rollup": (
         _q(analytics.revenue_rollup, "customer", "nation", "region"),

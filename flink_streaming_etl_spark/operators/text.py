@@ -815,3 +815,60 @@ SELECT doc_id,
        length(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) < n_chars AS was_dirty
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — the training-dataloader op: concatenate documents in a
+# deterministic order and slice the token stream into fixed-size training
+# sequences. Each doc gets (bin_id, offset) = where its tokens land in the
+# packed stream; a doc whose span crosses a boundary spills into the next
+# bin (the standard concat-and-chunk packing; no padding waste accounting
+# here — that's `1 - sum(n_tokens)/(n_bins*seq_len)` on the result).
+#
+# Scale: the running offset is a window cumsum. A GLOBAL ordering would
+# serialize 100 TB through one partition, so packing is per (lang) stream —
+# the natural unit (training mixtures pack per-source/per-lang anyway);
+# within a partition the cumsum is a linear scan. For a single gigantic
+# stream, segment the cumsum: per-partition sums → broadcast prefix offsets
+# → per-row local cumsum (two jobs, no global sort).
+
+PACK_SEQ_LEN = 256
+
+
+def pack_sequences(documents: DataFrame, seq_len: int = PACK_SEQ_LEN) -> DataFrame:
+    """(doc_id, lang, n_tokens, start_offset, bin_id, bin_end) per doc:
+    whitespace-token stream packed per-lang into ``seq_len``-token bins."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    start = (F.sum(toks).over(w) - toks).alias("start_offset")
+    return documents.select("doc_id", "lang", toks.alias("n_tokens"), start).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / seq_len).cast("long").alias("bin_id"),
+        F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / seq_len)
+        .cast("long")
+        .alias("bin_end"),
+    )
+
+
+def pack_sequences_sql(seq_len: int = PACK_SEQ_LEN) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens AS BIGINT) AS start_offset
+  FROM toks
+)
+SELECT doc_id, lang, n_tokens, start_offset,
+       CAST(FLOOR(start_offset / {seq_len}.0) AS BIGINT) AS bin_id,
+       CAST(FLOOR((start_offset + n_tokens - 1) / {seq_len}.0) AS BIGINT) AS bin_end
+FROM packed
+"""

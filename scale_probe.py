@@ -54,6 +54,12 @@ PROBES = [
     "tfidf_top_terms",
     "profile_orders",
     "window_battery",
+    "shipping_priority",
+    "local_supplier_volume",
+    "bloom_incremental_dedup",
+    "funnel_stages",
+    "cohort_retention",
+    "normalize_text",
 ]
 
 

@@ -82,3 +82,40 @@ def test_apply_changelog_equals_model(spark, events, n_chunks):
     got_incr = {r["id"]: (r["status"], r["amount"]) for r in state.collect()}
     assert got_single == want
     assert got_incr == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    events_a=st.lists(event_st, min_size=0, max_size=8),
+    events_b=st.lists(event_st, min_size=0, max_size=8),
+)
+def test_emit_changelog_round_trip_property(spark, events_a, events_b):
+    """For ANY two states reachable from event sequences, emitting the diff
+    changelog and replaying it onto the first state reproduces the second
+    exactly — emit is apply's true inverse, not just on hand-picked cases."""
+    from flink_streaming_etl_spark.sources.cdc import apply_changelog, emit_changelog
+
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+
+    def build(events):
+        if not events:
+            return None
+        lines = [
+            _envelope(op, key, status, amount, ts)
+            for ts, (op, key, status, amount) in enumerate(events, start=1)
+        ]
+        return apply_changelog(None, src.parse(raw_df(spark, lines)), ["id"])
+
+    old, new = build(events_a), build(events_b)
+    if new is None:
+        return  # emit targets a concrete new state; deletion-to-empty is
+        # covered by the example test via explicit d-ops
+    log = emit_changelog(old, new, "id", ts_ms=7)
+    replayed = apply_changelog(old, log, ["id"])
+    got = {r["id"]: (r["status"], r["amount"]) for r in replayed.collect()}
+    want = {r["id"]: (r["status"], r["amount"]) for r in new.collect()}
+    assert got == want
