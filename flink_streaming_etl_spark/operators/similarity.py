@@ -550,3 +550,21 @@ def standardize_by_label(embeddings: DataFrame) -> DataFrame:
     return e.groupBy("label").applyInPandas(
         norm_group, "vec_id long, label int, z array<double>"
     )
+
+
+def planes_for_corpus(n_vectors: int, target_bucket_size: int = 100) -> int:
+    """The ann_lsh_bucketed corpus-growth dial, operationalized: the number
+    of sign planes that keeps expected orthant occupancy ≈
+    ``target_bucket_size`` (so in-bucket exact scoring stays
+    O(n · target²/target) instead of quadratic in the corpus).
+
+    p = ceil(log2(n / target)): every corpus doubling adds one plane,
+    which quarters the per-bucket pair count back to where it was.
+    Measured (SCALE.md §Measured scaling): fixed p=6 at a 10x corpus →
+    262x runtime; p=9 per this dial restores near-linear behavior.
+    """
+    import math
+
+    if n_vectors <= target_bucket_size:
+        return 1
+    return max(1, math.ceil(math.log2(n_vectors / target_bucket_size)))

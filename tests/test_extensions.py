@@ -237,3 +237,14 @@ def test_curated_corpus_excludes_drops_and_low_quality(spark):
     # every kept doc passes the quality filter
     q = text.quality_score(docs).select("doc_id", "keep")
     assert cur.join(q, "doc_id").filter(~F.col("keep")).count() == 0
+
+
+def test_planes_for_corpus_dial():
+    from flink_streaming_etl_spark.operators.similarity import planes_for_corpus
+
+    assert planes_for_corpus(100) == 1          # degenerate: one split still
+    assert planes_for_corpus(6400) == 6         # the sf0.1 default regime
+    assert planes_for_corpus(64000) == 10       # 10x corpus → p += ceil(log2 10)
+    # invariant: doubling the corpus never adds more than one plane
+    for n in [1000, 5000, 20000, 100000]:
+        assert planes_for_corpus(2 * n) <= planes_for_corpus(n) + 1
