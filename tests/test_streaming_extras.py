@@ -276,3 +276,61 @@ def test_running_user_stats_stateful(spark, tmp_path):
     assert (2, 5.0) in [
         (r["n_events"], r["sum_value"]) for r in rows if r["user_id"] == 1
     ]
+
+
+def test_bucket_partitioned_sink_touches_only_batch_buckets(spark, tmp_path):
+    """BucketPartitionedSink: per-batch merge rewrites ONLY the partitions
+    the batch's keys hash into (mtime-pinned), results equal the full-
+    rewrite sink, and emptying a bucket removes its directory."""
+    import os
+    import time
+
+    from flink_streaming_etl_spark.streaming.upsert_sink import BucketPartitionedSink
+
+    path = str(tmp_path / "bsink")
+    sink = BucketPartitionedSink(spark, path, "id", n_buckets=8)
+
+    base = spark.createDataFrame(
+        [(f"k{i}", i * 1.0) for i in range(64)], "id string, v double"
+    )
+    sink.merge(base)
+    assert sorted(r["id"] for r in sink.read().collect()) == sorted(f"k{i}" for i in range(64))
+
+    bucket_dirs = sorted(
+        d for d in os.listdir(path) if d.startswith("_bucket=")
+    )
+    assert len(bucket_dirs) == 8
+    mtime_before = {
+        d: max(os.path.getmtime(os.path.join(path, d, f)) for f in os.listdir(os.path.join(path, d)))
+        for d in bucket_dirs
+    }
+
+    time.sleep(1.1)  # mtime resolution guard
+    upd = spark.createDataFrame([("k3", 99.0), ("k3b", 1.0)], "id string, v double")
+    sink.merge(upd)
+
+    got = {r["id"]: r["v"] for r in sink.read().collect()}
+    assert got["k3"] == 99.0 and got["k3b"] == 1.0 and len(got) == 65
+
+    touched = {
+        f"_bucket={r['_bucket']}"
+        for r in upd.withColumn("_bucket", sink._bucket()).select("_bucket").distinct().collect()
+    }
+    for d in bucket_dirs:
+        mt = max(
+            os.path.getmtime(os.path.join(path, d, f)) for f in os.listdir(os.path.join(path, d))
+        )
+        if d in touched:
+            assert mt > mtime_before[d], f"{d} should have been rewritten"
+        else:
+            assert mt == mtime_before[d], f"{d} was rewritten but not touched by the batch"
+
+    # delete every key of one bucket → its directory disappears
+    victims = spark.createDataFrame(
+        [(r["id"],) for r in sink.read().collect()], "id string"
+    ).withColumn("_b", sink._bucket()).filter(F.col("_b") == 0).drop("_b")
+    n_victims = victims.count()
+    assert n_victims > 0
+    sink.merge(spark.createDataFrame([], "id string, v double"), deletes=victims)
+    assert not os.path.exists(os.path.join(path, "_bucket=0"))
+    assert len(sink.read().collect()) == 65 - n_victims
