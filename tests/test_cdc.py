@@ -364,3 +364,40 @@ def test_emit_changelog_round_trip(spark):
     assert {r["op"] for r in boot.collect()} == {"c"}
     built = apply_changelog(None, boot, "id")
     assert sorted(r["id"] for r in built.collect()) == ["o1", "o3", "o4"]
+
+
+def test_cdc_pipeline_with_bucket_partitioned_sink(spark, tmp_path):
+    """BucketPartitionedSink is a drop-in for the CDC pipeline: the golden
+    insert→retract→delete scenario converges to the same sink state as the
+    full-rewrite sink."""
+    from flink_streaming_etl_spark.streaming.upsert_sink import BucketPartitionedSink
+
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    sink = BucketPartitionedSink(spark, str(tmp_path / "bsink"), "id", n_buckets=4)
+    pipe = CdcPipeline(spark, {"orders": src}, day_stats_query, sink)
+
+    pipe.run_batch({"orders": parse(spark, src, [
+        env("c", order("o1", "u1", 100.0, "payed"), ts=1),
+        env("c", order("o2", "u1", 50.0, "payed"), ts=2),
+        env("c", order("o3", "u2", 30.0, "created"), ts=3),
+    ])})
+    assert sink_rows(pipe.sink) == {
+        "u1|2020-07-30": (150.0, 2),
+        "u2|2020-07-30": (30.0, 1),
+    }
+
+    # retraction: o2 flips to closed → u1 totals drop
+    pipe.run_batch({"orders": parse(spark, src, [
+        env("u", order("o2", "u1", 50.0, "closed"),
+            before=order("o2", "u1", 50.0, "payed"), ts=4),
+    ])})
+    assert sink_rows(pipe.sink) == {
+        "u1|2020-07-30": (100.0, 1),
+        "u2|2020-07-30": (30.0, 1),
+    }
+
+    # delete the last u2 order → its day-stats key disappears from the sink
+    pipe.run_batch({"orders": parse(spark, src, [
+        env("d", before=order("o3", "u2", 30.0, "created"), ts=5),
+    ])})
+    assert sink_rows(pipe.sink) == {"u1|2020-07-30": (100.0, 1)}
