@@ -729,24 +729,27 @@ def contamination_check(
         .select(h.alias("h"))
         .distinct()
     )
-    per_doc = test_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    overlap = (
-        test_sh.join(train_sh, "h", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
+    # One pass over the eval shingles: a left join against the (distinct)
+    # train set carries an indicator, and a single groupBy produces both
+    # the shingle count and the overlap count — vs the obvious two-agg
+    # formulation this halves the eval-side shuffles (train_sh is unique
+    # on h, so the left join cannot multiply rows).
     from flink_streaming_etl_spark.functions import q6
 
-    ratio = q6(F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("n_shingles"))
-    return (
-        per_doc.join(overlap, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
-            ratio.alias("contamination"),
-            (ratio >= min_ratio).alias("is_contaminated"),
-        )
+    marked = test_sh.join(
+        train_sh.withColumn("_hit", F.lit(1)), "h", "left"
+    )
+    counts = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_overlap"),
+    )
+    ratio = q6(F.col("n_overlap") / F.col("n_shingles"))
+    return counts.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        ratio.alias("contamination"),
+        (ratio >= min_ratio).alias("is_contaminated"),
     )
 
 
