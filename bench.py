@@ -95,6 +95,7 @@ HEADLINE = [
     "funnel_stages",
     "cohort_retention",
     "pack_sequences",
+    "winsorize_values",
 ]
 
 

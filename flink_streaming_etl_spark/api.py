@@ -255,6 +255,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(analytics.funnel_stages, "events"),
         analytics.FUNNEL_STAGES_SQL,
     ),
+    "winsorize_values": (
+        _q(analytics.winsorize_values, "events"),
+        analytics.winsorize_values_sql(),
+    ),
     "cohort_retention": (
         _q(analytics.cohort_retention, "events"),
         analytics.COHORT_RETENTION_SQL,

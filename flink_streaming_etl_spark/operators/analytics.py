@@ -916,3 +916,59 @@ SELECT CAST(FLOOR(date_diff('day', DATE '{_COHORT_ANCHOR}', d0) / 7.0) AS BIGINT
 FROM events e JOIN first_seen f ON e.user_id = f.user_id
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Winsorization — outlier clipping at exact per-group percentiles, the
+# numeric-feature twin of text quality filtering. Percentiles are
+# nearest-rank (value at ceil(p·n)), the same cross-engine-deterministic
+# trick as text.length_percentiles: interpolating percentile functions
+# differ between engines, rank arithmetic does not. One window shuffle on
+# the group key to rank, a ~|groups|-row bounds table broadcast back, and
+# a codegen'd clamp — the big side is scanned twice but shuffled once.
+
+
+def winsorize_values(events: DataFrame, lo_p: float = 0.01, hi_p: float = 0.99) -> DataFrame:
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = (
+        events.select("event_id", "event_type", "value")
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+    )
+    at = lambda p: F.max(  # noqa: E731 — nearest-rank
+        F.when(F.col("rank") == F.ceil(F.col("n") * p), F.col("value"))
+    )
+    bounds = ranked.groupBy("event_type").agg(at(lo_p).alias("lo"), at(hi_p).alias("hi"))
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        events.select("event_id", "event_type", "value")
+        .join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            clipped.alias("value_winsorized"),
+            (clipped != F.col("value")).alias("was_clipped"),
+        )
+    )
+
+
+def winsorize_values_sql(lo_p: float = 0.01, hi_p: float = 0.99) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rank,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+bounds AS (
+  SELECT event_type,
+         MAX(CASE WHEN rank = CEIL(n * {lo_p}) THEN value END) AS lo,
+         MAX(CASE WHEN rank = CEIL(n * {hi_p}) THEN value END) AS hi
+  FROM ranked GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       LEAST(GREATEST(e.value, b.lo), b.hi) AS value_winsorized,
+       LEAST(GREATEST(e.value, b.lo), b.hi) <> e.value AS was_clipped
+FROM events e JOIN bounds b ON e.event_type = b.event_type
+"""
