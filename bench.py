@@ -96,6 +96,7 @@ HEADLINE = [
     "cohort_retention",
     "pack_sequences",
     "winsorize_values",
+    "rolling_wau",
 ]
 
 

@@ -259,6 +259,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(analytics.winsorize_values, "events"),
         analytics.winsorize_values_sql(),
     ),
+    "rolling_wau": (
+        _q(analytics.rolling_wau, "events"),
+        analytics.rolling_wau_sql(),
+    ),
     "cohort_retention": (
         _q(analytics.cohort_retention, "events"),
         analytics.COHORT_RETENTION_SQL,

@@ -972,3 +972,48 @@ SELECT e.event_id, e.event_type, e.value,
        LEAST(GREATEST(e.value, b.lo), b.hi) <> e.value AS was_clipped
 FROM events e JOIN bounds b ON e.event_type = b.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users — the distinct-over-sliding-window metric
+# (WAU per day). COUNT(DISTINCT) doesn't compose over RANGE frames, so the
+# textbook formulation is a range join (day grid × activity pairs) — at
+# 100 TB that's |days|·|pairs| comparisons. This plan is linear instead:
+# each distinct (day, user) pair explodes into the ≤7 report days it
+# contributes to (map-side sequence), then one distinct-count per report
+# day. The oracle keeps the range-join formulation — same relation, two
+# shapes, hash-compared.
+
+
+def rolling_wau(events: DataFrame, window_days: int = 7) -> DataFrame:
+    pairs = events.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    observed = pairs.select("d").distinct()
+    contrib = pairs.select(
+        F.explode(
+            F.expr(f"sequence(d, date_add(d, {window_days - 1}), interval 1 day)")
+        ).alias("report_day"),
+        "user_id",
+    )
+    return (
+        contrib.join(
+            F.broadcast(observed.withColumnRenamed("d", "report_day")),
+            "report_day",
+            "left_semi",  # only report days that actually occur in the data
+        )
+        .groupBy("report_day")
+        .agg(F.count_distinct("user_id").cast("long").alias("wau"))
+        # dates round-trip the oracle's pandas bridge as timestamps — emit
+        # the ISO string so both engines hash the same cell
+        .select(F.date_format("report_day", "yyyy-MM-dd").alias("report_day"), "wau")
+    )
+
+
+def rolling_wau_sql(window_days: int = 7) -> str:
+    return f"""
+WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+days AS (SELECT DISTINCT d FROM pairs)
+SELECT strftime(days.d, '%Y-%m-%d') AS report_day, COUNT(DISTINCT p.user_id) AS wau
+FROM days JOIN pairs p
+  ON p.d BETWEEN days.d - INTERVAL {window_days - 1} DAY AND days.d
+GROUP BY days.d
+"""
