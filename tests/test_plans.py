@@ -136,3 +136,35 @@ def test_bloom_dedup_bits_broadcast(spark):
     # The bloom bit-set (≤ BLOOM_BITS narrow-int rows) must broadcast to
     # the incoming side — that is the entire scale story of this operator.
     assert "BroadcastHashJoin" in p, p
+
+
+def test_winsorize_bounds_broadcast(spark):
+    from flink_streaming_etl_spark.operators import analytics
+
+    t = _tables(spark)
+    p = plan_of(analytics.winsorize_values(t["events"]))
+    # the per-group bounds table (~|event_types| rows) must broadcast —
+    # the big side is never shuffled for the join
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_rolling_wau_no_range_join(spark):
+    from flink_streaming_etl_spark.operators import analytics
+
+    t = _tables(spark)
+    p = plan_of(analytics.rolling_wau(t["events"]))
+    # the linear explode plan must never degrade to the range-join shape
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Generate explode" in p or "Generate" in p, p
+
+
+def test_pack_sequences_single_exchange(spark):
+    from flink_streaming_etl_spark.operators import text
+
+    t = _tables(spark)
+    p = plan_of(text.pack_sequences(t["documents"]))
+    # one key shuffle on lang serves the window cumsum (the loader's
+    # round-robin spread is not a key exchange)
+    assert p.count("hashpartitioning") == 1, p
