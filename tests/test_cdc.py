@@ -401,3 +401,88 @@ def test_cdc_pipeline_with_bucket_partitioned_sink(spark, tmp_path):
         env("d", before=order("o3", "u2", 30.0, "created"), ts=5),
     ])})
     assert sink_rows(pipe.sink) == {"u1|2020-07-30": (100.0, 1)}
+
+
+def test_single_topic_multi_table_stream(spark, tmp_path):
+    """One changelog stream carrying TWO tables' envelopes (the Debezium
+    single-topic layout): each CdcSource parses the shared stream and keeps
+    its own rows via the envelope's source.table field; the enrichment join
+    updates when EITHER side changes (users rename propagates to the order
+    view). Streaming result == batch recompute."""
+    from pyspark.sql.types import StructField, StructType
+
+    USER_SCHEMA = StructType(
+        [StructField("id", StringType()), StructField("name", StringType())]
+    )
+
+    def env2(op, table, after=None, before=None, ts=0):
+        return json.dumps(
+            {
+                "before": before,
+                "after": after,
+                "source": {"db": "ec", "table": table, "ts_ms": ts},
+                "op": op,
+                "ts_ms": ts,
+            }
+        )
+
+    orders_src = CdcSource("orders", ORDER_SCHEMA, "id")
+    users_src = CdcSource("users", USER_SCHEMA, "id")
+
+    def order_view(states):
+        o, u = states["orders"], states["users"]
+        return o.join(u, o.user_id == u.id).select(
+            o.id.alias("id"),
+            F.col("amount").alias("order_amount"),
+            F.col("name").alias("user_name"),
+        )
+
+    sink = KeyedParquetSink(spark, str(tmp_path / "sink"), "id")
+    pipe = CdcPipeline(
+        spark, {"orders": orders_src, "users": users_src}, order_view, sink
+    )
+
+    log_dir = tmp_path / "topic"
+    log_dir.mkdir()
+    (log_dir / "f1.jsonl").write_text(
+        "\n".join(
+            [
+                env2("c", "users", {"id": "u1", "name": "Ada"}, ts=1),
+                env2("c", "orders", order("o1", "u1", 100.0, "payed"), ts=2),
+            ]
+        )
+    )
+    (log_dir / "f2.jsonl").write_text(
+        "\n".join(
+            [
+                env2("c", "users", {"id": "u2", "name": "Bob"}, ts=3),
+                env2("c", "orders", order("o2", "u2", 50.0, "payed"), ts=4),
+                env2("u", "users", {"id": "u1", "name": "Grace"},
+                     before={"id": "u1", "name": "Ada"}, ts=5),
+            ]
+        )
+    )
+
+    raw_stream = (
+        spark.readStream.format("text").option("maxFilesPerTrigger", 1)
+        .load(str(log_dir))
+    )
+
+    def process(batch_df, batch_id):
+        chunks = {}
+        for name, src in pipe.sources.items():
+            chunk = src.parse(batch_df).filter(F.col("source.table") == name)
+            chunks[name] = chunk
+        pipe.run_batch(chunks)
+
+    q = (
+        raw_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["id"]: (r["order_amount"], r["user_name"]) for r in sink.read().collect()}
+    # u1's rename (ts=5) must have propagated into o1's enriched row
+    assert got == {"o1": (100.0, "Grace"), "o2": (50.0, "Bob")}
