@@ -242,7 +242,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "shipping_priority": (
         _q(analytics.shipping_priority, "customer", "orders", "lineitem"),
-        analytics.SHIPPING_PRIORITY_SQL,
+        analytics.shipping_priority_sql(),
     ),
     "local_supplier_volume": (
         _q(

@@ -732,7 +732,10 @@ def shipping_priority(
     )
 
 
-SHIPPING_PRIORITY_SQL = f"""
+def shipping_priority_sql(k: int = 10) -> str:
+    """Oracle twin of :func:`shipping_priority` — ``k`` is interpolated so
+    a non-default top-k can't silently diverge from the registered SQL."""
+    return f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
        SUM({_REVENUE_CENTS_SQL}) / 10000.0 AS revenue
 FROM lineitem
@@ -743,8 +746,11 @@ WHERE c_mktsegment = 'BUILDING'
   AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, o_orderdate, l_orderkey
-LIMIT 10
+LIMIT {k}
 """
+
+
+SHIPPING_PRIORITY_SQL = shipping_priority_sql()
 
 
 def local_supplier_volume(
@@ -929,9 +935,14 @@ GROUP BY 1, 2
 
 
 def winsorize_values(events: DataFrame, lo_p: float = 0.01, hi_p: float = 0.99) -> DataFrame:
+    # NULL values are excluded from ranking on BOTH engines: Spark windows
+    # sort NULLS FIRST ascending, DuckDB NULLS LAST, so a nullable value
+    # column would shift every rank and diverge the bounds cross-engine.
+    # (A NULL value row still appears in the output — its clamp is NULL.)
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     ranked = (
         events.select("event_id", "event_type", "value")
+        .filter(F.col("value").isNotNull())
         .withColumn("rank", F.row_number().over(w))
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
     )
@@ -960,6 +971,7 @@ WITH ranked AS (
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rank,
          COUNT(*) OVER (PARTITION BY event_type) AS n
   FROM events
+  WHERE value IS NOT NULL
 ),
 bounds AS (
   SELECT event_type,

@@ -130,10 +130,14 @@ def compact(
     re-sorting (restores a Z-order/bucket clustering degraded by appends).
     Returns (files_before, files_after).
 
-    The rewrite is atomic at directory level (tmp + rename, same policy as
-    KeyedParquetSink.merge); at 100 TB compaction runs per partition
-    directory instead — same code over each hive partition, driven by a
-    file-count threshold so already-compact partitions are skipped."""
+    The swap is rename-aside (live → ``.compact_old``, tmp → live, rm old):
+    a complete file set exists on disk at every instant and both crash
+    windows recover with a single rename — before the second rename the
+    new set is intact at ``.compact_tmp``, after it the old set is intact
+    at ``.compact_old``. (Not a true atomic swap: a reader racing the two
+    renames can observe a missing directory for a syscall-wide window; at
+    100 TB compaction runs per partition directory under the table-format
+    commit protocol, which is what provides reader isolation.)"""
     import glob
     import os
     import shutil
@@ -145,7 +149,11 @@ def compact(
         out = out.sortWithinPartitions(order_by)
     tmp = path + ".compact_tmp"
     out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    old = path + ".compact_old"
+    if os.path.exists(old):  # leftover from a crashed prior run
+        shutil.rmtree(old)
+    os.replace(path, old)
     os.replace(tmp, path)
+    shutil.rmtree(old)
     after = len(glob.glob(os.path.join(path, "*.parquet")))
     return before, after

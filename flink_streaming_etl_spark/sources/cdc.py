@@ -218,7 +218,20 @@ def emit_changelog(
     of :func:`apply_changelog`, closing the loop so a downstream consumer
     (another pipeline, a Kafka topic) can ingest OUR sink the same way we
     ingest MySQL's. Round-trip law (tested):
-    ``apply_changelog(old, emit_changelog(old, new, pk), pk) == new``.
+    ``apply_changelog(old, emit_changelog(old, new, pk), pk) == new``
+    (modulo column order / NULL-filled dropped columns when the schemas
+    differ — the same additive policy ``apply_changelog`` uses via
+    ``allowMissingColumns``).
+
+    Change detection is an exact null-safe struct comparison — no string
+    casts, no separator/sentinel encoding — so values containing control
+    characters (plausible in text pipelines) or literal sentinel bytes
+    can never make a changed row compare equal.
+
+    Schema evolution: each side is projected over the UNION of the two
+    column sets, missing columns filled with typed NULLs, mirroring
+    ``apply_changelog``'s additive policy — so a changelog can be emitted
+    across an additive schema change, not just same-schema states.
 
     Scale: one full-outer sort-merge join on the PK — the same single
     exchange as the upsert MERGE itself; unchanged rows are filtered
@@ -226,9 +239,9 @@ def emit_changelog(
     """
     if isinstance(primary_key, str):
         primary_key = [primary_key]
-    cols = new.columns
-    after_struct = F.struct(*[F.col(c) for c in cols])
     if old is None:  # bootstrap: every row is an insert
+        cols = new.columns
+        after_struct = F.struct(*[F.col(c) for c in cols])
         row_type = new.select(after_struct).schema[0].dataType
         return new.select(
             F.lit(None).cast(row_type).alias("before"),
@@ -236,15 +249,30 @@ def emit_changelog(
             F.lit("c").alias("op"),
             F.lit(ts_ms).cast("long").alias("ts_ms"),
         )
-    o = old.select([F.col(c).alias(f"_o_{c}") for c in cols])
-    n = new.select([F.col(c).alias(f"_n_{c}") for c in cols])
+    # Union of the two schemas, new-side order first (additive evolution:
+    # added columns appear after the surviving ones; dropped columns tail).
+    cols = list(new.columns) + [c for c in old.columns if c not in new.columns]
+
+    def _project(df: DataFrame, other: DataFrame, prefix: str) -> DataFrame:
+        have = set(df.columns)
+        sel = [
+            F.col(c).alias(f"{prefix}{c}")
+            if c in have
+            else F.lit(None).cast(other.schema[c].dataType).alias(f"{prefix}{c}")
+            for c in cols
+        ]
+        return df.select(sel)
+
+    o = _project(old, new, "_o_")
+    n = _project(new, old, "_n_")
     cond = [o[f"_o_{k}"].eqNullSafe(n[f"_n_{k}"]) for k in primary_key]
     j = o.join(n, cond, "full_outer")
 
     in_old = F.col(f"_o_{primary_key[0]}").isNotNull()
     in_new = F.col(f"_n_{primary_key[0]}").isNotNull()
-    changed = F.concat_ws("\x00", *[F.coalesce(F.col(f"_o_{c}").cast("string"), F.lit("\x01")) for c in cols]) != \
-        F.concat_ws("\x00", *[F.coalesce(F.col(f"_n_{c}").cast("string"), F.lit("\x01")) for c in cols])
+    changed = ~F.struct(*[F.col(f"_o_{c}") for c in cols]).eqNullSafe(
+        F.struct(*[F.col(f"_n_{c}") for c in cols])
+    )
     op = (
         F.when(~in_old, F.lit("c"))
         .when(~in_new, F.lit("d"))

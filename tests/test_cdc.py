@@ -366,6 +366,55 @@ def test_emit_changelog_round_trip(spark):
     assert sorted(r["id"] for r in built.collect()) == ["o1", "o3", "o4"]
 
 
+def test_emit_changelog_control_characters(spark):
+    """Change detection is an exact struct comparison, immune to sentinel/
+    separator collisions: a value literally equal to the old '\\x01' NULL
+    sentinel vs NULL must emit an update, and embedded '\\x00' separator
+    bytes must not shift field boundaries into a false 'unchanged'."""
+    from flink_streaming_etl_spark.sources.cdc import apply_changelog, emit_changelog
+
+    schema = "id string, a string, b string"
+    old = spark.createDataFrame(
+        [
+            ("k1", None, "x"),          # a: NULL → '\x01'  (sentinel collision)
+            ("k2", "p\x00", "q"),       # '\x00' boundary shift: (p\0, q) vs (p, \0q)
+            ("k3", "same", "same"),     # genuinely unchanged
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [("k1", "\x01", "x"), ("k2", "p", "\x00q"), ("k3", "same", "same")], schema
+    )
+    log = emit_changelog(old, new, "id")
+    got = {r["after"]["id"]: r["op"] for r in log.collect()}
+    assert got == {"k1": "u", "k2": "u"}  # k3 emits nothing
+
+    replayed = apply_changelog(old, log, "id")
+    assert sorted(map(tuple, replayed.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_emit_changelog_schema_evolution(spark):
+    """emit_changelog across an additive schema change (new side gained a
+    column): old-side images carry a typed NULL for the added column, and
+    apply_changelog (allowMissingColumns) replays old → new."""
+    from flink_streaming_etl_spark.sources.cdc import apply_changelog, emit_changelog
+
+    old = spark.createDataFrame([("k1", 1), ("k2", 2)], "id string, a int")
+    new = spark.createDataFrame(
+        [("k1", 1, "n1"), ("k2", 3, None)], "id string, a int, note string"
+    )
+    log = emit_changelog(old, new, "id")
+    rows = {r["after"]["id"]: r for r in log.collect()}
+    # k1: only the NULL→'n1' note change; k2: a changed AND note stays NULL
+    assert set(rows) == {"k1", "k2"}
+    assert rows["k1"]["op"] == "u" and rows["k1"]["before"]["note"] is None
+    assert rows["k2"]["after"]["a"] == 3
+
+    replayed = apply_changelog(old, log, "id")
+    got = sorted((r["id"], r["a"], r["note"]) for r in replayed.collect())
+    assert got == [("k1", 1, "n1"), ("k2", 3, None)]
+
+
 def test_cdc_pipeline_with_bucket_partitioned_sink(spark, tmp_path):
     """BucketPartitionedSink is a drop-in for the CDC pipeline: the golden
     insert→retract→delete scenario converges to the same sink state as the
