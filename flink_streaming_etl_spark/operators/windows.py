@@ -101,7 +101,11 @@ def session_windows(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -
     gap_us = gap_minutes * 60 * 1_000_000
     order = [F.col("ts"), F.col("event_id")]
     w = Window.partitionBy("user_id").orderBy(*order)
-    us = F.unix_micros("ts")
+    # NTZ-safe: under parquet inferTimestampNTZ the column loads as
+    # TIMESTAMP_NTZ, which unix_micros rejects at analysis time. The cast to
+    # (session-tz) TIMESTAMP is a no-op for already-TZ columns and exact for
+    # NTZ under our pinned UTC session timezone.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     prev_us = F.lag(us).over(w)
     is_new = F.when(prev_us.isNull() | ((us - prev_us) > gap_us), 1).otherwise(0)
     sess = (

@@ -65,3 +65,10 @@ def tune_session(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # Read parquet timestamp[us]-without-timezone as TIMESTAMP (session tz,
+    # pinned UTC above), not TIMESTAMP_NTZ: Spark 4.x's NTZ inference makes
+    # epoch functions (unix_micros/unix_timestamp/to_unix_timestamp) fail at
+    # analysis time and silently changes date-bucketing semantics. All our
+    # operators are also written NTZ-safe, but pinning this keeps
+    # driver-owned sessions deterministic engine-wide.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
