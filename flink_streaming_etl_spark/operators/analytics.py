@@ -453,6 +453,18 @@ def sketch_profile(events: DataFrame) -> DataFrame:
     )
 
 
+def sketch_profile_flat(events: DataFrame) -> DataFrame:
+    """Driver-hashable twin of ``sketch_profile``: the quantile array
+    flattened to one pipe-joined string (the driver's pandas canonicalizer
+    can't hash list columns). Sketches are engine-specific, so this stays a
+    rows-only check — the twin exists so the row is green, not erred."""
+    s = sketch_profile(events)
+    q = F.array_join(
+        F.transform("value_quantiles", lambda x: F.round(x, 6).cast("string")), "|"
+    )
+    return s.select("event_type", "approx_users", q.alias("value_quantiles"), "n_events")
+
+
 # ---------------------------------------------------------------------------
 # Range-frame rolling aggregate: 7-day trailing spend per customer. The
 # RANGE frame is over epoch seconds on the Spark side and a calendar
@@ -600,16 +612,26 @@ FROM old FULL OUTER JOIN new ON k = nk
 _NUMERIC = {"long", "bigint", "int", "integer", "double", "float", "smallint"}
 
 
-def profile_table(df: DataFrame, table_name: str) -> DataFrame:
+def profile_table(df: DataFrame, table_name: str, exact: bool = False) -> DataFrame:
+    """Single-pass column profile. Default distinct counts are HLL
+    (``approx_count_distinct``, rsd 2%): one ordinary aggregation, ~1.5 KB
+    of sketch per column per partition. ``exact=True`` switches to
+    ``countDistinct`` — Catalyst plans multi-column distinct via Expand,
+    fanning every row out x#columns before the shuffle, which is the wrong
+    default at 100 TB; it exists as the oracle twin (cross-engine exact
+    value check) and for small-table use."""
     aggs, rows = [], []
     for f in df.schema.fields:
         # timestamp_ntz vs timestamp is a session-zone spelling, not a
         # semantic difference the report consumer cares about.
         c, t = f.name, f.dataType.simpleString().replace("timestamp_ntz", "timestamp")
+        distinct = (
+            F.countDistinct(c) if exact else F.approx_count_distinct(c, rsd=0.02)
+        )
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__rows"),
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
+            distinct.alias(f"{c}__distinct"),
         ]
         if t in _NUMERIC:
             lo, hi = F.min(F.col(c)).cast("double"), F.max(F.col(c)).cast("double")
@@ -642,7 +664,13 @@ def profile_table(df: DataFrame, table_name: str) -> DataFrame:
 
 
 def profile_orders(orders: DataFrame) -> DataFrame:
-    return profile_table(orders, "orders")
+    """Exact variant — the oracle twin (COUNT(DISTINCT ...) matches SQL)."""
+    return profile_table(orders, "orders", exact=True)
+
+
+def profile_orders_hll(orders: DataFrame) -> DataFrame:
+    """The scale default: HLL distinct counts, no Expand in the plan."""
+    return profile_table(orders, "orders", exact=False)
 
 
 PROFILE_ORDERS_SQL = """

@@ -304,6 +304,47 @@ def collect_items(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def collect_items_flat(lineitem: DataFrame) -> DataFrame:
+    """Driver-hashable twin of ``collect_items``: the same sorted
+    COLLECT(ROW(...)) aggregation, with the struct array flattened to one
+    deterministic string per order (``pid:price:qty`` items joined by "|").
+    The driver's canonicalizer can't hash nested arrays (pandas
+    "unhashable type: list"), so this projection carries the full content
+    of the nested result through an exact cross-engine string compare.
+    Price is pinned to DECIMAL(18,2) text so both engines print identically."""
+    item = F.struct(
+        F.col("l_partkey").alias("product_id"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("quantity"),
+    )
+    as_text = F.transform(
+        F.array_sort(F.collect_list(item)),
+        lambda x: F.concat_ws(
+            ":",
+            x["product_id"].cast("string"),
+            x["price"].cast("decimal(18,2)").cast("string"),
+            x["quantity"].cast("string"),
+        ),
+    )
+    return lineitem.groupBy(F.col("l_orderkey").alias("id")).agg(
+        F.array_join(as_text, "|").alias("order_items"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+COLLECT_ITEMS_FLAT_SQL = """
+SELECT l_orderkey AS id,
+       string_agg(
+         CAST(l_partkey AS VARCHAR) || ':' ||
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) || ':' ||
+         CAST(CAST(l_quantity AS BIGINT) AS VARCHAR),
+         '|' ORDER BY l_partkey, l_extendedprice, CAST(l_quantity AS BIGINT)
+       ) AS order_items,
+       COUNT(*) AS n_items
+FROM lineitem GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Latest-state per key — the batch shape of CDC upsert materialization
 # (SURVEY.md §7: changelog → latest row per PK ordered by ts). Expressed on

@@ -509,6 +509,51 @@ def kmeans_assign(
     return assigned.select("vec_id", "centroid_idx", F.col("cos").alias("cosine"))
 
 
+def kmeans_assign_pinned(
+    embeddings: DataFrame, k: int = N_CENTROIDS, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Driver-hashable oracle twin of ``kmeans_assign``: the Lloyd
+    ASSIGNMENT step against pinned centroids (the embedding rows with
+    vec_id in [n_queries, n_queries+k) — exactly ``kmeans_assign``'s
+    deterministic init, iteration 0). Same physical shape as one k-means
+    iteration — broadcast k centroids, one argmax pass over the corpus —
+    but fully SQL-expressible, so the iterative operator's core kernel
+    gets an exact cross-engine value check."""
+    from flink_streaming_etl_spark.functions import q6, vec_dot
+
+    e = _as_double(embeddings).withColumn("norm", vec_norm_col())
+    cents = (
+        e.filter((F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + k))
+        .select(
+            (F.col("vec_id") - n_queries).alias("centroid_idx"),
+            F.col("v").alias("cv"),
+            F.col("norm").alias("cnorm"),
+        )
+    )
+    cos = q6(vec_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")))
+    scored = e.join(F.broadcast(cents)).withColumn("cos", cos)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_idx"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_idx", F.col("cos").alias("cosine"))
+    )
+
+
+def kmeans_assign_pinned_sql(k: int = N_CENTROIDS, n_queries: int = N_QUERIES) -> str:
+    cos = _COS_SQL.format(a="e.v", b="c.cv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id - {n_queries} AS centroid_idx, v AS cv FROM e
+      WHERE vec_id >= {n_queries} AND vec_id < {n_queries + k}),
+scored AS (SELECT e.vec_id, c.centroid_idx, {cos} AS cos FROM e, c)
+SELECT vec_id, centroid_idx, cos AS cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_idx) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
 def vec_norm_col():
     from flink_streaming_etl_spark.functions import vec_norm
 
@@ -550,6 +595,44 @@ def standardize_by_label(embeddings: DataFrame) -> DataFrame:
     return e.groupBy("label").applyInPandas(
         norm_group, "vec_id long, label int, z array<double>"
     )
+
+
+def standardize_by_label_stats(embeddings: DataFrame) -> DataFrame:
+    """Driver-hashable twin of ``standardize_by_label``: runs the SAME
+    applyInPandas z-score kernel, then projects each z vector to scalars
+    (L2 norm + mean, floor-quantized at 1e-6) so the driver's pandas
+    canonicalizer can hash the result and the oracle can recompute it with
+    per-(label, dim) AVG/STDDEV_POP in SQL."""
+    from flink_streaming_etl_spark.functions import q6
+
+    z = standardize_by_label(embeddings)
+    dim = F.size("z")
+    z_norm = q6(F.sqrt(F.aggregate("z", F.lit(0.0), lambda acc, x: acc + x * x)))
+    z_mean = q6(F.aggregate("z", F.lit(0.0), lambda acc, x: acc + x) / dim)
+    return z.select("vec_id", "label", z_norm.alias("z_norm"), z_mean.alias("z_mean"))
+
+
+STANDARDIZE_BY_LABEL_STATS_SQL = """
+WITH flat AS (
+  SELECT vec_id, label,
+         unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding::DOUBLE[], 1) AS dim
+  FROM embeddings
+),
+stats AS (
+  SELECT label, dim, AVG(x) AS mu,
+         CASE WHEN STDDEV_POP(x) = 0 THEN 1.0 ELSE STDDEV_POP(x) END AS sd
+  FROM flat GROUP BY 1, 2
+),
+z AS (
+  SELECT f.vec_id, f.label, (f.x - s.mu) / s.sd AS zx
+  FROM flat f JOIN stats s ON f.label = s.label AND f.dim = s.dim
+)
+SELECT vec_id, label,
+       floor(sqrt(SUM(zx * zx)) * 1000000.0) / 1000000.0 AS z_norm,
+       floor((SUM(zx) / COUNT(*)) * 1000000.0) / 1000000.0 AS z_mean
+FROM z GROUP BY 1, 2
+"""
 
 
 def planes_for_corpus(n_vectors: int, target_bucket_size: int = 100) -> int:

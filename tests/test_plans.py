@@ -168,3 +168,18 @@ def test_pack_sequences_single_exchange(spark):
     # one key shuffle on lang serves the window cumsum (the loader's
     # round-robin spread is not a key exchange)
     assert p.count("hashpartitioning") == 1, p
+
+
+def test_profile_hll_no_expand(spark):
+    from flink_streaming_etl_spark.operators import analytics
+
+    t = _tables(spark)
+    # Default profile: HLL distinct — an ordinary partial+final agg, no
+    # Expand row fan-out (the multi-column COUNT(DISTINCT) plan multiplies
+    # every input row by #profiled columns before the shuffle).
+    p = plan_of(analytics.profile_orders_hll(t["orders"]))
+    assert "Expand" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+    # The exact oracle twin is allowed (and expected) to Expand.
+    p_exact = plan_of(analytics.profile_orders(t["orders"]))
+    assert "Expand" in p_exact, p_exact
