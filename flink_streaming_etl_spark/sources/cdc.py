@@ -148,7 +148,19 @@ class CdcSource:
     def read_state(self, spark: SparkSession, path: str) -> DataFrame:
         return latest_state(self.read_changelog(spark, path), self.primary_key)
 
-    def stream_changelog(self, spark: SparkSession, path: str) -> DataFrame:
+    def stream_changelog(
+        self, spark: SparkSession, path: str | None = None, topic: str | None = None
+    ) -> DataFrame:
+        """Streaming changelog: file replay by default; the live Kafka
+        connector (the reference's primary data path, README.md:132-150)
+        when ``SPARK_GRAFT_KAFKA=host:9092`` is set — one env var away from
+        live, no code change. Topic defaults to the Debezium convention
+        ``cdc.<table>`` (sample/cdc.orders.change-log-mysql.json)."""
+        bootstrap = os.environ.get("SPARK_GRAFT_KAFKA")
+        if bootstrap:
+            return kafka_changelog(
+                spark, self, bootstrap, topic or f"cdc.{self.name}"
+            )
         raw = (
             spark.readStream.format("text")
             .option("maxFilesPerTrigger", 1)
@@ -186,6 +198,36 @@ def decode_kafka_records(source: CdcSource, records: DataFrame) -> DataFrame:
     )
 
 
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    group_id_prefix: str | None = None,
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The Kafka source option set, as a pure function so the construction
+    is unit-testable without a broker (the jar/broker only enter at
+    ``.load()``). Mirrors the reference's connector options
+    (flink-ddl.sql:12-18 / flink-mongodb.sql:6-14): bootstrap servers,
+    topic subscribe, earliest startup, consumer group."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        # Kafka headers carry Debezium transaction metadata downstream
+        "includeHeaders": "true",
+        # bounded micro-batches: at 100 TB backfill this is the knob that
+        # keeps a batch within executor memory (reference relies on Flink
+        # backpressure; Spark's equivalent is admission control here)
+        "failOnDataLoss": "false",
+    }
+    if group_id_prefix:
+        opts["groupIdPrefix"] = group_id_prefix
+    if max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def kafka_changelog(
     spark: SparkSession,
     source: CdcSource,
@@ -197,14 +239,15 @@ def kafka_changelog(
     `scan.startup.mode='earliest-offset'`, group id, ISO-8601 timestamps).
     The record decoding is `decode_kafka_records` (broker-free tested); this
     wrapper only binds it to the live connector."""
-    records = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
-    return decode_kafka_records(source, records)
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        bootstrap_servers,
+        topic,
+        starting_offsets,
+        group_id_prefix=f"flink-etl-spark-{source.name}",
+    ).items():
+        reader = reader.option(k, v)
+    return decode_kafka_records(source, reader.load())
 
 
 def emit_changelog(
