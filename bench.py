@@ -97,6 +97,12 @@ HEADLINE = [
     "pack_sequences",
     "winsorize_values",
     "rolling_wau",
+    # round-4 driver-hashable twins / scale-default variants
+    "collect_items_flat",
+    "kmeans_assign_pinned",
+    "standardize_by_label_stats",
+    "profile_orders_hll",
+    "sketch_profile_flat",
 ]
 
 

@@ -84,6 +84,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # --- dedup (training-data pipeline) ---
     "dedup_exact": (_q(dedup.dedup_exact, "documents"), dedup.DEDUP_EXACT_SQL),
+    # ROLE BOUNDARY (scale): ngram_jaccard_pairs is the exact blocked-GEMM
+    # VERIFICATION KERNEL — O((n/b)^2) block pairs, correct-by-construction
+    # oracle for small corpora and for scoring candidate pairs. At 100 TB it
+    # must NOT run corpus-wide: the production paths are minhash_lsh_pairs
+    # (LSH candidates -> exact-Jaccard verify, already composed inside) and
+    # ngram_jaccard_pairs_sparse (inverted-index join, cost ∝ true overlap).
     "ngram_jaccard_pairs": (
         _q(dedup.ngram_jaccard_pairs, "documents"),
         dedup.ngram_jaccard_pairs_sql(),
