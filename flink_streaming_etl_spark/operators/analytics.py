@@ -345,8 +345,11 @@ def bigram_top(documents: DataFrame, n: int = 20) -> DataFrame:
         ).alias("p")
     ).select(F.concat_ws(" ", "p.a", "p.b").alias("bigram"))
     counted = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    # top-k via TakeOrderedAndProject (per-partition heap), not a global
+    # window over every distinct bigram; rank window covers only n rows
+    top = counted.orderBy(F.col("cnt").desc(), "bigram").limit(n)
     w = Window.orderBy(F.col("cnt").desc(), F.col("bigram"))
-    return counted.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= n)
+    return top.withColumn("rk", F.row_number().over(w))
 
 
 def bigram_top_sql(n: int = 20) -> str:

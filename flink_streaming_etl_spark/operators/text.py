@@ -266,10 +266,15 @@ def vocab_top_tokens(documents: DataFrame, k: int = 100) -> DataFrame:
         F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
     )
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # Top-k WITHOUT a global window over the vocabulary: orderBy+limit plans
+    # as TakeOrderedAndProject (per-partition k-heap, merge at the driver) —
+    # the distinct-token relation at web scale is billions of rows, so a
+    # row_number over it would single-partition the whole vocab. The rank
+    # window then runs over only k rows.
+    top = counts.orderBy(F.col("n").desc(), "token").limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select(F.col("rank").cast("long").alias("rank"), "token", "n")
     )
 

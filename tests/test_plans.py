@@ -183,3 +183,15 @@ def test_profile_hll_no_expand(spark):
     # The exact oracle twin is allowed (and expected) to Expand.
     p_exact = plan_of(analytics.profile_orders(t["orders"]))
     assert "Expand" in p_exact, p_exact
+
+
+def test_vocab_topk_heap_not_global_window_sort(spark):
+    from flink_streaming_etl_spark.operators import analytics, text
+
+    t = _tables(spark)
+    # top-k over the aggregated vocabulary must be TakeOrderedAndProject
+    # (per-partition heap); the rank window may only run over the k rows
+    # that survive the limit — never over the full distinct-token relation.
+    for df in (text.vocab_top_tokens(t["documents"]), analytics.bigram_top(t["documents"])):
+        p = plan_of(df)
+        assert "TakeOrderedAndProject" in p, p
