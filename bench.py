@@ -103,6 +103,10 @@ HEADLINE = [
     "standardize_by_label_stats",
     "profile_orders_hll",
     "sketch_profile_flat",
+    # round-4 training-pipeline additions
+    "gopher_quality",
+    "span_dedup",
+    "ngram_novelty",
 ]
 
 

@@ -370,6 +370,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         ),
         None,  # stubbed decode (deterministic fake) — not SQL-expressible
     ),
+    # --- round-4 training-pipeline additions ---
+    "gopher_quality": (
+        _q(text.gopher_quality, "documents"),
+        text.gopher_quality_sql(),
+    ),
+    "span_dedup": (
+        _q(text.span_dedup, "documents"),
+        text.span_dedup_sql(),
+    ),
+    "ngram_novelty": (
+        _q(dedup.ngram_novelty, "documents"),
+        dedup.ngram_novelty_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so

@@ -859,3 +859,56 @@ FROM fp d
 WHERE d.doc_id % 2 = 1
   AND NOT EXISTS (SELECT 1 FROM fp c WHERE c.doc_id % 2 = 0 AND c.f = d.f)
 """
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: how much of each document is text the corpus has already
+# seen in EARLIER documents (doc_id order = ingestion order)? The dedup
+# decision's softer sibling — a pretraining mixer keeps high-novelty docs
+# and down-weights near-boilerplate. Scale shape: one shuffle of distinct
+# (shingle, doc_id) rows keyed on shingle for the min-owner aggregation;
+# the ownership join reuses that partitioning (AQE); final per-doc rollup
+# shuffles doc-keyed rows once. Cost ~ corpus shingle count — no pairwise
+# term at any scale.
+
+
+def ngram_novelty(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    sh = _word_shingle_rows(documents, k, distinct=True)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    owned = sh.join(first, "shingle")
+    seen_before = F.sum(
+        F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        owned.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            seen_before.alias("n_seen_before"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_seen_before",
+            q6(F.lit(1.0) - F.col("n_seen_before") / F.col("n_shingles")).alias("novelty"),
+        )
+    )
+
+
+def ngram_novelty_sql(k: int = SHINGLE_K) -> str:
+    nov = q6_sql("(1.0 - n_seen_before / n_shingles::DOUBLE)")
+    return f"""
+WITH {shingle_cte(k)},
+first_owner AS (SELECT shingle, MIN(doc_id) AS first_doc FROM shingles GROUP BY 1),
+owned AS (
+  SELECT s.doc_id, CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END AS seen
+  FROM shingles s JOIN first_owner f ON s.shingle = f.shingle
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_shingles, SUM(seen) AS n_seen_before
+  FROM owned GROUP BY 1
+)
+SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_seen_before AS BIGINT) AS n_seen_before,
+       {nov} AS novelty
+FROM per_doc
+"""

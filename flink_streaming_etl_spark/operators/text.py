@@ -877,3 +877,182 @@ SELECT doc_id, lang, n_tokens, start_offset,
        CAST(FLOOR((start_offset + n_tokens - 1) / {seq_len}.0) AS BIGINT) AS bin_end
 FROM packed
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule battery (Rae et al. 2021 §A1.1, public paper):
+# the cheap structural filters a pretraining pipeline applies before any
+# model-based scoring. Per-row metrics are pure codegen projections; the two
+# distinct-token metrics come from ONE explode+groupBy(doc_id) aggregation
+# (shuffle keyed on doc_id, partial agg map-side) — per-row array_distinct
+# would be O(len^2) per document, which dies on 100k-token docs at 100 TB.
+
+
+def gopher_quality(
+    documents: DataFrame,
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_top_token_frac: float = 0.20,
+) -> DataFrame:
+    text = F.col("text")
+    w = F.split(F.trim("text"), r"\s+")
+    ntok = F.size(w).cast("double")
+    mean_word_len = F.length(F.regexp_replace(text, r"\s+", "")) / ntok
+    symbol_ratio = (
+        F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")) / F.length(text)
+    )
+    per_row = documents.select(
+        "doc_id",
+        ntok.cast("long").alias("n_tokens"),
+        q6(mean_word_len).alias("mean_word_len"),
+        q6(symbol_ratio).alias("symbol_ratio"),
+    )
+    tok_stats = (
+        documents.select("doc_id", F.explode(w).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+            F.max("c").cast("long").alias("top_token_n"),
+        )
+    )
+    joined = per_row.join(tok_stats, "doc_id")
+    top_frac = q6(F.col("top_token_n") / F.col("n_tokens"))
+    keep = (
+        F.col("n_tokens").between(min_tokens, max_tokens)
+        & F.col("mean_word_len").between(min_word_len, max_word_len)
+        & (F.col("symbol_ratio") < max_symbol_ratio)
+        & (top_frac < max_top_token_frac)
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "symbol_ratio",
+        "n_distinct_tokens",
+        top_frac.alias("top_token_frac"),
+        keep.alias("keep"),
+    )
+
+
+def gopher_quality_sql(
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_top_token_frac: float = 0.20,
+) -> str:
+    ntok = r"len(string_split_regex(trim(text), '\s+'))::DOUBLE"
+    mwl = q6_sql(rf"(length(regexp_replace(text, '\s+', '', 'g')) / {ntok})")
+    sym = q6_sql(r"(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE / length(text))")
+    tf = q6_sql("(t.top_token_n / p.n_tokens)")
+    return rf"""
+WITH per_row AS (
+  SELECT doc_id,
+         CAST({ntok} AS BIGINT) AS n_tokens,
+         {mwl} AS mean_word_len,
+         {sym} AS symbol_ratio
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+),
+counts AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+tok_stats AS (
+  SELECT doc_id, COUNT(*) AS n_distinct_tokens, MAX(c) AS top_token_n
+  FROM counts GROUP BY 1
+)
+SELECT p.doc_id, p.n_tokens, p.mean_word_len, p.symbol_ratio,
+       CAST(t.n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+       {tf} AS top_token_frac,
+       (p.n_tokens BETWEEN {min_tokens} AND {max_tokens}
+        AND p.mean_word_len BETWEEN {min_word_len} AND {max_word_len}
+        AND p.symbol_ratio < {max_symbol_ratio}
+        AND {tf} < {max_top_token_frac}) AS keep
+FROM per_row p JOIN tok_stats t ON p.doc_id = t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# C4-style boilerplate span removal: any fixed-width token span whose
+# normalized content appears in >= min_docs DISTINCT documents is corpus
+# boilerplate (navigation chrome, license headers, templated text); rebuild
+# each document from its surviving spans. Scale shape: span rows shuffle
+# once on the span key for the distinct-doc count, the filter join reuses
+# that partitioning, and reassembly is one groupBy(doc_id) with an ordered
+# collect — cost ~ corpus token count, no quadratic term. The span relation
+# with counts is NOT broadcast (at web scale it rivals the corpus); the
+# shuffle join is the honest plan.
+
+
+def span_dedup(
+    documents: DataFrame, span_tokens: int = 4, min_docs: int = 2
+) -> DataFrame:
+    spans = chunk_documents(documents, chunk=span_tokens, stride=span_tokens).select(
+        "doc_id", "chunk_idx", "chunk_text"
+    )
+    shared = (
+        spans.groupBy("chunk_text")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("chunk_text")
+    )
+    kept = spans.join(shared, "chunk_text", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_spans_kept"),
+    )
+    totals = spans.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_spans"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_spans_kept", F.lit(0)).alias("n_spans_kept"),
+            (F.col("n_spans") - F.coalesce("n_spans_kept", F.lit(0))).alias("n_spans_dropped"),
+        )
+    )
+
+
+def span_dedup_sql(span_tokens: int = 4, min_docs: int = 2) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), starts AS (
+  SELECT doc_id, w, UNNEST(range(0, len(w), {span_tokens})) AS start FROM toks
+), spans AS (
+  SELECT doc_id,
+         CAST(start / {span_tokens} AS BIGINT) AS chunk_idx,
+         array_to_string(list_slice(w, start + 1, start + {span_tokens}), ' ') AS chunk_text
+  FROM starts
+),
+shared AS (
+  SELECT chunk_text FROM spans GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= {min_docs}
+),
+kept AS (
+  SELECT s.* FROM spans s ANTI JOIN shared sh ON s.chunk_text = sh.chunk_text
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text,
+         COUNT(*) AS n_spans_kept
+  FROM kept GROUP BY 1
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY 1)
+SELECT t.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(COALESCE(r.n_spans_kept, 0) AS BIGINT) AS n_spans_kept,
+       CAST(t.n_spans - COALESCE(r.n_spans_kept, 0) AS BIGINT) AS n_spans_dropped
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
