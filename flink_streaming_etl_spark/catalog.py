@@ -171,16 +171,42 @@ class JdbcCatalog:
         self.username = username
         self.password = password
 
-    def _jdbc_options(self, table: str) -> dict[str, str]:
-        return {
+    def _jdbc_options(
+        self,
+        table: str,
+        partition_column: str | None = None,
+        num_partitions: int | None = None,
+        bounds: tuple[int, int] | None = None,
+        fetchsize: int = 10_000,
+    ) -> dict[str, str]:
+        """Option set for `spark.read.format("jdbc")` (pure function —
+        connection only happens at `.load()`). Mirrors the reference's
+        connector block (flink-ddl.sql:84-94: driver/url/user/password/
+        table-name). The partitioning options are the scale knob Flink's
+        lookup cache never needed: a full-dimension snapshot at 100 TB
+        scale must read in parallel ranges, not one executor."""
+        opts = {
             "url": f"{self.base_url}/{self.default_database}",
             "dbtable": table,
             "user": self.username,
             "password": self.password,
+            "fetchsize": str(fetchsize),
         }
+        if partition_column and num_partitions and bounds:
+            opts.update(
+                partitionColumn=partition_column,
+                numPartitions=str(num_partitions),
+                lowerBound=str(bounds[0]),
+                upperBound=str(bounds[1]),
+            )
+        return opts
 
-    def load(self, spark: SparkSession, table: str) -> DataFrame:
-        return spark.read.format("jdbc").options(**self._jdbc_options(table)).load()
+    def load(self, spark: SparkSession, table: str, **partition_kwargs) -> DataFrame:
+        return (
+            spark.read.format("jdbc")
+            .options(**self._jdbc_options(table, **partition_kwargs))
+            .load()
+        )
 
 
 class CatalogManager:
@@ -239,3 +265,31 @@ class TtlDimensionCache:
     def join(self, stream_df: DataFrame, on: list[str] | str, how: str = "inner") -> DataFrame:
         """Enrichment join against the (broadcast) cached dimension."""
         return stream_df.join(F.broadcast(self.snapshot()), on=on, how=how)
+
+
+def dimension_cache_from_env(
+    spark: SparkSession,
+    table: str,
+    fallback_loader: Callable[[], DataFrame],
+    ttl_seconds: float = 10.0,
+    max_retries: int = 3,
+) -> TtlDimensionCache:
+    """The live-JDBC dimension path, one env var away (same pattern as the
+    Kafka branch in `CdcSource.stream_changelog`): with
+    ``SPARK_GRAFT_JDBC_URL=jdbc:mysql://host:3306`` set, the TTL cache
+    re-reads the dimension from the live database each refresh
+    (reference's lookup table, flink-ddl.sql:79-94); otherwise the given
+    fallback loader (parquet fixture) serves snapshots. DB name, user and
+    password come from SPARK_GRAFT_JDBC_{DB,USER,PASSWORD}."""
+    url = os.environ.get("SPARK_GRAFT_JDBC_URL")
+    if url:
+        cat = JdbcCatalog(
+            url,
+            os.environ.get("SPARK_GRAFT_JDBC_DB", "crm"),
+            os.environ.get("SPARK_GRAFT_JDBC_USER", "root"),
+            os.environ.get("SPARK_GRAFT_JDBC_PASSWORD", ""),
+        )
+        return TtlDimensionCache(
+            lambda: cat.load(spark, table), ttl_seconds, max_retries
+        )
+    return TtlDimensionCache(fallback_loader, ttl_seconds, max_retries)

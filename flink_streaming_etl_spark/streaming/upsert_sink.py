@@ -176,3 +176,76 @@ class BucketPartitionedSink(KeyedParquetSink):
         present = {r["_bucket"] for r in merged.select("_bucket").distinct().collect()}
         for b in set(touched) - present:
             shutil.rmtree(os.path.join(self.path, f"_bucket={b}"), ignore_errors=True)
+
+
+def es_sink_options(
+    index: str,
+    primary_key: list[str] | str,
+    nodes: str,
+) -> dict[str, str]:
+    """Option set for the LIVE Elasticsearch-7 sink (the ES-Hadoop Spark
+    connector, `org.elasticsearch.spark.sql` format) as a pure function —
+    broker-free testable; the connector jar/cluster only enter at
+    `.save()`/`.start()`. Reproduces the reference's sink semantics
+    (flink-ddl.sql:96-109): PK-keyed upsert into a named index, several
+    queries allowed to share one index (each upserting its own fields —
+    `merge` in ES terms, hence write.operation=upsert not index)."""
+    pk = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+    opts = {
+        "es.nodes": nodes,
+        "es.resource": index,
+        # upsert (partial document): several queries sharing one index each
+        # update only their own fields instead of clobbering the document —
+        # the reference's shared order_view index behavior
+        "es.write.operation": "upsert",
+        "es.mapping.id": ",".join(pk),
+    }
+    return opts
+
+
+class EsUpsertSink:
+    """Live-ES twin of :class:`KeyedParquetSink`, selected by
+    ``SPARK_GRAFT_ES_NODES`` (see :func:`upsert_sink_from_env`): same
+    `merge(batch, deletes)` surface, but each call writes the batch as an
+    ES upsert (delete propagation via the connector's delete operation).
+    Construction and option wiring are sandbox-testable; the actual write
+    needs the es-hadoop jar + cluster, so `merge` is live-only."""
+
+    def __init__(self, spark: SparkSession, index: str, primary_key: list[str] | str,
+                 nodes: str):
+        self.spark = spark
+        self.index = index
+        self.primary_key = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+        self.nodes = nodes
+
+    def options(self) -> dict[str, str]:
+        return es_sink_options(self.index, self.primary_key, self.nodes)
+
+    def merge(self, batch: DataFrame, deletes: DataFrame | None = None) -> None:
+        writer = batch.write.format("org.elasticsearch.spark.sql").mode("append")
+        for k, v in self.options().items():
+            writer = writer.option(k, v)
+        writer.save()
+        if deletes is not None and deletes.count() > 0:
+            d = deletes.write.format("org.elasticsearch.spark.sql").mode("append")
+            for k, v in self.options().items():
+                d = d.option(k, v)
+            d.option("es.write.operation", "delete").save()
+
+
+def upsert_sink_from_env(
+    spark: SparkSession,
+    path: str,
+    primary_key: list[str] | str,
+    index: str | None = None,
+):
+    """Sink factory, one env var away from live (same pattern as the Kafka
+    and JDBC branches): ``SPARK_GRAFT_ES_NODES=host:9200`` routes merges to
+    the live Elasticsearch cluster; otherwise the parquet-backed stand-in
+    serves the identical merge surface."""
+    nodes = os.environ.get("SPARK_GRAFT_ES_NODES")
+    if nodes:
+        return EsUpsertSink(
+            spark, index or os.path.basename(os.fspath(path)), primary_key, nodes
+        )
+    return KeyedParquetSink(spark, path, primary_key)

@@ -334,3 +334,73 @@ def test_bucket_partitioned_sink_touches_only_batch_buckets(spark, tmp_path):
     sink.merge(spark.createDataFrame([], "id string, v double"), deletes=victims)
     assert not os.path.exists(os.path.join(path, "_bucket=0"))
     assert len(sink.read().collect()) == 65 - n_victims
+
+
+def test_jdbc_options_construction_and_partitioned_scan():
+    """S3/S4 live path, connection-free: the JDBC option set mirrors the
+    reference's connector block (flink-ddl.sql:84-94) and exposes the
+    parallel-range scan knobs a full-dimension snapshot needs at scale."""
+    from flink_streaming_etl_spark.catalog import JdbcCatalog
+
+    cat = JdbcCatalog("jdbc:mysql://mysql:3306", "crm", "root", "debezium")
+    opts = cat._jdbc_options("users")
+    assert opts["url"] == "jdbc:mysql://mysql:3306/crm"
+    assert opts["dbtable"] == "users"
+    assert opts["user"] == "root" and opts["password"] == "debezium"
+    assert opts["fetchsize"] == "10000"
+    popts = cat._jdbc_options(
+        "users", partition_column="id", num_partitions=16, bounds=(0, 1_000_000)
+    )
+    assert popts["partitionColumn"] == "id"
+    assert popts["numPartitions"] == "16"
+    assert (popts["lowerBound"], popts["upperBound"]) == ("0", "1000000")
+
+
+def test_dimension_cache_env_flag_routes_to_jdbc(spark, monkeypatch):
+    """SPARK_GRAFT_JDBC_URL selects the live-JDBC loader; unset, the
+    fallback loader serves snapshots (the .load() boundary is stubbed —
+    driver/database stay out of sandbox)."""
+    import flink_streaming_etl_spark.catalog as cat_mod
+    from flink_streaming_etl_spark.catalog import dimension_cache_from_env
+
+    fallback = spark.createDataFrame([(1, "a")], "id long, name string")
+    cache = dimension_cache_from_env(spark, "users", lambda: fallback)
+    assert cache.snapshot() is fallback
+
+    seen = {}
+
+    def fake_load(self, sp, table, **kw):
+        seen.update(url=self.base_url, db=self.default_database, table=table)
+        return fallback
+
+    monkeypatch.setenv("SPARK_GRAFT_JDBC_URL", "jdbc:mysql://db:3306")
+    monkeypatch.setenv("SPARK_GRAFT_JDBC_DB", "crm")
+    monkeypatch.setattr(cat_mod.JdbcCatalog, "load", fake_load)
+    cache2 = dimension_cache_from_env(spark, "users", lambda: fallback)
+    assert cache2.snapshot() is fallback
+    assert seen == {"url": "jdbc:mysql://db:3306", "db": "crm", "table": "users"}
+
+
+def test_es_sink_options_and_env_factory(spark, monkeypatch, tmp_path):
+    """S5 live path: ES connector option construction (PK document id,
+    upsert operation, shared-index safe) and the env-flag sink factory."""
+    from flink_streaming_etl_spark.streaming.upsert_sink import (
+        EsUpsertSink,
+        KeyedParquetSink,
+        es_sink_options,
+        upsert_sink_from_env,
+    )
+
+    opts = es_sink_options("order_view", "id", "es-host:9200")
+    assert opts["es.nodes"] == "es-host:9200"
+    assert opts["es.resource"] == "order_view"
+    assert opts["es.write.operation"] == "upsert"
+    assert opts["es.mapping.id"] == "id"
+    assert es_sink_options("x", ["a", "b"], "h")["es.mapping.id"] == "a,b"
+
+    sink = upsert_sink_from_env(spark, str(tmp_path / "order_view"), "id")
+    assert isinstance(sink, KeyedParquetSink)
+    monkeypatch.setenv("SPARK_GRAFT_ES_NODES", "es-host:9200")
+    live = upsert_sink_from_env(spark, str(tmp_path / "order_view"), "id")
+    assert isinstance(live, EsUpsertSink)
+    assert live.index == "order_view" and live.options()["es.nodes"] == "es-host:9200"
