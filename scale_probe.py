@@ -60,6 +60,12 @@ PROBES = [
     "funnel_stages",
     "cohort_retention",
     "normalize_text",
+    # round-4 additions
+    "profile_orders_hll",
+    "vocab_top_tokens",
+    "gopher_quality",
+    "span_dedup",
+    "ngram_novelty",
 ]
 
 

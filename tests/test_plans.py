@@ -195,3 +195,22 @@ def test_vocab_topk_heap_not_global_window_sort(spark):
     for df in (text.vocab_top_tokens(t["documents"]), analytics.bigram_top(t["documents"])):
         p = plan_of(df)
         assert "TakeOrderedAndProject" in p, p
+
+
+def test_round4_training_ops_plan_shapes(spark):
+    from flink_streaming_etl_spark.operators import dedup as dd
+    from flink_streaming_etl_spark.operators import text as tx
+
+    t = _tables(spark)
+    # gopher_quality: doc-keyed equi-join of per-row metrics with the
+    # distinct-token agg — partial+final agg, no nested-loop anywhere
+    p = plan_of(tx.gopher_quality(t["documents"]))
+    assert p.count("HashAggregate") >= 2, p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    # span_dedup: span-keyed anti join + ordered reassembly — equi-joins only
+    p = plan_of(tx.span_dedup(t["documents"]))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    # ngram_novelty: shingle-keyed min-owner agg + equi-join, partial+final
+    p = plan_of(dd.ngram_novelty(t["documents"]))
+    assert p.count("HashAggregate") >= 2, p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
