@@ -248,3 +248,61 @@ def test_planes_for_corpus_dial():
     # invariant: doubling the corpus never adds more than one plane
     for n in [1000, 5000, 20000, 100000]:
         assert planes_for_corpus(2 * n) <= planes_for_corpus(n) + 1
+
+
+def test_span_dedup_identity_when_no_sharing(spark):
+    """With min_docs above the corpus size nothing is boilerplate: every
+    document reconstructs exactly (span reassembly is lossless — the
+    whitespace-normalized original text)."""
+    from flink_streaming_etl_spark.catalog import load_tables
+    from flink_streaming_etl_spark.operators.text import span_dedup
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE, register=False)["documents"]
+    out = span_dedup(docs, span_tokens=4, min_docs=10**9)
+    norm = docs.select(
+        "doc_id", F.regexp_replace(F.trim("text"), r"\s+", " ").alias("norm")
+    )
+    bad = (
+        out.join(norm, "doc_id")
+        .filter((F.col("clean_text") != F.col("norm")) | (F.col("n_spans_dropped") != 0))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_ngram_novelty_bounds_and_first_doc(spark):
+    """The earliest document owns all its shingles (novelty 1.0); novelty
+    is always within [0, 1]; n_seen_before never exceeds n_shingles."""
+    from flink_streaming_etl_spark.catalog import load_tables
+    from flink_streaming_etl_spark.operators.dedup import ngram_novelty
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE, register=False)["documents"]
+    nov = ngram_novelty(docs).cache()
+    first_id = docs.agg(F.min("doc_id")).collect()[0][0]
+    first = nov.filter(F.col("doc_id") == first_id).collect()[0]
+    assert first["novelty"] == 1.0 and first["n_seen_before"] == 0
+    assert nov.filter((F.col("novelty") < 0) | (F.col("novelty") > 1)).count() == 0
+    assert nov.filter(F.col("n_seen_before") > F.col("n_shingles")).count() == 0
+
+
+def test_gopher_quality_keep_consistent_with_metrics(spark):
+    """`keep` must be exactly the conjunction of the published thresholds
+    over the returned metric columns — no hidden state."""
+    from flink_streaming_etl_spark.catalog import load_tables
+    from flink_streaming_etl_spark.operators.text import gopher_quality
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE, register=False)["documents"]
+    g = gopher_quality(docs)
+    recomputed = (
+        F.col("n_tokens").between(30, 100_000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("top_token_frac") < 0.20)
+    )
+    assert g.filter(F.col("keep") != recomputed).count() == 0
