@@ -107,6 +107,7 @@ HEADLINE = [
     "gopher_quality",
     "span_dedup",
     "ngram_novelty",
+    "cumulate_event_stats",
 ]
 
 

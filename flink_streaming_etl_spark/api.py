@@ -383,6 +383,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(dedup.ngram_novelty, "documents"),
         dedup.ngram_novelty_sql(),
     ),
+    "cumulate_event_stats": (
+        # Flink SQL's CUMULATE windowing TVF (tumble/hop/session complete it)
+        _q(windows.cumulate_event_stats, "events"),
+        windows.cumulate_event_stats_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so

@@ -172,3 +172,90 @@ def session_windows_stream(
             "n_events",
         )
     )
+
+
+CUMULATE_MAX_MINUTES = 60
+CUMULATE_STEP_MINUTES = 15
+
+
+def cumulate_event_stats(
+    events: DataFrame,
+    max_minutes: int = CUMULATE_MAX_MINUTES,
+    step_minutes: int = CUMULATE_STEP_MINUTES,
+) -> DataFrame:
+    """Flink SQL's CUMULATE window (the third windowing TVF next to TUMBLE/
+    HOP): windows share a start at the max-size boundary and grow by `step`
+    — an event at ts lands in every window of its hour whose end exceeds
+    ts, giving early partial results that converge to the tumbling total.
+    Spark has no native cumulate; the fan-out is explicit: per row,
+    generate the (few) window ends it belongs to, then one partial+final
+    agg on (window_start, window_end, key). Row fan-out ≤ max/step (here
+    4), before the shuffle — same cost envelope as the hop decomposition.
+
+    Invariant (tested): the last cumulate slice (window_end = start + max)
+    equals the tumbling aggregate of the same hour."""
+    assert max_minutes % step_minutes == 0
+    n_steps = max_minutes // step_minutes
+    step_s = step_minutes * 60
+    max_s = max_minutes * 60
+    # NTZ-safe epoch seconds (UTC session tz pinned in tune_session)
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    hour_start = (ts_s - ts_s % max_s).cast("long")
+    first_k = ((ts_s - hour_start) / step_s).cast("long") + 1
+    ks = F.sequence(first_k, F.lit(n_steps))
+    fanned = events.select(
+        "event_type",
+        F.col("value"),
+        hour_start.alias("w_start_s"),
+        F.explode(ks).alias("k"),
+    )
+    return (
+        fanned.groupBy("w_start_s", "k", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w_start_s").cast("timestamp"), _TS_FMT).alias("window_start"),
+            F.date_format(
+                (F.col("w_start_s") + F.col("k") * step_s).cast("timestamp"), _TS_FMT
+            ).alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def cumulate_event_stats_sql(
+    max_minutes: int = CUMULATE_MAX_MINUTES,
+    step_minutes: int = CUMULATE_STEP_MINUTES,
+) -> str:
+    n_steps = max_minutes // step_minutes
+    step_s = step_minutes * 60
+    max_s = max_minutes * 60
+    return f"""
+WITH secs AS (
+  -- floor, not ::BIGINT: DuckDB's double->int cast rounds half-up, which
+  -- would shift events with >=0.5s fractional seconds into the next second
+  -- (Spark's timestamp->long cast truncates)
+  SELECT event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+),
+base AS (
+  SELECT event_type, value,
+         ts_s - ts_s % {max_s} AS w_start_s,
+         CAST(floor((ts_s % {max_s}) / {step_s}) AS BIGINT) + 1 AS first_k
+  FROM secs
+),
+fanned AS (
+  SELECT event_type, value, w_start_s, k
+  FROM base, UNNEST(range(first_k, {n_steps} + 1)) AS t(k)
+)
+SELECT strftime(to_timestamp(w_start_s), '{_TS_FMT_SQL}') AS window_start,
+       strftime(to_timestamp(w_start_s + k * {step_s}), '{_TS_FMT_SQL}') AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM fanned
+GROUP BY 1, 2, 3
+"""

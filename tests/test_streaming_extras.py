@@ -404,3 +404,22 @@ def test_es_sink_options_and_env_factory(spark, monkeypatch, tmp_path):
     live = upsert_sink_from_env(spark, str(tmp_path / "order_view"), "id")
     assert isinstance(live, EsUpsertSink)
     assert live.index == "order_view" and live.options()["es.nodes"] == "es-host:9200"
+
+
+def test_cumulate_last_slice_equals_tumbling(spark):
+    """CUMULATE semantics: the final slice of each hour (window_end =
+    window_start + max) must equal the 1-hour tumbling aggregate — the
+    growing windows converge to the tumble total."""
+    from flink_streaming_etl_spark.catalog import load_tables
+    from flink_streaming_etl_spark.operators import windows as W
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    events = load_tables(spark, SF_SMOKE, register=False)["events"]
+    cum = W.cumulate_event_stats(events)
+    last = cum.filter(
+        F.to_timestamp("window_end") == F.to_timestamp("window_start") + F.expr("INTERVAL 1 HOUR")
+    ).select("window_start", "event_type", "n_events", "sum_value")
+    tumble = W.windowed_event_stats(events)
+    assert last.exceptAll(tumble).count() == 0
+    assert tumble.exceptAll(last).count() == 0
