@@ -259,3 +259,48 @@ SELECT strftime(to_timestamp(w_start_s), '{_TS_FMT_SQL}') AS window_start,
 FROM fanned
 GROUP BY 1, 2, 3
 """
+
+
+def cumulate_event_stats_stream(
+    events: DataFrame,
+    watermark: str = "30 minutes",
+    max_minutes: int = CUMULATE_MAX_MINUTES,
+    step_minutes: int = CUMULATE_STEP_MINUTES,
+) -> DataFrame:
+    """Streaming twin of ``cumulate_event_stats``. The fan-out is stateless
+    (explode before the aggregation), so the same formulation streams: to
+    satisfy append-mode eviction the hour bucket is expressed as a native
+    `window("ts", max)` group (watermark-aware), with the slice index `k`
+    as an ordinary grouping column — state per key is one partial aggregate,
+    retired when the watermark passes the hour."""
+    assert max_minutes % step_minutes == 0
+    n_steps = max_minutes // step_minutes
+    step_s = step_minutes * 60
+    max_s = max_minutes * 60
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    first_k = ((ts_s % max_s) / step_s).cast("long") + 1
+    fanned = events.withWatermark("ts", watermark).select(
+        "ts",
+        "event_type",
+        "value",
+        F.explode(F.sequence(first_k, F.lit(n_steps))).alias("k"),
+    )
+    return (
+        fanned.groupBy(
+            F.window("ts", f"{max_minutes} minutes").alias("w"), "k", "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
+            F.date_format(
+                (F.col("w.start").cast("long") + F.col("k") * step_s).cast("timestamp"),
+                _TS_FMT,
+            ).alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

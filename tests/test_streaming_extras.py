@@ -423,3 +423,52 @@ def test_cumulate_last_slice_equals_tumbling(spark):
     tumble = W.windowed_event_stats(events)
     assert last.exceptAll(tumble).count() == 0
     assert tumble.exceptAll(last).count() == 0
+
+
+def test_cumulate_streaming_equals_batch(spark, tmp_path):
+    """The streaming cumulate (native hour window + slice-index group)
+    emits the batch cumulate result once the source drains, modulo
+    watermark-held trailing windows."""
+    from flink_streaming_etl_spark.catalog import load_tables
+    from flink_streaming_etl_spark.operators import windows as W
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    events = load_tables(spark, SF_SMOKE, register=False)["events"].limit(2000).cache()
+    src_dir = tmp_path / "events_json"
+    events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "event_type",
+        "value",
+    ).coalesce(1).write.json(str(src_dir))
+    stream = (
+        spark.readStream.schema("event_id long, ts string, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src_dir))
+        .withColumn("ts", F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    )
+    q = (
+        W.cumulate_event_stats_stream(stream, watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    key = lambda r: (r["window_start"], r["window_end"], r["event_type"])  # noqa: E731
+    got = {key(r): (r["n_events"], r["sum_value"])
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    want = {key(r): (r["n_events"], r["sum_value"])
+            for r in W.cumulate_event_stats(events).collect()}
+    assert got, "streaming cumulate emitted nothing"
+    assert set(got) <= set(want)
+    for k, v in got.items():
+        assert v == want[k], k
+    # at most the trailing hour's slices held back per event_type
+    n_types = len({k[2] for k in want})
+    n_steps = W.CUMULATE_MAX_MINUTES // W.CUMULATE_STEP_MINUTES
+    assert len(got) >= len(want) - 2 * n_steps * n_types
