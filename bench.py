@@ -108,6 +108,7 @@ HEADLINE = [
     "span_dedup",
     "ngram_novelty",
     "cumulate_event_stats",
+    "hopping_event_stats_decomposed",
 ]
 
 

@@ -388,6 +388,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(windows.cumulate_event_stats, "events"),
         windows.cumulate_event_stats_sql(),
     ),
+    "hopping_event_stats_decomposed": (
+        # pane-based hop: fan-out on the pane relation, not raw rows — the
+        # scale path; must equal hopping_event_stats (same oracle)
+        _q(windows.hopping_event_stats_decomposed, "events"),
+        windows.HOPPING_EVENT_STATS_SQL,
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so

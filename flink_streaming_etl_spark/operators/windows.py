@@ -90,6 +90,43 @@ FROM hops GROUP BY 1, 2
 """
 
 
+def hopping_event_stats_decomposed(events: DataFrame) -> DataFrame:
+    """The pane-based decomposition of ``hopping_event_stats`` — the scale
+    path the hop docstring names: aggregate each 30-minute PANE once (panes
+    = gcd(size, slide) tumbling buckets, a plain partial+final agg over the
+    raw rows with NO fan-out), then fan each pane out to the ≤ size/slide
+    windows containing it and merge. The ×(size/slide) row multiplication
+    moves from the raw event stream to the pane relation (|panes| ≈
+    #buckets × #keys — bounded by time, not data), so at 100 TB the big
+    scan aggregates exactly once. Output ≡ ``hopping_event_stats`` (same
+    registry oracle; equivalence also pinned in tests)."""
+    pane_s = 30 * 60
+    panes = (
+        events.groupBy(F.window("ts", "30 minutes").alias("p"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("p.start").cast("timestamp").cast("long").alias("pane_s"),
+            "event_type",
+            "n",
+        )
+    )
+    fanned = panes.select(
+        "event_type",
+        "n",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("k"),
+        (F.col("pane_s") - F.col("k") * pane_s).alias("w_start_s"),
+    )
+    return (
+        fanned.groupBy("w_start_s", "event_type")
+        .agg(F.sum("n").cast("long").alias("n_events"))
+        .select(
+            F.date_format(F.col("w_start_s").cast("timestamp"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 SESSION_GAP_MINUTES = 30
 
 

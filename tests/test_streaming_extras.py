@@ -472,3 +472,16 @@ def test_cumulate_streaming_equals_batch(spark, tmp_path):
     n_types = len({k[2] for k in want})
     n_steps = W.CUMULATE_MAX_MINUTES // W.CUMULATE_STEP_MINUTES
     assert len(got) >= len(want) - 2 * n_steps * n_types
+
+
+def test_hopping_decomposed_equals_direct(spark):
+    """Pane decomposition is an algebraic rewrite: identical output to the
+    direct hop aggregation on the same input."""
+    from flink_streaming_etl_spark.catalog import load_tables
+    from flink_streaming_etl_spark.operators import windows as W
+    from tests.conftest import SF_SMOKE
+
+    events = load_tables(spark, SF_SMOKE, register=False)["events"]
+    a = W.hopping_event_stats(events)
+    b = W.hopping_event_stats_decomposed(events)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
