@@ -109,6 +109,7 @@ HEADLINE = [
     "ngram_novelty",
     "cumulate_event_stats",
     "hopping_event_stats_decomposed",
+    "curated_corpus_v2",
 ]
 
 

@@ -394,6 +394,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(windows.hopping_event_stats_decomposed, "events"),
         windows.HOPPING_EVENT_STATS_SQL,
     ),
+    "curated_corpus_v2": (
+        # round-4 curation composition: gopher filter + span-cleaned text +
+        # novelty mixing weight, one job
+        _q(text.curated_corpus_v2, "documents"),
+        text.curated_corpus_v2_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so

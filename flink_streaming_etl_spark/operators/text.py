@@ -1056,3 +1056,52 @@ SELECT t.doc_id,
        CAST(t.n_spans - COALESCE(r.n_spans_kept, 0) AS BIGINT) AS n_spans_dropped
 FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 """
+
+
+def curated_corpus_v2(documents: DataFrame) -> DataFrame:
+    """Round-4 curation composition — the shape a real pretraining job runs
+    as ONE Spark job: Gopher structural filters decide keep/drop, span-level
+    boilerplate removal rewrites the text, and n-gram novelty rides along as
+    a mixing weight (no arbitrary threshold — the sampler downstream owns
+    that decision). All three stages share the documents scan; Catalyst
+    reuses the span/shingle shuffles where possible, and each piece is
+    independently oracle-checked, so this entry pins the COMPOSITION
+    (joins on doc_id, column provenance) against one SQL statement."""
+    from flink_streaming_etl_spark.operators.dedup import ngram_novelty
+
+    keep = gopher_quality(documents).filter(F.col("keep")).select("doc_id")
+    cleaned = span_dedup(documents).select("doc_id", "clean_text", "n_spans_dropped")
+    weight = ngram_novelty(documents).select("doc_id", "novelty")
+    return (
+        documents.join(keep, "doc_id")
+        .join(cleaned, "doc_id")
+        .join(weight, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("clean_text").alias("text"),
+            F.size(F.split(F.trim("clean_text"), r"\s+")).cast("long").alias("n_tokens"),
+            "n_spans_dropped",
+            F.col("novelty").alias("mix_weight"),
+        )
+    )
+
+
+def curated_corpus_v2_sql() -> str:
+    from flink_streaming_etl_spark.operators.dedup import ngram_novelty_sql
+
+    return rf"""
+WITH g AS ({gopher_quality_sql()}),
+sd AS ({span_dedup_sql()}),
+nov AS ({ngram_novelty_sql()})
+SELECT d.doc_id, d.lang, d.source,
+       sd.clean_text AS text,
+       CAST(len(string_split_regex(trim(sd.clean_text), '\s+')) AS BIGINT) AS n_tokens,
+       sd.n_spans_dropped,
+       nov.novelty AS mix_weight
+FROM documents d
+JOIN g ON d.doc_id = g.doc_id AND g.keep
+JOIN sd ON d.doc_id = sd.doc_id
+JOIN nov ON d.doc_id = nov.doc_id
+"""
