@@ -65,6 +65,13 @@ def tune_session(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # Runtime bloom-filter join pruning: when one join side carries a
+    # selective filter, Catalyst builds a bloom filter of its keys and
+    # pushes `might_contain` into the other side's scan — rows that can't
+    # join die before the shuffle. At cluster scale this triggers on its
+    # own (the application side easily clears the 10 GB scan threshold);
+    # the conf here only confirms the feature is on.
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     # Read parquet timestamp[us]-without-timezone as TIMESTAMP (session tz,
     # pinned UTC above), not TIMESTAMP_NTZ: Spark 4.x's NTZ inference makes
     # epoch functions (unix_micros/unix_timestamp/to_unix_timestamp) fail at

@@ -214,3 +214,31 @@ def test_round4_training_ops_plan_shapes(spark):
     p = plan_of(dd.ngram_novelty(t["documents"]))
     assert p.count("HashAggregate") >= 2, p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """The 100 TB lever for selective fact-fact joins: Catalyst builds a
+    bloom filter from the filtered side's keys and pushes `might_contain`
+    into the big side's scan, killing non-joining rows BEFORE the shuffle.
+    Local data is far below the 10 GB application-side threshold, so the
+    test lowers it to prove the shape; at cluster scale it triggers
+    untouched (tune_session keeps the feature enabled)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        t = _tables(spark)
+        o = t["orders"].filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+        j = t["lineitem"].join(o, t["lineitem"].l_orderkey == o.o_orderkey)
+        p = plan_of(j)
+        assert "might_contain" in p, p
+        assert "bloom_filter_agg" in p, p
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
