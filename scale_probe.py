@@ -66,6 +66,9 @@ PROBES = [
     "gopher_quality",
     "span_dedup",
     "ngram_novelty",
+    "cumulate_event_stats",
+    "hopping_event_stats_decomposed",
+    "curated_corpus_v2",
 ]
 
 

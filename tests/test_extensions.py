@@ -306,3 +306,46 @@ def test_gopher_quality_keep_consistent_with_metrics(spark):
         & (F.col("top_token_frac") < 0.20)
     )
     assert g.filter(F.col("keep") != recomputed).count() == 0
+
+
+def test_span_dedup_removes_shared_span_only(spark):
+    """Constructed case: two docs share one exact 4-token span; all other
+    spans are unique. The shared span must vanish from BOTH docs; every
+    unique span must survive verbatim."""
+    from flink_streaming_etl_spark.operators.text import span_dedup
+
+    shared = "alpha beta gamma delta"
+    rows = [
+        (1, f"{shared} one two three four", "en", "s", 0),
+        (2, f"five six seven eight {shared}", "en", "s", 0),
+        (3, "nine ten eleven twelve", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in span_dedup(docs, span_tokens=4, min_docs=2).collect()}
+    assert out[1]["clean_text"] == "one two three four"
+    assert out[2]["clean_text"] == "five six seven eight"
+    assert out[1]["n_spans_dropped"] == 1 and out[2]["n_spans_dropped"] == 1
+    assert out[3]["clean_text"] == "nine ten eleven twelve"
+    assert out[3]["n_spans_dropped"] == 0
+
+
+def test_cumulate_slices_monotone(spark):
+    """Within one (hour, event_type) the growing windows are cumulative:
+    n_events is nondecreasing in window_end."""
+    from flink_streaming_etl_spark.catalog import load_tables
+    from flink_streaming_etl_spark.operators import windows as W
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as SW
+    from tests.conftest import SF_SMOKE
+
+    events = load_tables(spark, SF_SMOKE, register=False)["events"]
+    cum = W.cumulate_event_stats(events)
+    w = SW.partitionBy("window_start", "event_type").orderBy("window_end")
+    bad = (
+        cum.withColumn("prev_n", F.lag("n_events").over(w))
+        .filter(F.col("prev_n").isNotNull() & (F.col("n_events") < F.col("prev_n")))
+        .count()
+    )
+    assert bad == 0
