@@ -242,3 +242,36 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splits_hot_key(spark):
+    """The session's AQE skew-join handling actually engages: a join with
+    one hot key (95% of rows) gets its oversized partition split at
+    runtime (SortMergeJoin marked skew=true in the adaptive plan). This is
+    the engine-native replacement for the reference's manual 256-bucket
+    salting (flink-ddl.sql:209) on the JOIN side; thresholds are lowered
+    locally because test data is KB-sized — at 100 TB the defaults fire."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "10KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "10KB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = (
+            spark.range(0, 200000).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+            .union(spark.range(0, 10000).select((F.col("id") % 100 + 1).alias("k"), F.col("id").alias("v")))
+        )
+        right = spark.range(0, 101).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+        j = left.join(right, "k").groupBy().count()
+        j.collect()
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in p, p[:2000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
