@@ -110,6 +110,7 @@ HEADLINE = [
     "cumulate_event_stats",
     "hopping_event_stats_decomposed",
     "curated_corpus_v2",
+    "quantize_embeddings",
 ]
 
 

@@ -400,6 +400,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.curated_corpus_v2, "documents"),
         text.curated_corpus_v2_sql(),
     ),
+    "quantize_embeddings": (
+        # int8 scalar quantization (vector-store prep); integer-only output
+        # so the cross-engine compare is exact
+        _q(similarity.quantize_embeddings, "embeddings"),
+        similarity.QUANTIZE_EMBEDDINGS_SQL,
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so

@@ -651,3 +651,62 @@ def planes_for_corpus(n_vectors: int, target_bucket_size: int = 100) -> int:
     if n_vectors <= target_bucket_size:
         return 1
     return max(1, math.ceil(math.log2(n_vectors / target_bucket_size)))
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus — the memory-prep
+    stage before an ANN index ships (float32 → uint8 cuts the vector store
+    4×). Per-dimension min/max (one tiny dims-keyed agg, broadcast back),
+    code = floor((x - min) / ((max - min)/255)) capped at 255.
+
+    Output is deliberately integer-only (per-vector code checksum/min/max)
+    so the driver hash and the SQL oracle compare EXACTLY: min/max are
+    order-insensitive, and each code is a per-value IEEE computation
+    identical in any engine — no float summation anywhere.
+
+    Scale: the dims relation is |dims| rows (constant), broadcast to the
+    corpus scan; the per-vector rollup shuffles vec-keyed rows once.
+    """
+    e = _as_double(embeddings)
+    dims = e.select("vec_id", F.posexplode("v").alias("j", "x"))
+    stats = dims.groupBy("j").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    code = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(F.lit(255), F.floor((F.col("x") - F.col("mn")) / scale))
+    ).cast("long")
+    coded = dims.join(F.broadcast(stats), "j").select(
+        "vec_id", "j", code.alias("code")
+    )
+    return (
+        coded.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dims"),
+            F.sum(F.col("code") * (F.col("j") + 1)).cast("long").alias("code_checksum"),
+            F.min("code").cast("long").alias("code_min"),
+            F.max("code").cast("long").alias("code_max"),
+        )
+    )
+
+
+QUANTIZE_EMBEDDINGS_SQL = """
+WITH dims AS (
+  SELECT vec_id,
+         generate_subscripts(embedding::DOUBLE[], 1) AS j,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings
+),
+stats AS (SELECT j, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY 1),
+coded AS (
+  SELECT d.vec_id, d.j,
+         CASE WHEN s.mx = s.mn THEN 0
+              ELSE least(255, CAST(floor((d.x - s.mn) / ((s.mx - s.mn) / 255.0)) AS BIGINT))
+         END AS code
+  FROM dims d JOIN stats s ON d.j = s.j
+)
+SELECT vec_id,
+       COUNT(*) AS n_dims,
+       CAST(SUM(code * j) AS BIGINT) AS code_checksum,
+       MIN(code) AS code_min,
+       MAX(code) AS code_max
+FROM coded GROUP BY 1
+"""
