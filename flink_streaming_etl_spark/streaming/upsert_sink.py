@@ -249,3 +249,40 @@ def upsert_sink_from_env(
             spark, index or os.path.basename(os.fspath(path)), primary_key, nodes
         )
     return KeyedParquetSink(spark, path, primary_key)
+
+
+class AdditivePartialSink:
+    """Partial-aggregate sink with ADDITIVE merge — re-aggregation of
+    partials (SURVEY §2.3 A6) as a sink policy. Where :class:`KeyedParquetSink`
+    replaces a key's row, this sink SUMS the incoming partials into the
+    stored ones, which is what the kappa backfill→streaming handover needs:
+    a window spanning the cutover gets its history partial from the batch
+    backfill and its tail partial from the stream, and the merged row is
+    exact because count/sum are associative. Same tmp+rename atomic rewrite
+    as the keyed sink."""
+
+    def __init__(self, spark: SparkSession, path: str, keys: list[str], sum_cols: list[str]):
+        self.spark = spark
+        self.path = os.fspath(path)
+        self.keys = list(keys)
+        self.sum_cols = list(sum_cols)
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.path, "_SUCCESS"))
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def merge(self, batch: DataFrame) -> None:
+        cols = self.keys + self.sum_cols
+        merged = batch.select(*cols)
+        if self.exists():
+            merged = self.read().select(*cols).unionByName(merged)
+        merged = merged.groupBy(*self.keys).agg(
+            *[F.sum(c).alias(c) for c in self.sum_cols]
+        )
+        tmp = self.path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.path):
+            shutil.rmtree(self.path)
+        os.replace(tmp, self.path)

@@ -485,3 +485,43 @@ def test_hopping_decomposed_equals_direct(spark):
     a = W.hopping_event_stats(events)
     b = W.hopping_event_stats_decomposed(events)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_backfill_then_stream_handover_additive(spark, tmp_path):
+    """Kappa backfill→streaming handover: batch-aggregate history up to a
+    cutover, stream the tail into the same sink with ADDITIVE merge, and
+    the final table equals the full-batch windowed aggregate exactly —
+    including windows that span the cutover (their history partial and
+    tail partial must SUM, which is what AdditivePartialSink guarantees and
+    a replace-by-key upsert would silently break)."""
+    from flink_streaming_etl_spark.catalog import load_tables
+    from flink_streaming_etl_spark.operators import windows as W
+    from flink_streaming_etl_spark.streaming.upsert_sink import AdditivePartialSink
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    events = load_tables(spark, SF_SMOKE, register=False)["events"].limit(2000).cache()
+    cutover = events.agg(F.expr("percentile(cast(ts as long), 0.5)")).collect()[0][0]
+    history = events.filter(F.col("ts").cast("long") <= cutover)
+    tail = events.filter(F.col("ts").cast("long") > cutover)
+    assert history.count() > 0 and tail.count() > 0  # windows straddle the cut
+
+    sink = AdditivePartialSink(
+        spark, str(tmp_path / "agg"), keys=["window_start", "event_type"],
+        sum_cols=["n_events", "sum_value"],
+    )
+    sink.merge(W.windowed_event_stats(history))  # batch backfill
+
+    # stream the tail in two micro-batch-sized chunks (foreachBatch analog)
+    mid = tail.agg(F.expr("percentile(cast(ts as long), 0.5)")).collect()[0][0]
+    for chunk in (
+        tail.filter(F.col("ts").cast("long") <= mid),
+        tail.filter(F.col("ts").cast("long") > mid),
+    ):
+        sink.merge(W.windowed_event_stats(chunk))
+
+    got = {(r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+           for r in sink.read().collect()}
+    want = {(r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+            for r in W.windowed_event_stats(events).collect()}
+    assert got == want
