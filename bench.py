@@ -111,6 +111,7 @@ HEADLINE = [
     "hopping_event_stats_decomposed",
     "curated_corpus_v2",
     "quantize_embeddings",
+    "heavy_hitter_tokens",
 ]
 
 

@@ -406,6 +406,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(similarity.quantize_embeddings, "embeddings"),
         similarity.QUANTIZE_EMBEDDINGS_SQL,
     ),
+    "heavy_hitter_tokens": (
+        # Misra-Gries candidate pass + exact verify: shuffle carries only
+        # candidates, output exactly equals the SQL answer
+        _q(text.heavy_hitter_tokens, "documents"),
+        text.heavy_hitter_tokens_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so

@@ -1105,3 +1105,73 @@ JOIN g ON d.doc_id = g.doc_id AND g.keep
 JOIN sd ON d.doc_id = sd.doc_id
 JOIN nov ON d.doc_id = nov.doc_id
 """
+
+
+HEAVY_HITTER_K = 50
+
+
+def heavy_hitter_tokens(documents: DataFrame, k: int = HEAVY_HITTER_K) -> DataFrame:
+    """Tokens with corpus frequency > total/k — found WITHOUT shuffling the
+    token stream. Misra-Gries theorem: per-partition summaries of capacity
+    k, merged, form an MG summary of the whole stream with undercount
+    ≤ n/k, so every token with true count > n/k SURVIVES in some summary.
+    Stage 1 runs the MG counter pass inside each scan task (Arrow batches,
+    candidates ≤ k·partitions rows total); stage 2 exact-counts ONLY the
+    candidates (broadcast semi-join, shuffle carries candidate tokens);
+    stage 3 applies the exact integer threshold n·k > total. The output is
+    therefore EXACTLY the SQL answer — sketch for pruning, never for the
+    result — the same philosophy as the LSH→exact-Jaccard dedup path.
+
+    At 100 TB: the naive plan shuffles one row per token occurrence; this
+    plan's shuffle is ≤ k·partitions candidate rows + their exact counts.
+    """
+    cap = int(k)
+
+    def mg_partition(it):
+        # Batch-merged Misra-Gries (Agarwal et al., mergeable summaries):
+        # exact-count each Arrow batch with a C-speed Counter, add into the
+        # summary, and when it exceeds capacity subtract the (cap+1)-th
+        # largest count from everything and drop the non-positives — each
+        # reduction charges its decrement against > cap occurrences, so the
+        # total undercount stays ≤ n/(cap+1), preserving the MG guarantee.
+        from collections import Counter
+
+        import pandas as pd
+
+        counters: Counter = Counter()
+        for pdf in it:
+            counters.update(pdf["token"].tolist())
+            if len(counters) > cap:
+                sub = sorted(counters.values(), reverse=True)[cap]
+                counters = Counter(
+                    {t: c - sub for t, c in counters.items() if c - sub > 0}
+                )
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    toks = documents.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    candidates = (
+        toks.mapInPandas(mg_partition, "token string").dropDuplicates(["token"])
+    )
+    total = toks.count()
+    exact = (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") * k > F.lit(total))
+    )
+    return exact.select("token", "n", F.lit(total).cast("long").alias("n_total"))
+
+
+def heavy_hitter_tokens_sql(k: int = HEAVY_HITTER_K) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents
+),
+tot AS (SELECT COUNT(*) AS n_total FROM toks),
+counts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY 1)
+SELECT c.token, c.n, CAST(t.n_total AS BIGINT) AS n_total
+FROM counts c, tot t
+WHERE c.n * {k} > t.n_total
+"""

@@ -349,3 +349,29 @@ def test_cumulate_slices_monotone(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_heavy_hitters_equal_bruteforce_any_partitioning(spark):
+    """The MG candidate pass must not lose a true heavy hitter under ANY
+    partitioning: compare against the brute-force answer with the corpus
+    deliberately repartitioned several ways (the theorem says candidates
+    are a superset; the exact-verify stage makes the final result equal)."""
+    from flink_streaming_etl_spark.catalog import load_tables
+    from flink_streaming_etl_spark.operators.text import heavy_hitter_tokens
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE, register=False)["documents"]
+    toks = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    total = toks.count()
+    k = 50
+    want = {
+        (r["token"], r["n"])
+        for r in toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") * k > total).collect()
+    }
+    assert want, "fixture has no heavy hitters at this k"
+    for arrangement in (docs, docs.repartition(1), docs.repartition(13, "doc_id"),
+                        docs.repartition(40)):
+        got = {(r["token"], r["n"]) for r in heavy_hitter_tokens(arrangement, k).collect()}
+        assert got == want
