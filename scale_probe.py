@@ -69,6 +69,8 @@ PROBES = [
     "cumulate_event_stats",
     "hopping_event_stats_decomposed",
     "curated_corpus_v2",
+    "quantize_embeddings",
+    "heavy_hitter_tokens",
 ]
 
 
