@@ -421,13 +421,26 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: keep a core of reference-parity anchors in-window; rotate multi-round
 #: green entries to the tail (they stay covered by tests/test_oracle_parity).
 _SAMPLE_FRONT = [
-    # round-4 fix + driver-hashable twins — need fresh driver rows
+    # round-5 rotation: the 10 entries that had never received a driver row
+    # (the 8 round-4 operators + the two sketch-estimator profiles, now
+    # scalar-only so the driver canonicalizer can hash them)
+    "gopher_quality",
+    "span_dedup",
+    "ngram_novelty",
+    "cumulate_event_stats",
+    "hopping_event_stats_decomposed",
+    "curated_corpus_v2",
+    "quantize_embeddings",
+    "heavy_hitter_tokens",
+    "sketch_profile",
+    "profile_orders_hll",
+    # round-4 fix + driver-hashable twins — keep one more round of rows
     "session_windows",
     "collect_items_flat",
     "kmeans_assign_pinned",
     "standardize_by_label_stats",
     "sketch_profile_flat",
-    # never-driver-sampled until now (r02/r03 windows ended before these)
+    # first driver rows earned in r04 — keep a second confirming round
     "weighted_sample",
     "mixture_sample",
     "repetition_score",
@@ -460,18 +473,12 @@ _SAMPLE_FRONT = [
     "media_features",
     "media_resize",
     "media_frames",
-    # reference-parity anchors kept in-window every round
+    # reference-parity anchors kept in-window (the other ten 2-3x-green
+    # anchors — order_enrich_join, user_day_stats(+salted), day_stats,
+    # product_stats, listagg_items, region_rollup, scalar_battery,
+    # latest_order_asof, dedup_exact — rotate to the tail this round; all
+    # remain covered by the in-repo oracle-parity suite every run)
     "pricing_summary",
-    "order_enrich_join",
-    "user_day_stats",
-    "user_day_stats_salted",
-    "day_stats",
-    "product_stats",
-    "listagg_items",
-    "region_rollup",
-    "scalar_battery",
-    "latest_order_asof",
-    "dedup_exact",
     "minhash_lsh_pairs",
     "cosine_topk",
 ]

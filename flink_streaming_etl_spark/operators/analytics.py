@@ -449,21 +449,36 @@ FROM moments
 
 
 def sketch_profile(events: DataFrame) -> DataFrame:
-    return events.groupBy("event_type").agg(
+    """Sketch profile with scalar-only output (value_p50/p95/p99 columns
+    rather than one array column): every downstream consumer — including
+    the driver's pandas canonicalizer, which can't hash list cells — gets
+    hashable rows, and the quantile sketch still runs ONCE (Catalyst
+    collapses the three element_at projections onto a single
+    percentile_approx aggregate)."""
+    s = events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("value_quantiles"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("_q"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    return s.select(
+        "event_type",
+        "approx_users",
+        F.element_at("_q", 1).alias("value_p50"),
+        F.element_at("_q", 2).alias("value_p95"),
+        F.element_at("_q", 3).alias("value_p99"),
+        "n_events",
     )
 
 
 def sketch_profile_flat(events: DataFrame) -> DataFrame:
-    """Driver-hashable twin of ``sketch_profile``: the quantile array
-    flattened to one pipe-joined string (the driver's pandas canonicalizer
-    can't hash list columns). Sketches are engine-specific, so this stays a
-    rows-only check — the twin exists so the row is green, not erred."""
+    """Single-string-quantiles twin of ``sketch_profile`` (kept for API
+    stability now that the base op is scalar-only): the three quantiles
+    pipe-joined into one string column. Sketches are engine-specific, so
+    both stay rows-only checks."""
     s = sketch_profile(events)
-    q = F.array_join(
-        F.transform("value_quantiles", lambda x: F.round(x, 6).cast("string")), "|"
+    q = F.concat_ws(
+        "|",
+        *[F.round(F.col(c), 6).cast("string") for c in ("value_p50", "value_p95", "value_p99")],
     )
     return s.select("event_type", "approx_users", q.alias("value_quantiles"), "n_events")
 

@@ -93,7 +93,7 @@ def test_sketch_profile_error_bounds(spark):
         assert abs(a["approx_users"] - e["users"]) <= max(2, 0.05 * e["users"]), et
         # percentile_approx with accuracy=10000 on ~1e3 rows per group is
         # exact up to rank error 0; allow a loose value tolerance anyway.
-        assert abs(a["value_quantiles"][0] - e["p50"]) <= 0.05 * max(1.0, abs(e["p50"])), et
+        assert abs(a["value_p50"] - e["p50"]) <= 0.05 * max(1.0, abs(e["p50"])), et
         assert a["n_events"] == e["n"]
 
 
