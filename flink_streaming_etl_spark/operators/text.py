@@ -1116,14 +1116,24 @@ def heavy_hitter_tokens(documents: DataFrame, k: int = HEAVY_HITTER_K) -> DataFr
     k, merged, form an MG summary of the whole stream with undercount
     ≤ n/k, so every token with true count > n/k SURVIVES in some summary.
     Stage 1 runs the MG counter pass inside each scan task (Arrow batches,
-    candidates ≤ k·partitions rows total); stage 2 exact-counts ONLY the
-    candidates (broadcast semi-join, shuffle carries candidate tokens);
-    stage 3 applies the exact integer threshold n·k > total. The output is
-    therefore EXACTLY the SQL answer — sketch for pruning, never for the
-    result — the same philosophy as the LSH→exact-Jaccard dedup path.
+    candidates ≤ k·partitions rows total); stage 2 exact-counts the
+    candidates AND the grand total in ONE aggregation: after a broadcast
+    left join against the candidate set, rows group on
+    ``when(is_candidate, token)`` — every non-candidate occurrence falls
+    into the single NULL group, which the map-side partial aggregation
+    collapses to one row per partition, so the shuffle still carries only
+    candidate rows (+1 per partition). ``n_total`` is then the sum over
+    that tiny grouped relation, and the threshold ``n·k > total`` is exact
+    integer arithmetic. The output is therefore EXACTLY the SQL answer —
+    sketch for pruning, never for the result — the same philosophy as the
+    LSH→exact-Jaccard dedup path.
+
+    Fully lazy: building this DataFrame triggers no job (the former eager
+    ``toks.count()`` third pass is gone); executing it scans the corpus
+    exactly twice (MG pass, counting pass).
 
     At 100 TB: the naive plan shuffles one row per token occurrence; this
-    plan's shuffle is ≤ k·partitions candidate rows + their exact counts.
+    plan's shuffle is ≤ (k+1)·partitions rows.
     """
     cap = int(k)
 
@@ -1154,14 +1164,22 @@ def heavy_hitter_tokens(documents: DataFrame, k: int = HEAVY_HITTER_K) -> DataFr
     candidates = (
         toks.mapInPandas(mg_partition, "token string").dropDuplicates(["token"])
     )
-    total = toks.count()
-    exact = (
-        toks.join(F.broadcast(candidates), "token")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") * k > F.lit(total))
+    tagged = toks.join(
+        F.broadcast(candidates.withColumn("_is_cand", F.lit(True))), "token", "left"
     )
-    return exact.select("token", "n", F.lit(total).cast("long").alias("n_total"))
+    grouped = tagged.groupBy(
+        F.when(F.col("_is_cand"), F.col("token")).alias("token")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # grouped is ≤ k·partitions + 1 rows — a single-partition window over it
+    # is a driver-sized reduction, not a data-scale one.
+    from pyspark.sql.window import Window
+
+    total = F.sum("n").over(Window.partitionBy()).cast("long")
+    return (
+        grouped.withColumn("n_total", total)
+        .filter(F.col("token").isNotNull() & (F.col("n") * k > F.col("n_total")))
+        .select("token", "n", "n_total")
+    )
 
 
 def heavy_hitter_tokens_sql(k: int = HEAVY_HITTER_K) -> str:

@@ -375,3 +375,24 @@ def test_heavy_hitters_equal_bruteforce_any_partitioning(spark):
                         docs.repartition(40)):
         got = {(r["token"], r["n"]) for r in heavy_hitter_tokens(arrangement, k).collect()}
         assert got == want
+
+
+def test_heavy_hitter_builder_is_lazy_and_two_pass(spark):
+    """Building the heavy-hitter DataFrame must trigger NO Spark job (the
+    registry builder contract is lazy); the former implementation ran an
+    eager toks.count() third corpus pass at build time."""
+    from flink_streaming_etl_spark.catalog import load_tables
+    from flink_streaming_etl_spark.operators.text import heavy_hitter_tokens
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE, register=False)["documents"]
+    sc = spark.sparkContext
+    group = "hh-lazy-check"
+    sc.setJobGroup(group, "heavy_hitter_tokens builder must not run jobs")
+    try:
+        df = heavy_hitter_tokens(docs)
+    finally:
+        sc.setJobGroup("hh-lazy-check-done", "")
+    assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+    # and the result is still non-trivial when actually executed
+    assert df.count() > 0
