@@ -882,10 +882,47 @@ FROM packed
 # ---------------------------------------------------------------------------
 # Gopher-style quality rule battery (Rae et al. 2021 §A1.1, public paper):
 # the cheap structural filters a pretraining pipeline applies before any
-# model-based scoring. Per-row metrics are pure codegen projections; the two
-# distinct-token metrics come from ONE explode+groupBy(doc_id) aggregation
-# (shuffle keyed on doc_id, partial agg map-side) — per-row array_distinct
-# would be O(len^2) per document, which dies on 100k-token docs at 100 TB.
+# model-based scoring. EVERY metric — including the two distinct-token ones
+# — is a per-row projection with ZERO shuffle: sort the row's own token
+# array (O(n log n) per document) and fold it once with a higher-order
+# aggregate; equal tokens are contiguous after the sort, so the longest
+# equal run IS the top token count and the number of run starts IS the
+# distinct count. The earlier explode + two doc-keyed groupBys exchanged
+# the full token stream twice for what is a function of one row — at
+# 100 TB that is two avoidable full-corpus shuffles on the hottest input.
+
+
+def _sorted_run_stats(tokens: Column) -> Column:
+    """Fold a SORTED token array into (max_run, n_distinct) in one pass.
+
+    max_run = max multiplicity of any token (runs are maximal after sort);
+    n_distinct = number of run starts. Tokens are never null (regex split),
+    so a null ``prev`` seed marks "before first element" via eqNullSafe.
+    """
+    run_of = lambda acc, x: (
+        F.when(x.eqNullSafe(acc["prev"]), acc["run"] + F.lit(1).cast("long"))
+        .otherwise(F.lit(1).cast("long"))
+    )
+    return F.aggregate(
+        tokens,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("max_run"),
+            F.lit(0).cast("long").alias("n_distinct"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run_of(acc, x).alias("run"),
+            F.greatest(acc["max_run"], run_of(acc, x)).alias("max_run"),
+            (
+                acc["n_distinct"]
+                + F.when(x.eqNullSafe(acc["prev"]), F.lit(0).cast("long")).otherwise(
+                    F.lit(1).cast("long")
+                )
+            ).alias("n_distinct"),
+        ),
+    )
 
 
 def gopher_quality(
@@ -904,23 +941,24 @@ def gopher_quality(
     symbol_ratio = (
         F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")) / F.length(text)
     )
-    per_row = documents.select(
+    # materialize the fold ONCE in its own projection; extracting both
+    # fields directly would embed two copies of the aggregate expression
+    # (CollapseProject keeps non-cheap expressions single-evaluation).
+    staged = documents.select(
         "doc_id",
         ntok.cast("long").alias("n_tokens"),
         q6(mean_word_len).alias("mean_word_len"),
         q6(symbol_ratio).alias("symbol_ratio"),
+        _sorted_run_stats(F.array_sort(w)).alias("_rs"),
     )
-    tok_stats = (
-        documents.select("doc_id", F.explode(w).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
-            F.max("c").cast("long").alias("top_token_n"),
-        )
+    per_row = staged.select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "symbol_ratio",
+        F.col("_rs")["n_distinct"].alias("n_distinct_tokens"),
+        F.col("_rs")["max_run"].alias("top_token_n"),
     )
-    joined = per_row.join(tok_stats, "doc_id")
     top_frac = q6(F.col("top_token_n") / F.col("n_tokens"))
     keep = (
         F.col("n_tokens").between(min_tokens, max_tokens)
@@ -928,7 +966,7 @@ def gopher_quality(
         & (F.col("symbol_ratio") < max_symbol_ratio)
         & (top_frac < max_top_token_frac)
     )
-    return joined.select(
+    return per_row.select(
         "doc_id",
         "n_tokens",
         "mean_word_len",

@@ -202,11 +202,16 @@ def test_round4_training_ops_plan_shapes(spark):
     from flink_streaming_etl_spark.operators import text as tx
 
     t = _tables(spark)
-    # gopher_quality: doc-keyed equi-join of per-row metrics with the
-    # distinct-token agg — partial+final agg, no nested-loop anywhere
-    p = plan_of(tx.gopher_quality(t["documents"]))
-    assert p.count("HashAggregate") >= 2, p
-    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    # gopher_quality: a PURE projection — the distinct-token metrics fold
+    # the row's own sorted token array, so there must be no Exchange, no
+    # aggregate, and no join anywhere. Build on a bare scan (load_tables
+    # adds a round-robin repartition for local-file parallelism, which
+    # would show as an Exchange that isn't the operator's).
+    bare_docs = t["documents"].sparkSession.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    p = plan_of(tx.gopher_quality(bare_docs))
+    assert "Exchange" not in p, p
+    assert "HashAggregate" not in p and "SortAggregate" not in p, p
+    assert "Join" not in p, p
     # span_dedup: span-keyed anti join + ordered reassembly — equi-joins only
     p = plan_of(tx.span_dedup(t["documents"]))
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
