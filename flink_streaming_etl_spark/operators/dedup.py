@@ -48,17 +48,26 @@ def _word_shingle_rows(
     vs ~0.3 s at sf0.1), and `array_distinct` is O(len²) per row — distinct
     is a codegen'd dropDuplicates instead, and only where semantics need it
     (min-aggregation paths are duplicate-insensitive and skip it)."""
-    rows = (
-        documents.select("doc_id", F.split(F.trim("text"), r"\s+").alias("_w"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.greatest(F.size("_w") - (k - 1), F.lit(1)))
-            ).alias("_i"),
-            "_w",
-        )
-        .select("doc_id", F.concat_ws(" ", F.slice("_w", F.col("_i"), k)).alias("shingle"))
+    return shingle_rows_from_tokens(
+        documents.select("doc_id", F.split(F.trim("text"), r"\s+").alias("_w")),
+        k,
+        distinct,
     )
+
+
+def shingle_rows_from_tokens(
+    tokenized: DataFrame, k: int = SHINGLE_K, distinct: bool = False
+) -> DataFrame:
+    """Same as ``_word_shingle_rows`` but over a relation that already
+    carries the token array as ``_w`` — lets a multi-stage composition
+    tokenize the corpus once and share it."""
+    rows = tokenized.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("_w") - (k - 1), F.lit(1)))
+        ).alias("_i"),
+        "_w",
+    ).select("doc_id", F.concat_ws(" ", F.slice("_w", F.col("_i"), k)).alias("shingle"))
     return rows.dropDuplicates(["doc_id", "shingle"]) if distinct else rows
 
 
@@ -873,7 +882,12 @@ WHERE d.doc_id % 2 = 1
 
 
 def ngram_novelty(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    sh = _word_shingle_rows(documents, k, distinct=True)
+    return novelty_from_shingles(_word_shingle_rows(documents, k, distinct=True))
+
+
+def novelty_from_shingles(sh: DataFrame) -> DataFrame:
+    """Novelty rollup over a prebuilt distinct (doc_id, shingle) relation —
+    the shareable half of ``ngram_novelty``."""
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     owned = sh.join(first, "shingle")
     seen_before = F.sum(

@@ -483,9 +483,21 @@ CHUNK_STRIDE = 24  # 8-token overlap
 def chunk_documents(
     documents: DataFrame, chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
 ) -> DataFrame:
-    toks = documents.select(
-        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
-    ).select("doc_id", "w", F.size("w").alias("n"))
+    return chunks_from_tokens(
+        documents.select("doc_id", F.split(F.trim("text"), r"\s+").alias("_w")),
+        chunk,
+        stride,
+    )
+
+
+def chunks_from_tokens(
+    tokenized: DataFrame, chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """``chunk_documents`` over a relation already carrying the token array
+    as ``_w`` — lets a multi-stage composition tokenize the corpus once."""
+    toks = tokenized.select(
+        "doc_id", F.col("_w").alias("w"), F.size("_w").alias("n")
+    )
     starts = toks.select(
         "doc_id",
         "w",
@@ -925,7 +937,7 @@ def _sorted_run_stats(tokens: Column) -> Column:
     )
 
 
-def gopher_quality(
+def gopher_metrics(
     documents: DataFrame,
     min_tokens: int = 30,
     max_tokens: int = 100_000,
@@ -933,9 +945,15 @@ def gopher_quality(
     max_word_len: float = 10.0,
     max_symbol_ratio: float = 0.1,
     max_top_token_frac: float = 0.20,
+    tokens_col: str | None = None,
 ) -> DataFrame:
+    """All input columns + the Gopher metric/keep columns appended — the
+    inlinable form: a consumer (e.g. ``curated_corpus_v2``) filters on
+    ``keep`` directly on its own scan instead of paying a doc_id join
+    against a second scan. Pass ``tokens_col`` to reuse an already-split
+    token array instead of re-running the regex split."""
     text = F.col("text")
-    w = F.split(F.trim("text"), r"\s+")
+    w = F.col(tokens_col) if tokens_col else F.split(F.trim("text"), r"\s+")
     ntok = F.size(w).cast("double")
     mean_word_len = F.length(F.regexp_replace(text, r"\s+", "")) / ntok
     symbol_ratio = (
@@ -945,14 +963,14 @@ def gopher_quality(
     # fields directly would embed two copies of the aggregate expression
     # (CollapseProject keeps non-cheap expressions single-evaluation).
     staged = documents.select(
-        "doc_id",
+        "*",
         ntok.cast("long").alias("n_tokens"),
         q6(mean_word_len).alias("mean_word_len"),
         q6(symbol_ratio).alias("symbol_ratio"),
         _sorted_run_stats(F.array_sort(w)).alias("_rs"),
     )
     per_row = staged.select(
-        "doc_id",
+        *documents.columns,
         "n_tokens",
         "mean_word_len",
         "symbol_ratio",
@@ -967,13 +985,41 @@ def gopher_quality(
         & (top_frac < max_top_token_frac)
     )
     return per_row.select(
-        "doc_id",
+        *documents.columns,
         "n_tokens",
         "mean_word_len",
         "symbol_ratio",
         "n_distinct_tokens",
         top_frac.alias("top_token_frac"),
         keep.alias("keep"),
+    )
+
+
+def gopher_quality(
+    documents: DataFrame,
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    min_word_len: float = 3.0,
+    max_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_top_token_frac: float = 0.20,
+) -> DataFrame:
+    return gopher_metrics(
+        documents,
+        min_tokens,
+        max_tokens,
+        min_word_len,
+        max_word_len,
+        max_symbol_ratio,
+        max_top_token_frac,
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "symbol_ratio",
+        "n_distinct_tokens",
+        "top_token_frac",
+        "keep",
     )
 
 
@@ -1028,20 +1074,36 @@ FROM per_row p JOIN tok_stats t ON p.doc_id = t.doc_id
 # shuffle join is the honest plan.
 
 
-def span_dedup(
-    documents: DataFrame, span_tokens: int = 4, min_docs: int = 2
-) -> DataFrame:
-    spans = chunk_documents(documents, chunk=span_tokens, stride=span_tokens).select(
-        "doc_id", "chunk_idx", "chunk_text"
-    )
-    shared = (
-        spans.groupBy("chunk_text")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
-        .select("chunk_text")
-    )
+SPAN_TOKENS = 4
+SPAN_MIN_DOCS = 2
+
+
+def span_rebuilt(spans: DataFrame, min_docs: int = SPAN_MIN_DOCS) -> DataFrame:
+    """(doc_id, clean_text, n_spans_kept) for docs with >=1 surviving span —
+    the shareable half of ``span_dedup`` (a composition supplies its own
+    span relation, e.g. from a cached tokenization)."""
+    # Pre-partition the span relation on the join/agg key: the groupBy
+    # below needs no further shuffle (partitioning already satisfied).
+    spans = spans.repartition("chunk_text")
+    if min_docs == 2:
+        # "appears in >= 2 distinct docs" == min(doc_id) != max(doc_id):
+        # a single-phase min/max aggregate with map-side partials instead
+        # of the two-phase distinct expand countDistinct plans.
+        shared = (
+            spans.groupBy("chunk_text")
+            .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+            .filter(F.col("_lo") != F.col("_hi"))
+            .select("chunk_text")
+        )
+    else:
+        shared = (
+            spans.groupBy("chunk_text")
+            .agg(F.countDistinct("doc_id").alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs)
+            .select("chunk_text")
+        )
     kept = spans.join(shared, "chunk_text", "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
+    return kept.groupBy("doc_id").agg(
         F.concat_ws(
             " ",
             F.transform(
@@ -1051,7 +1113,27 @@ def span_dedup(
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("long").alias("n_spans_kept"),
     )
-    totals = spans.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_spans"))
+
+
+def n_spans_col(tokens: Column, span_tokens: int = SPAN_TOKENS) -> Column:
+    """Span count as a closed-form function of the row's own token count
+    (chunk starts = sequence(0, n-1, stride), n >= 1 always): a pure
+    projection instead of an explode + doc_id-keyed shuffle."""
+    n = F.size(tokens)
+    return (F.floor((n - F.lit(1)) / F.lit(span_tokens)) + F.lit(1)).cast("long")
+
+
+def span_dedup(
+    documents: DataFrame, span_tokens: int = SPAN_TOKENS, min_docs: int = SPAN_MIN_DOCS
+) -> DataFrame:
+    spans = chunk_documents(documents, chunk=span_tokens, stride=span_tokens).select(
+        "doc_id", "chunk_idx", "chunk_text"
+    )
+    rebuilt = span_rebuilt(spans, min_docs)
+    totals = documents.select(
+        "doc_id",
+        n_spans_col(F.split(F.trim("text"), r"\s+"), span_tokens).alias("n_spans"),
+    )
     return (
         totals.join(rebuilt, "doc_id", "left")
         .select(
@@ -1104,23 +1186,58 @@ def curated_corpus_v2(documents: DataFrame) -> DataFrame:
     that decision). All three stages share the documents scan; Catalyst
     reuses the span/shingle shuffles where possible, and each piece is
     independently oracle-checked, so this entry pins the COMPOSITION
-    (joins on doc_id, column provenance) against one SQL statement."""
-    from flink_streaming_etl_spark.operators.dedup import ngram_novelty
+    (joins on doc_id, column provenance) against one SQL statement.
 
-    keep = gopher_quality(documents).filter(F.col("keep")).select("doc_id")
-    cleaned = span_dedup(documents).select("doc_id", "clean_text", "n_spans_dropped")
-    weight = ngram_novelty(documents).select("doc_id", "novelty")
+    Scan economy (round 5): the corpus is TOKENIZED ONCE into a persisted
+    doc-level relation (doc_id, lang, source, text, token array — same
+    order of size as the input, MEMORY_AND_DISK so executors spill rather
+    than evict at scale); the Gopher keep-filter and the span-count total
+    are pure projections on it, and the span and shingle relations both
+    derive from the cached array, so the regex tokenization and the
+    parquet scan run once instead of five times. Joins: the former
+    documents⋈gopher join is gone (filter inlined), leaving one left join
+    against surviving spans and one join against novelty."""
+    from pyspark import StorageLevel
+
+    from flink_streaming_etl_spark.operators.dedup import (
+        novelty_from_shingles,
+        shingle_rows_from_tokens,
+    )
+
+    toks = documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.split(F.trim("text"), r"\s+").alias("_w"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    base = (
+        gopher_metrics(toks, tokens_col="_w")
+        .filter(F.col("keep"))
+        .select("doc_id", "lang", "source", n_spans_col(F.col("_w")).alias("n_spans"))
+    )
+    rebuilt = span_rebuilt(
+        chunks_from_tokens(toks, chunk=SPAN_TOKENS, stride=SPAN_TOKENS).select(
+            "doc_id", "chunk_idx", "chunk_text"
+        )
+    )
+    weight = novelty_from_shingles(
+        shingle_rows_from_tokens(toks, distinct=True)
+    ).select("doc_id", "novelty")
+    clean = F.coalesce("clean_text", F.lit(""))
     return (
-        documents.join(keep, "doc_id")
-        .join(cleaned, "doc_id")
+        base.join(rebuilt, "doc_id", "left")
         .join(weight, "doc_id")
         .select(
             "doc_id",
             "lang",
             "source",
-            F.col("clean_text").alias("text"),
-            F.size(F.split(F.trim("clean_text"), r"\s+")).cast("long").alias("n_tokens"),
-            "n_spans_dropped",
+            clean.alias("text"),
+            F.size(F.split(F.trim(clean), r"\s+")).cast("long").alias("n_tokens"),
+            (F.col("n_spans") - F.coalesce("n_spans_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_spans_dropped"),
             F.col("novelty").alias("mix_weight"),
         )
     )
