@@ -525,3 +525,82 @@ def test_backfill_then_stream_handover_additive(spark, tmp_path):
     want = {(r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
             for r in W.windowed_event_stats(events).collect()}
     assert got == want
+
+
+def test_streaming_heavy_hitters_mg_handover(spark):
+    """Streaming twin of heavy_hitter_tokens: a mergeable Misra-Gries
+    summary built across micro-batches keeps O(cap) state, never loses a
+    true heavy hitter (no false negatives), brackets every tracked count
+    with exact bounds, and after the kappa exact-verify handover EQUALS
+    the batch operator's answer."""
+    from collections import Counter
+
+    from flink_streaming_etl_spark.catalog import load_tables
+    from flink_streaming_etl_spark.operators.text import heavy_hitter_tokens
+    from flink_streaming_etl_spark.streaming.heavy_hitters import (
+        MisraGriesAccumulator,
+        tokens_of,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE, register=False)["documents"]
+    k = 50
+    acc = MisraGriesAccumulator(cap=k)
+    # replay in 3 micro-batch analogs (same foreachBatch-analog pattern as
+    # the additive-sink handover test)
+    for part in range(3):
+        acc.add_batch(docs.filter(F.col("doc_id") % 3 == part))
+
+    # state bounded by capacity; totals exact
+    assert len(acc.counts) <= k
+    assert acc.n_total == tokens_of(docs).count()
+
+    true_counts = Counter(
+        {r["token"]: r["n"]
+         for r in tokens_of(docs).groupBy("token")
+         .agg(F.count(F.lit(1)).alias("n")).collect()}
+    )
+    # bounds: mg <= true <= mg + max_undercount for every tracked token
+    for t, c in acc.counts.items():
+        assert c <= true_counts[t] <= c + acc.max_undercount, t
+
+    # no false negatives: every true heavy hitter is a candidate
+    heavy = {t for t, n in true_counts.items() if n * k > acc.n_total}
+    cand = {t for t, _, _ in acc.candidate_rows(k)}
+    assert heavy <= cand
+
+    # kappa handover: exact verify over the replayable corpus equals batch
+    got = {(r["token"], r["n"], r["n_total"])
+           for r in acc.exact_verify(spark, docs, k).collect()}
+    want = {(r["token"], r["n"], r["n_total"])
+            for r in heavy_hitter_tokens(docs, k).collect()}
+    assert got == want and got
+
+
+def test_streaming_heavy_hitters_attach_file_stream(spark, tmp_path):
+    """attach() wires the accumulator onto a real readStream source via
+    foreachBatch; after the replay drains, the summary matches one built
+    from the same rows in batch."""
+    import json
+
+    from flink_streaming_etl_spark.streaming.heavy_hitters import MisraGriesAccumulator
+
+    src_dir = tmp_path / "docs"
+    src_dir.mkdir()
+    rows = [{"doc_id": i, "text": "alpha beta " + ("alpha " * (i % 3))} for i in range(40)]
+    (src_dir / "a.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src_dir))
+    )
+    acc = MisraGriesAccumulator(cap=10)
+    q = acc.attach(stream, checkpointLocation=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    batch_acc = MisraGriesAccumulator(cap=10)
+    batch_acc.add_batch(spark.read.schema("doc_id long, text string").json(str(src_dir)))
+    assert acc.n_total == batch_acc.n_total
+    assert set(acc.counts) == set(batch_acc.counts)
