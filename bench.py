@@ -174,6 +174,10 @@ def main() -> None:
     queries: dict[str, object] = dict(timings)
     for name, err in errors.items():
         queries[name] = {"err": err}
+        # Errors must be loud even when the exit code stays 0 (the driver
+        # treats nonzero as a total bench abort, so rc!=0 is reserved for
+        # broad collapse): a CI consumer watching stderr sees each failure.
+        print(f"bench: ERROR {name}: {err}", file=sys.stderr)
     print(
         json.dumps(
             {

@@ -600,15 +600,16 @@ def standardize_by_label(embeddings: DataFrame) -> DataFrame:
 def standardize_by_label_stats(embeddings: DataFrame) -> DataFrame:
     """Driver-hashable twin of ``standardize_by_label``: runs the SAME
     applyInPandas z-score kernel, then projects each z vector to scalars
-    (L2 norm + mean, floor-quantized at 1e-6) so the driver's pandas
-    canonicalizer can hash the result and the oracle can recompute it with
-    per-(label, dim) AVG/STDDEV_POP in SQL."""
-    from flink_streaming_etl_spark.functions import q6
-
+    (L2 norm + mean). Quantized with round-half-even at 1e-4 on BOTH
+    engines (bround / round_even) rather than 1e-6 floor: the two sides
+    accumulate floats in different orders (numpy pairwise vs SQL
+    sequential), so ulp-level noise must not be able to straddle a
+    quantization boundary — coarsening the grid 100x makes a boundary hit
+    correspondingly unlikely where floor-at-1e-6 was one ulp away."""
     z = standardize_by_label(embeddings)
     dim = F.size("z")
-    z_norm = q6(F.sqrt(F.aggregate("z", F.lit(0.0), lambda acc, x: acc + x * x)))
-    z_mean = q6(F.aggregate("z", F.lit(0.0), lambda acc, x: acc + x) / dim)
+    z_norm = F.bround(F.sqrt(F.aggregate("z", F.lit(0.0), lambda acc, x: acc + x * x)), 4)
+    z_mean = F.bround(F.aggregate("z", F.lit(0.0), lambda acc, x: acc + x) / dim, 4)
     return z.select("vec_id", "label", z_norm.alias("z_norm"), z_mean.alias("z_mean"))
 
 
@@ -629,8 +630,8 @@ z AS (
   FROM flat f JOIN stats s ON f.label = s.label AND f.dim = s.dim
 )
 SELECT vec_id, label,
-       floor(sqrt(SUM(zx * zx)) * 1000000.0) / 1000000.0 AS z_norm,
-       floor((SUM(zx) / COUNT(*)) * 1000000.0) / 1000000.0 AS z_mean
+       round_even(sqrt(SUM(zx * zx)), 4) AS z_norm,
+       round_even(SUM(zx) / COUNT(*), 4) AS z_mean
 FROM z GROUP BY 1, 2
 """
 

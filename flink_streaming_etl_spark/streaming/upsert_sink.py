@@ -257,9 +257,14 @@ class AdditivePartialSink:
     replaces a key's row, this sink SUMS the incoming partials into the
     stored ones, which is what the kappa backfill→streaming handover needs:
     a window spanning the cutover gets its history partial from the batch
-    backfill and its tail partial from the stream, and the merged row is
-    exact because count/sum are associative. Same tmp+rename atomic rewrite
-    as the keyed sink."""
+    backfill and its tail partial from the stream. Integer partials merge
+    exactly (long addition is associative); floating-point partials are
+    summed THROUGH DECIMAL(26,6) internally — double addition is not
+    associative, so without this a backfill+stream merge could drift in
+    the last ulps vs one-shot aggregation — making merges
+    order-independent for any value whose true granularity is within 1e-6
+    (all monetary/value columns here are DECIMAL(18,6) upstream). Same
+    tmp+rename atomic rewrite as the keyed sink."""
 
     def __init__(self, spark: SparkSession, path: str, keys: list[str], sum_cols: list[str]):
         self.spark = spark
@@ -278,9 +283,14 @@ class AdditivePartialSink:
         merged = batch.select(*cols)
         if self.exists():
             merged = self.read().select(*cols).unionByName(merged)
-        merged = merged.groupBy(*self.keys).agg(
-            *[F.sum(c).alias(c) for c in self.sum_cols]
-        )
+        dtypes = dict(merged.dtypes)
+
+        def _sum(c: str):
+            if dtypes[c] in ("double", "float"):
+                return F.sum(F.col(c).cast("decimal(26,6)")).cast(dtypes[c]).alias(c)
+            return F.sum(c).alias(c)
+
+        merged = merged.groupBy(*self.keys).agg(*[_sum(c) for c in self.sum_cols])
         tmp = self.path + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
         if os.path.exists(self.path):
