@@ -412,6 +412,25 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.heavy_hitter_tokens, "documents"),
         text.heavy_hitter_tokens_sql(),
     ),
+    # --- round-5 training-pipeline additions ---
+    "repetition_battery": (
+        # Gopher repetition signals (top-2/3-gram + dup-span fractions):
+        # zero-shuffle sorted-run folds over the row's own n-gram arrays
+        _q(text.repetition_battery, "documents"),
+        text.repetition_battery_sql(),
+    ),
+    "source_mixture_weights": (
+        # temperature-scaled (alpha) source mixing weights; tiny
+        # source-keyed agg, nothing scales with the corpus
+        _q(text.source_mixture_weights, "documents"),
+        text.source_mixture_weights_sql(),
+    ),
+    "pq_encode": (
+        # product quantization with pinned codebook — integer-only code
+        # words, broadcast m*k codebook, one vec-keyed rollup
+        _q(similarity.pq_encode, "embeddings"),
+        similarity.pq_encode_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -424,6 +443,10 @@ _SAMPLE_FRONT = [
     # round-5 rotation: the 10 entries that had never received a driver row
     # (the 8 round-4 operators + the two sketch-estimator profiles, now
     # scalar-only so the driver canonicalizer can hash them)
+    # round-5 additions — first driver rows
+    "repetition_battery",
+    "source_mixture_weights",
+    "pq_encode",
     "gopher_quality",
     "span_dedup",
     "ngram_novelty",
@@ -447,9 +470,9 @@ _SAMPLE_FRONT = [
     "quality_tier_report",
     "normalize_text",
     "pack_sequences",
-    "revenue_rollup",
-    "window_battery",
-    "customers_without_orders",
+    # (revenue_rollup / window_battery / customers_without_orders earned
+    # their r04 rows and rotate to the tail to make room for the round-5
+    # additions; oracle-parity still covers them locally)
     "big_spender_customers",
     "customer_cohort_setops",
     "order_priority_pivot",

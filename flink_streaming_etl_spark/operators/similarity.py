@@ -711,3 +711,108 @@ SELECT vec_id,
        MAX(code) AS code_max
 FROM coded GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, public paper) with a PINNED
+# deterministic codebook, the same pinning device as kmeans_assign_pinned:
+# centroids are the subvectors of vec_id in [N_QUERIES, N_QUERIES + k), so
+# the operator is reproducible and the oracle can recompute it exactly.
+# Scale shape: the codebook is m*k tiny rows broadcast to the corpus scan;
+# each vector fans out to m subvectors and m*k scored rows (constant
+# factor), then one vec-keyed aggregation emits the code word — linear in
+# the corpus, no iterative training inside the operator. Distances are
+# floor-quantized at 1e-6 before the argmin and ties break on centroid
+# index (kmeans_assign_pinned precedent), so the integer-only output is
+# engine-exact.
+
+PQ_M = 4  # subspaces; embedding dim must divide evenly (64 -> 16 dims each)
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    k: int = N_CENTROIDS,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    from flink_streaming_etl_spark.functions import q6
+
+    e = _as_double(embeddings)
+    d_sub = (F.size("v") / m).cast("int")
+    subs = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice("v", s * d_sub + 1, d_sub),
+            )
+        ).alias("sub_idx", "sv"),
+    )
+    cents = subs.filter(
+        (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + k)
+    ).select(
+        (F.col("vec_id") - n_queries).cast("int").alias("centroid_idx"),
+        "sub_idx",
+        F.col("sv").alias("cv"),
+    )
+    dist2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = subs.join(F.broadcast(cents), "sub_idx").select(
+        "vec_id", "sub_idx", "centroid_idx", q6(dist2).alias("qd")
+    )
+    best = (
+        scored.groupBy("vec_id", "sub_idx")
+        .agg(F.min(F.struct("qd", "centroid_idx")).alias("_b"))
+        .select("vec_id", "sub_idx", F.col("_b")["centroid_idx"].alias("code"))
+    )
+    code_cols = [
+        F.max(F.when(F.col("sub_idx") == s, F.col("code")))
+        .cast("long")
+        .alias(f"code_{s}")
+        for s in range(m)
+    ]
+    return best.groupBy("vec_id").agg(*code_cols)
+
+
+def pq_encode_sql(
+    m: int = PQ_M, k: int = N_CENTROIDS, n_queries: int = N_QUERIES
+) -> str:
+    from flink_streaming_etl_spark.functions import q6_sql
+
+    qd = q6_sql(
+        "list_sum(list_transform(range(1, len(u.sv) + 1),"
+        " i -> (u.sv[i] - c.cv[i]) * (u.sv[i] - c.cv[i])))"
+    )
+    codes = ",\n       ".join(
+        f"CAST(MAX(CASE WHEN sub_idx = {s} THEN centroid_idx END) AS BIGINT) AS code_{s}"
+        for s in range(m)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+subs AS (
+  SELECT vec_id, sub_idx,
+         list_slice(v, sub_idx * (len(v) // {m}) + 1,
+                       (sub_idx + 1) * (len(v) // {m})) AS sv
+  FROM e, (SELECT unnest(range(0, {m})) AS sub_idx)
+),
+cents AS (
+  SELECT vec_id - {n_queries} AS centroid_idx, sub_idx, sv AS cv
+  FROM subs WHERE vec_id >= {n_queries} AND vec_id < {n_queries + k}
+),
+scored AS (
+  SELECT u.vec_id, u.sub_idx, c.centroid_idx, {qd} AS qd
+  FROM subs u JOIN cents c ON u.sub_idx = c.sub_idx
+),
+best AS (
+  SELECT vec_id, sub_idx, centroid_idx,
+         row_number() OVER (PARTITION BY vec_id, sub_idx
+                            ORDER BY qd, centroid_idx) AS rn
+  FROM scored
+)
+SELECT vec_id,
+       {codes}
+FROM best WHERE rn = 1 GROUP BY vec_id
+"""

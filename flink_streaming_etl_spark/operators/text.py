@@ -1348,3 +1348,171 @@ SELECT c.token, c.n, CAST(t.n_total AS BIGINT) AS n_total
 FROM counts c, tot t
 WHERE c.n * {k} > t.n_total
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition battery (Rae et al. 2021 §A1.1, the repetition signals
+# that complement the structural gopher_quality filters): top-2-gram and
+# top-3-gram token fractions plus the duplicated-span fraction. ZERO
+# shuffle, like gopher_quality since round 5: each signal folds one of the
+# row's own sorted n-gram/span arrays (longest equal run = top count, run
+# starts = distinct count). At 100 TB these are scan-local projections on
+# the hottest input — no exchange anywhere.
+
+REP_TOP2_MAX = 0.20
+REP_TOP3_MAX = 0.18
+REP_DUP_SPAN_MAX = 0.30
+
+
+def _ngram_array(w: Column, k: int) -> Column:
+    """Sliding word-k-gram array mirroring the shingle construction
+    (>= 1 element even for short docs, same as shingle_rows_from_tokens)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+    )
+
+
+def _span_array(w: Column, span_tokens: int = SPAN_TOKENS) -> Column:
+    """Non-overlapping span array (same spans as chunk_documents with
+    chunk == stride == span_tokens)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(w) - 1, F.lit(span_tokens)),
+        lambda s: F.concat_ws(" ", F.slice(w, s + 1, span_tokens)),
+    )
+
+
+def repetition_battery(
+    documents: DataFrame,
+    top2_max: float = REP_TOP2_MAX,
+    top3_max: float = REP_TOP3_MAX,
+    dup_span_max: float = REP_DUP_SPAN_MAX,
+) -> DataFrame:
+    w = F.split(F.trim("text"), r"\s+")
+    staged = documents.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        _sorted_run_stats(F.array_sort(_ngram_array(w, 2))).alias("_r2"),
+        _sorted_run_stats(F.array_sort(_ngram_array(w, 3))).alias("_r3"),
+        _sorted_run_stats(F.array_sort(_span_array(w))).alias("_rs"),
+        n_spans_col(w).alias("n_spans"),
+    )
+    top2 = q6(F.col("_r2")["max_run"] * 2 / F.col("n_tokens"))
+    top3 = q6(F.col("_r3")["max_run"] * 3 / F.col("n_tokens"))
+    dup_span = q6(F.lit(1.0) - F.col("_rs")["n_distinct"] / F.col("n_spans"))
+    keep = (top2 < top2_max) & (top3 < top3_max) & (dup_span < dup_span_max)
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        top2.alias("top_bigram_frac"),
+        top3.alias("top_trigram_frac"),
+        dup_span.alias("dup_span_frac"),
+        keep.alias("keep"),
+    )
+
+
+def repetition_battery_sql(
+    top2_max: float = REP_TOP2_MAX,
+    top3_max: float = REP_TOP3_MAX,
+    dup_span_max: float = REP_DUP_SPAN_MAX,
+    span_tokens: int = SPAN_TOKENS,
+) -> str:
+    top2 = q6_sql("(g2.top_n * 2 / t.n_tokens::DOUBLE)")
+    top3 = q6_sql("(g3.top_n * 3 / t.n_tokens::DOUBLE)")
+    dup = q6_sql("(1.0 - s.n_distinct / s.n_spans::DOUBLE)")
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
+g2 AS (
+  SELECT doc_id, MAX(c) AS top_n FROM (
+    SELECT doc_id, gram, COUNT(*) AS c FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+                                   i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS gram
+      FROM toks) GROUP BY 1, 2) GROUP BY 1
+),
+g3 AS (
+  SELECT doc_id, MAX(c) AS top_n FROM (
+    SELECT doc_id, gram, COUNT(*) AS c FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                                   i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS gram
+      FROM toks) GROUP BY 1, 2) GROUP BY 1
+),
+s AS (
+  SELECT doc_id, COUNT(*) AS n_spans, COUNT(DISTINCT span) AS n_distinct FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(0, len(w), {span_tokens}),
+                                 st -> array_to_string(list_slice(w, st + 1, st + {span_tokens}), ' '))) AS span
+    FROM toks) GROUP BY 1
+)
+SELECT t.doc_id, t.n_tokens,
+       {top2} AS top_bigram_frac,
+       {top3} AS top_trigram_frac,
+       {dup} AS dup_span_frac,
+       ({top2} < {top2_max} AND {top3} < {top3_max} AND {dup} < {dup_span_max}) AS keep
+FROM t JOIN g2 ON t.doc_id = g2.doc_id
+       JOIN g3 ON t.doc_id = g3.doc_id
+       JOIN s ON t.doc_id = s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture (the alpha-sampling rule public
+# multilingual/pretraining recipes use, e.g. the XLM-R / GPT data-mixing
+# formulation): p_s proportional to (n_s/N)^alpha flattens the natural
+# source distribution; weight_s = p_s / nat_s is the per-source
+# up/down-sampling factor a sampler applies. One tiny source-keyed
+# aggregate (map-side partials) + two single-partition windows over the
+# handful of source rows — nothing here scales with the corpus.
+
+MIX_ALPHA = 0.7
+
+
+def source_mixture_weights(documents: DataFrame, alpha: float = MIX_ALPHA) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ntok = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    per_source = documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(ntok).cast("long").alias("n_tokens"),
+    )
+    everything = Window.partitionBy()
+    nat = F.col("n_tokens") / F.sum("n_tokens").over(everything)
+    scored = per_source.withColumn("_nat", nat).withColumn(
+        "_p", F.pow(F.col("_nat"), F.lit(alpha))
+    )
+    p_norm = F.col("_p") / F.sum("_p").over(everything)
+    return scored.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        q6(F.col("_nat")).alias("nat_frac"),
+        q6(p_norm).alias("alpha_frac"),
+        q6(p_norm / F.col("_nat")).alias("weight"),
+    )
+
+
+def source_mixture_weights_sql(alpha: float = MIX_ALPHA) -> str:
+    return rf"""
+WITH per_source AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+nat AS (
+  SELECT *, n_tokens / SUM(n_tokens) OVER () AS nat_raw FROM per_source
+),
+p AS (
+  SELECT *, power(nat_raw, {alpha}) / SUM(power(nat_raw, {alpha})) OVER () AS p_norm
+  FROM nat
+)
+SELECT source, n_docs, n_tokens,
+       {q6_sql('nat_raw')} AS nat_frac,
+       {q6_sql('p_norm')} AS alpha_frac,
+       {q6_sql('(p_norm / nat_raw)')} AS weight
+FROM p
+"""

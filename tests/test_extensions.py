@@ -396,3 +396,46 @@ def test_heavy_hitter_builder_is_lazy_and_two_pass(spark):
     assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
     # and the result is still non-trivial when actually executed
     assert df.count() > 0
+
+
+def test_pq_encode_centroids_self_code_and_range(spark):
+    """Pinned-codebook PQ invariants: every code word is in [0, k); each
+    codebook vector encodes to its own centroid index in every subspace
+    (own distance is exactly 0 and ties break on index)."""
+    from flink_streaming_etl_spark.catalog import load_tables
+    from flink_streaming_etl_spark.operators.similarity import (
+        N_CENTROIDS,
+        N_QUERIES,
+        PQ_M,
+        pq_encode,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = load_tables(spark, SF_SMOKE, register=False)["embeddings"]
+    rows = {r["vec_id"]: r for r in pq_encode(emb).collect()}
+    assert len(rows) == emb.count()
+    for r in rows.values():
+        for s in range(PQ_M):
+            assert 0 <= r[f"code_{s}"] < N_CENTROIDS
+    for c in range(N_CENTROIDS):
+        r = rows[N_QUERIES + c]
+        assert all(r[f"code_{s}"] == c for s in range(PQ_M)), r
+
+
+def test_source_mixture_weights_flatten_distribution(spark):
+    """Temperature scaling must up-weight under-represented sources and
+    down-weight over-represented ones, with the alpha distribution still
+    summing to 1."""
+    from flink_streaming_etl_spark.catalog import load_tables
+    from flink_streaming_etl_spark.operators.text import source_mixture_weights
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE, register=False)["documents"]
+    rows = source_mixture_weights(docs).collect()
+    assert abs(sum(r["alpha_frac"] for r in rows) - 1.0) < 1e-4
+    mean_nat = 1.0 / len(rows)
+    for r in rows:
+        if r["nat_frac"] < mean_nat * 0.5:
+            assert r["weight"] > 1.0, r
+        if r["nat_frac"] > mean_nat * 2.0:
+            assert r["weight"] < 1.0, r

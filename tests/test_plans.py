@@ -280,3 +280,15 @@ def test_aqe_skew_join_splits_hot_key(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_repetition_battery_is_pure_projection(spark):
+    """Like gopher_quality, the repetition signals fold the row's own
+    sorted n-gram arrays — no Exchange, no aggregate, no join."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    bare_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    p = plan_of(tx.repetition_battery(bare_docs))
+    assert "Exchange" not in p, p
+    assert "HashAggregate" not in p and "SortAggregate" not in p, p
+    assert "Join" not in p, p
