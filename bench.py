@@ -112,6 +112,9 @@ HEADLINE = [
     "curated_corpus_v2",
     "quantize_embeddings",
     "heavy_hitter_tokens",
+    "repetition_battery",
+    "source_mixture_weights",
+    "pq_encode",
 ]
 
 

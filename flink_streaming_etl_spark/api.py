@@ -431,6 +431,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(similarity.pq_encode, "embeddings"),
         similarity.pq_encode_sql(),
     ),
+    "ann_recall_report": (
+        # recall@k of IVF probe search vs exact top-k — deterministic
+        # (q6 + id tie-breaks) so the index-quality gauge is oracle-exact
+        _q(similarity.ann_recall_report, "embeddings"),
+        similarity.ann_recall_report_sql(),
+    ),
+    "neardup_keep_best": (
+        # cluster-level dedup keeping the highest-quality doc per near-dup
+        # component (keep-first's production sibling)
+        _q(dedup.neardup_keep_best, "documents"),
+        dedup.neardup_keep_best_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -447,6 +459,8 @@ _SAMPLE_FRONT = [
     "repetition_battery",
     "source_mixture_weights",
     "pq_encode",
+    "ann_recall_report",
+    "neardup_keep_best",
     "gopher_quality",
     "span_dedup",
     "ngram_novelty",
@@ -470,11 +484,10 @@ _SAMPLE_FRONT = [
     "quality_tier_report",
     "normalize_text",
     "pack_sequences",
-    # (revenue_rollup / window_battery / customers_without_orders earned
-    # their r04 rows and rotate to the tail to make room for the round-5
-    # additions; oracle-parity still covers them locally)
-    "big_spender_customers",
-    "customer_cohort_setops",
+    # (revenue_rollup / window_battery / customers_without_orders /
+    # big_spender_customers / customer_cohort_setops earned their r04 rows
+    # and rotate to the tail to make room for the round-5 additions;
+    # oracle-parity still covers them locally)
     "order_priority_pivot",
     "shipping_priority",
     "local_supplier_volume",

@@ -926,3 +926,67 @@ SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
        {nov} AS novelty
 FROM per_doc
 """
+
+
+# ---------------------------------------------------------------------------
+# Cluster-level dedup decision keeping the BEST document per near-dup
+# cluster — what a curation pipeline actually ships (keep-first keeps
+# whichever doc has the smallest id; keep-best keeps the highest quality
+# one). Scale shape: the cluster relation covers only docs that appear in
+# some near-dup pair (orders of magnitude smaller than the corpus); the
+# winner window runs over that small relation; the corpus-sized work is a
+# single anti join against the clustered-doc list.
+
+
+def neardup_keep_best(documents: DataFrame, threshold: float = 0.05) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from flink_streaming_etl_spark.operators.text import quality_score
+
+    clusters = neardup_clusters(documents, threshold)
+    quality = quality_score(documents).select("doc_id", "quality")
+    scored = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    winners = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    unclustered = documents.join(
+        clusters.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id")
+    return (
+        unclustered.unionByName(winners)
+        .join(quality, "doc_id")
+        .join(documents.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source", "quality")
+    )
+
+
+def neardup_keep_best_sql(threshold: float = 0.05) -> str:
+    from flink_streaming_etl_spark.operators.text import quality_score_sql
+
+    return f"""
+WITH clusters AS ({neardup_clusters_sql(threshold)}),
+quality AS ({quality_score_sql()}),
+winners AS (
+  SELECT doc_id FROM (
+    SELECT c.doc_id,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY q.quality DESC, c.doc_id) AS rn
+    FROM clusters c JOIN quality q ON c.doc_id = q.doc_id
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT d.doc_id FROM documents d
+  ANTI JOIN clusters c ON d.doc_id = c.doc_id
+  UNION ALL
+  SELECT doc_id FROM winners
+)
+SELECT k.doc_id, d.lang, d.source, q.quality
+FROM kept k
+JOIN quality q ON k.doc_id = q.doc_id
+JOIN documents d ON k.doc_id = d.doc_id
+"""

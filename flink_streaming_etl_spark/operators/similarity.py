@@ -816,3 +816,62 @@ SELECT vec_id,
        {codes}
 FROM best WHERE rn = 1 GROUP BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# ANN quality gauge as a first-class query: recall@k of the IVF probe
+# search against the exact brute-force top-k, per probe vector. Both sides
+# are fully deterministic (q6-quantized scores, id tie-breaks), so the
+# report is engine-exact and oracle-checkable — an index-quality dashboard
+# a vector-store team watches when they tune n_probe / n_centroids. Scale:
+# both inputs are top-k relations (n_queries*k rows); everything here is
+# driver-sized, the heavy lifting happened (and was already scale-shaped)
+# in the two operators being compared.
+
+
+def ann_recall_report(
+    embeddings: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    from flink_streaming_etl_spark.functions import q6
+
+    exact = cosine_topk(embeddings, k, n_queries)
+    approx = ann_ivf(embeddings, k, n_queries)
+    hits = (
+        exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "leftsemi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    allq = exact.select("query_id").dropDuplicates()
+    n_hits = F.coalesce("n_hits", F.lit(0)).cast("long")
+    return allq.join(hits, "query_id", "left").select(
+        "query_id",
+        n_hits.alias("n_hits"),
+        F.lit(k).cast("long").alias("k"),
+        q6(n_hits / F.lit(float(k))).alias("recall"),
+    )
+
+
+def ann_recall_report_sql(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
+    from flink_streaming_etl_spark.functions import q6_sql
+
+    rec = q6_sql(f"(COALESCE(h.n_hits, 0) / {float(k)})")
+    return f"""
+WITH exact AS ({cosine_topk_sql(k, n_queries)}),
+approx AS ({ann_ivf_sql(k, n_queries)}),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS n_hits
+  FROM exact e JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST({k} AS BIGINT) AS k,
+       {rec} AS recall
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hits h ON q.query_id = h.query_id
+"""

@@ -71,6 +71,10 @@ PROBES = [
     "curated_corpus_v2",
     "quantize_embeddings",
     "heavy_hitter_tokens",
+    # round-5 additions
+    "repetition_battery",
+    "source_mixture_weights",
+    "pq_encode",
 ]
 
 

@@ -439,3 +439,49 @@ def test_source_mixture_weights_flatten_distribution(spark):
             assert r["weight"] > 1.0, r
         if r["nat_frac"] > mean_nat * 2.0:
             assert r["weight"] < 1.0, r
+
+
+def test_ann_recall_report_bounds_and_perfect_recall_on_small_corpus(spark):
+    """Recall values are in [0,1] with n_hits <= k; every probe vector gets
+    a row even at zero hits."""
+    from flink_streaming_etl_spark.catalog import load_tables
+    from flink_streaming_etl_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        ann_recall_report,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = load_tables(spark, SF_SMOKE, register=False)["embeddings"]
+    rows = ann_recall_report(emb).collect()
+    assert len(rows) == N_QUERIES
+    for r in rows:
+        assert 0 <= r["n_hits"] <= TOP_K
+        assert 0.0 <= r["recall"] <= 1.0
+        assert abs(r["recall"] - r["n_hits"] / TOP_K) < 1e-6
+
+
+def test_neardup_keep_best_one_winner_per_cluster_highest_quality(spark):
+    """Exactly one survivor per near-dup cluster, and it is the
+    highest-quality member (doc_id tiebreak); unclustered docs all survive."""
+    from flink_streaming_etl_spark.catalog import load_tables
+    from flink_streaming_etl_spark.operators.dedup import (
+        neardup_clusters,
+        neardup_keep_best,
+    )
+    from flink_streaming_etl_spark.operators.text import quality_score
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE, register=False)["documents"]
+    kept = {r["doc_id"] for r in neardup_keep_best(docs).collect()}
+    clusters = {}
+    for r in neardup_clusters(docs).collect():
+        clusters.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    quality = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    clustered = {d for members in clusters.values() for d in members}
+    for members in clusters.values():
+        winners = [d for d in members if d in kept]
+        best = min(members, key=lambda d: (-quality[d], d))
+        assert winners == [best], (winners, best)
+    n_docs = docs.count()
+    assert len(kept) == n_docs - len(clustered) + len(clusters)
