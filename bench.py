@@ -115,6 +115,8 @@ HEADLINE = [
     "repetition_battery",
     "source_mixture_weights",
     "pq_encode",
+    "ann_recall_report",
+    "neardup_keep_best",
 ]
 
 
