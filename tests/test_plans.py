@@ -292,3 +292,33 @@ def test_repetition_battery_is_pure_projection(spark):
     assert "Exchange" not in p, p
     assert "HashAggregate" not in p and "SortAggregate" not in p, p
     assert "Join" not in p, p
+
+
+def test_round5_training_ops_plan_shapes(spark):
+    from flink_streaming_etl_spark.operators import dedup as dd
+    from flink_streaming_etl_spark.operators import similarity as sim
+    from flink_streaming_etl_spark.operators import text as tx
+
+    t = _tables(spark)
+    # pq_encode: the m*k codebook must BROADCAST to the corpus fan-out — a
+    # shuffle join on sub_idx would hash the whole corpus across m keys
+    # (guaranteed skew); no sort-merge join may appear anywhere.
+    p = plan_of(sim.pq_encode(t["embeddings"]))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    # ann_recall_report composes two already-plan-audited operators whose
+    # tiny-relation cross/broadcast joins are intentional (cosine_topk's
+    # blocked GEMM pairing; ann_ivf's broadcast centroid scoring); the
+    # comparison it adds must be a hash semi-join on (query_id,
+    # neighbor_id) — assert that join shape exists.
+    p = plan_of(sim.ann_recall_report(t["embeddings"]))
+    assert "LeftSemi" in p, p
+    # neardup_keep_best: equi-joins only (the label-propagation internals
+    # may sort-merge the graph-sized relations — that part is correct);
+    # never a cartesian or nested-loop join.
+    p = plan_of(dd.neardup_keep_best(t["documents"]))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    # source_mixture_weights: one source-keyed partial+final aggregate.
+    p = plan_of(tx.source_mixture_weights(t["documents"]))
+    assert p.count("HashAggregate") >= 2, p
