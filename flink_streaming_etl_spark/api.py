@@ -443,6 +443,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(dedup.neardup_keep_best, "documents"),
         dedup.neardup_keep_best_sql(),
     ),
+    "minhash_error_report": (
+        # estimator-quality gauge: signature-estimated vs exact Jaccard per
+        # verified LSH pair — both ratios of ints, engine-exact
+        _q(dedup.minhash_error_report, "documents"),
+        dedup.minhash_error_report_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -461,6 +467,7 @@ _SAMPLE_FRONT = [
     "pq_encode",
     "ann_recall_report",
     "neardup_keep_best",
+    "minhash_error_report",
     "gopher_quality",
     "span_dedup",
     "ngram_novelty",
@@ -488,7 +495,7 @@ _SAMPLE_FRONT = [
     # big_spender_customers / customer_cohort_setops earned their r04 rows
     # and rotate to the tail to make room for the round-5 additions;
     # oracle-parity still covers them locally)
-    "order_priority_pivot",
+    # (order_priority_pivot: r04-green, rotated to tail for minhash_error_report)
     "shipping_priority",
     "local_supplier_volume",
     "funnel_stages",

@@ -990,3 +990,65 @@ FROM kept k
 JOIN quality q ON k.doc_id = q.doc_id
 JOIN documents d ON k.doc_id = d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator-quality gauge (the text-side sibling of
+# similarity.ann_recall_report): for every verified LSH pair, the
+# signature-estimated Jaccard (matching permutations / N_PERMS) next to
+# the exact set Jaccard, with the per-pair absolute error. Both values
+# are ratios of integers, so the report is engine-exact — the dial a
+# dedup pipeline watches when tuning N_PERMS/N_BANDS against its recall
+# target. Scale: joins run over the (small) verified pair relation and
+# the signature relation; per-pair work is N_PERMS integer compares.
+
+
+def minhash_error_report(
+    documents: DataFrame, threshold: float = 0.05
+) -> DataFrame:
+    pairs = minhash_lsh_pairs(documents, threshold).select("a_id", "b_id", "jaccard")
+    sigs = minhash_signatures(documents)
+    a = sigs.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"m{i}").alias(f"_a{i}") for i in range(N_PERMS)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"m{i}").alias(f"_b{i}") for i in range(N_PERMS)],
+    )
+    matches = sum(
+        [
+            F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+            for i in range(N_PERMS)
+        ],
+        F.lit(0),
+    )
+    est = matches.cast("double") / F.lit(float(N_PERMS))
+    return (
+        pairs.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "jaccard",
+            q6(est).alias("est_jaccard"),
+            q6(F.abs(est - F.col("jaccard"))).alias("abs_err"),
+        )
+    )
+
+
+def minhash_error_report_sql(threshold: float = 0.05) -> str:
+    matches = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(N_PERMS)
+    )
+    est = f"(({matches}) / {float(N_PERMS)})"
+    return f"""
+WITH pairs AS ({minhash_lsh_pairs_sql(threshold)}),
+sig AS ({minhash_signatures_sql()})
+SELECT p.a_id, p.b_id, p.jaccard,
+       {q6_sql(est)} AS est_jaccard,
+       {q6_sql(f"abs({est} - p.jaccard)")} AS abs_err
+FROM pairs p
+JOIN sig a ON p.a_id = a.doc_id
+JOIN sig b ON p.b_id = b.doc_id
+"""
