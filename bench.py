@@ -117,6 +117,7 @@ HEADLINE = [
     "pq_encode",
     "ann_recall_report",
     "neardup_keep_best",
+    "minhash_error_report",
 ]
 
 
