@@ -485,3 +485,50 @@ def test_neardup_keep_best_one_winner_per_cluster_highest_quality(spark):
         assert winners == [best], (winners, best)
     n_docs = docs.count()
     assert len(kept) == n_docs - len(clustered) + len(clusters)
+
+
+def test_sorted_run_fold_matches_python_reference_on_adversarial_docs(spark):
+    """gopher_quality / repetition_battery rest on the sorted-run fold
+    (longest equal run = top n-gram count, run starts = distinct count).
+    Pin it against a plain-Python Counter reference over adversarial
+    synthetic docs: single token, all-identical tokens, alternating pairs,
+    long runs, and random mixes."""
+    import random
+    from collections import Counter
+
+    from flink_streaming_etl_spark.operators.text import gopher_quality, repetition_battery
+
+    rng = random.Random(7)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    docs = [
+        (0, "x"),                          # single token
+        (1, "a a a a a a"),                # one token repeated
+        (2, "a bb a bb a bb"),             # alternating
+        (3, " ".join(["a"] * 50 + ["bb"] * 3)),  # long run + tail
+    ]
+    for i in range(4, 120):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 60)))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    for doc_id, text in docs:
+        toks = text.strip().split()
+        c = Counter(toks)
+        assert got[doc_id]["n_distinct_tokens"] == len(c), doc_id
+        top_frac = got[doc_id]["top_token_frac"]
+        import math
+        want = math.floor(max(c.values()) / len(toks) * 1e6) / 1e6
+        assert abs(top_frac - want) < 1e-9, (doc_id, top_frac, want)
+
+    rep = {r["doc_id"]: r for r in repetition_battery(df).collect()}
+    for doc_id, text in docs:
+        toks = text.strip().split()
+        n = len(toks)
+        bigrams = [" ".join(toks[i:i + 2]) for i in range(max(n - 1, 1))]
+        c2 = Counter(bigrams)
+        import math
+        want2 = math.floor(max(c2.values()) * 2 / n * 1e6) / 1e6
+        assert abs(rep[doc_id]["top_bigram_frac"] - want2) < 1e-9, doc_id
+        spans = [" ".join(toks[i:i + 4]) for i in range(0, n, 4)]
+        want_dup = math.floor((1.0 - len(set(spans)) / len(spans)) * 1e6) / 1e6
+        assert abs(rep[doc_id]["dup_span_frac"] - want_dup) < 1e-9, doc_id
