@@ -115,6 +115,7 @@ HEADLINE = [
     "repetition_battery",
     "source_mixture_weights",
     "pq_encode",
+    "ann_ivf_pq",
     "ann_recall_report",
     "neardup_keep_best",
     "minhash_error_report",

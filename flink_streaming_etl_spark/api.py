@@ -449,6 +449,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(dedup.minhash_error_report, "documents"),
         dedup.minhash_error_report_sql(),
     ),
+    "ann_ivf_pq": (
+        # the canonical vector-store layout end to end: IVF cell pruning +
+        # PQ asymmetric-distance scoring via a broadcast ADC table —
+        # deterministic (pinned codebook, q6 entries, fixed summation
+        # order, id tie-breaks), so even the approximation is oracle-exact
+        _q(similarity.ann_ivf_pq, "embeddings"),
+        similarity.ann_ivf_pq_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -468,6 +476,7 @@ _SAMPLE_FRONT = [
     "ann_recall_report",
     "neardup_keep_best",
     "minhash_error_report",
+    "ann_ivf_pq",
     "gopher_quality",
     "span_dedup",
     "ngram_novelty",
@@ -508,7 +517,7 @@ _SAMPLE_FRONT = [
     "segment_spend_correlation",
     "rolling_spend_7d",
     "value_histogram",
-    "orders_snapshot_diff",
+    # (orders_snapshot_diff: r04-green, rotated to tail for ann_ivf_pq)
     "profile_orders",
     "sql_pricing_summary",
     "media_metadata",

@@ -875,3 +875,191 @@ SELECT q.query_id,
 FROM (SELECT DISTINCT query_id FROM exact) q
 LEFT JOIN hits h ON q.query_id = h.query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the canonical billion-scale vector-store layout (Jégou et al.
+# 2011) end to end — coarse IVF cells prune candidates, PQ code words
+# stand in for the vectors, and queries score candidates through an
+# asymmetric-distance (ADC) lookup table instead of touching raw floats.
+# Memory story at scale: the search set holds 8-bit codes (m bytes/vector)
+# plus one tiny codebook; the raw corpus is only read to build codes.
+# Everything is deterministic (pinned codebook, q6-quantized table
+# entries, fixed left-to-right subspace summation, id tie-breaks), so the
+# approximate result itself is oracle-exact. Scale shape: the ADC table is
+# n_queries·m·k rows broadcast once; candidate volume is the IVF
+# n_probe/n_centroids fraction; per-candidate scoring is m integer array
+# lookups + (m-1) additions.
+
+
+def ann_ivf_pq(
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    m: int = PQ_M,
+) -> DataFrame:
+    from flink_streaming_etl_spark.functions import q6, vec_dot, vec_norm
+
+    e = _as_double(embeddings)
+
+    # -- coarse quantizer: identical assignment/probe logic to ann_ivf
+    ev = e.withColumn("norm", vec_norm(F.col("v")))
+    coarse = ev.filter(
+        (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + n_centroids)
+    ).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+    )
+    ccos = q6(vec_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")))
+    scored_cent = ev.join(F.broadcast(coarse), how="cross").withColumn("ccos", ccos)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    ranked = scored_cent.withColumn("rn", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    probes = (
+        ranked.filter((F.col("vec_id") < n_queries) & (F.col("rn") <= n_probe))
+        .select(F.col("vec_id").alias("query_id"), "cent_id")
+    )
+
+    # -- fine quantizer: corpus PQ codes + per-query ADC lookup arrays
+    codes = pq_encode(embeddings, m, n_centroids, n_queries)
+    d_sub = (F.size("v") / m).cast("int")
+    subs = e.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice("v", s * d_sub + 1, d_sub),
+            )
+        ).alias("sub_idx", "sv"),
+    )
+    pq_cents = subs.filter(
+        (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + n_centroids)
+    ).select(
+        (F.col("vec_id") - n_queries).cast("int").alias("centroid_idx"),
+        "sub_idx",
+        F.col("sv").alias("cv"),
+    )
+    dist2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    adc = (
+        subs.filter(F.col("vec_id") < n_queries)
+        .join(F.broadcast(pq_cents), "sub_idx")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "sub_idx",
+            "centroid_idx",
+            q6(dist2).alias("d"),
+        )
+    )
+    # pivot the table to one row per query: d{s} = distances ordered by
+    # centroid_idx, so element_at(d_s, code_s + 1) is the lookup
+    adc_wide = (
+        adc.groupBy("query_id")
+        .pivot("sub_idx", list(range(m)))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("centroid_idx", "d"))).alias("_t")
+        )
+        .select(
+            "query_id",
+            *[
+                F.transform(F.col(str(s)), lambda t: t["d"]).alias(f"d{s}")
+                for s in range(m)
+            ],
+        )
+    )
+
+    # -- search: IVF candidates scored through the broadcast ADC arrays
+    cand = (
+        F.broadcast(probes).join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+        .join(codes, "vec_id")
+        .join(F.broadcast(adc_wide), "query_id")
+    )
+    total = F.element_at(F.col("d0"), F.col("code_0").cast("int") + 1)
+    for s in range(1, m):
+        total = total + F.element_at(F.col(f"d{s}"), F.col(f"code_{s}").cast("int") + 1)
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), total.alias("adc_dist")
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )
+
+
+def ann_ivf_pq_sql(
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    m: int = PQ_M,
+) -> str:
+    from flink_streaming_etl_spark.functions import q6_sql
+
+    ccos = _COS_SQL.format(a="e.v", b="c.cv")
+    qd = q6_sql(
+        "list_sum(list_transform(range(1, len(q.sv) + 1),"
+        " i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i])))"
+    )
+    code_joins = "\n  ".join(
+        f"JOIN adc a{s} ON a{s}.query_id = cand.query_id AND a{s}.sub_idx = {s}"
+        f" AND a{s}.centroid_idx = kc.code_{s}"
+        for s in range(m)
+    )
+    total = " + ".join(f"a{s}.d" for s in range(m))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv FROM e
+  WHERE vec_id >= {n_queries} AND vec_id < {n_queries + n_centroids}
+),
+scored_cent AS (
+  SELECT e.vec_id, c.cent_id, {ccos} AS ccos,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY {ccos} DESC, c.cent_id) AS rn
+  FROM e, cents c
+),
+assign AS (SELECT vec_id, cent_id FROM scored_cent WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id
+  FROM scored_cent WHERE vec_id < {n_queries} AND rn <= {n_probe}
+),
+subs AS (
+  SELECT vec_id, sub_idx,
+         list_slice(v, sub_idx * (len(v) // {m}) + 1,
+                       (sub_idx + 1) * (len(v) // {m})) AS sv
+  FROM e, (SELECT unnest(range(0, {m})) AS sub_idx)
+),
+pq_cents AS (
+  SELECT vec_id - {n_queries} AS centroid_idx, sub_idx, sv AS cv
+  FROM subs WHERE vec_id >= {n_queries} AND vec_id < {n_queries + n_centroids}
+),
+codes AS ({pq_encode_sql(m, n_centroids, n_queries)}),
+adc AS (
+  SELECT q.vec_id AS query_id, q.sub_idx, c.centroid_idx, {qd} AS d
+  FROM subs q JOIN pq_cents c ON q.sub_idx = c.sub_idx
+  WHERE q.vec_id < {n_queries}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id
+  FROM probes p JOIN assign a ON p.cent_id = a.cent_id AND a.vec_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id AS neighbor_id, {total} AS adc_dist
+  FROM cand
+  JOIN codes kc ON kc.vec_id = cand.vec_id
+  {code_joins}
+)
+SELECT query_id, neighbor_id, adc_dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist ASC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
