@@ -338,6 +338,54 @@ N_CENTROIDS = 16
 N_PROBE = 4
 
 
+def _coarse_assign(ev: DataFrame, cents: DataFrame, n_queries: int, n_probe: int):
+    """Shared IVF coarse quantizer: (assign, probes).
+
+    ``assign`` (every vector → its nearest centroid cell) is computed with a
+    partial-aggregating ``groupBy(vec_id).agg(max_by(...))`` argmax, NOT a
+    window: ``row_number() OVER (PARTITION BY vec_id)`` would ship the full
+    n·n_centroids cross relation through the exchange (window functions get
+    no map-side combine), a centroid-count× larger shuffle than needed on
+    the hottest relation in the ANN family. ``max_by`` collapses each
+    vector's candidate rows map-side, so the exchange carries one row per
+    vector. Ordering struct (ccos, -cent_id) reproduces the window's
+    deterministic ``ORDER BY ccos DESC, cent_id`` tie-break exactly.
+
+    ``probes`` (each query's n_probe closest cells) still uses the window —
+    but only over the n_queries-sized slice, filtered before the window so
+    the corpus never reaches it.
+
+    ``ev`` must carry (vec_id, v, norm); ``cents`` (cent_id, cv, cnorm).
+    assign returns (vec_id, cent_id, v, norm); probes returns every scored
+    column plus rn ≤ n_probe for callers to project."""
+    from flink_streaming_etl_spark.functions import q6, vec_dot
+
+    ccos = q6(vec_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")))
+    scored_cent = ev.join(F.broadcast(cents), how="cross").withColumn("ccos", ccos)
+    order = F.struct(F.col("ccos").alias("c"), (-F.col("cent_id")).alias("nc"))
+    assign = (
+        scored_cent.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("cent_id"), F.col("v"), F.col("norm")), order
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.cent_id").alias("cent_id"),
+            F.col("best.v").alias("v"),
+            F.col("best.norm").alias("norm"),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    probes = (
+        scored_cent.filter(F.col("vec_id") < n_queries)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= n_probe)
+    )
+    return assign, probes
+
+
 def ann_ivf(
     embeddings: DataFrame,
     k: int = TOP_K,
@@ -368,20 +416,10 @@ def ann_ivf(
     ).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
     )
-    cos_to_cent = q6(vec_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")))
-    scored_cent = e.join(F.broadcast(cents)).withColumn("ccos", cos_to_cent)
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
-    assign = (
-        scored_cent.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id", "v", "norm")
-    )
-    probes = (
-        scored_cent.filter(F.col("vec_id") < n_queries)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") <= n_probe)
-        .select(F.col("vec_id").alias("query_id"), F.col("cent_id"),
-                F.col("v").alias("qv"), F.col("norm").alias("qnorm"))
+    assign, probe_rows = _coarse_assign(e, cents, n_queries, n_probe)
+    probes = probe_rows.select(
+        F.col("vec_id").alias("query_id"), F.col("cent_id"),
+        F.col("v").alias("qv"), F.col("norm").alias("qnorm"),
     )
     # probes is n_queries×n_probe rows — broadcast it; a shuffle join on
     # cent_id would hash-partition the corpus across only n_centroids keys
@@ -900,7 +938,7 @@ def ann_ivf_pq(
     n_probe: int = N_PROBE,
     m: int = PQ_M,
 ) -> DataFrame:
-    from flink_streaming_etl_spark.functions import q6, vec_dot, vec_norm
+    from flink_streaming_etl_spark.functions import q6, vec_norm
 
     e = _as_double(embeddings)
 
@@ -911,15 +949,9 @@ def ann_ivf_pq(
     ).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
     )
-    ccos = q6(vec_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")))
-    scored_cent = ev.join(F.broadcast(coarse), how="cross").withColumn("ccos", ccos)
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
-    ranked = scored_cent.withColumn("rn", F.row_number().over(w_assign))
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cent_id")
-    probes = (
-        ranked.filter((F.col("vec_id") < n_queries) & (F.col("rn") <= n_probe))
-        .select(F.col("vec_id").alias("query_id"), "cent_id")
-    )
+    assign_full, probe_rows = _coarse_assign(ev, coarse, n_queries, n_probe)
+    assign = assign_full.select("vec_id", "cent_id")
+    probes = probe_rows.select(F.col("vec_id").alias("query_id"), "cent_id")
 
     # -- fine quantizer: corpus PQ codes + per-query ADC lookup arrays
     codes = pq_encode(embeddings, m, n_centroids, n_queries)

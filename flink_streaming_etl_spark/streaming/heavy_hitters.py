@@ -8,8 +8,10 @@ with total undercount <= n/(cap+1). So the streaming twin of
 :func:`~flink_streaming_etl_spark.operators.text.heavy_hitter_tokens`
 keeps O(cap) state REGARDLESS of stream length or vocabulary size:
 
-- per micro-batch, tokens are exact-counted batch-locally (a micro-batch
-  is small by construction) and the tiny counter merges driver-side;
+- per micro-batch, a capped Misra-Gries pass runs INSIDE each scan task
+  (the same ``mg_partition`` kernel as the batch operator), so the driver
+  collects at most (cap+1)·partitions rows per batch — bounded by the
+  summary capacity, never by the batch's vocabulary;
 - every token with true frequency > n_total/cap is guaranteed to survive
   in the summary (no false negatives), each with bounds
   mg_count <= true_count <= mg_count + max_undercount;
@@ -56,26 +58,89 @@ class MisraGriesAccumulator:
         self.counts: Counter = Counter()
         self.n_total = 0
         self.max_undercount = 0
+        self.last_batch_id: int | None = None
 
     # -- streaming side -----------------------------------------------------
 
-    def add_batch(self, batch_documents: DataFrame) -> None:
-        """foreachBatch hook: exact-count the micro-batch's tokens, merge.
+    def _summarize_batch(self, batch_documents: DataFrame) -> list:
+        """Executor-side capped MG pass over the micro-batch.
 
-        The aggregation is batch-local (micro-batches are small); only the
-        distinct-token counter crosses to the driver.
+        Each scan task folds its token slice into a capacity-``cap``
+        Misra-Gries counter (the same kernel as the batch
+        ``heavy_hitter_tokens`` stage 1) and emits its tracked tokens plus
+        ONE sentinel row carrying the partition's row count and reduction
+        undercount. The collect therefore ships at most
+        (cap+1)·partitions rows — bounded by summary capacity, never by
+        the batch's vocabulary (the previous exact
+        ``groupBy(token).count().collect()`` was vocabulary-bounded: one
+        wide-vocab batch could flood the driver).
         """
-        rows = (
+        cap = self.cap
+
+        def mg_partition(it):
+            from collections import Counter as C
+
+            import pandas as pd
+
+            counters: C = C()
+            under = 0
+            n = 0
+            for pdf in it:
+                vals = pdf["token"].tolist()
+                n += len(vals)
+                counters.update(vals)
+                if len(counters) > cap:
+                    sub = sorted(counters.values(), reverse=True)[cap]
+                    counters = C(
+                        {t: c - sub for t, c in counters.items() if c - sub > 0}
+                    )
+                    under += sub
+            yield pd.DataFrame(
+                {
+                    "token": list(counters.keys()) + [None],
+                    "c": list(counters.values()) + [0],
+                    "under": [0] * len(counters) + [under],
+                    "n": [0] * len(counters) + [n],
+                }
+            )
+
+        return (
             tokens_of(batch_documents)
-            .groupBy("token")
-            .agg(F.count(F.lit(1)).alias("n"))
+            .mapInPandas(mg_partition, "token string, c long, under long, n long")
             .collect()
         )
-        self.add_counter(Counter({r["token"]: r["n"] for r in rows}))
+
+    def add_batch(self, batch_documents: DataFrame, batch_id: int | None = None) -> None:
+        """foreachBatch hook: capped per-partition MG pass, merge driver-side.
+
+        ``foreachBatch`` is at-least-once: on task/query restart Spark
+        replays a micro-batch under the SAME batch_id. Replays are skipped
+        (ids are monotonically increasing within a query), so a restart
+        cannot double-count into ``counts``/``n_total`` — the idempotent-
+        sink discipline the upsert sinks follow, applied to the summary.
+        """
+        if batch_id is not None:
+            if self.last_batch_id is not None and batch_id <= self.last_batch_id:
+                return
+            self.last_batch_id = int(batch_id)
+        rows = self._summarize_batch(batch_documents)
+        part_counts = Counter({r["token"]: r["c"] for r in rows if r["token"] is not None})
+        n = sum(r["n"] for r in rows)
+        under = sum(r["under"] for r in rows)
+        self.add_summary(part_counts, undercount=under, n=n)
 
     def add_counter(self, batch_counts: Counter) -> None:
-        self.n_total += sum(batch_counts.values())
-        self.counts.update(batch_counts)
+        """Merge an EXACT batch counter (no undercount)."""
+        self.add_summary(batch_counts, undercount=0, n=sum(batch_counts.values()))
+
+    def add_summary(self, counts: Counter, undercount: int, n: int) -> None:
+        """Merge another MG summary (counts + its undercount + its stream
+        length). Mergeability (Agarwal et al. 2012): summed counters reduced
+        back to capacity remain a valid MG summary of the concatenation;
+        undercounts add."""
+        self.n_total += int(n)
+        self.max_undercount += int(undercount)
+        self.counts.update(counts)
         if len(self.counts) > self.cap:
             # subtract the (cap+1)-th largest count from everything and drop
             # the non-positives: one reduction charges its decrement against
@@ -91,7 +156,7 @@ class MisraGriesAccumulator:
         and start the query (caller owns the returned StreamingQuery)."""
         return (
             stream_documents.writeStream.outputMode("append")
-            .foreachBatch(lambda batch, _id: self.add_batch(batch))
+            .foreachBatch(lambda batch, bid: self.add_batch(batch, bid))
             .start(**start_kwargs)
         )
 
@@ -101,6 +166,11 @@ class MisraGriesAccumulator:
         """(token, count_lower, count_upper) for every candidate that COULD
         exceed the n_total/k threshold. Superset of the true heavy hitters
         (no false negatives for any k <= cap)."""
+        if k > self.cap:
+            raise ValueError(
+                f"k={k} exceeds summary capacity cap={self.cap}: the "
+                "no-false-negative guarantee only holds for k <= cap"
+            )
         out = []
         for t, c in self.counts.items():
             if (c + self.max_undercount) * k > self.n_total:
@@ -112,7 +182,15 @@ class MisraGriesAccumulator:
     ) -> DataFrame:
         """Kappa handover: exact-count ONLY the tracked candidates over the
         replayable corpus. Result equals the batch ``heavy_hitter_tokens``
-        operator (same schema: token, n, n_total)."""
+        operator (same schema: token, n, n_total). Equality with the batch
+        operator requires k <= cap (above that, true heavy hitters may have
+        been evicted from the summary — fail loudly rather than silently
+        dropping them)."""
+        if k > self.cap:
+            raise ValueError(
+                f"k={k} exceeds summary capacity cap={self.cap}: the "
+                "no-false-negative guarantee only holds for k <= cap"
+            )
         if not self.counts:
             return spark.createDataFrame([], "token string, n long, n_total long")
         cand = spark.createDataFrame(

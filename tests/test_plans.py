@@ -322,3 +322,25 @@ def test_round5_training_ops_plan_shapes(spark):
     # source_mixture_weights: one source-keyed partial+final aggregate.
     p = plan_of(tx.source_mixture_weights(t["documents"]))
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_ivf_coarse_assign_partial_agg_not_window(spark):
+    """The IVF coarse assignment (every corpus vector → nearest centroid)
+    must be a partial-aggregating max_by argmax, NOT row_number() over the
+    n·n_centroids cross relation: window functions get no map-side combine,
+    so a window there ships centroid-count× more rows through the hottest
+    exchange in the ANN family. The only Window operators allowed are (a)
+    the probe ranking over the n_queries-sized slice and (b) the final
+    per-query top-k — exactly two."""
+    import re
+
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    t = _tables(spark)
+    for op in (sim.ann_ivf, sim.ann_ivf_pq):
+        p = plan_of(op(t["embeddings"]))
+        # map-side combine on the assignment argmax
+        assert "partial_max_by" in p, p
+        # no third window: assignment never reaches a Window operator
+        n_windows = len(re.findall(r"\(\d+\) Window\b", p))
+        assert n_windows == 2, f"{op.__name__}: {n_windows} Window nodes\n{p}"
