@@ -124,7 +124,12 @@ class MisraGriesAccumulator:
                 return
             self.last_batch_id = int(batch_id)
         rows = self._summarize_batch(batch_documents)
-        part_counts = Counter({r["token"]: r["c"] for r in rows if r["token"] is not None})
+        # a token tracked by several partition summaries contributes the SUM
+        # of its per-partition counts (a dict comprehension would keep one)
+        part_counts: Counter = Counter()
+        for r in rows:
+            if r["token"] is not None:
+                part_counts[r["token"]] += r["c"]
         n = sum(r["n"] for r in rows)
         under = sum(r["under"] for r in rows)
         self.add_summary(part_counts, undercount=under, n=n)

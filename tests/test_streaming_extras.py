@@ -604,3 +604,49 @@ def test_streaming_heavy_hitters_attach_file_stream(spark, tmp_path):
     batch_acc.add_batch(spark.read.schema("doc_id long, text string").json(str(src_dir)))
     assert acc.n_total == batch_acc.n_total
     assert set(acc.counts) == set(batch_acc.counts)
+
+
+def test_streaming_mg_collect_bound_and_replay_idempotent(spark):
+    """(a) The per-batch collect is bounded by summary capacity — at most
+    (cap+1)·partitions rows — even when the batch vocabulary is far wider
+    than cap (the pre-fix exact groupBy.collect shipped the whole
+    vocabulary to the driver). (b) foreachBatch is at-least-once: replaying
+    the same batch_id must be a no-op on counts/n_total."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_etl_spark.streaming.heavy_hitters import MisraGriesAccumulator
+
+    # 20k distinct tokens, cap 10 — vocabulary >> capacity
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.concat(F.lit(f"tok{j}_"), F.col("id")) for j in range(10)]
+        ).alias("text"),
+    )
+    acc = MisraGriesAccumulator(cap=10)
+    rows = acc._summarize_batch(docs)
+    n_parts = docs.rdd.getNumPartitions()
+    assert len(rows) <= (acc.cap + 1) * n_parts, (len(rows), n_parts)
+
+    acc.add_batch(docs, batch_id=0)
+    n1, c1, u1 = acc.n_total, dict(acc.counts), acc.max_undercount
+    assert n1 == 2000 * 10
+    acc.add_batch(docs, batch_id=0)  # replayed micro-batch: skipped
+    assert (acc.n_total, dict(acc.counts), acc.max_undercount) == (n1, c1, u1)
+    acc.add_batch(docs, batch_id=1)  # genuinely new batch: merged
+    assert acc.n_total == 2 * n1
+
+
+def test_streaming_mg_k_above_cap_raises(spark):
+    """k > cap silently drops true heavy hitters (eviction can have removed
+    them) — both query-side entry points must refuse."""
+    import pytest
+
+    from flink_streaming_etl_spark.streaming.heavy_hitters import MisraGriesAccumulator
+
+    acc = MisraGriesAccumulator(cap=5)
+    acc.add_counter(__import__("collections").Counter({"a": 3, "b": 2}))
+    with pytest.raises(ValueError, match="k=6 exceeds"):
+        acc.candidate_rows(6)
+    with pytest.raises(ValueError, match="k=6 exceeds"):
+        acc.exact_verify(spark, None, 6)
