@@ -7,6 +7,19 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is materialized with the JVM-side ``noop`` datasource write so
 every result row is fully computed without paying Python row serialization
 or driver-side collection — the engine's cost, nothing else.
+
+CI contract (what a consumer must check — rc alone is NOT enough):
+
+- exit code: 0 unless more than half the battery failed (a broad collapse;
+  the round driver treats rc != 0 as a TOTAL bench abort, so single-query
+  failures never flip it);
+- stdout: exactly one JSON line. Fields: ``value`` = total wall seconds
+  over successful queries only; ``n_ok`` / ``n_err`` = success/failure
+  counts — **a consumer must fail its check if ``n_err`` > 0**;
+  ``queries`` maps each name to seconds (float, success) or
+  ``{"err": "..."}`` (failure);
+- stderr: one ``bench: ERROR <name>: <err>`` line per failed query, plus a
+  final ``bench: SUMMARY ...`` line whenever n_err > 0.
 """
 
 from __future__ import annotations
@@ -177,30 +190,50 @@ def main() -> None:
             if name not in timings or el < timings[name]:
                 timings[name] = el
 
-    total = round(sum(timings.values()), 3)
+    payload, rc, stderr_lines = summarize(timings, errors, len(HEADLINE), sf)
+    for line in stderr_lines:
+        print(line, file=sys.stderr)
+    print(json.dumps(payload))
+    if rc:
+        sys.exit(rc)
+
+
+def summarize(
+    timings: dict[str, float],
+    errors: dict[str, str],
+    n_headline: int,
+    sf: str,
+) -> tuple[dict, int, list[str]]:
+    """Pure reporting policy, unit-tested in tests/test_bench_contract.py.
+
+    Returns (stdout JSON payload, exit code, stderr lines). Errors must be
+    loud even when the exit code stays 0 (the driver treats nonzero as a
+    total bench abort, so rc != 0 is reserved for broad collapse — more
+    than half the battery failing): each failure gets its own stderr line
+    and a final SUMMARY line carries the count for CI consumers that only
+    tail stderr."""
     queries: dict[str, object] = dict(timings)
+    stderr_lines = []
     for name, err in errors.items():
         queries[name] = {"err": err}
-        # Errors must be loud even when the exit code stays 0 (the driver
-        # treats nonzero as a total bench abort, so rc!=0 is reserved for
-        # broad collapse): a CI consumer watching stderr sees each failure.
-        print(f"bench: ERROR {name}: {err}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "n_ok": len(timings),
-                "n_err": len(errors),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+        stderr_lines.append(f"bench: ERROR {name}: {err}")
+    if errors:
+        stderr_lines.append(
+            f"bench: SUMMARY n_err={len(errors)} of {n_headline} headline "
+            "queries failed (rc stays 0 below the collapse threshold — CI "
+            "must check the JSON n_err field, not just the exit code)"
         )
-    )
-    # Fail the process only on a broad collapse, not a single bad query.
-    if len(timings) < len(HEADLINE) // 2:
-        sys.exit(1)
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "n_ok": len(timings),
+        "n_err": len(errors),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    rc = 1 if len(timings) < n_headline // 2 else 0
+    return payload, rc, stderr_lines
 
 
 if __name__ == "__main__":

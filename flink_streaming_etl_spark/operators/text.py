@@ -1178,6 +1178,47 @@ FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 """
 
 
+_TOKEN_RELATION_CACHE: "dict[tuple[int, int], DataFrame]" = {}
+_TOKEN_RELATION_CACHE_MAX = 4
+
+
+def _shared_token_relation(documents: DataFrame) -> DataFrame:
+    """The per-session memoized tokenized-corpus relation behind
+    ``curated_corpus_v2``: (doc_id, lang, source, text, _w token array),
+    persisted MEMORY_AND_DISK (spills, never evicts at scale).
+
+    Memoized by (session, semantic plan hash): calling the builder again
+    on the same input returns the SAME persisted DataFrame, so Spark's
+    CacheManager holds one entry per distinct input instead of one per
+    call — a bench/gate loop invoking the operator dozens of times in one
+    session previously stacked that many pinned corpus copies. A tiny LRU
+    (4 entries — more distinct corpora than that in one session means the
+    caller is managing its own lifecycles) unpersists the oldest entry on
+    overflow."""
+    from pyspark import StorageLevel
+
+    key = (id(documents.sparkSession), documents.semanticHash())
+    hit = _TOKEN_RELATION_CACHE.get(key)
+    if hit is not None:
+        # LRU bump: re-insert as most recent
+        del _TOKEN_RELATION_CACHE[key]
+        _TOKEN_RELATION_CACHE[key] = hit
+        return hit
+    toks = documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.split(F.trim("text"), r"\s+").alias("_w"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    while len(_TOKEN_RELATION_CACHE) >= _TOKEN_RELATION_CACHE_MAX:
+        oldest_key, evicted = next(iter(_TOKEN_RELATION_CACHE.items()))
+        del _TOKEN_RELATION_CACHE[oldest_key]
+        evicted.unpersist(blocking=False)
+    _TOKEN_RELATION_CACHE[key] = toks
+    return toks
+
+
 def curated_corpus_v2(documents: DataFrame) -> DataFrame:
     """Round-4 curation composition — the shape a real pretraining job runs
     as ONE Spark job: Gopher structural filters decide keep/drop, span-level
@@ -1196,21 +1237,18 @@ def curated_corpus_v2(documents: DataFrame) -> DataFrame:
     derive from the cached array, so the regex tokenization and the
     parquet scan run once instead of five times. Joins: the former
     documents⋈gopher join is gone (filter inlined), leaving one left join
-    against surviving spans and one join against novelty."""
-    from pyspark import StorageLevel
+    against surviving spans and one join against novelty.
 
+    Cache discipline (round 6): the persisted token relation is memoized
+    per (session, input plan) in :func:`_shared_token_relation` — repeat
+    invocations in a long-lived session (bench + gate loops) reuse ONE
+    CacheManager entry instead of pinning a new corpus copy per call."""
     from flink_streaming_etl_spark.operators.dedup import (
         novelty_from_shingles,
         shingle_rows_from_tokens,
     )
 
-    toks = documents.select(
-        "doc_id",
-        "lang",
-        "source",
-        "text",
-        F.split(F.trim("text"), r"\s+").alias("_w"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    toks = _shared_token_relation(documents)
 
     base = (
         gopher_metrics(toks, tokens_col="_w")

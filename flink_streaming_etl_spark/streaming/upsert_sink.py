@@ -257,20 +257,45 @@ class AdditivePartialSink:
     replaces a key's row, this sink SUMS the incoming partials into the
     stored ones, which is what the kappa backfill→streaming handover needs:
     a window spanning the cutover gets its history partial from the batch
-    backfill and its tail partial from the stream. Integer partials merge
-    exactly (long addition is associative); floating-point partials are
-    summed THROUGH DECIMAL(26,6) internally — double addition is not
-    associative, so without this a backfill+stream merge could drift in
-    the last ulps vs one-shot aggregation — making merges
-    order-independent for any value whose true granularity is within 1e-6
-    (all monetary/value columns here are DECIMAL(18,6) upstream). Same
-    tmp+rename atomic rewrite as the keyed sink."""
+    backfill and its tail partial from the stream.
 
-    def __init__(self, spark: SparkSession, path: str, keys: list[str], sum_cols: list[str]):
+    Exactness contract, per column class:
+
+    - integer partials (counts) merge exactly — long addition is
+      associative;
+    - float columns listed in ``decimal_cols`` (EXPLICIT opt-in) are summed
+      through DECIMAL(26,6) internally, making merges order-independent —
+      and bit-equal to a one-shot aggregation — for values whose true
+      granularity is within 1e-6 (monetary/value columns derived from
+      DECIMAL(18,6) upstream, like ``windowed_event_stats.sum_value``).
+      Opt-in is by column list, not dtype sniffing: an arbitrary double
+      metric (a log-loss, a rate) must NOT be silently quantized to 1e-6,
+      so unlisted double columns keep plain double summation (exact in
+      value terms only up to reordering ulps);
+    - decimal overflow returns NULL under non-ANSI semantics (a value
+      beyond DECIMAL(26,6) range, |x| >= 1e20, NULLs at the cast; the sum
+      itself widens to DECIMAL(36,6)) — ``merge`` detects a NULL decimal
+      sum over non-NULL inputs and raises instead of silently storing
+      NULL.
+
+    Same tmp+rename atomic rewrite as the keyed sink."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: list[str],
+        sum_cols: list[str],
+        decimal_cols: list[str] | None = None,
+    ):
         self.spark = spark
         self.path = os.fspath(path)
         self.keys = list(keys)
         self.sum_cols = list(sum_cols)
+        self.decimal_cols = list(decimal_cols or [])
+        unknown = set(self.decimal_cols) - set(self.sum_cols)
+        if unknown:
+            raise ValueError(f"decimal_cols not in sum_cols: {sorted(unknown)}")
 
     def exists(self) -> bool:
         return os.path.exists(os.path.join(self.path, "_SUCCESS"))
@@ -286,11 +311,28 @@ class AdditivePartialSink:
         dtypes = dict(merged.dtypes)
 
         def _sum(c: str):
-            if dtypes[c] in ("double", "float"):
+            if c in self.decimal_cols:
                 return F.sum(F.col(c).cast("decimal(26,6)")).cast(dtypes[c]).alias(c)
             return F.sum(c).alias(c)
 
-        merged = merged.groupBy(*self.keys).agg(*[_sum(c) for c in self.sum_cols])
+        flags = [
+            F.max(F.col(c).isNotNull()).alias(f"__had_{c}") for c in self.decimal_cols
+        ]
+        merged = merged.groupBy(*self.keys).agg(
+            *[_sum(c) for c in self.sum_cols], *flags
+        )
+        if self.decimal_cols:
+            overflow = F.lit(False)
+            for c in self.decimal_cols:
+                overflow = overflow | (F.col(f"__had_{c}") & F.col(c).isNull())
+            n_bad = merged.filter(overflow).count()
+            if n_bad:
+                raise ArithmeticError(
+                    f"AdditivePartialSink: DECIMAL(26,6) sum overflowed to NULL "
+                    f"on {n_bad} key group(s) in {sorted(self.decimal_cols)} — "
+                    "refusing to store silent NULLs"
+                )
+            merged = merged.drop(*[f"__had_{c}" for c in self.decimal_cols])
         tmp = self.path + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
         if os.path.exists(self.path):

@@ -566,3 +566,28 @@ def test_ann_ivf_pq_quality_and_determinism(spark):
     # case for IVF cells and PQ codes alike — measured recall ~8x random;
     # require comfortably above 4x so a real ranking regression still trips.
     assert recall > 4 * TOP_K / n_total, recall
+
+
+def test_curated_corpus_token_cache_memoized(spark):
+    """Repeat curated_corpus_v2 invocations in one session must reuse ONE
+    persisted token relation (per input plan), not stack a new CacheManager
+    entry per call; the LRU unpersists the oldest entry on overflow."""
+    from flink_streaming_etl_spark.catalog import load_tables
+    from flink_streaming_etl_spark.operators import text as tx
+    from tests.conftest import SF_SMOKE
+
+    tx._TOKEN_RELATION_CACHE.clear()
+    docs = load_tables(spark, SF_SMOKE, register=False)["documents"]
+    a = tx._shared_token_relation(docs)
+    b = tx._shared_token_relation(docs)
+    assert a is b  # same persisted DataFrame, not a second pinned copy
+    assert len(tx._TOKEN_RELATION_CACHE) == 1
+    # two full builds share the one cached relation and stay correct
+    n1 = tx.curated_corpus_v2(docs).count()
+    n2 = tx.curated_corpus_v2(docs).count()
+    assert n1 == n2 and len(tx._TOKEN_RELATION_CACHE) == 1
+    # LRU eviction unpersists the oldest once capacity is exceeded
+    for i in range(tx._TOKEN_RELATION_CACHE_MAX):
+        tx._shared_token_relation(docs.limit(10 + i))
+    assert len(tx._TOKEN_RELATION_CACHE) == tx._TOKEN_RELATION_CACHE_MAX
+    assert a.storageLevel.useMemory is False  # evicted entry was unpersisted

@@ -508,7 +508,7 @@ def test_backfill_then_stream_handover_additive(spark, tmp_path):
 
     sink = AdditivePartialSink(
         spark, str(tmp_path / "agg"), keys=["window_start", "event_type"],
-        sum_cols=["n_events", "sum_value"],
+        sum_cols=["n_events", "sum_value"], decimal_cols=["sum_value"],
     )
     sink.merge(W.windowed_event_stats(history))  # batch backfill
 
@@ -520,9 +520,12 @@ def test_backfill_then_stream_handover_additive(spark, tmp_path):
     ):
         sink.merge(W.windowed_event_stats(chunk))
 
-    got = {(r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+    # BIT-EXACT equality, no rounding mask: the operator's partials are
+    # DECIMAL(18,6)-derived doubles, and the sink re-sums the opted-in
+    # float column through DECIMAL(26,6), so merge order cannot drift ulps.
+    got = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
            for r in sink.read().collect()}
-    want = {(r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+    want = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
             for r in W.windowed_event_stats(events).collect()}
     assert got == want
 
@@ -650,3 +653,46 @@ def test_streaming_mg_k_above_cap_raises(spark):
         acc.candidate_rows(6)
     with pytest.raises(ValueError, match="k=6 exceeds"):
         acc.exact_verify(spark, None, 6)
+
+
+def test_additive_sink_decimal_opt_in_and_overflow_loud(spark, tmp_path):
+    """(a) The decimal path is an explicit opt-in: a double column NOT in
+    decimal_cols keeps plain double summation (no silent 1e-6
+    quantization). (b) A DECIMAL(26,6) overflow (NULL under non-ANSI
+    semantics) raises instead of silently storing NULL. (c) decimal_cols
+    must be a subset of sum_cols."""
+    import pytest
+
+    from flink_streaming_etl_spark.streaming.upsert_sink import AdditivePartialSink
+
+    # (a) sub-1e-6 granularity survives when NOT opted in
+    df = spark.createDataFrame([("k", 1e-9), ("k", 2e-9)], "key string, metric double")
+    sink = AdditivePartialSink(spark, str(tmp_path / "plain"), keys=["key"],
+                               sum_cols=["metric"])
+    sink.merge(df)
+    [r] = sink.read().collect()
+    assert abs(r["metric"] - 3e-9) < 1e-15  # a decimal(_,6) path would give 0.0
+
+    # (b) overflow is loud on BOTH ANSI settings: under ANSI (the session
+    # default) the out-of-range cast itself throws; under non-ANSI the
+    # cast NULLs silently and the sink's NULL-over-non-NULL-inputs flag
+    # must fire instead.
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    big = spark.createDataFrame([("k", 9e21), ("k", 9e21)], "key string, v double")
+    sink2 = AdditivePartialSink(spark, str(tmp_path / "ovf"), keys=["key"],
+                                sum_cols=["v"], decimal_cols=["v"])
+    with pytest.raises((ArithmeticError, ArithmeticException)):
+        sink2.merge(big)
+    old_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        with pytest.raises(ArithmeticError, match="overflowed"):
+            sink2.merge(big)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old_ansi)
+
+    # (c) decimal_cols ⊆ sum_cols enforced
+    with pytest.raises(ValueError, match="decimal_cols"):
+        AdditivePartialSink(spark, str(tmp_path / "bad"), keys=["key"],
+                            sum_cols=["v"], decimal_cols=["w"])
