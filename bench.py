@@ -132,6 +132,12 @@ HEADLINE = [
     "ann_recall_report",
     "neardup_keep_best",
     "minhash_error_report",
+    # round-6 training-pipeline additions
+    "clicks_before_purchase_banded",
+    "bm25_top_terms",
+    "semdedup_drop",
+    "cluster_balance_report",
+    "packing_efficiency",
 ]
 
 

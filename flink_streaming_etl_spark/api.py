@@ -457,6 +457,35 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(similarity.ann_ivf_pq, "embeddings"),
         similarity.ann_ivf_pq_sql(),
     ),
+    # --- round-6 training-pipeline additions ---
+    "clicks_before_purchase_banded": (
+        # banded-equi-join plan for the time-range join: constant 2-bucket
+        # fan-out per purchase, no per-user quadratic candidate blowup
+        _q(analytics.clicks_before_purchase_banded, "events"),
+        analytics.CLICKS_BEFORE_PURCHASE_SQL,  # same relation, banded plan
+    ),
+    "bm25_top_terms": (
+        # Okapi BM25 scoring (log-free idf ratio + saturation/length norm)
+        _q(analytics.bm25_top_terms, "documents"),
+        analytics.bm25_top_terms_sql(),
+    ),
+    "semdedup_drop": (
+        # SemDeDup: pinned-centroid clustering bounds pair generation to
+        # within-cell; deterministic lower-id-wins drop rule
+        _q(similarity.semdedup_drop, "embeddings"),
+        similarity.semdedup_drop_sql(),
+    ),
+    "cluster_balance_report": (
+        # per-cell size / tightness / label purity on the same clustering
+        _q(similarity.cluster_balance_report, "embeddings"),
+        similarity.cluster_balance_report_sql(),
+    ),
+    "packing_efficiency": (
+        # per-lang fill ratio, padding, and boundary-straddler share over
+        # pack_sequences
+        _q(text.packing_efficiency, "documents"),
+        text.packing_efficiency_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -466,10 +495,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: keep a core of reference-parity anchors in-window; rotate multi-round
 #: green entries to the tail (they stay covered by tests/test_oracle_parity).
 _SAMPLE_FRONT = [
-    # round-5 rotation: the 10 entries that had never received a driver row
-    # (the 8 round-4 operators + the two sketch-estimator profiles, now
-    # scalar-only so the driver canonicalizer can hash them)
-    # round-5 additions — first driver rows
+    # round-6 additions — first driver rows
+    "clicks_before_purchase_banded",
+    "bm25_top_terms",
+    "semdedup_drop",
+    "cluster_balance_report",
+    "packing_efficiency",
+    # round-5 additions — keep a second confirming round
     "repetition_battery",
     "source_mixture_weights",
     "pq_encode",
@@ -493,12 +525,10 @@ _SAMPLE_FRONT = [
     "kmeans_assign_pinned",
     "standardize_by_label_stats",
     "sketch_profile_flat",
-    # first driver rows earned in r04 — keep a second confirming round
-    "weighted_sample",
-    "mixture_sample",
-    "repetition_score",
-    "quality_tier_report",
-    "normalize_text",
+    # (weighted_sample / mixture_sample / repetition_score /
+    # quality_tier_report / normalize_text: r04+r05 green, rotated to the
+    # tail to make room for the round-6 additions; oracle-parity still
+    # covers them locally every run)
     "pack_sequences",
     # (revenue_rollup / window_battery / customers_without_orders /
     # big_spender_customers / customer_cohort_setops earned their r04 rows

@@ -1075,3 +1075,151 @@ FROM days JOIN pairs p
   ON p.d BETWEEN days.d - INTERVAL {window_days - 1} DAY AND days.d
 GROUP BY days.d
 """
+
+
+# ---------------------------------------------------------------------------
+# Banded interval join — the 100 TB plan for time-range joins. The direct
+# formulation (clicks_before_purchase above: equi on user + range residual)
+# makes Spark evaluate every click x purchase pair WITHIN a user — fine for
+# consumer traffic, quadratic for a power user / bot key. Banding restores
+# a pure equi-join: each click maps to its one hour bucket, each purchase
+# fans out to the (exactly two) buckets its 1-hour lookback can touch, the
+# join key becomes (user, bucket), and the exact range check runs as a
+# residual filter on candidates that are already hour-colocated. Candidate
+# volume per purchase is bounded by the user's events in TWO hours, not
+# their lifetime history. Oracle: identical relation to
+# CLICKS_BEFORE_PURCHASE_SQL (the banding is plan, not semantics).
+
+
+def clicks_before_purchase_banded(events: DataFrame) -> DataFrame:
+    """Same result as :func:`clicks_before_purchase`, banded-equi-join plan.
+
+    Bucket arithmetic: with window [pts-1h, pts) and 1h buckets, a
+    qualifying click's bucket floor(cts/3600) can only be floor(pts/3600)
+    or floor(pts/3600)-1, so each purchase explodes to exactly those two
+    (user, bucket) keys — constant fan-out, no range-join blowup."""
+    sec = F.col("pts").cast("long")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("u"),
+            F.col("ts").alias("pts"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(F.array(F.floor(sec / 3600) - 1, F.floor(sec / 3600))),
+        )
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+        F.floor(F.col("ts").cast("long") / 3600).alias("bucket"),
+    )
+    hits = (
+        purchases.join(
+            clicks, (purchases.u == clicks.cu) & (purchases.bucket == clicks.bucket)
+        )
+        .filter(
+            (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("cts") < F.col("pts"))
+        )
+        .groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    base = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id"
+    )
+    return base.join(hits, "purchase_id", "left").select(
+        "purchase_id",
+        "user_id",
+        F.coalesce("n", F.lit(0)).cast("long").alias("clicks_1h_before"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Okapi BM25 top terms (Robertson et al., TREC-3) — the retrieval-grade
+# upgrade of tfidf_top_terms: same log-free idf ratio (cross-engine ulp
+# safety, see tfidf note), plus the BM25 saturation (k1) and document-
+# length normalization (b) that tf-idf lacks. All arithmetic is division/
+# multiply on exact integers and the two literals k1, b — identical IEEE
+# expression trees on both engines, q6-quantized.
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    tokens = documents.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.count()
+    # empty corpus → SUM is NULL; 1 keeps the plan valid (no rows score)
+    total_tokens = tf.agg(F.sum("tf")).collect()[0][0] or 1
+    # dl/avgdl computed as dl * n_docs / total_tokens — exact ints into one
+    # multiply + one divide, no intermediate avgdl rounding difference.
+    norm = (
+        F.lit(float(BM25_K1)) * (F.lit(1.0) - F.lit(float(BM25_B)))
+        + F.lit(float(BM25_K1)) * F.lit(float(BM25_B))
+        * (F.col("dl") * F.lit(float(n_docs)) / F.lit(float(total_tokens)))
+    )
+    idf = (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    # (k1 + 1.0) folds in-plan, mirroring the SQL's in-engine addition (a
+    # Python-side precomputed 2.2 literal could round differently).
+    score = q6(
+        idf
+        * (F.col("tf") * (F.lit(float(BM25_K1)) + F.lit(1.0)))
+        / (F.col("tf") + norm)
+    )
+    scored = (
+        tf.join(F.broadcast(df_rel), "term")
+        .join(dl, "doc_id")
+        .withColumn("score", score)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df", "dl", "score", "rk")
+    )
+
+
+def bm25_top_terms_sql(k: int = 3) -> str:
+    # ::DOUBLE on the k1/b literals: DuckDB would otherwise parse 1.2 as
+    # DECIMAL(2,1) and run exact decimal arithmetic where Spark runs IEEE
+    # double — identical expression trees require identical operand types.
+    k1, b = f"({BM25_K1}::DOUBLE)", f"({BM25_B}::DOUBLE)"
+    score = q6_sql(
+        f"((nd.n - df + 0.5) / (df + 0.5))"
+        f" * (tf * ({k1} + 1.0))"
+        f" / (tf + ({k1} * (1.0 - {b}) + {k1} * {b} * (dl * nd.n / tt.t)))"
+    )
+    return f"""
+WITH tokens AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS term) t
+  WHERE t.term <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY doc_id, term
+), dlr AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+), dfr AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+tt AS (SELECT CAST(SUM(tf) AS DOUBLE) AS t FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfr.df, dlr.dl, {score} AS score
+  FROM tf JOIN dfr USING (term) JOIN dlr USING (doc_id), nd, tt
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, dl, score, rk FROM ranked WHERE rk <= {k}
+"""

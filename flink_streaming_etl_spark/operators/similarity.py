@@ -1095,3 +1095,217 @@ SELECT query_id, neighbor_id, adc_dist FROM (
   FROM scored
 ) WHERE rn <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540, public): semantic
+# deduplication for pretraining corpora — cluster the embedding space
+# coarsely, then compare pairs ONLY within a cluster. Clustering is what
+# makes semantic dedup tractable at corpus scale: candidate generation is
+# O(sum of cluster_size^2) instead of O(n^2), and each cluster's pair
+# relation shuffles on its own cell key. Centroids are the same pinned
+# corpus subset as ann_ivf (a k-means codebook would be trained offline at
+# scale); the coarse assignment reuses _coarse_assign's partial-aggregating
+# argmax. Drop rule (deterministic, oracle-exact): a vector is dropped iff
+# a LOWER-id vector in the same cell has q6-cosine >= threshold with it —
+# the id order stands in for the paper's keep-one-per-eps-group choice.
+
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def semdedup_drop(
+    embeddings: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    n_centroids: int = N_CENTROIDS,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """(vec_id, cell, dropped) for every corpus vector."""
+    from flink_streaming_etl_spark.functions import q6, vec_dot, vec_norm
+
+    ev = _as_double(embeddings).withColumn("norm", vec_norm(F.col("v")))
+    cents = ev.filter(
+        (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + n_centroids)
+    ).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+    )
+    assign, _ = _coarse_assign(ev, cents, n_queries=0, n_probe=1)
+    a = assign.select(
+        F.col("vec_id").alias("a_id"), F.col("cent_id"),
+        F.col("v").alias("va"), F.col("norm").alias("na"),
+    )
+    b = assign.select(
+        F.col("vec_id").alias("b_id"), F.col("cent_id"),
+        F.col("v").alias("vb"), F.col("norm").alias("nb"),
+    )
+    pair_cos = q6(vec_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+    dropped = (
+        a.join(b, "cent_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(pair_cos >= threshold)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_d", F.lit(True))
+    )
+    return (
+        assign.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cent_id").cast("long").alias("cell"),
+            F.coalesce("_d", F.lit(False)).alias("dropped"),
+        )
+    )
+
+
+def semdedup_drop_sql(
+    threshold: float = SEMDEDUP_THRESHOLD,
+    n_centroids: int = N_CENTROIDS,
+    n_queries: int = N_QUERIES,
+) -> str:
+    ccos = _COS_SQL.format(a="e.v", b="c.cv")
+    pcos = _COS_SQL.format(a="a.v", b="b.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv FROM e
+  WHERE vec_id >= {n_queries} AND vec_id < {n_queries + n_centroids}
+),
+assign AS (
+  SELECT vec_id, cent_id, v FROM (
+    SELECT e.vec_id, c.cent_id, e.v,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {ccos} DESC, c.cent_id) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  WHERE {pcos} >= {threshold}
+)
+SELECT s.vec_id,
+       CAST(s.cent_id AS BIGINT) AS cell,
+       (d.vec_id IS NOT NULL) AS dropped
+FROM assign s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cluster balance report — the curation-side health check on the same
+# pinned-centroid clustering: per cell, how many vectors, how tight the
+# cell is (mean q6 cosine-to-centroid, decimal-summed for order
+# independence), and the label purity (modal label share). The operator a
+# data curator runs after any clustering step to find degenerate cells
+# before sampling from them.
+
+
+def cluster_balance_report(
+    embeddings: DataFrame,
+    n_centroids: int = N_CENTROIDS,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    from flink_streaming_etl_spark.functions import q6, vec_dot, vec_norm
+
+    ev = _as_double(embeddings).withColumn("norm", vec_norm(F.col("v")))
+    cents = ev.filter(
+        (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + n_centroids)
+    ).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+    )
+    ccos = q6(vec_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")))
+    scored_cent = ev.join(F.broadcast(cents), how="cross").withColumn("ccos", ccos)
+    order = F.struct(F.col("ccos").alias("c"), (-F.col("cent_id")).alias("nc"))
+    # argmax first (partial-aggregating max_by, see _coarse_assign), THEN
+    # join labels onto the one-row-per-vector result — the label column
+    # never rides the n·n_centroids cross relation.
+    assign = (
+        scored_cent.groupBy("vec_id")
+        .agg(F.max_by(F.struct("cent_id", "ccos"), order).alias("best"))
+        .select(
+            "vec_id",
+            F.col("best.cent_id").alias("cell"),
+            F.col("best.ccos").alias("ccos"),
+        )
+        .join(embeddings.select("vec_id", "label"), "vec_id")
+    )
+    by_label = assign.groupBy("cell", "label").agg(F.count(F.lit(1)).alias("nl"))
+    top_label = (
+        by_label.groupBy("cell")
+        .agg(
+            F.max_by(
+                F.struct("label", "nl"),
+                F.struct(F.col("nl"), (-F.col("label")).alias("neg")),
+            ).alias("t")
+        )
+        .select(
+            "cell",
+            F.col("t.label").alias("top_label"),
+            F.col("t.nl").alias("top_label_n"),
+        )
+    )
+    per_cell = assign.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        # ccos values are q6-quantized (1e-6 grid): DECIMAL(26,6) summation
+        # is exact and order-independent; the final divide runs in double.
+        (
+            F.sum(F.col("ccos").cast("decimal(26,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_m"),
+    )
+    return (
+        per_cell.join(top_label, "cell")
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_vectors",
+            q6(F.col("_m")).alias("mean_cos_to_centroid"),
+            F.col("top_label").cast("long").alias("top_label"),
+            "top_label_n",
+            q6(F.col("top_label_n") / F.col("n_vectors")).alias("purity"),
+        )
+    )
+
+
+def cluster_balance_report_sql(
+    n_centroids: int = N_CENTROIDS, n_queries: int = N_QUERIES
+) -> str:
+    from flink_streaming_etl_spark.functions import q6_sql
+
+    ccos = _COS_SQL.format(a="e.v", b="c.cv")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv FROM e
+  WHERE vec_id >= {n_queries} AND vec_id < {n_queries + n_centroids}
+),
+assign AS (
+  SELECT vec_id, cent_id AS cell, ccos, label FROM (
+    SELECT e.vec_id, c.cent_id, e.label,
+           {ccos} AS ccos,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {ccos} DESC, c.cent_id) AS rn
+    FROM e, cents c
+  ) WHERE rn = 1
+),
+by_label AS (
+  SELECT cell, label, COUNT(*) AS nl FROM assign GROUP BY 1, 2
+),
+top_label AS (
+  SELECT cell, label AS top_label, nl AS top_label_n FROM (
+    SELECT *, row_number() OVER (PARTITION BY cell
+                                 ORDER BY nl DESC, label ASC) AS rn
+    FROM by_label
+  ) WHERE rn = 1
+),
+per_cell AS (
+  SELECT cell, COUNT(*) AS n_vectors,
+         CAST(SUM(CAST(ccos AS DECIMAL(26,6))) AS DOUBLE) / COUNT(*) AS m
+  FROM assign GROUP BY 1
+)
+SELECT CAST(p.cell AS BIGINT) AS cell,
+       p.n_vectors,
+       {q6_sql("p.m")} AS mean_cos_to_centroid,
+       CAST(t.top_label AS BIGINT) AS top_label,
+       t.top_label_n,
+       {q6_sql("t.top_label_n / CAST(p.n_vectors AS DOUBLE)")} AS purity
+FROM per_cell p JOIN top_label t USING (cell)
+"""

@@ -1554,3 +1554,61 @@ SELECT source, n_docs, n_tokens,
        {q6_sql('(p_norm / nat_raw)')} AS weight
 FROM p
 """
+
+
+def packing_efficiency(documents: DataFrame, seq_len: int = PACK_SEQ_LEN) -> DataFrame:
+    """Per-language packing health report over :func:`pack_sequences`: how
+    many fixed-length training sequences the language's token stream fills,
+    how many documents straddle a bin boundary (cross-document attention
+    leakage candidates), and the fill ratio of the allocated bins. The
+    numbers a pretraining-data engineer checks before shipping a packed
+    shard: a low fill ratio means the tail bin is mostly padding; a high
+    straddler share means sequence-boundary curation (or retokenization at
+    a different seq_len) is warranted.
+
+    One token-count projection + one per-lang aggregate — no extra scan
+    beyond pack_sequences' own shape, and the output is lang-cardinality
+    rows of scalars."""
+    from flink_streaming_etl_spark.functions import q6
+
+    packed = pack_sequences(documents, seq_len)
+    per_lang = packed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.max("bin_end") + 1).alias("n_bins"),
+        F.sum((F.col("bin_id") != F.col("bin_end")).cast("long")).alias("n_straddlers"),
+    )
+    capacity = F.col("n_bins") * seq_len
+    return per_lang.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "n_bins",
+        "n_straddlers",
+        (capacity - F.col("total_tokens")).cast("long").alias("pad_tokens"),
+        q6(F.col("total_tokens") / capacity.cast("double")).alias("fill_ratio"),
+        q6(F.col("n_straddlers") / F.col("n_docs").cast("double")).alias("straddle_share"),
+    )
+
+
+def packing_efficiency_sql(seq_len: int = PACK_SEQ_LEN) -> str:
+    from flink_streaming_etl_spark.functions import q6_sql
+
+    fill = q6_sql(f"total_tokens / CAST(n_bins * {seq_len} AS DOUBLE)")
+    straddle = q6_sql("n_straddlers / CAST(n_docs AS DOUBLE)")
+    return f"""
+WITH packed AS ({pack_sequences_sql(seq_len)}),
+per_lang AS (
+  SELECT lang,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(MAX(bin_end) + 1 AS BIGINT) AS n_bins,
+         CAST(SUM(CASE WHEN bin_id <> bin_end THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+  FROM packed GROUP BY 1
+)
+SELECT lang, n_docs, total_tokens, n_bins, n_straddlers,
+       CAST(n_bins * {seq_len} - total_tokens AS BIGINT) AS pad_tokens,
+       {fill} AS fill_ratio,
+       {straddle} AS straddle_share
+FROM per_lang
+"""

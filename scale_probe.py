@@ -75,6 +75,12 @@ PROBES = [
     "repetition_battery",
     "source_mixture_weights",
     "pq_encode",
+    # round-6 additions
+    "clicks_before_purchase_banded",
+    "bm25_top_terms",
+    "semdedup_drop",
+    "cluster_balance_report",
+    "packing_efficiency",
 ]
 
 

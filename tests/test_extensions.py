@@ -591,3 +591,37 @@ def test_curated_corpus_token_cache_memoized(spark):
         tx._shared_token_relation(docs.limit(10 + i))
     assert len(tx._TOKEN_RELATION_CACHE) == tx._TOKEN_RELATION_CACHE_MAX
     assert a.storageLevel.useMemory is False  # evicted entry was unpersisted
+
+
+def test_banded_interval_join_equals_direct(spark):
+    """clicks_before_purchase_banded is a PLAN variant: identical relation
+    to the direct inequality-join formulation on the same input."""
+    from flink_streaming_etl_spark.catalog import load_tables
+    from flink_streaming_etl_spark.operators import analytics as an
+    from tests.conftest import SF_SMOKE
+
+    events = load_tables(spark, SF_SMOKE, register=False)["events"]
+    direct = {(r["purchase_id"], r["user_id"], r["clicks_1h_before"])
+              for r in an.clicks_before_purchase(events).collect()}
+    banded = {(r["purchase_id"], r["user_id"], r["clicks_1h_before"])
+              for r in an.clicks_before_purchase_banded(events).collect()}
+    assert banded == direct and direct
+
+
+def test_semdedup_drop_rule_properties(spark):
+    """Deterministic SemDeDup drop rule: the lowest vec_id in every cell is
+    never dropped, and every dropped vector has a lower-id same-cell
+    witness with q6-cosine >= threshold."""
+    from flink_streaming_etl_spark.catalog import load_tables
+    from flink_streaming_etl_spark.operators import similarity as sim
+    from tests.conftest import SF_SMOKE
+
+    emb = load_tables(spark, SF_SMOKE, register=False)["embeddings"]
+    rows = sim.semdedup_drop(emb).collect()
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    assert sum(r["dropped"] for r in rows) > 0  # threshold actually bites
+    for cell, members in by_cell.items():
+        keeper = min(m["vec_id"] for m in members)
+        assert not [m for m in members if m["vec_id"] == keeper][0]["dropped"]

@@ -344,3 +344,32 @@ def test_ivf_coarse_assign_partial_agg_not_window(spark):
         # no third window: assignment never reaches a Window operator
         n_windows = len(re.findall(r"\(\d+\) Window\b", p))
         assert n_windows == 2, f"{op.__name__}: {n_windows} Window nodes\n{p}"
+
+
+def test_round6_training_ops_plan_shapes(spark):
+    from flink_streaming_etl_spark.operators import analytics as an
+    from flink_streaming_etl_spark.operators import similarity as sim
+    from flink_streaming_etl_spark.operators import text as tx
+
+    t = _tables(spark)
+    # banded interval join: the whole point is restoring an EQUI join on
+    # (user, hour bucket) — no nested-loop/cartesian pair generation may
+    # appear anywhere in the plan.
+    p = plan_of(an.clicks_before_purchase_banded(t["events"]))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    # semdedup / cluster balance: coarse assignment must keep the
+    # partial-aggregating max_by argmax (the intentional broadcast cross
+    # against the tiny centroid set remains); no CartesianProduct.
+    for op in (sim.semdedup_drop, sim.cluster_balance_report):
+        p = plan_of(op(t["embeddings"]))
+        assert "partial_max_by" in p, p
+        assert "CartesianProduct" not in p, p
+    # bm25: the df rollup broadcasts back to the tf relation (vocabulary is
+    # tiny vs corpus) — no sort-merge join for it; dl joins ride doc_id.
+    p = plan_of(an.bm25_top_terms(t["documents"]))
+    assert "BroadcastHashJoin" in p, p
+    # packing efficiency: one per-lang window (from pack_sequences) feeding
+    # one partial+final aggregate — no join at all.
+    p = plan_of(tx.packing_efficiency(t["documents"]))
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2, p
