@@ -486,6 +486,30 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.packing_efficiency, "documents"),
         text.packing_efficiency_sql(),
     ),
+    "unigram_logprob_score": (
+        # CCNet-style unigram-LM fluency score + pinned-threshold filter
+        # flag; flag compares the rounded mean so both engines agree
+        _q(text.unigram_logprob_score, "documents"),
+        text.unigram_logprob_score_sql(),
+    ),
+    "tokenizer_fertility": (
+        # tokens-per-word and chars-per-token by language (multilingual
+        # token-budget gauge); exact-int sums, q6 ratios
+        _q(text.tokenizer_fertility, "documents"),
+        text.TOKENIZER_FERTILITY_SQL,
+    ),
+    "gap_fill_daily": (
+        # hypertable-style daily rollup + dense spine + forward fill
+        # (locf); spine bounded by output size, decimal-exact day sums
+        _q(windows.gap_fill_daily, "events"),
+        windows.GAP_FILL_DAILY_SQL,
+    ),
+    "key_skew_report": (
+        # per-key load distribution for shuffle-strategy tuning; histogram
+        # percentiles, no global sort over the key relation
+        _q(analytics.key_skew_report, "events"),
+        analytics.KEY_SKEW_REPORT_SQL,
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so

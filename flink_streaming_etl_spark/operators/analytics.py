@@ -1223,3 +1223,90 @@ scored AS (
 )
 SELECT doc_id, term, tf, df, dl, score, rk FROM ranked WHERE rk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostics — the report an engine operator reads before picking
+# a shuffle strategy (salting factor, AQE skew-join thresholds): per-key
+# row-count distribution for a join/agg key, as one summary row. Scale
+# shape: the only data-scale stage is the per-key count (one shuffle with
+# map-side combine); percentiles are then computed over the count HISTOGRAM
+# (one row per distinct load value — bounded by max key load, not key
+# count), so no global sort over the key relation ever happens. The
+# nearest-rank percentile (winsorize precedent) becomes "smallest load
+# whose cumulative key-frequency reaches ceil(n_keys·p)". max_share_ppm is
+# exact integer arithmetic (long DIV), never a double near a boundary.
+
+
+def key_skew_report(events: DataFrame, key: str = "user_id") -> DataFrame:
+    per_key = events.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    stats = per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.max_by(
+            key, F.struct(F.col("n").alias("n"), (-F.col(key)).alias("nk"))
+        ).cast("long").alias("hottest_key"),
+    )
+    hist = per_key.groupBy("n").agg(F.count(F.lit(1)).alias("freq"))
+    # the histogram is load-value-sized (tiny); the global cumulative window
+    # runs over it, never over the key relation
+    cum = hist.withColumn(
+        "cumfreq",
+        F.sum("freq").over(
+            Window.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    at = lambda p: F.min(  # noqa: E731 — nearest-rank over the histogram
+        F.when(F.col("cumfreq") >= F.ceil(F.col("n_keys") * F.lit(p)), F.col("n"))
+    ).cast("long")
+    return (
+        cum.crossJoin(F.broadcast(stats))
+        .groupBy()
+        .agg(
+            F.max("n_keys").alias("n_keys"),
+            F.max("n_rows").alias("n_rows"),
+            F.max("max_rows").alias("max_rows"),
+            at(0.5).alias("p50_rows"),
+            at(0.9).alias("p90_rows"),
+            at(0.99).alias("p99_rows"),
+            F.max("hottest_key").alias("hottest_key"),
+        )
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_rows",
+            "p50_rows",
+            "p90_rows",
+            "p99_rows",
+            F.expr("CAST((max_rows * 1000000) DIV n_rows AS BIGINT)").alias(
+                "max_share_ppm"
+            ),
+            "hottest_key",
+        )
+    )
+
+
+KEY_SKEW_REPORT_SQL = """
+WITH per_key AS (SELECT user_id AS k, COUNT(*) AS n FROM events GROUP BY 1),
+stats AS (
+  SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows, MAX(n) AS max_rows FROM per_key
+),
+hot AS (SELECT k AS hottest_key FROM per_key ORDER BY n DESC, k LIMIT 1),
+hist AS (SELECT n, COUNT(*) AS freq FROM per_key GROUP BY 1),
+cum AS (
+  SELECT n, SUM(freq) OVER (ORDER BY n
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumfreq
+  FROM hist
+)
+SELECT CAST(s.n_keys AS BIGINT) AS n_keys,
+       CAST(s.n_rows AS BIGINT) AS n_rows,
+       CAST(s.max_rows AS BIGINT) AS max_rows,
+       CAST(MIN(CASE WHEN c.cumfreq >= CEIL(s.n_keys * 0.5) THEN c.n END) AS BIGINT) AS p50_rows,
+       CAST(MIN(CASE WHEN c.cumfreq >= CEIL(s.n_keys * 0.9) THEN c.n END) AS BIGINT) AS p90_rows,
+       CAST(MIN(CASE WHEN c.cumfreq >= CEIL(s.n_keys * 0.99) THEN c.n END) AS BIGINT) AS p99_rows,
+       CAST((s.max_rows * 1000000) // s.n_rows AS BIGINT) AS max_share_ppm,
+       CAST(h.hottest_key AS BIGINT) AS hottest_key
+FROM cum c, stats s, hot h
+GROUP BY s.n_keys, s.n_rows, s.max_rows, h.hottest_key
+"""

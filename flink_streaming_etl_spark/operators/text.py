@@ -1612,3 +1612,121 @@ SELECT lang, n_docs, total_tokens, n_bins, n_straddlers,
        {straddle} AS straddle_share
 FROM per_lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM fluency score — the CCNet-style (Wenzek et al. 2020, public)
+# language-model quality filter, with the KenLM 5-gram model replaced by the
+# corpus's own unigram MLE (the container has no LM; the pipeline shape is
+# identical: score every document by mean token log-probability, filter on a
+# pinned threshold). Scale shape: tokens collapse to (doc, term, tf) with
+# map-side combine; the vocab relation is term-keyed; the tf⋈vocab join is
+# the same tfidf-shaped shuffle already measured linear in SCALE.md. At
+# 100 TB the model side would be a pinned top-V broadcast table + one OOV
+# mass bucket instead of a full-vocab join — the per-doc rollup is
+# unchanged. Cross-engine: ln() runs on identical double quotients on both
+# engines (≤1 ulp apart), the per-doc mean is round-half-even at 1e-4 (the
+# standardize_by_label_stats precedent), and the fluency flag compares the
+# ROUNDED mean so both engines flag identically.
+
+UNIGRAM_FLUENT_MIN = -5.0
+
+
+def unigram_logprob_score(documents: DataFrame) -> DataFrame:
+    tokens = documents.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    # empty corpus → SUM is NULL; 1 keeps the plan valid (no rows score)
+    total = counts.agg(F.sum("cnt")).collect()[0][0] or 1
+    lp = F.log(F.col("cnt").cast("double") / F.lit(float(total)))
+    scored = tf.join(counts, "term").select(
+        "doc_id", "tf", (F.col("tf") * lp).alias("wlp")
+    )
+    doc = scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_scored_tokens"),
+        F.bround(F.sum("wlp") / F.sum("tf"), 4).alias("avg_logprob"),
+    )
+    return doc.select(
+        "doc_id",
+        "n_scored_tokens",
+        "avg_logprob",
+        (F.col("avg_logprob") >= F.lit(UNIGRAM_FLUENT_MIN))
+        .cast("int")
+        .alias("is_fluent"),
+    )
+
+
+def unigram_logprob_score_sql(fluent_min: float = UNIGRAM_FLUENT_MIN) -> str:
+    return f"""
+WITH tokens AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS term) t
+  WHERE t.term <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY doc_id, term
+), counts AS (
+  SELECT term, SUM(tf) AS cnt FROM tf GROUP BY term
+), tt AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM counts),
+doc AS (
+  SELECT tf.doc_id,
+         CAST(SUM(tf.tf) AS BIGINT) AS n_scored_tokens,
+         round_even(SUM(tf.tf * ln(counts.cnt::DOUBLE / tt.t)) / SUM(tf.tf), 4)
+           AS avg_logprob
+  FROM tf JOIN counts USING (term), tt
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_scored_tokens, avg_logprob,
+       CAST(CASE WHEN avg_logprob >= {fluent_min} THEN 1 ELSE 0 END AS INT)
+         AS is_fluent
+FROM doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility report — tokens-per-word and chars-per-token by
+# language, the multilingual budgeting gauge (fertility decides how many
+# training tokens a language's documents actually cost; XLM-R/BLOOM token
+# audits are the public precedent). Pure per-row codegen projections into
+# one tiny lang-keyed agg — zero data-scale state, exact-integer sums, q6
+# on ratios of exact ints (engine-identical).
+
+
+def tokenizer_fertility(documents: DataFrame) -> DataFrame:
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    per = documents.select(
+        "lang",
+        toks.alias("ws"),
+        F.regexp_count("text", F.lit(BPE_PAT)).cast("long").alias("bpe"),
+        F.length("text").cast("long").alias("ch"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+        q6(F.sum("bpe").cast("double") / F.sum("ws")).alias("fertility"),
+        q6(F.sum("ch").cast("double") / F.sum("bpe")).alias("chars_per_bpe_token"),
+    )
+
+
+TOKENIZER_FERTILITY_SQL = rf"""
+WITH per AS (
+  SELECT lang,
+         len(string_split_regex(trim(text), '\s+')) AS ws,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe,
+         length(text) AS ch
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       {q6_sql("SUM(bpe)::DOUBLE / SUM(ws)")} AS fertility,
+       {q6_sql("SUM(ch)::DOUBLE / SUM(bpe)")} AS chars_per_bpe_token
+FROM per GROUP BY lang
+"""

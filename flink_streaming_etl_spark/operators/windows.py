@@ -341,3 +341,64 @@ def cumulate_event_stats_stream(
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily gap-fill — the hypertable-style rollup + forward-fill (TimescaleDB's
+# time_bucket_gapfill / locf, reproduced as a pure DataFrame plan): roll
+# events up to (user, day), generate each user's dense daily spine between
+# their first and last active day, and carry the last observed day-value
+# forward across the gaps. Scale shape: the rollup is one shuffle with
+# map-side combine; the spine explode is bounded by the OUTPUT size (one row
+# per user-day — exactly what the report must emit anyway, never more than
+# days×users); the forward fill is a linear per-user window pass riding the
+# same user_id partitioning. Day sums go through DECIMAL(18,6) so they are
+# order-independent (exact) before the cast back to double.
+
+
+def gap_fill_daily(events: DataFrame) -> DataFrame:
+    daily = events.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("day_value"),
+    )
+    span = daily.groupBy("user_id").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = span.select(
+        "user_id", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
+    )
+    j = spine.join(daily, ["user_id", "d"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.when(F.col("n_events").isNull(), 1).otherwise(0).cast("long").alias("is_gap"),
+        "day_value",
+        F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+GAP_FILL_DAILY_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+spine AS (
+  SELECT user_id, CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM span
+)
+SELECT s.user_id,
+       strftime(s.d, '%Y-%m-%d') AS day,
+       CAST(COALESCE(dy.n_events, 0) AS BIGINT) AS n_events,
+       CAST(CASE WHEN dy.n_events IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+       dy.day_value,
+       last_value(dy.day_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM spine s LEFT JOIN daily dy ON s.user_id = dy.user_id AND s.d = dy.d
+"""

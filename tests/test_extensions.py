@@ -625,3 +625,79 @@ def test_semdedup_drop_rule_properties(spark):
     for cell, members in by_cell.items():
         keeper = min(m["vec_id"] for m in members)
         assert not [m for m in members if m["vec_id"] == keeper][0]["dropped"]
+
+
+def test_gap_fill_daily_forward_fill(spark):
+    """Crafted frame: a 3-day hole carries the last observed day_value
+    forward, flags the gap days, and the spine covers exactly
+    [first_day, last_day]."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_etl_spark.operators import windows as wn
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "click", 10.0, "{}"),
+            (2, "2024-01-01 11:00:00", 7, "click", 5.0, "{}"),
+            (3, "2024-01-05 09:00:00", 7, "view", 2.5, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = {r["day"]: r for r in wn.gap_fill_daily(events).collect()}
+    assert sorted(rows) == [f"2024-01-0{d}" for d in range(1, 6)]
+    assert rows["2024-01-01"]["n_events"] == 2 and rows["2024-01-01"]["is_gap"] == 0
+    assert rows["2024-01-01"]["day_value"] == 15.0
+    for d in ("2024-01-02", "2024-01-03", "2024-01-04"):
+        assert rows[d]["is_gap"] == 1 and rows[d]["n_events"] == 0
+        assert rows[d]["day_value"] is None and rows[d]["filled_value"] == 15.0
+    assert rows["2024-01-05"]["filled_value"] == 2.5
+
+
+def test_key_skew_report_crafted(spark):
+    """10 keys with 1 row each + 1 hot key with 90 rows: exact percentile,
+    share, and hottest-key fields."""
+    from flink_streaming_etl_spark.operators import analytics as an
+
+    rows = [(i, "2024-01-01 00:00:00", 100 + i, "click", 1.0, "{}") for i in range(10)]
+    rows += [(100 + j, "2024-01-01 00:00:00", 999, "click", 1.0, "{}") for j in range(90)]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    )
+    r = an.key_skew_report(events).collect()[0]
+    assert r["n_keys"] == 11 and r["n_rows"] == 100 and r["max_rows"] == 90
+    assert r["hottest_key"] == 999
+    assert r["p50_rows"] == 1 and r["p99_rows"] == 90
+    assert r["max_share_ppm"] == 900000
+
+
+def test_unigram_logprob_known_values(spark):
+    """Hand-computed MLE: corpus = 'aa aa bb' + 'aa' → p(aa)=3/4, p(bb)=1/4;
+    doc 1 mean = (2·ln .75 + ln .25)/3, doc 2 mean = ln .75."""
+    import math
+
+    from flink_streaming_etl_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb", "en", "s", 8), (2, "aa", "en", "s", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in tx.unigram_logprob_score(docs).collect()}
+    exp1 = (2 * math.log(0.75) + math.log(0.25)) / 3
+    assert abs(got[1]["avg_logprob"] - round(exp1, 4)) < 1e-9
+    assert abs(got[2]["avg_logprob"] - round(math.log(0.75), 4)) < 1e-9
+    assert got[1]["n_scored_tokens"] == 3 and got[2]["n_scored_tokens"] == 1
+    assert got[2]["is_fluent"] == 1  # ln .75 ≈ -0.29 >= -5.0
+
+
+def test_tokenizer_fertility_exact(spark):
+    """'ab cd' → 2 whitespace tokens, 2 BPE pre-tokens, 5 chars."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "ab cd", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = tx.tokenizer_fertility(docs).collect()[0]
+    assert r["ws_tokens"] == 2 and r["bpe_tokens"] == 2
+    assert r["fertility"] == 1.0 and r["chars_per_bpe_token"] == 2.5
