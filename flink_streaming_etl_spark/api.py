@@ -510,6 +510,24 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(analytics.key_skew_report, "events"),
         analytics.KEY_SKEW_REPORT_SQL,
     ),
+    "pq_encode_residual": (
+        # residual PQ (the encoding IVF-PQ actually ships): quantize
+        # v - c(cell) against a pinned residual codebook; integer codes
+        _q(similarity.pq_encode_residual, "embeddings"),
+        similarity.pq_encode_residual_sql(),
+    ),
+    "ann_ivf_pq_residual": (
+        # IVFADC over residual codes: per-(query,cell) ADC tables against
+        # the shared residual codebook — the true Jégou et al. distance
+        _q(similarity.ann_ivf_pq_residual, "embeddings"),
+        similarity.ann_ivf_pq_residual_sql(),
+    ),
+    "ann_lsh_multiprobe": (
+        # multi-probe LSH: flip the smallest-|margin| planes per query —
+        # recall dial that costs query fan-out, not index memory
+        _q(similarity.ann_lsh_multiprobe, "embeddings"),
+        similarity.ann_lsh_multiprobe_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so

@@ -1309,3 +1309,456 @@ SELECT CAST(p.cell AS BIGINT) AS cell,
        {q6_sql("t.top_label_n / CAST(p.n_vectors AS DOUBLE)")} AS purity
 FROM per_cell p JOIN top_label t USING (cell)
 """
+
+
+# ---------------------------------------------------------------------------
+# Residual PQ — the encoding IVF-PQ actually ships (Jégou et al. 2011 §III):
+# quantize the RESIDUAL v − c(cell) rather than the raw vector, so one shared
+# subspace codebook only has to cover the (much tighter) within-cell
+# displacement distribution instead of the whole space. Codebook: the
+# residuals of a pinned, coarse-disjoint corpus subset
+# (vec_ids [n_queries+n_centroids, n_queries+n_centroids+k)) — the stand-in
+# for the offline-trained residual codebook, same convention as the pinned
+# coarse centroids. Everything stays deterministic: residuals are exact IEEE
+# subtractions on identical inputs, sub-distances are q6-floored before the
+# argmin, ties break on code index — so the integer code words are
+# engine-exact. Scale shape identical to pq_encode: constant m·k fan-out per
+# vector, one vec-keyed rollup, broadcast codebook.
+
+PQ_RESIDUAL_CODES = 16  # codebook entries per subspace
+
+
+def _residual_relation(
+    embeddings: DataFrame, n_centroids: int, n_queries: int
+) -> DataFrame:
+    """(vec_id, cell, r): every vector's coarse cell + residual to its
+    centroid. Reuses the partial-aggregating argmax coarse assignment."""
+    from flink_streaming_etl_spark.functions import vec_norm
+
+    ev = _as_double(embeddings).withColumn("norm", vec_norm(F.col("v")))
+    cents = ev.filter(
+        (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + n_centroids)
+    ).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+    )
+    assign, _ = _coarse_assign(ev, cents, n_queries, 1)
+    return assign.join(F.broadcast(cents.select("cent_id", "cv")), "cent_id").select(
+        "vec_id",
+        F.col("cent_id").alias("cell"),
+        F.zip_with("v", "cv", lambda x, y: x - y).alias("r"),
+    )
+
+
+def pq_encode_residual(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_RESIDUAL_CODES,
+    n_centroids: int = N_CENTROIDS,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    from flink_streaming_etl_spark.functions import q6
+
+    resid = _residual_relation(embeddings, n_centroids, n_queries)
+    d_sub = (F.size("r") / m).cast("int")
+    subs = resid.select(
+        "vec_id",
+        "cell",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice("r", s * d_sub + 1, d_sub),
+            )
+        ).alias("sub_idx", "sv"),
+    )
+    cb_lo = n_queries + n_centroids
+    cb = subs.filter(
+        (F.col("vec_id") >= cb_lo) & (F.col("vec_id") < cb_lo + k)
+    ).select(
+        (F.col("vec_id") - cb_lo).cast("int").alias("code_idx"),
+        "sub_idx",
+        F.col("sv").alias("cbv"),
+    )
+    dist2 = F.aggregate(
+        F.zip_with("sv", "cbv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = subs.join(F.broadcast(cb), "sub_idx").select(
+        "vec_id", "cell", "sub_idx", "code_idx", q6(dist2).alias("qd")
+    )
+    best = (
+        scored.groupBy("vec_id", "cell", "sub_idx")
+        .agg(F.min(F.struct("qd", "code_idx")).alias("_b"))
+        .select("vec_id", "cell", "sub_idx", F.col("_b")["code_idx"].alias("code"))
+    )
+    code_cols = [
+        F.max(F.when(F.col("sub_idx") == s, F.col("code")))
+        .cast("long")
+        .alias(f"code_{s}")
+        for s in range(m)
+    ]
+    return best.groupBy("vec_id", "cell").agg(*code_cols)
+
+
+def _residual_sql_ctes(
+    m: int, k: int, n_centroids: int, n_queries: int
+) -> str:
+    """Shared CTE block: e, cents, scored_cent, assign, resid, rsubs, rcb."""
+    ccos = _COS_SQL.format(a="e.v", b="c.cv")
+    cb_lo = n_queries + n_centroids
+    return f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT vec_id AS cent_id, v AS cv FROM e
+  WHERE vec_id >= {n_queries} AND vec_id < {n_queries + n_centroids}
+),
+scored_cent AS (
+  SELECT e.vec_id, e.v, c.cent_id, c.cv, {ccos} AS ccos,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY {ccos} DESC, c.cent_id) AS rn
+  FROM e, cents c
+),
+resid AS (
+  SELECT vec_id, cent_id AS cell,
+         list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS r
+  FROM scored_cent WHERE rn = 1
+),
+rsubs AS (
+  SELECT vec_id, cell, sub_idx,
+         list_slice(r, sub_idx * (len(r) // {m}) + 1,
+                       (sub_idx + 1) * (len(r) // {m})) AS sv
+  FROM resid, (SELECT unnest(range(0, {m})) AS sub_idx)
+),
+rcb AS (
+  SELECT vec_id - {cb_lo} AS code_idx, sub_idx, sv AS cbv
+  FROM rsubs WHERE vec_id >= {cb_lo} AND vec_id < {cb_lo + k}
+)"""
+
+
+def pq_encode_residual_sql(
+    m: int = PQ_M,
+    k: int = PQ_RESIDUAL_CODES,
+    n_centroids: int = N_CENTROIDS,
+    n_queries: int = N_QUERIES,
+) -> str:
+    from flink_streaming_etl_spark.functions import q6_sql
+
+    qd = q6_sql(
+        "list_sum(list_transform(range(1, len(u.sv) + 1),"
+        " i -> (u.sv[i] - c.cbv[i]) * (u.sv[i] - c.cbv[i])))"
+    )
+    codes = ",\n       ".join(
+        f"CAST(MAX(CASE WHEN sub_idx = {s} THEN code_idx END) AS BIGINT) AS code_{s}"
+        for s in range(m)
+    )
+    return f"""
+WITH {_residual_sql_ctes(m, k, n_centroids, n_queries)},
+scored AS (
+  SELECT u.vec_id, u.cell, u.sub_idx, c.code_idx, {qd} AS qd
+  FROM rsubs u JOIN rcb c ON u.sub_idx = c.sub_idx
+),
+best AS (
+  SELECT vec_id, cell, sub_idx, code_idx,
+         row_number() OVER (PARTITION BY vec_id, sub_idx
+                            ORDER BY qd, code_idx) AS rn
+  FROM scored
+)
+SELECT vec_id, cell,
+       {codes}
+FROM best WHERE rn = 1 GROUP BY vec_id, cell
+"""
+
+
+def ann_ivf_pq_residual(
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    m: int = PQ_M,
+    n_codes: int = PQ_RESIDUAL_CODES,
+) -> DataFrame:
+    """IVF-PQ search over RESIDUAL codes: per probed cell the query is
+    re-expressed as its residual to that cell's centroid, the ADC table is
+    built per (query, cell) against the shared residual codebook, and cell
+    members are scored by m integer lookups — exactly
+    ‖(q − c) − r̂‖² = ‖q − (c + r̂)‖², the true IVFADC distance. Scale: the
+    ADC relation is n_queries·n_probe·m·n_codes rows broadcast once;
+    candidate volume is the IVF n_probe/n_centroids fraction; the corpus
+    never carries floats into the search join — only its m-byte codes."""
+    from flink_streaming_etl_spark.functions import q6, vec_norm
+
+    ev = _as_double(embeddings).withColumn("norm", vec_norm(F.col("v")))
+    cents = ev.filter(
+        (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + n_centroids)
+    ).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+    )
+    _, probe_rows = _coarse_assign(ev, cents, n_queries, n_probe)
+    # per (query, probed cell): the query's residual to that cell
+    qresid = probe_rows.select(
+        F.col("vec_id").alias("query_id"),
+        "cent_id",
+        F.zip_with("v", "cv", lambda x, y: x - y).alias("rq"),
+    )
+    d_sub = (F.size("rq") / m).cast("int")
+    qsubs = qresid.select(
+        "query_id",
+        "cent_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice("rq", s * d_sub + 1, d_sub),
+            )
+        ).alias("sub_idx", "sv"),
+    )
+    # shared residual codebook (same pinned relation pq_encode_residual uses)
+    resid = _residual_relation(embeddings, n_centroids, n_queries)
+    cb_lo = n_queries + n_centroids
+    rd_sub = (F.size("r") / m).cast("int")
+    cb = (
+        resid.filter((F.col("vec_id") >= cb_lo) & (F.col("vec_id") < cb_lo + n_codes))
+        .select(
+            (F.col("vec_id") - cb_lo).cast("int").alias("code_idx"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.slice("r", s * rd_sub + 1, rd_sub),
+                )
+            ).alias("sub_idx", "cbv"),
+        )
+    )
+    dist2 = F.aggregate(
+        F.zip_with("sv", "cbv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    adc = qsubs.join(F.broadcast(cb), "sub_idx").select(
+        "query_id", "cent_id", "sub_idx", "code_idx", q6(dist2).alias("d")
+    )
+    adc_wide = (
+        adc.groupBy("query_id", "cent_id")
+        .pivot("sub_idx", list(range(m)))
+        .agg(F.array_sort(F.collect_list(F.struct("code_idx", "d"))).alias("_t"))
+        .select(
+            "query_id",
+            "cent_id",
+            *[
+                F.transform(F.col(str(s)), lambda t: t["d"]).alias(f"d{s}")
+                for s in range(m)
+            ],
+        )
+    )
+    codes = pq_encode_residual(embeddings, m, n_codes, n_centroids, n_queries)
+    cand = (
+        F.broadcast(qresid.select("query_id", "cent_id"))
+        .join(codes.withColumnRenamed("cell", "cent_id"), "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(adc_wide), ["query_id", "cent_id"])
+    )
+    total = F.element_at(F.col("d0"), F.col("code_0").cast("int") + 1)
+    for s in range(1, m):
+        total = total + F.element_at(F.col(f"d{s}"), F.col(f"code_{s}").cast("int") + 1)
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), total.alias("adc_dist")
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )
+
+
+def ann_ivf_pq_residual_sql(
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+    m: int = PQ_M,
+    n_codes: int = PQ_RESIDUAL_CODES,
+) -> str:
+    from flink_streaming_etl_spark.functions import q6_sql
+
+    qd = q6_sql(
+        "list_sum(list_transform(range(1, len(q.sv) + 1),"
+        " i -> (q.sv[i] - c.cbv[i]) * (q.sv[i] - c.cbv[i])))"
+    )
+    code_joins = "\n  ".join(
+        f"JOIN adc a{s} ON a{s}.query_id = cand.query_id"
+        f" AND a{s}.cent_id = cand.cent_id AND a{s}.sub_idx = {s}"
+        f" AND a{s}.code_idx = cand.code_{s}"
+        for s in range(m)
+    )
+    total = " + ".join(f"a{s}.d" for s in range(m))
+    code_cols = ", ".join(f"kc.code_{s}" for s in range(m))
+    return f"""
+WITH {_residual_sql_ctes(m, n_codes, n_centroids, n_queries)},
+probes AS (
+  SELECT vec_id AS query_id, cent_id,
+         list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS rq
+  FROM scored_cent WHERE vec_id < {n_queries} AND rn <= {n_probe}
+),
+qsubs AS (
+  SELECT query_id, cent_id, sub_idx,
+         list_slice(rq, sub_idx * (len(rq) // {m}) + 1,
+                        (sub_idx + 1) * (len(rq) // {m})) AS sv
+  FROM probes, (SELECT unnest(range(0, {m})) AS sub_idx)
+),
+adc AS (
+  SELECT q.query_id, q.cent_id, q.sub_idx, c.code_idx, {qd} AS d
+  FROM qsubs q JOIN rcb c ON q.sub_idx = c.sub_idx
+),
+codes AS ({pq_encode_residual_sql(m, n_codes, n_centroids, n_queries)}),
+cand AS (
+  SELECT p.query_id, p.cent_id, kc.vec_id, {code_cols}
+  FROM probes p JOIN codes kc ON kc.cell = p.cent_id AND kc.vec_id <> p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id AS neighbor_id, {total} AS adc_dist
+  FROM cand
+  {code_joins}
+)
+SELECT query_id, neighbor_id, adc_dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist ASC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH (Lv et al., VLDB 2007, public): instead of more hash
+# tables, each query also probes the buckets whose codes differ in the bits
+# it was CLOSEST to flipping — the recall dial that costs query fan-out
+# (n_flip extra buckets per query), not index memory. Perturbation set:
+# single-bit flips of the n_flip smallest-|margin| planes (the paper's
+# first-order probing sequence). Determinism: the margin order is an exact
+# integer key floor(|v_i|·1e6)·100 + i (no float sort, unique per plane),
+# and probe codes are pure string surgery on the base code — identical on
+# both engines. Scale: the corpus side is untouched (one bucket per
+# vector); probes are n_queries·(n_flip+1) rows broadcast into the bucket
+# join; candidate volume grows linearly in n_flip.
+
+LSH_N_FLIP = 2
+
+
+def ann_lsh_multiprobe(
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_planes: int = BUCKET_DIMS,
+    n_flip: int = LSH_N_FLIP,
+) -> DataFrame:
+    from flink_streaming_etl_spark.functions import q6, vec_dot, vec_norm
+
+    e = (
+        _as_double(embeddings)
+        .withColumn("bucket", _bucket_expr_spark(n_planes))
+        .withColumn("norm", vec_norm(F.col("v")))
+    )
+    # margin keys: exact ints, unique per plane (i breaks any |v_i| tie)
+    keys = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n_planes)),
+            lambda i: (
+                F.floor(F.abs(F.element_at(F.col("v"), i)) * 1000000.0).cast("long")
+                * 100
+                + i.cast("long")
+            ),
+        )
+    )
+    q = e.filter(F.col("vec_id") < n_queries).withColumn("keys", keys)
+    probes = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.explode(
+            F.concat(
+                F.array(F.col("bucket")),
+                F.transform(
+                    F.slice("keys", 1, n_flip),
+                    lambda key: F.concat(
+                        F.substring(
+                            F.col("bucket"), F.lit(1), (key % 100).cast("int") - 1
+                        ),
+                        F.when(
+                            F.substring(
+                                F.col("bucket"), (key % 100).cast("int"), F.lit(1)
+                            )
+                            == "0",
+                            F.lit("1"),
+                        ).otherwise(F.lit("0")),
+                        F.substring(
+                            F.col("bucket"),
+                            (key % 100).cast("int") + 1,
+                            F.lit(n_planes) - (key % 100).cast("int"),
+                        ),
+                    ),
+                ),
+            )
+        ).alias("bucket"),
+    )
+    cand = F.broadcast(probes).join(e, "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = q6(vec_dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")))
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+    )
+    w_top = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def ann_lsh_multiprobe_sql(
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_planes: int = BUCKET_DIMS,
+    n_flip: int = LSH_N_FLIP,
+) -> str:
+    bucket = " || ".join(
+        f"(CASE WHEN v[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(n_planes)
+    )
+    cos = _COS_SQL.format(a="q.qv", b="e.v")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket FROM embeddings
+),
+qk AS (
+  SELECT vec_id, v, bucket,
+         list_sort(list_transform(range(1, {n_planes} + 1),
+           i -> CAST(floor(abs(v[i]) * 1000000.0) AS BIGINT) * 100 + i)) AS keys
+  FROM e WHERE vec_id < {n_queries}
+),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, p.pbucket AS bucket
+  FROM qk,
+       LATERAL (
+         SELECT UNNEST(list_concat(
+           [qk.bucket],
+           list_transform(list_slice(qk.keys, 1, {n_flip}),
+             key -> substring(qk.bucket, 1, CAST(key % 100 AS INT) - 1)
+                    || (CASE WHEN substring(qk.bucket, CAST(key % 100 AS INT), 1) = '0'
+                             THEN '1' ELSE '0' END)
+                    || substring(qk.bucket, CAST(key % 100 AS INT) + 1,
+                                 {n_planes} - CAST(key % 100 AS INT)))
+         )) AS pbucket
+       ) p
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cosine
+  FROM probes q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""

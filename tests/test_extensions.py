@@ -701,3 +701,50 @@ def test_tokenizer_fertility_exact(spark):
     r = tx.tokenizer_fertility(docs).collect()[0]
     assert r["ws_tokens"] == 2 and r["bpe_tokens"] == 2
     assert r["fertility"] == 1.0 and r["chars_per_bpe_token"] == 2.5
+
+
+def test_residual_codebook_self_encoding(spark):
+    """Every pinned codebook vector's residual must PQ-encode to its own
+    code index in every subspace (distance exactly 0 to itself)."""
+    from flink_streaming_etl_spark.catalog import load_tables
+    from flink_streaming_etl_spark.operators import similarity as sim
+    from tests.conftest import SF_SMOKE
+
+    emb = load_tables(spark, SF_SMOKE, register=False)["embeddings"]
+    cb_lo = sim.N_QUERIES + sim.N_CENTROIDS
+    rows = (
+        sim.pq_encode_residual(emb)
+        .filter(f"vec_id >= {cb_lo} AND vec_id < {cb_lo + sim.PQ_RESIDUAL_CODES}")
+        .collect()
+    )
+    assert len(rows) == sim.PQ_RESIDUAL_CODES
+    for r in rows:
+        expect = r["vec_id"] - cb_lo
+        for s in range(sim.PQ_M):
+            assert r[f"code_{s}"] == expect, (r["vec_id"], s)
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """n_flip extra probes can only ADD candidates: hits vs the exact
+    top-k must be >= the single-bucket (n_flip=0) hits, per query."""
+    from flink_streaming_etl_spark.catalog import load_tables
+    from flink_streaming_etl_spark.operators import similarity as sim
+    from tests.conftest import SF_SMOKE
+
+    emb = load_tables(spark, SF_SMOKE, register=False)["embeddings"]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(emb).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ann_lsh_multiprobe(emb, n_flip=0).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ann_lsh_multiprobe(emb).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
+    # and the multiprobe candidate set is a strict superset scenario:
+    # every single-probe result neighbor must still be reachable
+    assert {q for q, _ in single} <= {q for q, _ in multi} or not single
