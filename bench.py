@@ -138,6 +138,13 @@ HEADLINE = [
     "semdedup_drop",
     "cluster_balance_report",
     "packing_efficiency",
+    "unigram_logprob_score",
+    "tokenizer_fertility",
+    "gap_fill_daily",
+    "key_skew_report",
+    "pq_encode_residual",
+    "ann_ivf_pq_residual",
+    "ann_lsh_multiprobe",
 ]
 
 

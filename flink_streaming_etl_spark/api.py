@@ -543,6 +543,13 @@ _SAMPLE_FRONT = [
     "semdedup_drop",
     "cluster_balance_report",
     "packing_efficiency",
+    "unigram_logprob_score",
+    "tokenizer_fertility",
+    "gap_fill_daily",
+    "key_skew_report",
+    "pq_encode_residual",
+    "ann_ivf_pq_residual",
+    "ann_lsh_multiprobe",
     # round-5 additions — keep a second confirming round
     "repetition_battery",
     "source_mixture_weights",
@@ -577,13 +584,10 @@ _SAMPLE_FRONT = [
     # and rotate to the tail to make room for the round-5 additions;
     # oracle-parity still covers them locally)
     # (order_priority_pivot: r04-green, rotated to tail for minhash_error_report)
-    "shipping_priority",
-    "local_supplier_volume",
-    "funnel_stages",
-    "winsorize_values",
-    "rolling_wau",
-    "cohort_retention",
-    "clicks_before_purchase",
+    # (shipping_priority / local_supplier_volume / funnel_stages /
+    # winsorize_values / rolling_wau / cohort_retention /
+    # clicks_before_purchase: r04+r05 green, rotated to the tail for the
+    # seven late round-6 additions; oracle-parity still covers them locally)
     "tfidf_top_terms",
     "bigram_top",
     "segment_spend_correlation",
