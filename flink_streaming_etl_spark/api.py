@@ -528,6 +528,33 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(similarity.ann_lsh_multiprobe, "embeddings"),
         similarity.ann_lsh_multiprobe_sql(),
     ),
+    "dsir_importance_weights": (
+        # DSIR (Xie et al. 2023): hashed-unigram importance resampling
+        # weights — 2·B-row collected model, zero-shuffle scoring pass
+        _q(text.dsir_importance_weights, "documents"),
+        text.dsir_importance_weights_sql(),
+    ),
+    "source_kl_report": (
+        # KL(source ‖ corpus) over exact unigram counts — the mix-drift gauge
+        _q(text.source_kl_report, "documents"),
+        text.source_kl_report_sql(),
+    ),
+    "time_decay_engagement": (
+        # harmonic-decay recency weighting, exact integer micro-unit folds
+        _q(analytics.time_decay_engagement, "events"),
+        analytics.TIME_DECAY_ENGAGEMENT_SQL,
+    ),
+    "knn_graph": (
+        # per-vector top-k neighbors within LSH buckets — SemDeDup/diversity
+        # substrate; ranking window bounded by bucket population
+        _q(similarity.knn_graph, "embeddings"),
+        similarity.knn_graph_sql(),
+    ),
+    "cross_source_dup_matrix": (
+        # near-dup mass between source pairs, over the memoized LSH pairs
+        _q(dedup.cross_source_dup_matrix, "documents"),
+        dedup.cross_source_dup_matrix_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -550,6 +577,11 @@ _SAMPLE_FRONT = [
     "pq_encode_residual",
     "ann_ivf_pq_residual",
     "ann_lsh_multiprobe",
+    "dsir_importance_weights",
+    "source_kl_report",
+    "time_decay_engagement",
+    "knn_graph",
+    "cross_source_dup_matrix",
     # round-5 additions — keep a second confirming round
     "repetition_battery",
     "source_mixture_weights",
@@ -586,13 +618,10 @@ _SAMPLE_FRONT = [
     # (order_priority_pivot: r04-green, rotated to tail for minhash_error_report)
     # (shipping_priority / local_supplier_volume / funnel_stages /
     # winsorize_values / rolling_wau / cohort_retention /
-    # clicks_before_purchase: r04+r05 green, rotated to the tail for the
-    # seven late round-6 additions; oracle-parity still covers them locally)
-    "tfidf_top_terms",
-    "bigram_top",
-    "segment_spend_correlation",
-    "rolling_spend_7d",
-    "value_histogram",
+    # clicks_before_purchase / tfidf_top_terms / bigram_top /
+    # segment_spend_correlation / rolling_spend_7d / value_histogram:
+    # r04+r05 green, rotated to the tail for the twelve round-6 additions;
+    # oracle-parity still covers them locally every run)
     # (orders_snapshot_diff: r04-green, rotated to tail for ann_ivf_pq)
     "profile_orders",
     "sql_pricing_summary",

@@ -1310,3 +1310,46 @@ SELECT CAST(s.n_keys AS BIGINT) AS n_keys,
 FROM cum c, stats s, hot h
 GROUP BY s.n_keys, s.n_rows, s.max_rows, h.hottest_key
 """
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed engagement — per-user recency-weighted activity, the standard
+# freshness signal behind retention dashboards and training-data recency
+# weighting. Decay is harmonic (1 / (1 + age_days)) rather than exponential:
+# same monotone shape, but rational arithmetic only — no exp()/pow() libm
+# divergence across engines (this module's determinism rule). Contributions
+# are floor-quantized to integer micro-units per event, so the per-user SUM
+# is an exact bigint fold — order-independent, hash-stable.
+
+
+def time_decay_engagement(events: DataFrame) -> DataFrame:
+    """One reference-date scan (collects a single scalar) + one per-row
+    projection + one user-keyed agg with map-side combine. Linear at any
+    scale; the decayed contribution is computed inside the scan stage."""
+    ref = events.agg(F.max(F.to_date("ts"))).collect()[0][0]
+    age = F.datediff(F.lit(ref), F.to_date("ts"))
+    contrib = F.floor(F.col("value") * F.lit(1000000.0) / (F.lit(1) + age)).cast("long")
+    return (
+        events.select("user_id", contrib.alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("c").cast("long").alias("engagement_micro"),
+            (F.sum("c").cast("double") / F.lit(1000000.0)).alias("engagement"),
+        )
+    )
+
+
+TIME_DECAY_ENGAGEMENT_SQL = """
+WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS r FROM events),
+per AS (
+  SELECT user_id,
+         CAST(floor(value * 1000000.0 / (1 + date_diff('day', CAST(ts AS DATE), ref.r))) AS BIGINT) AS c
+  FROM events, ref
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(c) AS BIGINT) AS engagement_micro,
+       CAST(SUM(c) AS DOUBLE) / 1000000.0 AS engagement
+FROM per GROUP BY user_id
+"""

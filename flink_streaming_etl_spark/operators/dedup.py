@@ -1052,3 +1052,57 @@ FROM pairs p
 JOIN sig a ON p.a_id = a.doc_id
 JOIN sig b ON p.b_id = b.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix — which source pairs share near-duplicate
+# documents. The curation question behind source blending: heavy cross-
+# source duplication means two "sources" are really one distribution (and
+# their mixture weights double-count it). Consumes the memoized verified
+# LSH pair relation (tiny by construction), joins the corpus only to
+# project doc_id → source (linear, key-partitioned), and aggregates to a
+# source²-bounded matrix.
+
+
+def cross_source_dup_matrix(
+    documents: DataFrame, threshold: float = 0.05
+) -> DataFrame:
+    """(src_a ≤ src_b, n_pairs, mean_jaccard). Jaccard means are folded in
+    exact integer micro-units (the pair relation's jaccard is already
+    q6-quantized), so the mean is order-independent across engines."""
+    pairs = minhash_lsh_pairs(documents, threshold)
+    src = documents.select("doc_id", "source")
+    labeled = (
+        pairs.join(src.withColumnRenamed("doc_id", "a_id").withColumnRenamed("source", "src_1"), "a_id")
+        .join(src.withColumnRenamed("doc_id", "b_id").withColumnRenamed("source", "src_2"), "b_id")
+        .select(
+            F.least("src_1", "src_2").alias("src_a"),
+            F.greatest("src_1", "src_2").alias("src_b"),
+            F.round(F.col("jaccard") * 1000000).cast("long").alias("j_micro"),
+        )
+    )
+    return labeled.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (
+            (F.sum("j_micro").cast("double") / F.lit(1000000.0))
+            / F.count(F.lit(1))
+        ).alias("mean_jaccard"),
+    )
+
+
+def cross_source_dup_matrix_sql(threshold: float = 0.05) -> str:
+    return f"""
+WITH pairs AS ({minhash_lsh_pairs_sql(threshold)}),
+labeled AS (
+  SELECT least(da.source, db.source) AS src_a,
+         greatest(da.source, db.source) AS src_b,
+         CAST(round(p.jaccard * 1000000) AS BIGINT) AS j_micro
+  FROM pairs p
+  JOIN documents da ON p.a_id = da.doc_id
+  JOIN documents db ON p.b_id = db.doc_id
+)
+SELECT src_a, src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       (CAST(SUM(j_micro) AS DOUBLE) / 1000000.0) / COUNT(*) AS mean_jaccard
+FROM labeled GROUP BY src_a, src_b
+"""

@@ -1762,3 +1762,79 @@ SELECT query_id, neighbor_id, cosine FROM (
   FROM scored
 ) WHERE rn <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph — every vector's top-k neighbors among its LSH-bucket
+# candidates. The standard substrate for SemDeDup-style clustering, label
+# propagation, and graph-based diversity sampling; at corpus scale the
+# bucket restriction is what keeps it off the n² cliff (candidates per
+# vector ≤ bucket population; `planes_for_corpus` is the growth dial, same
+# as ann_lsh_bucketed). The ranking window partitions by vec_id over the
+# bucket-candidate relation only — bounded rows per partition by
+# construction, never corpus².
+
+KNN_K = 3
+
+
+def knn_graph(
+    embeddings: DataFrame, k: int = KNN_K, n_planes: int = BUCKET_DIMS
+) -> DataFrame:
+    """Per-vector top-k cosine neighbors within the vector's sign-LSH
+    bucket. Deterministic: q6 cosine, (cosine DESC, neighbor_id ASC)
+    tie-break."""
+    from pyspark.sql.window import Window
+
+    from flink_streaming_etl_spark.functions import q6, vec_dot
+
+    e = (
+        _as_double(embeddings)
+        .withColumn("bucket", _bucket_expr_spark(n_planes))
+        .withColumn("norm", vec_norm_col())
+    )
+    a = e.select(
+        F.col("vec_id"), F.col("v").alias("va"), F.col("norm").alias("na"), "bucket"
+    )
+    b = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+        "bucket",
+    )
+    cand = (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            q6(vec_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def knn_graph_sql(k: int = KNN_K) -> str:
+    bucket = " || ".join(
+        f"(CASE WHEN v[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(BUCKET_DIMS)
+    )
+    cos = _COS_SQL.format(a="a.v", b="b.v")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket
+  FROM embeddings
+), cand AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id, {cos} AS cosine
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, rank, neighbor_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= {k}
+"""

@@ -1730,3 +1730,173 @@ SELECT lang,
        {q6_sql("SUM(ch)::DOUBLE / SUM(bpe)")} AS chars_per_bpe_token
 FROM per GROUP BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights — hashed-unigram importance resampling for
+# domain-targeted data selection (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling": fit bag-of-hashed-ngrams
+# models on a target and a raw distribution, weight each raw document by
+# the likelihood ratio). Two passes over the corpus: one 2·B-group
+# aggregation (map-side combine collapses it to bucket granularity before
+# the exchange), then a ZERO-SHUFFLE projection that scores every document
+# against the broadcast-as-literal log-ratio table. Nothing data-scale ever
+# crosses an exchange or visits the driver — the collected relation is
+# exactly B buckets.
+
+DSIR_BUCKETS = 64
+DSIR_TARGET_SOURCE = "src0"
+
+
+def _dsir_bucket(tok: Column) -> Column:
+    """Deterministic engine-portable token bucket: a two-term integer hash
+    (first-char code and length) — pure arithmetic, identical in Spark and
+    DuckDB, no reliance on engine hash functions."""
+    return (F.ascii(F.substring(tok, 1, 1)) * 31 + F.length(tok)) % DSIR_BUCKETS
+
+
+def _dsir_bucket_sql(expr: str) -> str:
+    return f"(ascii(substr({expr}, 1, 1)) * 31 + length({expr})) % {DSIR_BUCKETS}"
+
+
+def _lower_tokens() -> Column:
+    return F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+
+
+def dsir_importance_weights(
+    documents: DataFrame, target_source: str = DSIR_TARGET_SOURCE
+) -> DataFrame:
+    """Per-document average log importance ratio ln(p_target/p_raw) over
+    hashed unigram buckets, Laplace-smoothed. Positive → the document looks
+    like the target domain; the downstream move is weighted resampling by
+    exp(score), which this report parameterizes.
+
+    Scale shape: pass 1 aggregates token buckets to 2·B rows (B=64) and
+    collects ONLY that; pass 2 embeds the B-entry log-ratio table as a map
+    literal and scores each row with a per-row array fold — zero shuffle,
+    zero join, whole corpus never leaves the scan stage."""
+    import math
+
+    is_t = F.col("source") == F.lit(target_source)
+    buckets = documents.select(
+        is_t.alias("is_t"), F.explode(F.transform(_lower_tokens(), _dsir_bucket)).alias("b")
+    )
+    cnt = {
+        (r["b"], r["is_t"]): r["n"]
+        for r in buckets.groupBy("b", "is_t").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    tot_t = sum(n for (b, t), n in cnt.items() if t)
+    tot_r = sum(n for (b, t), n in cnt.items() if not t)
+    B = DSIR_BUCKETS
+    ratio = {
+        b: math.log(
+            ((cnt.get((b, True), 0) + 1.0) / (tot_t + B))
+            / ((cnt.get((b, False), 0) + 1.0) / (tot_r + B))
+        )
+        for b in range(B)
+    }
+    lookup = F.create_map(*[F.lit(x) for b in range(B) for x in (b, ratio[b])])
+    toks = _lower_tokens()
+    n = F.size(toks)
+    s = F.aggregate(
+        F.transform(toks, lambda t: F.element_at(lookup, _dsir_bucket(t))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    avg = F.bround(s / n, 4)
+    return documents.filter(n > 0).select(
+        "doc_id",
+        n.cast("long").alias("n_scored_tokens"),
+        avg.alias("avg_log_ratio"),
+        (avg > 0).cast("int").alias("is_target_like"),
+    )
+
+
+def dsir_importance_weights_sql(target_source: str = DSIR_TARGET_SOURCE) -> str:
+    b = _dsir_bucket_sql("t.term")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source = '{target_source}' AS is_t, {b} AS b
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS term) t
+  WHERE t.term <> ''
+), cnt AS (
+  SELECT b,
+         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+  FROM tok GROUP BY b
+), tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM cnt),
+ratio AS (
+  SELECT b, ln(((ct + 1.0) / (tt + {DSIR_BUCKETS})) / ((cr + 1.0) / (tr + {DSIR_BUCKETS}))) AS lr
+  FROM cnt, tot
+), doc AS (
+  SELECT tok.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_scored_tokens,
+         round_even(SUM(ratio.lr) / COUNT(*), 4) AS avg_log_ratio
+  FROM tok JOIN ratio USING (b)
+  GROUP BY tok.doc_id
+)
+SELECT doc_id, n_scored_tokens, avg_log_ratio,
+       CAST(CASE WHEN avg_log_ratio > 0 THEN 1 ELSE 0 END AS INT) AS is_target_like
+FROM doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source vocabulary drift — KL(source ‖ corpus) over exact unigram
+# counts. The standard pretraining-mix gauge for "which source is
+# distributionally far from the blend" (domain reweighting / DoReMi-style
+# diagnostics use exactly this quantity). All counts are exact integers;
+# the only floats are the final p·ln(p/q) terms, folded per source and
+# round-half-even at 1e-4 (the repo's cross-engine float rule).
+
+
+def source_kl_report(documents: DataFrame) -> DataFrame:
+    """One linear shuffle keyed (source, term) with map-side combine, one
+    term-keyed re-aggregation for the corpus marginal, a term-keyed join
+    (linear, AQE-handled), and a source-keyed final fold — every relation
+    is token-vocabulary-sized or smaller, never corpus-text-sized."""
+    tok = documents.select(
+        "source", F.explode(_lower_tokens()).alias("term")
+    )
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    t = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    total = t.agg(F.sum("c_t")).collect()[0][0] or 1
+    joined = st.join(t, "term")
+    # per-source totals via a window-free second agg
+    s_tot = st.groupBy("source").agg(F.sum("c_st").alias("t_s"))
+    scored = joined.join(s_tot, "source").select(
+        "source",
+        "c_st",
+        (
+            (F.col("c_st") / F.col("t_s"))
+            * F.log((F.col("c_st") / F.col("t_s")) / (F.col("c_t") / F.lit(float(total))))
+        ).alias("term_kl"),
+    )
+    return scored.groupBy("source").agg(
+        F.sum("c_st").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.bround(F.sum("term_kl"), 4).alias("kl_divergence"),
+    )
+
+
+def source_kl_report_sql() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id, source, t.term
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS term) t
+  WHERE t.term <> ''
+), st AS (
+  SELECT source, term, COUNT(*) AS c_st FROM tok GROUP BY source, term
+), t AS (SELECT term, SUM(c_st) AS c_t FROM st GROUP BY term),
+tot AS (SELECT CAST(SUM(c_t) AS DOUBLE) AS total FROM t),
+s_tot AS (SELECT source, SUM(c_st) AS t_s FROM st GROUP BY source)
+SELECT st.source,
+       CAST(SUM(st.c_st) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       round_even(SUM((st.c_st / s_tot.t_s) * ln((st.c_st / s_tot.t_s) / (t.c_t / tot.total))), 4)
+         AS kl_divergence
+FROM st JOIN t USING (term) JOIN s_tot USING (source), tot
+GROUP BY st.source
+"""

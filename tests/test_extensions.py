@@ -748,3 +748,89 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     # and the multiprobe candidate set is a strict superset scenario:
     # every single-probe result neighbor must still be reachable
     assert {q for q, _ in single} <= {q for q, _ in multi} or not single
+
+
+def test_dsir_weights_target_docs_score_higher(spark):
+    """Construct a corpus where the target source has a distinctive token
+    distribution: target documents must receive a higher average log-ratio
+    than raw documents, and every returned score must be finite."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    rows = (
+        [(i, "alpha beta alpha beta gamma", "en", "tgt", 27) for i in range(20)]
+        + [(i + 100, "zeta eta theta iota kappa", "en", "raw", 25) for i in range(20)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r["doc_id"]: r for r in tx.dsir_importance_weights(docs, target_source="tgt").collect()}
+    tgt = [out[i]["avg_log_ratio"] for i in range(20)]
+    raw = [out[i + 100]["avg_log_ratio"] for i in range(20)]
+    assert min(tgt) > max(raw)
+    assert all(out[k]["is_target_like"] in (0, 1) for k in out)
+    # identical text within a side → identical score (pure projection)
+    assert len(set(tgt)) == 1 and len(set(raw)) == 1
+
+
+def test_source_kl_report_uniform_source_near_zero(spark):
+    """A source whose token distribution matches the corpus marginal has
+    KL ≈ 0; a disjoint-vocabulary source has strictly larger KL."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    same = [(i, "a b c d", "en", f"s{i % 2}", 7) for i in range(40)]
+    diff = [(100 + i, "qq rr ss tt", "en", "weird", 11) for i in range(10)]
+    docs = spark.createDataFrame(
+        same + diff, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    kl = {r["source"]: r["kl_divergence"] for r in tx.source_kl_report(docs).collect()}
+    assert kl["weird"] > kl["s0"] and kl["weird"] > kl["s1"]
+    # s0/s1 share the corpus-dominant distribution: small but nonnegative-ish
+    assert abs(kl["s0"] - kl["s1"]) < 1e-9
+
+
+def test_time_decay_engagement_monotone_in_recency(spark):
+    """Same value, fresher event → strictly larger contribution; totals are
+    exact integer micro-units."""
+    from flink_streaming_etl_spark.operators import analytics as an
+
+    rows = [
+        (1, "2024-01-10 00:00:00", 1, "click", 10.0, "{}"),
+        (2, "2024-01-01 00:00:00", 2, "click", 10.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["user_id"]: r for r in an.time_decay_engagement(ev).collect()}
+    # ref date = 2024-01-10 → user 1 age 0 (full 10.0), user 2 age 9 (10/10)
+    assert out[1]["engagement_micro"] == 10_000_000
+    assert out[2]["engagement_micro"] == 1_000_000
+    assert out[1]["engagement"] == 10.0 and out[2]["engagement"] == 1.0
+
+
+def test_knn_graph_ranks_and_bucket_locality(spark):
+    """Every vector gets ≤ k neighbors, ranks are 1..k without gaps, and
+    each (vec, neighbor) pair shares a sign-LSH bucket by construction."""
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    emb = _load(spark, "embeddings")
+    out = sim.knn_graph(emb, k=3).collect()
+    by_vec: dict[int, list] = {}
+    for r in out:
+        by_vec.setdefault(r["vec_id"], []).append(r)
+    for vid, rows in by_vec.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        cosines = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r["neighbor_id"] != vid for r in rows)
+
+
+def test_cross_source_dup_matrix_accounts_every_pair(spark):
+    """Matrix pair counts sum to the verified LSH pair-relation size, and
+    src_a ≤ src_b in every row."""
+    from flink_streaming_etl_spark.operators import dedup as dd
+
+    docs = _load(spark, "documents")
+    pairs_n = dd.minhash_lsh_pairs(docs).count()
+    m = dd.cross_source_dup_matrix(docs).collect()
+    assert sum(r["n_pairs"] for r in m) == pairs_n
+    assert all(r["src_a"] <= r["src_b"] for r in m)
+    assert all(0.0 <= r["mean_jaccard"] <= 1.0 for r in m)

@@ -373,3 +373,43 @@ def test_round6_training_ops_plan_shapes(spark):
     p = plan_of(tx.packing_efficiency(t["documents"]))
     assert "Join" not in p, p
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_round6b_training_ops_plan_shapes(spark):
+    import re
+
+    from flink_streaming_etl_spark.operators import analytics as an
+    from flink_streaming_etl_spark.operators import dedup as dd
+    from flink_streaming_etl_spark.operators import similarity as sim
+    from flink_streaming_etl_spark.operators import text as tx
+
+    t = _tables(spark)
+    # dsir_importance_weights: the SCORING pass must be a pure projection —
+    # the B-bucket model was collected in pass 1 and embedded as a map
+    # literal, so the returned plan has no join, no aggregate, no exchange.
+    bare_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    p = plan_of(tx.dsir_importance_weights(bare_docs))
+    assert "Join" not in p, p
+    assert "Exchange" not in p, p
+    assert "HashAggregate" not in p and "SortAggregate" not in p, p
+    # source_kl_report: partial+final aggregation on every keyed rollup;
+    # term/source joins are equi-joins (vocabulary-sized, never cartesian).
+    p = plan_of(tx.source_kl_report(t["documents"]))
+    assert p.count("HashAggregate") >= 2, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    # time_decay_engagement: one user-keyed partial+final agg, no join —
+    # the reference date is a collected scalar literal, not a cross join.
+    p = plan_of(an.time_decay_engagement(t["events"]))
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+    # knn_graph: bucket-restricted equi self-join (no cartesian pair
+    # generation) and exactly ONE window — the per-vector ranking over the
+    # bucket-bounded candidate relation.
+    p = plan_of(sim.knn_graph(t["embeddings"]))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 1, p
+    # cross_source_dup_matrix: equi-joins only over the (tiny) verified
+    # pair relation; final matrix is a partial+final agg.
+    p = plan_of(dd.cross_source_dup_matrix(t["documents"]))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("HashAggregate") >= 2, p
