@@ -145,6 +145,15 @@ HEADLINE = [
     "pq_encode_residual",
     "ann_ivf_pq_residual",
     "ann_lsh_multiprobe",
+    "dsir_importance_weights",
+    "source_kl_report",
+    "time_decay_engagement",
+    "knn_graph",
+    "cross_source_dup_matrix",
+    "small_quantity_revenue",
+    "cheapest_supplier_per_part",
+    "perplexity_buckets",
+    "filtered_ann",
 ]
 
 

@@ -555,6 +555,27 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(dedup.cross_source_dup_matrix, "documents"),
         dedup.cross_source_dup_matrix_sql(),
     ),
+    "small_quantity_revenue": (
+        # TPC-H Q17 shape: correlated scalar subquery decorrelated into a
+        # part-keyed agg + equi join; exact cross-multiplied comparison
+        _q(analytics.small_quantity_revenue, "lineitem"),
+        analytics.SMALL_QUANTITY_REVENUE_SQL,
+    ),
+    "cheapest_supplier_per_part": (
+        # TPC-H Q2 shape: partial-aggregating struct-argmin, broadcast dim
+        _q(analytics.cheapest_supplier_per_part, "lineitem", "supplier"),
+        analytics.CHEAPEST_SUPPLIER_PER_PART_SQL,
+    ),
+    "perplexity_buckets": (
+        # CCNet head/middle/tail terciles by unigram-LM fit; histogram cuts
+        _q(text.perplexity_buckets, "documents"),
+        text.perplexity_buckets_sql(),
+    ),
+    "filtered_ann": (
+        # metadata-filtered vector search: label predicate = candidate set
+        _q(similarity.filtered_ann, "embeddings"),
+        similarity.filtered_ann_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -582,6 +603,10 @@ _SAMPLE_FRONT = [
     "time_decay_engagement",
     "knn_graph",
     "cross_source_dup_matrix",
+    "small_quantity_revenue",
+    "cheapest_supplier_per_part",
+    "perplexity_buckets",
+    "filtered_ann",
     # round-5 additions — keep a second confirming round
     "repetition_battery",
     "source_mixture_weights",
@@ -590,10 +615,9 @@ _SAMPLE_FRONT = [
     "neardup_keep_best",
     "minhash_error_report",
     "ann_ivf_pq",
-    "gopher_quality",
-    "span_dedup",
-    "ngram_novelty",
-    "cumulate_event_stats",
+    # (gopher_quality / span_dedup / ngram_novelty / cumulate_event_stats:
+    # r05-green + local parity — rotated to tail for the Q17/Q2/CCNet/
+    # filtered-ANN additions)
     "hopping_event_stats_decomposed",
     "curated_corpus_v2",
     "quantize_embeddings",

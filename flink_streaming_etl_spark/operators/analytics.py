@@ -1353,3 +1353,89 @@ SELECT user_id,
        CAST(SUM(c) AS DOUBLE) / 1000000.0 AS engagement
 FROM per GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape — "small-quantity order revenue": lineitems whose quantity
+# is below 20% of their part's average. The classic correlated-scalar-
+# subquery decorrelation: the per-part average becomes a part-keyed
+# partial+final aggregate joined back on the equi key. The comparison is
+# kept in exact integer/decimal cross-multiplied form
+# (qty·5·cnt < sum_qty) — no division, no float, engine-identical.
+
+
+def small_quantity_revenue(lineitem: DataFrame) -> DataFrame:
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+    )
+    small = lineitem.join(per_part, "l_partkey").filter(
+        _dec("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty")
+    )
+    return small.agg(
+        F.count(F.lit(1)).cast("long").alias("n_small_lines"),
+        q6(F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+            "avg_yearly"
+        ),
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey, COUNT(*) AS cnt,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+       {q6_sql("CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0")} AS avg_yearly
+FROM lineitem l JOIN per_part p ON l.l_partkey = p.l_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * p.cnt < p.sum_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape — cheapest supplier per part, as a partial-aggregating
+# struct-argmin instead of a window: min(struct(price, suppkey)) gets
+# map-side combine (the same plan discipline as the IVF coarse argmax), so
+# the exchange carries one row per part per task, not every lineitem. The
+# supplier attributes ride a broadcast dimension join.
+
+
+def cheapest_supplier_per_part(
+    lineitem: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    price = q6(_dec("l_extendedprice").cast("double") / _dec("l_quantity"))
+    best = (
+        lineitem.select(
+            "l_partkey",
+            F.struct(
+                price.alias("p"), F.col("l_suppkey").alias("s")
+            ).alias("ps"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.min("ps").alias("best"))
+    )
+    return best.join(
+        F.broadcast(supplier), best["best.s"] == supplier["s_suppkey"]
+    ).select(
+        "l_partkey",
+        F.col("best.s").alias("s_suppkey"),
+        "s_name",
+        F.col("best.p").alias("unit_price"),
+    )
+
+
+CHEAPEST_SUPPLIER_PER_PART_SQL = f"""
+WITH priced AS (
+  SELECT l_partkey, l_suppkey,
+         {q6_sql("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) / CAST(l_quantity AS DECIMAL(18,2))")} AS unit_price
+  FROM lineitem
+), ranked AS (
+  SELECT l_partkey, l_suppkey, unit_price,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY unit_price, l_suppkey) AS rn
+  FROM priced
+)
+SELECT r.l_partkey, r.l_suppkey AS s_suppkey, s.s_name, r.unit_price
+FROM ranked r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.rn = 1
+"""

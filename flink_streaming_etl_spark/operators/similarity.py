@@ -1838,3 +1838,65 @@ SELECT vec_id, rank, neighbor_id, cosine FROM (
   FROM cand
 ) WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Filtered ANN — metadata-predicate vector search (top-k among vectors
+# matching the query's label), the "filtered search" every production
+# vector store exposes. The predicate IS the candidate generator: an equi
+# join on label replaces the all-pairs cross, so candidate volume is the
+# label population, not the corpus (for very hot labels, compose with the
+# sign-LSH bucket exactly as knn_graph does). Deterministic: q6 cosine,
+# (cosine DESC, id ASC) tie-break.
+
+
+def filtered_ann(
+    embeddings: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from flink_streaming_etl_spark.functions import q6, vec_dot, vec_norm
+
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    ).withColumn("norm", vec_norm(F.col("v")))
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        "label",
+    )
+    cand = (
+        q.join(e, ["label"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "label",
+            F.col("vec_id").alias("neighbor_id"),
+            q6(vec_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "label", "cosine")
+    )
+
+
+def filtered_ann_sql(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
+    cos = _COS_SQL.format(a="q.v", b="e.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT vec_id AS query_id, v, label FROM e WHERE vec_id < {n_queries}),
+cand AS (
+  SELECT q.query_id, q.label, e.vec_id AS neighbor_id, {cos} AS cosine
+  FROM q JOIN e ON e.label = q.label AND e.vec_id <> q.query_id
+)
+SELECT query_id, rank, neighbor_id, label, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= {k}
+"""

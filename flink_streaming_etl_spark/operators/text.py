@@ -1900,3 +1900,113 @@ SELECT st.source,
 FROM st JOIN t USING (term) JOIN s_tot USING (source), tot
 GROUP BY st.source
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing — split each language's documents into
+# head/middle/tail terciles by language-model fit (Wenzek et al. 2020,
+# "CCNet": bucket web text by LM perplexity, keep the head). The LM here is
+# the corpus-fit unigram model (unigram_logprob_score); the cuts are exact
+# nearest-rank terciles computed over a per-(lang, score) HISTOGRAM — the
+# cumulative window runs over histogram rows (bounded by distinct
+# 4-decimal scores per language), never over the corpus.
+
+
+def perplexity_buckets(documents: DataFrame) -> DataFrame:
+    """(lang, bucket, n_docs, share, mean_logprob). Mean folds exact
+    integer ten-thousandths (scores are bround-4), so it is
+    order-independent across engines."""
+    from pyspark.sql.window import Window
+
+    scored = unigram_logprob_score(documents).join(
+        documents.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "avg_logprob")
+    hist = scored.groupBy("lang", "avg_logprob").agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    wl = Window.partitionBy("lang")
+    cum = (
+        hist.withColumn(
+            "cumfreq",
+            F.sum("freq").over(
+                wl.orderBy("avg_logprob").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("n", F.sum("freq").over(wl))
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("cumfreq") >= F.ceil(F.col("n") / 3), F.col("avg_logprob"))
+        ).alias("p33"),
+        F.min(
+            F.when(
+                F.col("cumfreq") >= F.ceil(F.col("n") * 2 / 3), F.col("avg_logprob")
+            )
+        ).alias("p67"),
+    )
+    bucket = (
+        F.when(F.col("avg_logprob") <= F.col("p33"), F.lit("tail"))
+        .when(F.col("avg_logprob") <= F.col("p67"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    lp_e4 = F.round(F.col("avg_logprob") * 10000).cast("long")
+    tagged = scored.join(F.broadcast(cuts), "lang").select(
+        "lang", bucket.alias("bucket"), lp_e4.alias("lp_e4")
+    )
+    out = tagged.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("lp_e4").alias("s_e4"),
+    )
+    totals = out.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    return out.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "bucket",
+        "n_docs",
+        q6(F.col("n_docs").cast("double") / F.col("n_lang")).alias("share"),
+        q6(
+            (F.col("s_e4").cast("double") / F.lit(10000.0)) / F.col("n_docs")
+        ).alias("mean_logprob"),
+    )
+
+
+def perplexity_buckets_sql() -> str:
+    return f"""
+WITH scored0 AS ({unigram_logprob_score_sql()}),
+scored AS (
+  SELECT s.doc_id, d.lang, s.avg_logprob
+  FROM scored0 s JOIN documents d ON s.doc_id = d.doc_id
+),
+hist AS (
+  SELECT lang, avg_logprob, COUNT(*) AS freq FROM scored GROUP BY lang, avg_logprob
+),
+cum AS (
+  SELECT lang, avg_logprob,
+         SUM(freq) OVER (PARTITION BY lang ORDER BY avg_logprob
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumfreq,
+         SUM(freq) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+cuts AS (
+  SELECT lang,
+         MIN(CASE WHEN cumfreq >= CEIL(n / 3.0) THEN avg_logprob END) AS p33,
+         MIN(CASE WHEN cumfreq >= CEIL(n * 2.0 / 3.0) THEN avg_logprob END) AS p67
+  FROM cum GROUP BY lang
+),
+tagged AS (
+  SELECT s.lang,
+         CASE WHEN s.avg_logprob <= c.p33 THEN 'tail'
+              WHEN s.avg_logprob <= c.p67 THEN 'middle'
+              ELSE 'head' END AS bucket,
+         CAST(round(s.avg_logprob * 10000) AS BIGINT) AS lp_e4
+  FROM scored s JOIN cuts c ON s.lang = c.lang
+),
+agg AS (
+  SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs, SUM(lp_e4) AS s_e4
+  FROM tagged GROUP BY lang, bucket
+),
+totals AS (SELECT lang, SUM(n_docs) AS n_lang FROM agg GROUP BY lang)
+SELECT a.lang, a.bucket, a.n_docs,
+       {q6_sql("CAST(a.n_docs AS DOUBLE) / t.n_lang")} AS share,
+       {q6_sql("(CAST(a.s_e4 AS DOUBLE) / 10000.0) / a.n_docs")} AS mean_logprob
+FROM agg a JOIN totals t ON a.lang = t.lang
+"""

@@ -81,6 +81,22 @@ PROBES = [
     "semdedup_drop",
     "cluster_balance_report",
     "packing_efficiency",
+    "unigram_logprob_score",
+    "tokenizer_fertility",
+    "gap_fill_daily",
+    "key_skew_report",
+    "pq_encode_residual",
+    "ann_ivf_pq_residual",
+    "ann_lsh_multiprobe",
+    "dsir_importance_weights",
+    "source_kl_report",
+    "time_decay_engagement",
+    "knn_graph",
+    "cross_source_dup_matrix",
+    "small_quantity_revenue",
+    "cheapest_supplier_per_part",
+    "perplexity_buckets",
+    "filtered_ann",
 ]
 
 

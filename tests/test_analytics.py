@@ -246,3 +246,48 @@ def test_salted_join_equals_plain_join(spark):
     a = plain.agg(F.sum("event_id"), F.sum("attr")).collect()
     b = salted.agg(F.sum("event_id"), F.sum("attr")).collect()
     assert a == b
+
+
+def test_small_quantity_revenue_crafted(spark):
+    """Part 1: avg qty 10 → threshold 2; only the qty-1 line is small.
+    Exact cross-multiplied comparison (no division) must match."""
+    from flink_streaming_etl_spark.operators import analytics as an
+
+    rows = [
+        # (orderkey, partkey, suppkey, linenumber, qty, extprice)
+        (1, 1, 1, 1, 1.0, 700.0),    # small: 1*5*3=15 < 29
+        (2, 1, 1, 1, 14.0, 10.0),
+        (3, 1, 1, 1, 14.0, 10.0),
+        (4, 2, 1, 1, 5.0, 99.0),     # sole line: 5*5*1=25 >= 5 → not small
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double",
+    )
+    out = an.small_quantity_revenue(li).collect()[0]
+    assert out["n_small_lines"] == 1
+    assert out["avg_yearly"] == 100.0
+
+
+def test_cheapest_supplier_argmin_tiebreak(spark):
+    """Equal unit prices → the LOWEST suppkey wins (struct-min tie-break)."""
+    from flink_streaming_etl_spark.operators import analytics as an
+
+    li = spark.createDataFrame(
+        [
+            (1, 1, 7, 1, 2.0, 20.0),  # price 10, supp 7
+            (2, 1, 3, 1, 4.0, 40.0),  # price 10, supp 3 → wins
+            (3, 1, 9, 1, 1.0, 50.0),  # price 50
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double",
+    )
+    supp = spark.createDataFrame(
+        [(3, "S3", 0, 0.0), (7, "S7", 0, 0.0), (9, "S9", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    )
+    out = an.cheapest_supplier_per_part(li, supp).collect()
+    assert len(out) == 1
+    assert out[0]["s_suppkey"] == 3 and out[0]["s_name"] == "S3"
+    assert out[0]["unit_price"] == 10.0

@@ -834,3 +834,42 @@ def test_cross_source_dup_matrix_accounts_every_pair(spark):
     assert sum(r["n_pairs"] for r in m) == pairs_n
     assert all(r["src_a"] <= r["src_b"] for r in m)
     assert all(0.0 <= r["mean_jaccard"] <= 1.0 for r in m)
+
+
+def test_perplexity_buckets_shares_and_partition(spark):
+    """Per-lang shares sum to 1 (q6 rounding aside), every bucket label is
+    one of head/middle/tail, and doc counts per lang match the corpus."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    docs = _load(spark, "documents")
+    out = tx.perplexity_buckets(docs).collect()
+    assert {r["bucket"] for r in out} <= {"head", "middle", "tail"}
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    n_by_lang = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for lang, rows in by_lang.items():
+        assert sum(r["n_docs"] for r in rows) == n_by_lang[lang]
+        assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_filtered_ann_respects_label_predicate(spark):
+    """Every returned neighbor carries the query's label; ranks contiguous
+    from 1; cosine non-increasing within a query."""
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    emb = _load(spark, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    out = sim.filtered_ann(emb, k=4).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        assert labels[r["neighbor_id"]] == labels[r["query_id"]] == r["label"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        cs = [r["cosine"] for r in rows]
+        assert cs == sorted(cs, reverse=True)

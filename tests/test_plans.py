@@ -413,3 +413,36 @@ def test_round6b_training_ops_plan_shapes(spark):
     p = plan_of(dd.cross_source_dup_matrix(t["documents"]))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert p.count("HashAggregate") >= 2, p
+
+
+def test_round6c_ops_plan_shapes(spark):
+    from flink_streaming_etl_spark.operators import analytics as an
+    from flink_streaming_etl_spark.operators import similarity as sim
+    from flink_streaming_etl_spark.operators import text as tx
+
+    t = _tables(spark)
+    # Q17 shape: the correlated subquery must decorrelate to a part-keyed
+    # partial+final agg + EQUI join back — no cartesian/nested-loop, and
+    # map-side combine on the per-part rollup.
+    p = plan_of(an.small_quantity_revenue(t["lineitem"]))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+    # Q2 shape: struct-argmin gets partial aggregation (min gets map-side
+    # combine; a window would not), and the supplier dim must broadcast.
+    p = plan_of(an.cheapest_supplier_per_part(t["lineitem"], t["supplier"]))
+    assert "partial_min" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "Window" not in p, p
+    # perplexity buckets: the tercile window runs over the HISTOGRAM
+    # relation (post-aggregate), and the cuts broadcast back to the scored
+    # relation — never a sort of the corpus-sized relation for ranking.
+    p = plan_of(tx.perplexity_buckets(t["documents"]))
+    assert "CartesianProduct" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+    # filtered ANN: label equi-join is the candidate generator — no
+    # cartesian pair generation; exactly one ranking window.
+    import re
+
+    p = plan_of(sim.filtered_ann(t["embeddings"]))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 1, p
