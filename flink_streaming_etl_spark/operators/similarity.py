@@ -1119,7 +1119,13 @@ def semdedup_drop(
     n_centroids: int = N_CENTROIDS,
     n_queries: int = N_QUERIES,
 ) -> DataFrame:
-    """(vec_id, cell, dropped) for every corpus vector."""
+    """(vec_id, cell, dropped) for every corpus vector.
+
+    ``n_centroids`` is the corpus-growth dial: within-cell pair volume is
+    ~n²/C, so C must grow linearly with the corpus to keep cells at a
+    constant size — size it with :func:`centroids_for_corpus` (measured in
+    SCALE.md: fixed C=16 at a 10× corpus → 8.0×; the dial restores
+    near-linear)."""
     from flink_streaming_etl_spark.functions import q6, vec_dot, vec_norm
 
     ev = _as_double(embeddings).withColumn("norm", vec_norm(F.col("v")))
@@ -1900,3 +1906,19 @@ SELECT query_id, rank, neighbor_id, label, cosine FROM (
   FROM cand
 ) WHERE rank <= {k}
 """
+
+
+def centroids_for_corpus(n_vectors: int, target_cell_size: int = 100) -> int:
+    """The SemDeDup/IVF corpus-growth dial, operationalized: the centroid
+    count that keeps expected cell occupancy ≈ ``target_cell_size``, so
+    within-cell pair generation stays O(n · target) instead of O(n²/C).
+    C = ceil(n / target): centroids grow LINEARLY with the corpus (the
+    standard IVF sizing rule — √n-to-n/100 centroids in the Jégou et al.
+    regime), unlike the LSH plane dial which grows logarithmically.
+    Measured (SCALE.md round 6): fixed C=16 at a 10× corpus → 8.0× on
+    semdedup_drop; C per this dial restores near-linear behavior."""
+    import math
+
+    if n_vectors <= target_cell_size:
+        return 1
+    return max(1, math.ceil(n_vectors / target_cell_size))

@@ -137,10 +137,37 @@ def _ann_dialed(spark, sf_dir):
     return similarity.ann_lsh_bucketed(emb, n_planes=9)
 
 
+def _semdedup_dialed(spark, sf_dir):
+    """semdedup_drop with the centroid dial APPLIED (C grows linearly with
+    the corpus, similarity.centroids_for_corpus): fixed C=16 at 10x was
+    measured at 8.0x runtime (within-cell pairs grow n^2/C); C=n/100 keeps
+    cells at ~100 vectors and within-cell work linear."""
+    from flink_streaming_etl_spark.operators import similarity
+
+    emb = load_tables(spark, sf_dir, register=False)["embeddings"]
+    n = emb.count()
+    return similarity.semdedup_drop(
+        emb, n_centroids=similarity.centroids_for_corpus(n)
+    )
+
+
+def _knn_dialed(spark, sf_dir):
+    """knn_graph with the plane dial APPLIED (p = planes_for_corpus(n),
+    the same logarithmic rule as ann_lsh_bucketed): fixed p=6 at 10x was
+    measured at 4.4x (in-bucket candidates grow (n/2^p)^2 per bucket)."""
+    from flink_streaming_etl_spark.operators import similarity
+
+    emb = load_tables(spark, sf_dir, register=False)["embeddings"]
+    n = emb.count()
+    return similarity.knn_graph(emb, n_planes=similarity.planes_for_corpus(n))
+
+
 #: (probe, scale-label) → replacement callable: operators whose documented
 #: scale procedure changes a dial with corpus size.
 OVERRIDES = {
     ("ann_lsh_bucketed", "sf1"): _ann_dialed,
+    ("semdedup_drop", "sf1"): _semdedup_dialed,
+    ("knn_graph", "sf1"): _knn_dialed,
 }
 
 
