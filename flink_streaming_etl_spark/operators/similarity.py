@@ -1134,7 +1134,12 @@ def semdedup_drop(
     ).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
     )
+    # The assignment relation IS the IVF index: it feeds both sides of the
+    # within-cell pair join plus the final drop join — persist it so the
+    # coarse argmax (the corpus-sized stage) runs once instead of three
+    # times. A production system materializes exactly this relation.
     assign, _ = _coarse_assign(ev, cents, n_queries=0, n_probe=1)
+    assign = assign.persist()
     a = assign.select(
         F.col("vec_id").alias("a_id"), F.col("cent_id"),
         F.col("v").alias("va"), F.col("norm").alias("na"),

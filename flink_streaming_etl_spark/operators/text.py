@@ -1639,7 +1639,15 @@ def unigram_logprob_score(documents: DataFrame) -> DataFrame:
             F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
         ).alias("term"),
     )
-    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds the vocab rollup, the grand-total action AND the scoring
+    # join — persist so the tokenize+explode pass runs once (the bm25/tfidf
+    # stage-boundary discipline; CacheManager dedupes by canonicalized
+    # plan, so repeat calls share one entry).
+    tf = (
+        tokens.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     counts = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     # empty corpus → SUM is NULL; 1 keeps the plan valid (no rows score)
     total = counts.agg(F.sum("cnt")).collect()[0][0] or 1
@@ -1859,7 +1867,14 @@ def source_kl_report(documents: DataFrame) -> DataFrame:
     tok = documents.select(
         "source", F.explode(_lower_tokens()).alias("term")
     )
-    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    # st feeds the corpus marginal, the per-source totals AND the scoring
+    # join — persist the (vocabulary × sources)-sized relation so the
+    # tokenize+explode pass runs once.
+    st = (
+        tok.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .persist()
+    )
     t = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
     total = t.agg(F.sum("c_t")).collect()[0][0] or 1
     joined = st.join(t, "term")
