@@ -1353,10 +1353,19 @@ def _residual_relation(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("norm").alias("cnorm")
     )
     assign, _ = _coarse_assign(ev, cents, n_queries, 1)
-    return assign.join(F.broadcast(cents.select("cent_id", "cv")), "cent_id").select(
-        "vec_id",
-        F.col("cent_id").alias("cell"),
-        F.zip_with("v", "cv", lambda x, y: x - y).alias("r"),
+    # Persisted: ann_ivf_pq_residual consumes this relation twice (the
+    # residual codebook slice and, via pq_encode_residual, the full code
+    # relation) — without the persist the corpus-sized coarse argmax runs
+    # per consumer. CacheManager dedupes by canonicalized plan, so the two
+    # construction sites share one entry.
+    return (
+        assign.join(F.broadcast(cents.select("cent_id", "cv")), "cent_id")
+        .select(
+            "vec_id",
+            F.col("cent_id").alias("cell"),
+            F.zip_with("v", "cv", lambda x, y: x - y).alias("r"),
+        )
+        .persist()
     )
 
 
