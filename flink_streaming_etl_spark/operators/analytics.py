@@ -1439,3 +1439,75 @@ SELECT r.l_partkey, r.l_suppkey AS s_suppkey, s.s_name, r.unit_price
 FROM ranked r JOIN supplier s ON r.l_suppkey = s.s_suppkey
 WHERE r.rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape — forecast revenue change: one filter+sum with EVERY
+# predicate pushed into the parquet scan (date range, discount band,
+# quantity cap — all scan-evaluable min/max envelope filters). The plan
+# contract: no join, no window, partial+final agg over an already-pruned
+# scan; revenue folds in exact DECIMAL before one cast out.
+
+
+def forecast_revenue_change(lineitem: DataFrame) -> DataFrame:
+    filtered = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (_dec("l_discount") >= F.lit("0.05").cast(DEC))
+        & (_dec("l_discount") <= F.lit("0.07").cast(DEC))
+        & (_dec("l_quantity") < F.lit(24).cast(DEC))
+    )
+    return filtered.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+FORECAST_REVENUE_CHANGE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+  AND CAST(l_quantity AS DECIMAL(18,2)) < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape — customer order-count distribution: left join customers
+# to a filtered orders rollup, then histogram the per-customer counts.
+# Two keyed aggregations with map-side combine; the customer join rides
+# c_custkey (AQE-handled); the histogram relation is count-valued (tiny).
+
+
+def customer_order_histogram(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    per_cust = (
+        orders.filter(F.col("o_orderstatus") != F.lit("F"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c_count"))
+    )
+    joined = customer.join(
+        per_cust, customer["c_custkey"] == per_cust["o_custkey"], "left"
+    ).select(F.coalesce("c_count", F.lit(0)).alias("c_count"))
+    return (
+        joined.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .select(F.col("c_count").cast("long").alias("c_count"), "n_customers")
+    )
+
+
+CUSTOMER_ORDER_HISTOGRAM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, COUNT(*) AS c_count
+  FROM orders WHERE o_orderstatus <> 'F'
+  GROUP BY o_custkey
+)
+SELECT CAST(COALESCE(p.c_count, 0) AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+GROUP BY COALESCE(p.c_count, 0)
+"""

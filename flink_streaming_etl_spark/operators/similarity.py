@@ -1936,3 +1936,109 @@ def centroids_for_corpus(n_vectors: int, target_cell_size: int = 100) -> int:
     if n_vectors <= target_cell_size:
         return 1
     return max(1, math.ceil(n_vectors / target_cell_size))
+
+
+# ---------------------------------------------------------------------------
+# Int8-quantized (SQ8) search — brute-force top-k over scalar-quantized
+# vectors, scored on midpoint-RECONSTRUCTED values (x̂ = mn + (code+0.5)·span,
+# the standard SQ8 decode): a 4×-smaller vector store whose scan ranks by
+# approximate cosine without keeping any float32 corpus. The per-dim
+# min/max model is collected once (|dims| rows) and embedded as array
+# literals, so encode+decode is a ZERO-shuffle projection; the scoring
+# join is the bounded n_queries·n shape (same as cosine_topk); cosine uses
+# the same sequential fold as every vector op, q6-floored — engine-exact.
+
+
+def ann_int8_topk(
+    embeddings: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from flink_streaming_etl_spark.functions import q6, vec_dot, vec_norm
+
+    e = _as_double(embeddings)
+    stats = (
+        e.select(F.posexplode("v").alias("j", "x"))
+        .groupBy("j")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    mn = [r["mn"] for r in sorted(stats, key=lambda r: r["j"])]
+    mx = [r["mx"] for r in sorted(stats, key=lambda r: r["j"])]
+    mn_arr = F.array(*[F.lit(float(v)) for v in mn])
+    span_arr = F.array(
+        *[F.lit((b - a) / 255.0 if b > a else 1.0) for a, b in zip(mn, mx)]
+    )
+    idx = F.sequence(F.lit(1), F.lit(len(mn)))
+    xhat = F.transform(
+        idx,
+        lambda j: F.element_at(mn_arr, j)
+        + (
+            F.least(
+                F.lit(255.0),
+                F.floor(
+                    (F.element_at(F.col("v"), j) - F.element_at(mn_arr, j))
+                    / F.element_at(span_arr, j)
+                ),
+            )
+            + F.lit(0.5)
+        )
+        * F.element_at(span_arr, j),
+    )
+    decoded = e.select("vec_id", xhat.alias("xv")).withColumn(
+        "norm", vec_norm(F.col("xv"))
+    )
+    q = decoded.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("xv").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    cos = q6(vec_dot(F.col("qv"), F.col("xv")) / (F.col("qn") * F.col("norm")))
+    scored = (
+        F.broadcast(q)
+        .join(decoded, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine_sq8")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sq8"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine_sq8")
+    )
+
+
+def ann_int8_topk_sql(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
+    cos = _COS_SQL.format(a="q.xv", b="e.xv")
+    return f"""
+WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (
+  SELECT vec_id, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM ev
+), stats AS (
+  SELECT j, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY j
+), model AS (
+  SELECT list(mn ORDER BY j) AS mn_l,
+         list(CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END ORDER BY j) AS span_l
+  FROM stats
+), decoded AS (
+  SELECT vec_id,
+         list_transform(
+           range(1, len(v) + 1),
+           j -> m.mn_l[j]
+                + (LEAST(255.0, floor((v[j] - m.mn_l[j]) / m.span_l[j])) + 0.5)
+                  * m.span_l[j]
+         ) AS xv
+  FROM ev, model m
+), scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {cos} AS cosine_sq8
+  FROM decoded q JOIN decoded e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < {n_queries}
+)
+SELECT query_id, rank, neighbor_id, cosine_sq8 FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_sq8 DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

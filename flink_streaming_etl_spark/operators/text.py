@@ -2062,3 +2062,57 @@ SELECT a.lang, a.bucket, a.n_docs,
        {q6_sql("(CAST(a.s_e4 AS DOUBLE) / 10000.0) / a.n_docs")} AS mean_logprob
 FROM agg a JOIN totals t ON a.lang = t.lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy filter — Shannon entropy of the document's character
+# distribution, the cheap gibberish/boilerplate detector (low entropy =
+# repeated chars/compression artifacts; the C4/RefinedWeb-family filters
+# use exactly this signal alongside length and symbol ratios). One
+# (doc_id, char)-keyed aggregation with map-side combine — the fan-out is
+# corpus characters, collapsed to ≤ alphabet-size rows per doc before the
+# exchange.
+
+ENTROPY_LOW_BITS = 2.0
+
+
+def entropy_filter(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_chars_scored, char_entropy, is_low_entropy). Entropy in
+    bits via the count identity H = log2(n) − (Σ c·log2 c)/n — both terms
+    come out of ONE doc-keyed aggregation over the (doc, char) counts (no
+    per-doc-total join), with exact integer counts and round-half-even at
+    1e-4 on the final transcendental (the cross-engine float rule)."""
+    chars = documents.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), ""), lambda c: (c != "") & (c != " "))
+        ).alias("ch"),
+    )
+    cc = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    s = F.sum(F.col("c") * F.log2("c"))
+    ent = F.bround(F.log2(n) - s / n, 4)
+    return cc.groupBy("doc_id").agg(
+        n.cast("long").alias("n_chars_scored"),
+        ent.alias("char_entropy"),
+        (ent < F.lit(ENTROPY_LOW_BITS)).cast("int").alias("is_low_entropy"),
+    )
+
+
+def entropy_filter_sql(low_bits: float = ENTROPY_LOW_BITS) -> str:
+    return f"""
+WITH chars AS (
+  SELECT doc_id, c.ch
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split(lower(text), \'\')) AS ch) c
+  WHERE c.ch <> \'\' AND c.ch <> \' \'
+), cc AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_chars_scored,
+       round_even(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4) AS char_entropy,
+       CAST(CASE WHEN round_even(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4) < {low_bits}
+            THEN 1 ELSE 0 END AS INT) AS is_low_entropy
+FROM cc GROUP BY doc_id
+"""

@@ -873,3 +873,35 @@ def test_filtered_ann_respects_label_predicate(spark):
         assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
         cs = [r["cosine"] for r in rows]
         assert cs == sorted(cs, reverse=True)
+
+
+def test_entropy_filter_known_values(spark):
+    """'aaaa' → 0 bits; 'abab' → 1 bit; 'abcd' → 2 bits."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa", "en", "s", 4), (2, "abab", "en", "s", 4), (3, "abcd", "en", "s", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in tx.entropy_filter(docs).collect()}
+    assert out[1]["char_entropy"] == 0.0 and out[1]["is_low_entropy"] == 1
+    assert out[2]["char_entropy"] == 1.0 and out[2]["is_low_entropy"] == 1
+    assert out[3]["char_entropy"] == 2.0 and out[3]["is_low_entropy"] == 0
+
+
+def test_ann_int8_topk_agrees_with_exact_on_separated_corpus(spark):
+    """Quantized integer-dot ranking must keep ranks contiguous and, on
+    the well-separated test corpus, overlap the exact cosine top-k
+    substantially (SQ8 is a rescoring-free approximation, not exact)."""
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    emb = _load(spark, "embeddings")
+    got = sim.ann_int8_topk(emb, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in sim.cosine_topk(emb, k=5).collect()}
+    overlap = sum(1 for r in got if (r["query_id"], r["neighbor_id"]) in exact)
+    for q, rows in by_q.items():
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+    assert overlap >= len(got) * 0.5, f"{overlap}/{len(got)}"

@@ -446,3 +446,36 @@ def test_round6c_ops_plan_shapes(spark):
     p = plan_of(sim.filtered_ann(t["embeddings"]))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert len(re.findall(r"\(\d+\) Window\b", p)) == 1, p
+
+
+def test_round6d_ops_plan_shapes(spark):
+    import re
+
+    from flink_streaming_etl_spark.operators import analytics as an
+    from flink_streaming_etl_spark.operators import similarity as sim
+    from flink_streaming_etl_spark.operators import text as tx
+
+    t = _tables(spark)
+    # Q6: every predicate must reach the parquet scan as a pushed filter;
+    # no join anywhere.
+    p = plan_of(an.forecast_revenue_change(t["lineitem"]))
+    assert "Join" not in p, p
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+    assert "LessThan(l_shipdate" in p, p
+    assert p.count("HashAggregate") >= 2, p
+    # Q13: equi left join + two partial+final aggs, never a cartesian.
+    p = plan_of(an.customer_order_histogram(t["customer"], t["orders"]))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("HashAggregate") >= 4, p
+    # entropy: one (doc,char)-keyed agg then one doc-keyed agg — no join.
+    p = plan_of(tx.entropy_filter(t["documents"]))
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+    # SQ8 search: encoding is a zero-shuffle projection (model embedded as
+    # literals), so the only joins are the broadcast query pairing — no
+    # sort-merge join and no per-dim stats join may appear in the search
+    # plan; exactly one ranking window.
+    p = plan_of(sim.ann_int8_topk(t["embeddings"]))
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert len(re.findall(r"\(\d+\) Window\b", p)) == 1, p
