@@ -158,6 +158,9 @@ HEADLINE = [
     "ann_int8_topk",
     "forecast_revenue_change",
     "customer_order_histogram",
+    "promo_revenue_share",
+    "late_order_priority_check",
+    "large_volume_customers",
 ]
 
 

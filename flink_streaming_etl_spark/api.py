@@ -596,6 +596,22 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(analytics.customer_order_histogram, "customer", "orders"),
         analytics.CUSTOMER_ORDER_HISTOGRAM_SQL,
     ),
+    "promo_revenue_share": (
+        # TPC-H Q14 shape: conditional decimal agg over a broadcast dim join
+        _q(analytics.promo_revenue_share, "lineitem", "part"),
+        analytics.PROMO_REVENUE_SHARE_SQL,
+    ),
+    "late_order_priority_check": (
+        # TPC-H Q4 shape: EXISTS -> left-semi equi join with join-side
+        # lateness predicate
+        _q(analytics.late_order_priority_check, "orders", "lineitem"),
+        analytics.LATE_ORDER_PRIORITY_CHECK_SQL,
+    ),
+    "large_volume_customers": (
+        # TPC-H Q18 shape: HAVING rollup broadcast back into the joins
+        _q(analytics.large_volume_customers, "customer", "orders", "lineitem"),
+        analytics.large_volume_customers_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -631,6 +647,9 @@ _SAMPLE_FRONT = [
     "ann_int8_topk",
     "forecast_revenue_change",
     "customer_order_histogram",
+    "promo_revenue_share",
+    "late_order_priority_check",
+    "large_volume_customers",
     # round-5 additions — keep a second confirming round
     "repetition_battery",
     "source_mixture_weights",
@@ -648,9 +667,8 @@ _SAMPLE_FRONT = [
     "sketch_profile",
     "profile_orders_hll",
     # round-4 fix + driver-hashable twins — keep one more round of rows
-    "session_windows",
-    "collect_items_flat",
-    "kmeans_assign_pinned",
+    # (session_windows / collect_items_flat / kmeans_assign_pinned:
+    # r05-green + local parity — rotated to tail for the Q14/Q4/Q18 shapes)
     "standardize_by_label_stats",
     "sketch_profile_flat",
     # (weighted_sample / mixture_sample / repetition_score /

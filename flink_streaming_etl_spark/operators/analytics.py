@@ -1511,3 +1511,124 @@ SELECT CAST(COALESCE(p.c_count, 0) AS BIGINT) AS c_count,
 FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
 GROUP BY COALESCE(p.c_count, 0)
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape — promotion revenue share: conditional aggregation over a
+# part-dimension join. Plan contract: the part columns ride a BROADCAST
+# join (dimension vs lineitem fact), both legs fold in exact DECIMAL, the
+# share divides once at the end (q6).
+
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    joined = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    ).join(F.broadcast(part.select("p_partkey", "p_type")),
+           F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC)))
+    total = F.sum(rev)
+    return joined.agg(
+        promo.cast("double").alias("promo_revenue"),
+        total.cast("double").alias("total_revenue"),
+        q6(F.lit(100.0) * promo.cast("double") / total.cast("double")).alias(
+            "promo_share_pct"
+        ),
+    )
+
+
+PROMO_REVENUE_SHARE_SQL = f"""
+WITH j AS (
+  SELECT CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+         p.p_type
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1996-07-01'
+)
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE) AS promo_revenue,
+       CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+       {q6_sql("100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE) / CAST(SUM(rev) AS DOUBLE)")} AS promo_share_pct
+FROM j
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape — order-priority checking: orders with at least one LATE
+# lineitem (shipped > 60 days after the order date), counted per priority.
+# The EXISTS decorrelates to a LEFT SEMI equi-join on the order key with
+# the lateness predicate evaluated join-side — no aggregation-then-join
+# detour, no pair blowup.
+
+
+def late_order_priority_check(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    late = lineitem.select("l_orderkey", "l_shipdate")
+    sel = orders.join(
+        late,
+        (orders["o_orderkey"] == late["l_orderkey"])
+        & (late["l_shipdate"] > F.date_add(F.col("o_orderdate"), 60)),
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
+LATE_ORDER_PRIORITY_CHECK_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape — large-volume customers: a HAVING rollup on the fact
+# side joined back to the dimension. The per-order quantity rollup gets
+# partial+final aggregation; the surviving keys (tiny by construction)
+# BROADCAST into the orders/customer joins, so neither big relation
+# shuffles for the final assembly.
+
+LARGE_ORDER_QTY_MIN = 120
+
+
+def large_volume_customers(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+    min_qty: int = LARGE_ORDER_QTY_MIN,
+) -> DataFrame:
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") >= F.lit(min_qty).cast(DEC))
+    )
+    return (
+        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+def large_volume_customers_sql(min_qty: int = LARGE_ORDER_QTY_MIN) -> str:
+    return f"""
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) >= {min_qty}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+       CAST(b.total_qty AS DOUBLE) AS total_qty
+FROM orders o
+JOIN big b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""

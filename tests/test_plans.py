@@ -479,3 +479,27 @@ def test_round6d_ops_plan_shapes(spark):
     assert "SortMergeJoin" not in p, p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
     assert len(re.findall(r"\(\d+\) Window\b", p)) == 1, p
+
+
+def test_tpch_q14_q4_q18_plan_shapes(spark):
+    from flink_streaming_etl_spark.operators import analytics as an
+
+    t = _tables(spark)
+    # Q14: part is a dimension — must broadcast; date range pushed to scan.
+    p = plan_of(an.promo_revenue_share(t["lineitem"], t["part"]))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+    # Q4: EXISTS must plan as a LEFT SEMI equi join (never a cartesian or
+    # per-order aggregation detour).
+    p = plan_of(an.late_order_priority_check(t["orders"], t["lineitem"]))
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    # Q18: the HAVING rollup gets partial+final agg and its survivors
+    # broadcast into the assembly joins.
+    p = plan_of(
+        an.large_volume_customers(t["customer"], t["orders"], t["lineitem"])
+    )
+    assert p.count("HashAggregate") >= 2, p
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
