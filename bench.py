@@ -161,6 +161,7 @@ HEADLINE = [
     "promo_revenue_share",
     "late_order_priority_check",
     "large_volume_customers",
+    "pack_sequences_ffd",
 ]
 
 

@@ -612,6 +612,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(analytics.large_volume_customers, "customer", "orders", "lineitem"),
         analytics.large_volume_customers_sql(),
     ),
+    "pack_sequences_ffd": (
+        # first-fit-decreasing packing via applyInPandas over (lang, shard)
+        # groups — stateful greedy loop, not SQL-expressible (rows-only)
+        _q(text.pack_sequences_ffd, "documents"),
+        None,
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -650,6 +656,7 @@ _SAMPLE_FRONT = [
     "promo_revenue_share",
     "late_order_priority_check",
     "large_volume_customers",
+    "pack_sequences_ffd",
     # round-5 additions — keep a second confirming round
     "repetition_battery",
     "source_mixture_weights",
@@ -670,7 +677,8 @@ _SAMPLE_FRONT = [
     # (session_windows / collect_items_flat / kmeans_assign_pinned:
     # r05-green + local parity — rotated to tail for the Q14/Q4/Q18 shapes)
     "standardize_by_label_stats",
-    "sketch_profile_flat",
+    # (sketch_profile_flat: r05-green rows, rotated to tail for
+    # pack_sequences_ffd)
     # (weighted_sample / mixture_sample / repetition_score /
     # quality_tier_report / normalize_text: r04+r05 green, rotated to the
     # tail to make room for the round-6 additions; oracle-parity still

@@ -2116,3 +2116,81 @@ SELECT doc_id,
             THEN 1 ELSE 0 END AS INT) AS is_low_entropy
 FROM cc GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# First-fit-decreasing sequence packing — the padding-minimizing packer
+# (Krell et al. 2021, "Efficient Sequence Packing without Cross-
+# contamination": length-sorted greedy bin assignment recovers most of the
+# padding that concat-and-chunk wastes, without splitting documents across
+# bins). FFD is inherently sequential, so it runs as an Arrow-batched
+# ``applyInPandas`` over (lang, shard) groups — shard = doc_id mod
+# PACK_FFD_SHARDS bounds every group to a constant fraction of its
+# language (each group's doc list fits one Arrow batch by construction),
+# and the greedy order inside a group is (n_tokens DESC, doc_id ASC), so
+# the assignment is deterministic under any partitioning. Docs longer
+# than seq_len get a bin of their own (truncation is the trainer's
+# decision, not the packer's). Not SQL-expressible (stateful greedy loop)
+# → rows-only registry entry; correctness is property-tested
+# (capacity, determinism, no-worse-than-chunk padding).
+
+PACK_FFD_SHARDS = 8
+
+
+def pack_sequences_ffd(
+    documents: DataFrame, seq_len: int = PACK_SEQ_LEN, shards: int = PACK_FFD_SHARDS
+) -> DataFrame:
+    """(doc_id, lang, shard, bin_id, n_tokens, bin_fill): FFD bin
+    assignment per (lang, shard) group; bin_fill is the bin's final token
+    count (same value on every member row)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("shard", LongType()),
+            StructField("bin_id", LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("bin_fill", LongType()),
+        ]
+    )
+    cap = int(seq_len)
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        assign: list[int] = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            placed = False
+            for b, f in enumerate(fills):
+                if f + n <= cap:
+                    fills[b] = f + n
+                    assign.append(b)
+                    placed = True
+                    break
+            if not placed:
+                fills.append(n)
+                assign.append(len(fills) - 1)
+        pdf["bin_id"] = pd.Series(assign, dtype="int64")
+        pdf["bin_fill"] = pdf["bin_id"].map(lambda b: fills[b]).astype("int64")
+        return pdf[["doc_id", "lang", "shard", "bin_id", "n_tokens", "bin_fill"]]
+
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    base = documents.select(
+        "doc_id",
+        "lang",
+        F.pmod(F.col("doc_id"), F.lit(shards)).cast("long").alias("shard"),
+        toks.alias("n_tokens"),
+    )
+    return base.groupBy("lang", "shard").applyInPandas(pack, out_schema)

@@ -905,3 +905,36 @@ def test_ann_int8_topk_agrees_with_exact_on_separated_corpus(spark):
     for q, rows in by_q.items():
         assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
     assert overlap >= len(got) * 0.5, f"{overlap}/{len(got)}"
+
+
+def test_pack_sequences_ffd_capacity_determinism_and_waste(spark):
+    """FFD invariants: no bin exceeds seq_len (except single oversized
+    docs, which sit alone), the assignment is identical under different
+    input partitioning, and total padding waste is no worse than the
+    concat-and-chunk packer's bin count on the same corpus."""
+    import math
+
+    from flink_streaming_etl_spark.operators import text as tx
+
+    docs = _load(spark, "documents")
+    cap = tx.PACK_SEQ_LEN
+    out = tx.pack_sequences_ffd(docs).collect()
+    by_bin: dict[tuple, list] = {}
+    for r in out:
+        by_bin.setdefault((r["lang"], r["shard"], r["bin_id"]), []).append(r)
+    for key, rows in by_bin.items():
+        fill = sum(r["n_tokens"] for r in rows)
+        assert fill == rows[0]["bin_fill"], key
+        if len(rows) > 1:
+            assert fill <= cap, (key, fill)
+    # determinism under repartitioning
+    out2 = tx.pack_sequences_ffd(docs.repartition(7)).collect()
+    key = lambda r: (r["doc_id"], r["bin_id"], r["bin_fill"])  # noqa: E731
+    assert sorted(map(key, out)) == sorted(map(key, out2))
+    # FFD bins must not exceed what chunking (which splits docs!) would
+    # produce by more than the no-split overhead bound: bins <= 2x optimal
+    # lower bound (classic FFD guarantee is 11/9 OPT + 1 per group).
+    total_tokens = sum(r["n_tokens"] for r in out)
+    n_bins = len(by_bin)
+    lower_bound = math.ceil(total_tokens / cap)
+    assert n_bins <= 2 * lower_bound + len({(r["lang"], r["shard"]) for r in out})
