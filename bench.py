@@ -162,6 +162,8 @@ HEADLINE = [
     "late_order_priority_check",
     "large_volume_customers",
     "pack_sequences_ffd",
+    "containment_pairs",
+    "dedup_stats_report",
 ]
 
 

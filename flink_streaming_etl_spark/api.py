@@ -618,6 +618,17 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.pack_sequences_ffd, "documents"),
         None,
     ),
+    "containment_pairs": (
+        # Broder containment per verified pair — catches short-in-long
+        # subset duplication that Jaccard misses
+        _q(dedup.containment_pairs, "documents"),
+        dedup.containment_pairs_sql(),
+    ),
+    "dedup_stats_report": (
+        # one-row corpus dedup dashboard over the memoized relations
+        _q(dedup.dedup_stats_report, "documents"),
+        dedup.dedup_stats_report_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -657,6 +668,8 @@ _SAMPLE_FRONT = [
     "late_order_priority_check",
     "large_volume_customers",
     "pack_sequences_ffd",
+    "containment_pairs",
+    "dedup_stats_report",
     # round-5 additions — keep a second confirming round
     "repetition_battery",
     "source_mixture_weights",
@@ -672,10 +685,11 @@ _SAMPLE_FRONT = [
     # quantize_embeddings / heavy_hitter_tokens: r05-green + local parity —
     # rotated to tail for the entropy/SQ8/Q6/Q13 additions)
     "sketch_profile",
-    "profile_orders_hll",
+    # (profile_orders_hll: r05-green, rotated to tail for dedup_stats_report)
     # round-4 fix + driver-hashable twins — keep one more round of rows
     # (session_windows / collect_items_flat / kmeans_assign_pinned:
     # r05-green + local parity — rotated to tail for the Q14/Q4/Q18 shapes)
+    # needs a driver row on the round-6 de-flaked code (bround 1e-4)
     "standardize_by_label_stats",
     # (sketch_profile_flat: r05-green rows, rotated to tail for
     # pack_sequences_ffd)
@@ -683,7 +697,8 @@ _SAMPLE_FRONT = [
     # quality_tier_report / normalize_text: r04+r05 green, rotated to the
     # tail to make room for the round-6 additions; oracle-parity still
     # covers them locally every run)
-    "pack_sequences",
+    # (pack_sequences: r04+r05 green, rotated to tail for containment_pairs;
+    # its round-6 FFD successor holds a window slot instead)
     # (revenue_rollup / window_battery / customers_without_orders /
     # big_spender_customers / customer_cohort_setops earned their r04 rows
     # and rotate to the tail to make room for the round-5 additions;

@@ -1106,3 +1106,131 @@ SELECT src_a, src_b,
        (CAST(SUM(j_micro) AS DOUBLE) / 1000000.0) / COUNT(*) AS mean_jaccard
 FROM labeled GROUP BY src_a, src_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Containment scoring — |A∩B| / |A| per verified near-dup pair, both
+# directions. Jaccard misses the "short document embedded inside a long
+# one" case (the intersection is small relative to the UNION); containment
+# is the standard fix (Broder's containment coefficient — the quantity
+# behind suffix-style subset dedup in web-corpus pipelines). Consumes the
+# memoized LSH pair relation and the persisted per-doc hash sets: only
+# candidate pairs pay the set intersection.
+
+
+def containment_pairs(
+    documents: DataFrame, threshold: float = 0.05
+) -> DataFrame:
+    """(a_id, b_id, jaccard, containment_a, containment_b, is_subset):
+    containment_a = |A∩B|/|A| (how much of A lives inside B); is_subset
+    flags pairs where either side is ≥90% contained in the other."""
+    pairs = minhash_lsh_pairs(documents, threshold)
+    arrays = _hash_array_rel(documents).withColumnRenamed("hashes", "sh")
+    scored = (
+        pairs.join(
+            arrays.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a")),
+            "a_id",
+        )
+        .join(
+            arrays.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b")),
+            "b_id",
+        )
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    ca = q6(common.cast("double") / F.size("sh_a"))
+    cb = q6(common.cast("double") / F.size("sh_b"))
+    return scored.select(
+        "a_id",
+        "b_id",
+        "jaccard",
+        ca.alias("containment_a"),
+        cb.alias("containment_b"),
+        ((ca >= 0.9) | (cb >= 0.9)).cast("int").alias("is_subset"),
+    )
+
+
+def containment_pairs_sql(threshold: float = 0.05) -> str:
+    return f"""
+WITH pairs AS ({minhash_lsh_pairs_sql(threshold)}),
+{shingle_cte()},
+sets AS (SELECT doc_id, COUNT(DISTINCT shingle) AS n FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT p.a_id, p.b_id, p.jaccard, COUNT(DISTINCT sa.shingle) AS c
+  FROM pairs p
+  JOIN shingles sa ON sa.doc_id = p.a_id
+  JOIN shingles sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
+  GROUP BY p.a_id, p.b_id, p.jaccard
+)
+SELECT c.a_id, c.b_id, c.jaccard,
+       floor((c.c::DOUBLE / na.n) * 1000000.0) / 1000000.0 AS containment_a,
+       floor((c.c::DOUBLE / nb.n) * 1000000.0) / 1000000.0 AS containment_b,
+       CAST(CASE WHEN floor((c.c::DOUBLE / na.n) * 1000000.0) / 1000000.0 >= 0.9
+                   OR floor((c.c::DOUBLE / nb.n) * 1000000.0) / 1000000.0 >= 0.9
+            THEN 1 ELSE 0 END AS INT) AS is_subset
+FROM common c
+JOIN sets na ON c.a_id = na.doc_id
+JOIN sets nb ON c.b_id = nb.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus dedup dashboard — the one-row report a curation run opens with:
+# corpus size, exact-dup mass, near-dup pair/drop counts, survivor count
+# and rate. Composes the already-memoized relations (exact groups, LSH
+# pairs, drop list) — nothing here re-mines; every input is persisted by
+# its producer, so the dashboard costs three small aggregations.
+
+
+def dedup_stats_report(
+    documents: DataFrame, threshold: float = 0.05
+) -> DataFrame:
+    n_docs = documents.count()
+    exact_extra = (
+        dedup_exact(documents)
+        .select((F.col("n_copies") - 1).alias("extra"))
+        .agg(F.sum("extra"))
+        .collect()[0][0]
+        or 0
+    )
+    pairs = minhash_lsh_pairs(documents, threshold)
+    n_pairs = pairs.count()
+    drops = neardup_drop_list(documents, threshold).count()
+    survivors = n_docs - drops
+    spark = documents.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(n_docs),
+                int(exact_extra),
+                int(n_pairs),
+                int(drops),
+                int(survivors),
+                float(
+                    __import__("math").floor(survivors / n_docs * 1e6) / 1e6
+                    if n_docs
+                    else 0.0
+                ),
+            )
+        ],
+        "n_docs long, n_exact_extra_copies long, n_neardup_pairs long, "
+        "n_dropped long, n_survivors long, survivor_rate double",
+    )
+
+
+def dedup_stats_report_sql(threshold: float = 0.05) -> str:
+    return f"""
+WITH pairs AS ({minhash_lsh_pairs_sql(threshold)}),
+drops AS (SELECT DISTINCT b_id FROM pairs),
+exact AS (
+  SELECT COUNT(*) - COUNT(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS extra
+  FROM documents
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT CAST(n.n_docs AS BIGINT) AS n_docs,
+       CAST(exact.extra AS BIGINT) AS n_exact_extra_copies,
+       CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_neardup_pairs,
+       CAST((SELECT COUNT(*) FROM drops) AS BIGINT) AS n_dropped,
+       CAST(n.n_docs - (SELECT COUNT(*) FROM drops) AS BIGINT) AS n_survivors,
+       floor((n.n_docs - (SELECT COUNT(*) FROM drops))::DOUBLE / n.n_docs * 1000000.0) / 1000000.0 AS survivor_rate
+FROM n, exact
+"""

@@ -105,6 +105,8 @@ PROBES = [
     "late_order_priority_check",
     "large_volume_customers",
     "pack_sequences_ffd",
+    "containment_pairs",
+    "dedup_stats_report",
 ]
 
 

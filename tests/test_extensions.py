@@ -938,3 +938,47 @@ def test_pack_sequences_ffd_capacity_determinism_and_waste(spark):
     n_bins = len(by_bin)
     lower_bound = math.ceil(total_tokens / cap)
     assert n_bins <= 2 * lower_bound + len({(r["lang"], r["shard"]) for r in out})
+
+
+def test_containment_invariants_and_subset_flag(spark):
+    """Containment ≥ Jaccard on every scored pair (A∩B/|A| ≥ A∩B/|A∪B|),
+    both containments in (0, 1], and the subset flag fires exactly when
+    either direction reaches 0.9. A doc whose shingle set embeds another's
+    (text repeated twice: same bigram set + one boundary bigram) must
+    score containment_a = 1 while jaccard < 1."""
+    from flink_streaming_etl_spark.operators import dedup as dd
+
+    docs = _load(spark, "documents")
+    rows = dd.containment_pairs(docs).collect()
+    assert rows, "no verified pairs to score"
+    for r in rows:
+        assert r["containment_a"] >= r["jaccard"] - 1e-9
+        assert r["containment_b"] >= r["jaccard"] - 1e-9
+        assert 0 < r["containment_a"] <= 1 and 0 < r["containment_b"] <= 1
+        assert r["is_subset"] == int(
+            r["containment_a"] >= 0.9 or r["containment_b"] >= 0.9
+        )
+    short = "alpha beta gamma delta epsilon zeta"
+    crafted = spark.createDataFrame(
+        [(1, short, "en", "s", 1), (2, short + " " + short, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = dd.containment_pairs(crafted, threshold=0.5).collect()
+    if out:  # LSH banding is probabilistic for non-identical sets
+        r = out[0]
+        assert r["containment_a"] == 1.0
+        assert r["jaccard"] < 1.0
+        assert r["is_subset"] == 1
+
+
+def test_dedup_stats_report_consistency(spark):
+    """Dashboard numbers must agree with the relations they summarize."""
+    from flink_streaming_etl_spark.operators import dedup as dd
+
+    docs = _load(spark, "documents")
+    r = dd.dedup_stats_report(docs).collect()[0]
+    assert r["n_docs"] == docs.count()
+    assert r["n_neardup_pairs"] == dd.minhash_lsh_pairs(docs).count()
+    assert r["n_dropped"] == dd.neardup_drop_list(docs).count()
+    assert r["n_survivors"] == r["n_docs"] - r["n_dropped"]
+    assert 0.0 <= r["survivor_rate"] <= 1.0
