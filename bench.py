@@ -164,6 +164,7 @@ HEADLINE = [
     "pack_sequences_ffd",
     "containment_pairs",
     "dedup_stats_report",
+    "filter_stack",
 ]
 
 

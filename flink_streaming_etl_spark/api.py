@@ -629,6 +629,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(dedup.dedup_stats_report, "documents"),
         dedup.dedup_stats_report_sql(),
     ),
+    "filter_stack": (
+        # the full quality-filter stack (structural + gopher + repetition
+        # + entropy + fluency) joined per doc — composition pinned
+        _q(text.filter_stack, "documents"),
+        text.filter_stack_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -670,6 +676,7 @@ _SAMPLE_FRONT = [
     "pack_sequences_ffd",
     "containment_pairs",
     "dedup_stats_report",
+    "filter_stack",
     # round-5 additions — keep a second confirming round
     "repetition_battery",
     "source_mixture_weights",
@@ -684,7 +691,8 @@ _SAMPLE_FRONT = [
     # (hopping_event_stats_decomposed / curated_corpus_v2 /
     # quantize_embeddings / heavy_hitter_tokens: r05-green + local parity —
     # rotated to tail for the entropy/SQ8/Q6/Q13 additions)
-    "sketch_profile",
+    # (sketch_profile: r05 rows-only row earned, rotated to tail for
+    # filter_stack)
     # (profile_orders_hll: r05-green, rotated to tail for dedup_stats_report)
     # round-4 fix + driver-hashable twins — keep one more round of rows
     # (session_windows / collect_items_flat / kmeans_assign_pinned:

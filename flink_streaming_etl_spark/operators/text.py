@@ -2194,3 +2194,78 @@ def pack_sequences_ffd(
         toks.alias("n_tokens"),
     )
     return base.groupBy("lang", "shard").applyInPandas(pack, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# The full quality-filter stack as ONE job — the composition every
+# pretraining pipeline actually runs: structural quality (length / word
+# shape / stopwords), the Gopher battery, the repetition battery,
+# character entropy, and unigram-LM fluency, joined per document with a
+# per-filter verdict and the survivor flag. Each signal keeps its own
+# oracle; this entry pins the COMPOSITION (doc_id joins, flag provenance)
+# against one SQL statement. Scale: four of the five signals are
+# zero-shuffle projections; unigram adds its vocab-keyed aggs; all joins
+# ride doc_id (AQE-handled, same key).
+
+
+def filter_stack(documents: DataFrame) -> DataFrame:
+    qs = quality_score(documents).select(
+        "doc_id", F.col("keep").cast("int").alias("quality_ok")
+    )
+    gq = gopher_quality(documents).select(
+        "doc_id", F.col("keep").cast("int").alias("gopher_ok")
+    )
+    rb = repetition_battery(documents).select(
+        "doc_id", F.col("keep").cast("int").alias("repetition_ok")
+    )
+    ef = entropy_filter(documents).select(
+        "doc_id", (1 - F.col("is_low_entropy")).alias("entropy_ok")
+    )
+    ug = unigram_logprob_score(documents).select(
+        "doc_id", F.col("is_fluent").alias("fluent_ok")
+    )
+    out = qs.join(gq, "doc_id").join(rb, "doc_id").join(ef, "doc_id").join(ug, "doc_id")
+    n_failed = (
+        F.lit(5)
+        - F.col("quality_ok")
+        - F.col("gopher_ok")
+        - F.col("repetition_ok")
+        - F.col("entropy_ok")
+        - F.col("fluent_ok")
+    )
+    return out.select(
+        "doc_id",
+        "quality_ok",
+        "gopher_ok",
+        "repetition_ok",
+        "entropy_ok",
+        "fluent_ok",
+        n_failed.cast("int").alias("n_filters_failed"),
+        (n_failed == 0).cast("int").alias("keep_all"),
+    )
+
+
+def filter_stack_sql() -> str:
+    return f"""
+WITH qs0 AS ({quality_score_sql()}),
+qs AS (SELECT doc_id, CAST(keep AS INT) AS quality_ok FROM qs0),
+gq0 AS ({gopher_quality_sql()}),
+gq AS (SELECT doc_id, CAST(keep AS INT) AS gopher_ok FROM gq0),
+rb0 AS ({repetition_battery_sql()}),
+rb AS (SELECT doc_id, CAST(keep AS INT) AS repetition_ok FROM rb0),
+ef0 AS ({entropy_filter_sql()}),
+ef AS (SELECT doc_id, 1 - is_low_entropy AS entropy_ok FROM ef0),
+ug0 AS ({unigram_logprob_score_sql()}),
+ug AS (SELECT doc_id, is_fluent AS fluent_ok FROM ug0),
+j AS (
+  SELECT qs.doc_id, quality_ok, gopher_ok, repetition_ok, entropy_ok, fluent_ok
+  FROM qs JOIN gq USING (doc_id) JOIN rb USING (doc_id)
+          JOIN ef USING (doc_id) JOIN ug USING (doc_id)
+)
+SELECT doc_id, quality_ok, gopher_ok, repetition_ok, entropy_ok, fluent_ok,
+       CAST(5 - quality_ok - gopher_ok - repetition_ok - entropy_ok - fluent_ok AS INT)
+         AS n_filters_failed,
+       CAST(CASE WHEN quality_ok + gopher_ok + repetition_ok + entropy_ok + fluent_ok = 5
+            THEN 1 ELSE 0 END AS INT) AS keep_all
+FROM j
+"""

@@ -107,6 +107,7 @@ PROBES = [
     "pack_sequences_ffd",
     "containment_pairs",
     "dedup_stats_report",
+    "filter_stack",
 ]
 
 

@@ -503,3 +503,13 @@ def test_tpch_q14_q4_q18_plan_shapes(spark):
     assert p.count("HashAggregate") >= 2, p
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_filter_stack_joins_ride_doc_id(spark):
+    from flink_streaming_etl_spark.operators import text as tx
+
+    t = _tables(spark)
+    p = plan_of(tx.filter_stack(t["documents"]))
+    # five-way composition: equi-joins on doc_id only — never a cartesian
+    # or nested-loop pair generation anywhere in the stack
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
