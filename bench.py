@@ -165,6 +165,8 @@ HEADLINE = [
     "containment_pairs",
     "dedup_stats_report",
     "filter_stack",
+    "bigram_logprob_score",
+    "train_val_test_split",
 ]
 
 

@@ -635,6 +635,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.filter_stack, "documents"),
         text.filter_stack_sql(),
     ),
+    "bigram_logprob_score": (
+        # conditional bigram-LM fluency: word-order-sensitive scoring
+        _q(text.bigram_logprob_score, "documents"),
+        text.bigram_logprob_score_sql(),
+    ),
+    "train_val_test_split": (
+        # deterministic md5 hash split + per-(lang, split) mixture report
+        _q(text.train_val_test_split, "documents"),
+        text.train_val_test_split_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -677,9 +687,11 @@ _SAMPLE_FRONT = [
     "containment_pairs",
     "dedup_stats_report",
     "filter_stack",
+    "bigram_logprob_score",
+    "train_val_test_split",
     # round-5 additions — keep a second confirming round
-    "repetition_battery",
-    "source_mixture_weights",
+    # (repetition_battery / source_mixture_weights: r05-green, rotated to
+    # tail for the bigram-LM and hash-split additions)
     "pq_encode",
     "ann_recall_report",
     "neardup_keep_best",

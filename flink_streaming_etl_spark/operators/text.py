@@ -2269,3 +2269,123 @@ SELECT doc_id, quality_ok, gopher_ok, repetition_ok, entropy_ok, fluent_ok,
             THEN 1 ELSE 0 END AS INT) AS keep_all
 FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM fluency — conditional log-probability under the corpus-fit
+# bigram model: avg over positions of ln p(w_i | w_{i-1}) with
+# p(w2|w1) = c(w1,w2)/c(w1·) from exact corpus counts. The next step up
+# from unigram fluency (word-order sensitivity: scrambled text scores low
+# even when its unigrams are common). Vocabulary²-bounded relations only;
+# both count rollups get map-side combine.
+
+
+def bigram_logprob_score(documents: DataFrame) -> DataFrame:
+    w = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+    grams = documents.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    tf2 = (
+        grams.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    c2 = tf2.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    lp = F.log(F.col("c12").cast("double") / F.col("c1"))
+    scored = tf2.join(c2, ["w1", "w2"]).join(c1, "w1").select(
+        "doc_id", "tf", (F.col("tf") * lp).alias("wlp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.bround(F.sum("wlp") / F.sum("tf"), 4).alias("avg_bigram_logprob"),
+    )
+
+
+def bigram_logprob_score_sql() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM toks, LATERAL (SELECT UNNEST(range(1, len(w))) AS i) r
+), tf2 AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS tf FROM grams GROUP BY doc_id, w1, w2
+), c2 AS (SELECT w1, w2, SUM(tf) AS c12 FROM tf2 GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM c2 GROUP BY w1)
+SELECT tf2.doc_id,
+       CAST(SUM(tf2.tf) AS BIGINT) AS n_bigrams,
+       round_even(SUM(tf2.tf * ln(c2.c12::DOUBLE / c1.c1)) / SUM(tf2.tf), 4)
+         AS avg_bigram_logprob
+FROM tf2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY tf2.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split — the reproducible hash split every
+# training pipeline needs: assignment from the md5 of doc_id (engine-
+# portable integer arithmetic, no RNG, stable under reruns/retries/
+# repartitioning), with a per-(lang, split) count report so mixture
+# drift between splits is visible. The assignment itself is a zero-
+# shuffle projection; the report is a tiny keyed agg.
+
+SPLIT_VAL_PCT = 10
+SPLIT_TEST_PCT = 10
+
+
+def train_val_test_split(
+    documents: DataFrame,
+    val_pct: int = SPLIT_VAL_PCT,
+    test_pct: int = SPLIT_TEST_PCT,
+) -> DataFrame:
+    """(lang, split, n_docs, n_tokens): per-language split report. The
+    per-doc assignment: u = md5(doc_id) mod 100; test < test_pct ≤ val <
+    test+val ≤ train."""
+    from flink_streaming_etl_spark.functions import md5_int
+
+    u = md5_int(F.col("doc_id").cast("string"), 8) % 100
+    split = (
+        F.when(u < test_pct, F.lit("test"))
+        .when(u < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    return (
+        documents.select("lang", split.alias("split"), toks.alias("t"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("t").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def train_val_test_split_sql(
+    val_pct: int = SPLIT_VAL_PCT, test_pct: int = SPLIT_TEST_PCT
+) -> str:
+    from flink_streaming_etl_spark.functions import md5_int_sql
+
+    u = f"({md5_int_sql('CAST(doc_id AS VARCHAR)', 8)}) % 100"
+    return rf"""
+WITH tagged AS (
+  SELECT lang,
+         CASE WHEN {u} < {test_pct} THEN 'test'
+              WHEN {u} < {test_pct} + {val_pct} THEN 'val'
+              ELSE 'train' END AS split,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS t
+  FROM documents
+)
+SELECT lang, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t) AS BIGINT) AS n_tokens
+FROM tagged GROUP BY lang, split
+"""

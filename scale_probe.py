@@ -108,6 +108,8 @@ PROBES = [
     "containment_pairs",
     "dedup_stats_report",
     "filter_stack",
+    "bigram_logprob_score",
+    "train_val_test_split",
 ]
 
 

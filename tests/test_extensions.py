@@ -982,3 +982,35 @@ def test_dedup_stats_report_consistency(spark):
     assert r["n_dropped"] == dd.neardup_drop_list(docs).count()
     assert r["n_survivors"] == r["n_docs"] - r["n_dropped"]
     assert 0.0 <= r["survivor_rate"] <= 1.0
+
+
+def test_train_val_test_split_deterministic_and_complete(spark):
+    """Split counts must cover every document, be stable across calls and
+    partitioning, and land near the 80/10/10 target."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    docs = _load(spark, "documents")
+    a = {(r["lang"], r["split"]): (r["n_docs"], r["n_tokens"])
+         for r in tx.train_val_test_split(docs).collect()}
+    b = {(r["lang"], r["split"]): (r["n_docs"], r["n_tokens"])
+         for r in tx.train_val_test_split(docs.repartition(7)).collect()}
+    assert a == b
+    total = sum(v[0] for v in a.values())
+    assert total == docs.count()
+    train = sum(v[0] for k, v in a.items() if k[1] == "train")
+    assert 0.6 <= train / total <= 0.95
+
+
+def test_bigram_logprob_orders_scrambled_below_natural(spark):
+    """A corpus of repeated natural phrases vs one scrambled doc: the
+    scrambled doc's conditional bigram logprob must be lower."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    natural = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, natural, "en", "s", 1) for i in range(20)]
+    rows.append((100, "dog the over quick lazy brown jumps fox the", "en", "s", 1))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r["avg_bigram_logprob"] for r in tx.bigram_logprob_score(docs).collect()}
+    assert out[100] < out[0]
