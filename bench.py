@@ -20,6 +20,13 @@ CI contract (what a consumer must check — rc alone is NOT enough):
   ``{"err": "..."}`` (failure);
 - stderr: one ``bench: ERROR <name>: <err>`` line per failed query, plus a
   final ``bench: SUMMARY ...`` line whenever n_err > 0.
+
+Position isolation (round 7): operator memo caches and the Spark session
+cache are cleared BETWEEN queries, so a timing never depends on what ran
+before it (r06's uniform ~1.5x sweep-position drift). The extra
+``warm10`` field re-times the 10 slowest queries at sweep end as a
+drift control — warm10 ≈ their recorded minima means timings are
+position-independent.
 """
 
 from __future__ import annotations
@@ -32,6 +39,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from flink_streaming_etl_spark import api  # noqa: E402
+from flink_streaming_etl_spark.operators._cache import (  # noqa: E402
+    clear_operator_caches,
+)
 from flink_streaming_etl_spark.session import get_spark  # noqa: E402
 
 #: Headline queries: the reference-parity pipeline + the scale-critical
@@ -167,6 +177,23 @@ HEADLINE = [
     "filter_stack",
     "bigram_logprob_score",
     "train_val_test_split",
+    # round-7 additions
+    "nation_trade_volume",
+    "market_share_report",
+    "product_type_profit",
+    "returned_item_report",
+    "important_parts_share",
+    "top_supplier_revenue",
+    "part_supplier_variety",
+    "disjunctive_promo_revenue",
+    "dominant_part_suppliers",
+    "waiting_orders_suppliers",
+    "idle_rich_customers",
+    "jm_fluency",
+    "token_budget_plan",
+    "heaps_law_report",
+    "prefix_dup_drop",
+    "lang_confidence",
 ]
 
 
@@ -186,6 +213,17 @@ def main() -> None:
         # amortized at cluster scale.
         df.write.format("noop").mode("overwrite").save()
 
+    def isolate(spark) -> None:
+        # Position isolation (r6 verdict #2): a sweep this long in one JVM
+        # accumulates memoized operator relations + CacheManager entries,
+        # and late queries pay for early queries' state — r06 measured a
+        # uniform ~1.5x ambient drift across a 126-query sweep. Clearing
+        # the operator memo LRUs and the session cache between queries
+        # makes each timing position-independent: every query pays its own
+        # tokenize/persist, none rides or suffers a neighbor's cache.
+        clear_operator_caches()
+        spark.catalog.clearCache()
+
     # JMH-style warmup: run every headline query once at the smallest scale
     # factor first. This compiles the whole-stage-codegen classes, spins up
     # the Arrow/Python worker pool, and JITs the hot paths, so the timed
@@ -198,6 +236,7 @@ def main() -> None:
             materialize(qs[name](spark, warmup_dir))
         except Exception:
             pass  # warmup is best-effort; the timed run surfaces real errors
+        isolate(spark)
 
     # Two timed passes, per-query minimum: steady-state throughput, robust
     # to transient host stalls (single-pass numbers showed 5-10x outliers
@@ -224,8 +263,24 @@ def main() -> None:
             el = round(time.perf_counter() - t0, 3)
             if name not in timings or el < timings[name]:
                 timings[name] = el
+            isolate(spark)
+
+    # Sweep-end control: re-run the 10 slowest once more. If sweep-position
+    # drift is really gone, warm10 ≈ the recorded minima; a systematic gap
+    # would flag residual session-state accumulation (the r05→r06 ambient
+    # 1.5x) without polluting the primary per-query numbers.
+    warm10: dict[str, float] = {}
+    for name in sorted(timings, key=timings.get, reverse=True)[:10]:
+        t0 = time.perf_counter()
+        try:
+            materialize(qs[name](spark, sf_dir))
+            warm10[name] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            pass
+        isolate(spark)
 
     payload, rc, stderr_lines = summarize(timings, errors, len(HEADLINE), sf)
+    payload["warm10"] = warm10
     for line in stderr_lines:
         print(line, file=sys.stderr)
     print(json.dumps(payload))

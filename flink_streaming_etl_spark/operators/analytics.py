@@ -1150,13 +1150,11 @@ BM25_B = 0.75
 
 
 def bm25_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
-    tokens = documents.select(
-        "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
-        ).alias("term"),
-    )
-    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    from flink_streaming_etl_spark.operators.text import _lm_tokens, lm_tf_relation
+
+    # shared memoized (doc_id, term, tf) substrate — identical plan to the
+    # unigram-LM rollup, so BM25 and fluency share ONE cached relation.
+    tf = lm_tf_relation(_lm_tokens(documents))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = documents.count()
@@ -1631,4 +1629,651 @@ SELECT c.c_custkey, c.c_name, o.o_orderkey,
 FROM orders o
 JOIN big b ON o.o_orderkey = b.l_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape — volume shipping between two nations: revenue flowing
+# supplier-nation → customer-nation (both directions) by ship year.
+# Scale discipline: the two nation dimensions are FILTERED to the pair
+# before their broadcast joins, so lineitems outside the corridor die in
+# the joins (semi-join effect), never reaching the aggregation; supplier
+# is broadcast; only orders/lineitem shuffle, on their join keys.
+# Revenue in exact integer cents (the cross-engine float rule).
+
+TRADE_NATION_A = "NATION_1"
+TRADE_NATION_B = "NATION_2"
+
+
+def nation_trade_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = TRADE_NATION_A,
+    nation_b: str = TRADE_NATION_B,
+) -> DataFrame:
+    pair = [nation_a, nation_b]
+    n1 = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            _revenue_cents().alias("_rev"),
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_snk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cnk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        (F.sum("_rev") / 10000.0).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+def nation_trade_volume_sql(
+    nation_a: str = TRADE_NATION_A, nation_b: str = TRADE_NATION_B
+) -> str:
+    return f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+       SUM({_REVENUE_CENTS_SQL}) / 10000.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1998-01-01'
+  AND n1.n_name IN ('{nation_a}', '{nation_b}')
+  AND n2.n_name IN ('{nation_a}', '{nation_b}')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape — national market share: of all PROMO-part revenue
+# ordered in a two-year window, what fraction came from one nation's
+# suppliers, per order year. The share is a conditional-sum ratio inside
+# ONE aggregation (never two scans); part/supplier/nation broadcast; the
+# date filter prunes orders at the scan. Exact integer cents.
+
+MKT_SHARE_NATION = "NATION_3"
+MKT_SHARE_PTYPE = "PROMO"
+
+
+def market_share_report(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    target_nation: str = MKT_SHARE_NATION,
+    p_type: str = MKT_SHARE_PTYPE,
+) -> DataFrame:
+    p = part.filter(F.col("p_type") == p_type).select("p_partkey")
+    j = (
+        lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey", _revenue_cents().alias("_rev")
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01"))
+            ).select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("_sn")
+                )
+            ),
+            F.col("s_nationkey") == F.col("_snk"),
+        )
+    )
+    target = F.sum(F.when(F.col("_sn") == target_nation, F.col("_rev")).otherwise(F.lit(0)))
+    total = F.sum("_rev")
+    return j.groupBy("o_year").agg(
+        (target / 10000.0).alias("nation_revenue"),
+        (total / 10000.0).alias("total_revenue"),
+        q6(target.cast("double") / total.cast("double")).alias("mkt_share"),
+    )
+
+
+def market_share_report_sql(
+    target_nation: str = MKT_SHARE_NATION, p_type: str = MKT_SHARE_PTYPE
+) -> str:
+    tgt = f"SUM(CASE WHEN n.n_name = '{target_nation}' THEN {_REVENUE_CENTS_SQL} ELSE 0 END)"
+    tot = f"SUM({_REVENUE_CENTS_SQL})"
+    return f"""
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+       {tgt} / 10000.0 AS nation_revenue,
+       {tot} / 10000.0 AS total_revenue,
+       {q6_sql(f"CAST({tgt} AS DOUBLE) / CAST({tot} AS DOUBLE)")} AS mkt_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = '{p_type}'
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1998-01-01'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape — product-type profit by nation and year. The reference
+# schema has no partsupp/ps_supplycost, so cost is proxied as
+# p_retailprice × quantity (same multi-join + LIKE-filter + two-level
+# rollup shape); profit stays in exact 1e-4-dollar integer units until
+# the final division. part (LIKE-filtered) and supplier/nation broadcast.
+
+PROFIT_NAME_LIKE = "%gear%"
+
+
+def product_type_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    name_like: str = PROFIT_NAME_LIKE,
+) -> DataFrame:
+    p = part.filter(F.col("p_name").like(name_like)).select(
+        "p_partkey", (F.round(F.col("p_retailprice") * 100)).cast("long").alias("_rc")
+    )
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    j = (
+        lineitem.select(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            _revenue_cents().alias("_rev"),
+            qty_c.alias("_qc"),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    profit_u = F.col("_rev") - F.col("_rc") * F.col("_qc")
+    return (
+        j.select("n_name", "o_year", profit_u.alias("_p"))
+        .groupBy("n_name", "o_year")
+        .agg(
+            (F.sum("_p") / 10000.0).alias("profit"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+def product_type_profit_sql(name_like: str = PROFIT_NAME_LIKE) -> str:
+    profit = (
+        f"({_REVENUE_CENTS_SQL}"
+        " - CAST(round(p.p_retailprice * 100) AS BIGINT)"
+        " * CAST(round(l.l_quantity * 100) AS BIGINT))"
+    )
+    return f"""
+SELECT n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+       SUM({profit}) / 10000.0 AS profit,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '{name_like}'
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape — returned-item reporting: top-k customers by revenue
+# lost to returns in one quarter. Filters (returnflag on lineitem, date
+# range on orders) push to both scans BEFORE the joins; nation broadcast;
+# deterministic (revenue DESC, c_custkey) top-k.
+
+
+def returned_item_report(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    items = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", _revenue_cents().alias("_rev")
+    )
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        items.join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((F.sum("_rev") / 10000.0).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(k)
+    )
+
+
+def returned_item_report_sql(k: int = 20) -> str:
+    return f"""
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+       SUM({_REVENUE_CENTS_SQL}) / 10000.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c.c_custkey
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape — top supplier(s): per-supplier quarterly revenue, then
+# the suppliers achieving the maximum (the view + scalar-subquery query,
+# decorrelated Spark-side as agg → broadcast-scalar equi-filter → dim
+# join). Exact integer cents make "== max" engine-safe (no float ties).
+
+
+def top_supplier_revenue(lineitem: DataFrame, supplier: DataFrame) -> DataFrame:
+    per = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .select("l_suppkey", _revenue_cents().alias("_rev"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("_rev").alias("_rc"))
+    )
+    mx = per.agg(F.max("_rc").alias("_mx"))
+    return (
+        per.join(F.broadcast(mx), per["_rc"] == mx["_mx"])
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("_rc") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+TOP_SUPPLIER_REVENUE_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_REVENUE_CENTS_SQL}) AS rc
+  FROM lineitem l
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, rev.rc / 10000.0 AS total_revenue
+FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+WHERE rev.rc = (SELECT MAX(rc) FROM rev)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape — global sales opportunity: customers richer than the
+# positive-balance average who never ordered, rolled up by nation. The
+# scalar subquery decorrelates to a broadcast single-row join, and the
+# comparison is the EXACT integer form c_acctbal·n > sum (multiplying
+# through by the count instead of comparing against a float average —
+# no cross-engine float-boundary flips); NOT EXISTS is a left-anti join.
+
+
+IDLE_SINCE = "1999-01-01"  # "no recent orders" horizon (Q22's 7-year flavor)
+
+
+def idle_rich_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal_c).alias("_sum"), F.count(F.lit(1)).alias("_n")
+    )
+    rich = (
+        customer.select("c_custkey", "c_nationkey", bal_c.alias("_bc"))
+        .join(F.broadcast(pos))
+        .filter(F.col("_bc") * F.col("_n") > F.col("_sum"))
+    )
+    idle = rich.join(
+        orders.filter(F.col("o_orderdate") >= F.lit(IDLE_SINCE)).select("o_custkey"),
+        rich["c_custkey"] == F.col("o_custkey"),
+        "left_anti",
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        (F.sum("_bc") / 100.0).alias("total_acctbal"),
+    )
+
+
+IDLE_RICH_CUSTOMERS_SQL = """
+WITH pos AS (
+  SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS s, COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0 AS total_acctbal
+FROM customer c, pos
+WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= '1999-01-01')
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape — important stock: parts whose traded value (from a
+# nation group's suppliers) exceeds a fixed fraction of the group total.
+# The HAVING-vs-global-scalar decorrelates to one broadcast single-row
+# join, and the threshold comparison is exact integer (value·10000 >
+# total·FRACTION·10000 → value·denominator > total, with the fraction a
+# rational 1/1000). Supplier filter broadcast; one shuffle on l_partkey.
+
+IMPORTANT_PARTS_FRACTION_DEN = 1000  # value > total/1000
+
+
+def important_parts_share(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    max_nationkey: int = 5,
+    fraction_den: int = IMPORTANT_PARTS_FRACTION_DEN,
+) -> DataFrame:
+    supp = supplier.filter(F.col("s_nationkey") < max_nationkey).select("s_suppkey")
+    val = (
+        lineitem.select("l_partkey", "l_suppkey", _revenue_cents().alias("_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum("_rev").alias("_vc"))
+    )
+    tot = val.agg(F.sum("_vc").alias("_tc"))
+    return (
+        val.join(F.broadcast(tot))
+        .filter(F.col("_vc") * fraction_den > F.col("_tc"))
+        .select("l_partkey", (F.col("_vc") / 10000.0).alias("part_value"))
+    )
+
+
+def important_parts_share_sql(
+    max_nationkey: int = 5, fraction_den: int = IMPORTANT_PARTS_FRACTION_DEN
+) -> str:
+    return f"""
+WITH val AS (
+  SELECT l.l_partkey, SUM({_REVENUE_CENTS_SQL}) AS vc
+  FROM lineitem l
+  WHERE EXISTS (SELECT 1 FROM supplier s
+                WHERE s.s_suppkey = l.l_suppkey AND s.s_nationkey < {max_nationkey})
+  GROUP BY 1
+)
+SELECT l_partkey, vc / 10000.0 AS part_value
+FROM val, (SELECT SUM(vc) AS tc FROM val) t
+WHERE vc * {fraction_den} > t.tc
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape — parts/supplier relationship: distinct suppliers per
+# (brand, type, size) bucket, excluding one brand, one type prefix, and
+# suppliers with negative balance (the NOT IN subquery → broadcast
+# left-anti join). The supplier-part pairs come from lineitem (the
+# reference schema has no partsupp); COUNT(DISTINCT) gets Spark's
+# two-phase expand plan automatically.
+
+VARIETY_EXCL_BRAND = "Brand#1"
+VARIETY_EXCL_TYPE = "PROMO"
+VARIETY_SIZES = (1, 4, 9, 14, 19, 24)
+
+
+def part_supplier_variety(
+    lineitem: DataFrame, part: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    p = part.filter(
+        (F.col("p_brand") != VARIETY_EXCL_BRAND)
+        & (F.col("p_type") != VARIETY_EXCL_TYPE)
+        & (F.col("p_size").isin(list(VARIETY_SIZES)))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
+    )
+
+
+PART_SUPPLIER_VARIETY_SQL = f"""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> '{VARIETY_EXCL_BRAND}'
+  AND p.p_type <> '{VARIETY_EXCL_TYPE}'
+  AND p.p_size IN {VARIETY_SIZES}
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape — discounted revenue under a DISJUNCTION of
+# (brand, size-band, quantity-band) triplets. The plan contract: the OR
+# of brand/size predicates prunes the broadcast part side, the quantity
+# envelope (BETWEEN the min and max of all bands) pushes to the lineitem
+# scan, and the exact triplet disjunction evaluates post-join — one
+# broadcast join, no union-of-three-scans detour.
+
+
+def disjunctive_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    bands = [
+        ("Brand#1", 1, 10, 1, 11),
+        ("Brand#2", 1, 20, 10, 20),
+        ("Brand#3", 1, 30, 20, 30),
+    ]
+    p = part.select("p_partkey", "p_brand", "p_size")
+    qty = _dec("l_quantity")
+    j = lineitem.filter(
+        (qty >= F.lit(min(b[3] for b in bands)).cast(DEC))
+        & (qty <= F.lit(max(b[4] for b in bands)).cast(DEC))
+    ).select(
+        "l_partkey", qty.alias("_q"), _revenue_cents().alias("_rev")
+    ).join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    cond = None
+    for brand, smin, smax, qmin, qmax in bands:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(smin, smax)
+            & F.col("_q").between(F.lit(qmin).cast(DEC), F.lit(qmax).cast(DEC))
+        )
+        cond = c if cond is None else (cond | c)
+    return j.filter(cond).agg(
+        (F.sum("_rev") / 10000.0).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+DISJUNCTIVE_PROMO_REVENUE_SQL = f"""
+SELECT SUM({_REVENUE_CENTS_SQL}) / 10000.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND CAST(l.l_quantity AS DECIMAL(18,2)) BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20
+       AND CAST(l.l_quantity AS DECIMAL(18,2)) BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30
+       AND CAST(l.l_quantity AS DECIMAL(18,2)) BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape — potential part promotion: suppliers holding a
+# dominant share (>1/2) of any green-named part's 1996 volume. The
+# partsupp availability test of the original becomes a per-(part,
+# supplier) vs per-part volume comparison ('red' parts — this generator's
+# part names carry color adjectives, no 'forest'/'green') — same nested-IN semi-join
+# chain, decorrelated to two aggregations sharing one shuffle key and an
+# exact-integer dominance test, then a semi join into the supplier dim.
+
+DOMINANT_NAME_LIKE = "%red%"
+
+
+def dominant_part_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    name_like: str = DOMINANT_NAME_LIKE,
+) -> DataFrame:
+    p = part.filter(F.col("p_name").like(name_like)).select("p_partkey")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    base = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .select("l_partkey", "l_suppkey", qty_c.alias("_qc"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    pair = base.groupBy("l_partkey", "l_suppkey").agg(F.sum("_qc").alias("_pq"))
+    tot = pair.groupBy("l_partkey").agg(F.sum("_pq").alias("_tq"))
+    dominant = (
+        pair.join(tot, "l_partkey")
+        .filter(F.col("_pq") * 2 > F.col("_tq"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts_dominated"))
+    )
+    return dominant.join(
+        F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "n_parts_dominated")
+
+
+def dominant_part_suppliers_sql(name_like: str = DOMINANT_NAME_LIKE) -> str:
+    return f"""
+WITH base AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(round(l.l_quantity * 100) AS BIGINT) AS qc
+  FROM lineitem l
+  WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01'
+    AND EXISTS (SELECT 1 FROM part p
+                WHERE p.p_partkey = l.l_partkey AND p.p_name LIKE '{name_like}')
+), pair AS (
+  SELECT l_partkey, l_suppkey, SUM(qc) AS pq FROM base GROUP BY 1, 2
+), tot AS (
+  SELECT l_partkey, SUM(pq) AS tq FROM pair GROUP BY 1
+), dom AS (
+  SELECT pair.l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_parts_dominated
+  FROM pair JOIN tot ON pair.l_partkey = tot.l_partkey
+  WHERE pair.pq * 2 > tot.tq
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, d.n_parts_dominated
+FROM dom d JOIN supplier s ON d.l_suppkey = s.s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape — suppliers who kept orders waiting: on finished
+# multi-supplier orders, the UNIQUE supplier whose lineitem shipped last
+# (the reference uses commit/receipt dates; this schema's lateness signal
+# is the max ship date). The EXISTS (another supplier) / NOT EXISTS
+# (another supplier shipping later) pair decorrelates to per-order
+# aggregations: max ship date + distinct-supplier count, then a
+# max-only line filter and a uniqueness test — three shuffles on
+# l_orderkey, no correlated re-scans.
+
+
+def waiting_orders_suppliers(
+    orders: DataFrame, lineitem: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    flines = lineitem.join(
+        orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_semi",
+    ).select("l_orderkey", "l_suppkey", "l_shipdate")
+    om = flines.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("_mx"),
+        F.countDistinct("l_suppkey").alias("_ns"),
+    )
+    last = (
+        flines.join(om, "l_orderkey")
+        .filter((F.col("l_shipdate") == F.col("_mx")) & (F.col("_ns") >= 2))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("_nm"),
+            F.max("l_suppkey").alias("_sk"),
+        )
+        .filter(F.col("_nm") == 1)
+    )
+    return (
+        last.groupBy("_sk")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(supplier), F.col("_sk") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+WAITING_ORDERS_SUPPLIERS_SQL = """
+WITH flines AS (
+  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+  FROM lineitem l
+  WHERE EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+), om AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS mx, COUNT(DISTINCT l_suppkey) AS ns
+  FROM flines GROUP BY 1
+), last AS (
+  SELECT f.l_orderkey, COUNT(DISTINCT f.l_suppkey) AS nm, MAX(f.l_suppkey) AS sk
+  FROM flines f JOIN om ON f.l_orderkey = om.l_orderkey
+  WHERE f.l_shipdate = om.mx AND om.ns >= 2
+  GROUP BY 1
+), wait AS (
+  SELECT sk, CAST(COUNT(*) AS BIGINT) AS numwait FROM last WHERE nm = 1 GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, w.numwait
+FROM wait w JOIN supplier s ON w.sk = s.s_suppkey
 """

@@ -1840,9 +1840,12 @@ def knn_graph(
     )
 
 
-def knn_graph_sql(k: int = KNN_K) -> str:
+def knn_graph_sql(k: int = KNN_K, n_planes: int = BUCKET_DIMS) -> str:
+    # n_planes mirrors the Spark signature (the planes_for_corpus dial) so
+    # a dialed invocation keeps a matching oracle, as filtered_ann_sql
+    # does for k/n_queries.
     bucket = " || ".join(
-        f"(CASE WHEN v[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(BUCKET_DIMS)
+        f"(CASE WHEN v[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(n_planes)
     )
     cos = _COS_SQL.format(a="a.v", b="b.v")
     return f"""
@@ -1969,21 +1972,26 @@ def ann_int8_topk(
     span_arr = F.array(
         *[F.lit((b - a) / 255.0 if b > a else 1.0) for a, b in zip(mn, mx)]
     )
+    # midpoint term carried separately: for a CONSTANT dimension (mx==mn)
+    # the half-step must be 0 so decode yields mn exactly — the span=1.0
+    # fallback exists only to keep the division defined, and a +0.5
+    # offset unrelated to the data scale would distort every cosine.
+    half_arr = F.array(
+        *[F.lit((b - a) / 510.0 if b > a else 0.0) for a, b in zip(mn, mx)]
+    )
     idx = F.sequence(F.lit(1), F.lit(len(mn)))
     xhat = F.transform(
         idx,
         lambda j: F.element_at(mn_arr, j)
-        + (
-            F.least(
-                F.lit(255.0),
-                F.floor(
-                    (F.element_at(F.col("v"), j) - F.element_at(mn_arr, j))
-                    / F.element_at(span_arr, j)
-                ),
-            )
-            + F.lit(0.5)
+        + F.least(
+            F.lit(255.0),
+            F.floor(
+                (F.element_at(F.col("v"), j) - F.element_at(mn_arr, j))
+                / F.element_at(span_arr, j)
+            ),
         )
-        * F.element_at(span_arr, j),
+        * F.element_at(span_arr, j)
+        + F.element_at(half_arr, j),
     )
     decoded = e.select("vec_id", xhat.alias("xv")).withColumn(
         "norm", vec_norm(F.col("xv"))
@@ -2021,15 +2029,16 @@ dims AS (
   SELECT j, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY j
 ), model AS (
   SELECT list(mn ORDER BY j) AS mn_l,
-         list(CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END ORDER BY j) AS span_l
+         list(CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END ORDER BY j) AS span_l,
+         list(CASE WHEN mx > mn THEN (mx - mn) / 510.0 ELSE 0.0 END ORDER BY j) AS half_l
   FROM stats
 ), decoded AS (
   SELECT vec_id,
          list_transform(
            range(1, len(v) + 1),
            j -> m.mn_l[j]
-                + (LEAST(255.0, floor((v[j] - m.mn_l[j]) / m.span_l[j])) + 0.5)
-                  * m.span_l[j]
+                + LEAST(255.0, floor((v[j] - m.mn_l[j]) / m.span_l[j])) * m.span_l[j]
+                + m.half_l[j]
          ) AS xv
   FROM ev, model m
 ), scored AS (

@@ -106,28 +106,49 @@ FROM documents
 """
 
 
-def quality_score(documents: DataFrame) -> DataFrame:
-    """Heuristic quality: length score + word-shape score + stopword ratio
-    (the classic Gopher/C4-style cheap filters, arithmetic only)."""
-    text = F.col("text")
-    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("double")
-    avg_word_len = (F.length(F.replace(text, F.lit(" "), F.lit(""))) / toks)
+#: keep iff quality >= this (quality_score and filter_stack share it)
+QUALITY_KEEP_MIN = 0.5
+
+
+def _quality_struct(text: Column, ntok: Column) -> Column:
+    """(avg_word_len, stop_hits, score) struct — the single definition of
+    the heuristic-quality formulas, shared by :func:`quality_score` and
+    :func:`filter_stack` so the composition can never drift from the
+    standalone operator. ``ntok`` is the double-cast structural token
+    count."""
+    avg_word_len = F.length(F.replace(text, F.lit(" "), F.lit(""))) / ntok
     padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     stop_hits = sum(
         [_count_sub(padded, m) for ms in LANG_MARKERS.values() for m in ms],
         F.lit(0).cast("double"),
     )
-    len_score = F.least(F.lit(1.0), toks / F.lit(64.0))
+    len_score = F.least(F.lit(1.0), ntok / F.lit(64.0))
     shape_score = F.least(F.lit(1.0), avg_word_len / F.lit(6.0))
-    stop_score = F.least(F.lit(1.0), stop_hits / toks * F.lit(10.0))
-    score = q6(len_score * 0.5 + shape_score * 0.3 + stop_score * 0.2)
-    return documents.select(
+    stop_score = F.least(F.lit(1.0), stop_hits / ntok * F.lit(10.0))
+    return F.struct(
+        q6(avg_word_len).alias("avg_word_len"),
+        stop_hits.cast("long").alias("stop_hits"),
+        q6(len_score * 0.5 + shape_score * 0.3 + stop_score * 0.2).alias("score"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Heuristic quality: length score + word-shape score + stopword ratio
+    (the classic Gopher/C4-style cheap filters, arithmetic only)."""
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("double")
+    staged = documents.select(
         "doc_id",
         toks.cast("long").alias("n_tokens"),
-        q6(avg_word_len).alias("avg_word_len"),
-        stop_hits.cast("long").alias("stopword_hits"),
+        _quality_struct(F.col("text"), toks).alias("_q"),
+    )
+    score = F.col("_q")["score"]
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        F.col("_q")["avg_word_len"].alias("avg_word_len"),
+        F.col("_q")["stop_hits"].alias("stopword_hits"),
         score.alias("quality"),
-        (score >= 0.5).alias("keep"),
+        (score >= QUALITY_KEEP_MIN).alias("keep"),
     )
 
 
@@ -937,14 +958,36 @@ def _sorted_run_stats(tokens: Column) -> Column:
     )
 
 
+#: Gopher-rule thresholds (Rae et al. 2021 §A1.1 ballpark) — module
+#: constants so gopher_quality and filter_stack share one definition.
+GOPHER_MIN_TOKENS = 30
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_WORD_LEN = 3.0
+GOPHER_MAX_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_TOP_TOKEN_FRAC = 0.20
+
+
+def _mean_word_len_q6(text: Column, ntok: Column) -> Column:
+    """q6 mean word length (non-space chars / token count) — shared by
+    gopher_metrics and filter_stack."""
+    return q6(F.length(F.regexp_replace(text, r"\s+", "")) / ntok)
+
+
+def _symbol_ratio_q6(text: Column) -> Column:
+    """q6 non-alphanumeric-char ratio — shared by gopher_metrics and
+    filter_stack."""
+    return q6(F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")) / F.length(text))
+
+
 def gopher_metrics(
     documents: DataFrame,
-    min_tokens: int = 30,
-    max_tokens: int = 100_000,
-    min_word_len: float = 3.0,
-    max_word_len: float = 10.0,
-    max_symbol_ratio: float = 0.1,
-    max_top_token_frac: float = 0.20,
+    min_tokens: int = GOPHER_MIN_TOKENS,
+    max_tokens: int = GOPHER_MAX_TOKENS,
+    min_word_len: float = GOPHER_MIN_WORD_LEN,
+    max_word_len: float = GOPHER_MAX_WORD_LEN,
+    max_symbol_ratio: float = GOPHER_MAX_SYMBOL_RATIO,
+    max_top_token_frac: float = GOPHER_MAX_TOP_TOKEN_FRAC,
     tokens_col: str | None = None,
 ) -> DataFrame:
     """All input columns + the Gopher metric/keep columns appended — the
@@ -955,18 +998,14 @@ def gopher_metrics(
     text = F.col("text")
     w = F.col(tokens_col) if tokens_col else F.split(F.trim("text"), r"\s+")
     ntok = F.size(w).cast("double")
-    mean_word_len = F.length(F.regexp_replace(text, r"\s+", "")) / ntok
-    symbol_ratio = (
-        F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")) / F.length(text)
-    )
     # materialize the fold ONCE in its own projection; extracting both
     # fields directly would embed two copies of the aggregate expression
     # (CollapseProject keeps non-cheap expressions single-evaluation).
     staged = documents.select(
         "*",
         ntok.cast("long").alias("n_tokens"),
-        q6(mean_word_len).alias("mean_word_len"),
-        q6(symbol_ratio).alias("symbol_ratio"),
+        _mean_word_len_q6(text, ntok).alias("mean_word_len"),
+        _symbol_ratio_q6(text).alias("symbol_ratio"),
         _sorted_run_stats(F.array_sort(w)).alias("_rs"),
     )
     per_row = staged.select(
@@ -997,12 +1036,12 @@ def gopher_metrics(
 
 def gopher_quality(
     documents: DataFrame,
-    min_tokens: int = 30,
-    max_tokens: int = 100_000,
-    min_word_len: float = 3.0,
-    max_word_len: float = 10.0,
-    max_symbol_ratio: float = 0.1,
-    max_top_token_frac: float = 0.20,
+    min_tokens: int = GOPHER_MIN_TOKENS,
+    max_tokens: int = GOPHER_MAX_TOKENS,
+    min_word_len: float = GOPHER_MIN_WORD_LEN,
+    max_word_len: float = GOPHER_MAX_WORD_LEN,
+    max_symbol_ratio: float = GOPHER_MAX_SYMBOL_RATIO,
+    max_top_token_frac: float = GOPHER_MAX_TOP_TOKEN_FRAC,
 ) -> DataFrame:
     return gopher_metrics(
         documents,
@@ -1024,12 +1063,12 @@ def gopher_quality(
 
 
 def gopher_quality_sql(
-    min_tokens: int = 30,
-    max_tokens: int = 100_000,
-    min_word_len: float = 3.0,
-    max_word_len: float = 10.0,
-    max_symbol_ratio: float = 0.1,
-    max_top_token_frac: float = 0.20,
+    min_tokens: int = GOPHER_MIN_TOKENS,
+    max_tokens: int = GOPHER_MAX_TOKENS,
+    min_word_len: float = GOPHER_MIN_WORD_LEN,
+    max_word_len: float = GOPHER_MAX_WORD_LEN,
+    max_symbol_ratio: float = GOPHER_MAX_SYMBOL_RATIO,
+    max_top_token_frac: float = GOPHER_MAX_TOP_TOKEN_FRAC,
 ) -> str:
     ntok = r"len(string_split_regex(trim(text), '\s+'))::DOUBLE"
     mwl = q6_sql(rf"(length(regexp_replace(text, '\s+', '', 'g')) / {ntok})")
@@ -1178,45 +1217,33 @@ FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 """
 
 
-_TOKEN_RELATION_CACHE: "dict[tuple[int, int], DataFrame]" = {}
-_TOKEN_RELATION_CACHE_MAX = 4
-
-
 def _shared_token_relation(documents: DataFrame) -> DataFrame:
     """The per-session memoized tokenized-corpus relation behind
-    ``curated_corpus_v2``: (doc_id, lang, source, text, _w token array),
+    ``curated_corpus_v2`` and ``filter_stack``: (doc_id, lang, source,
+    text, _w structural token array, _lm lowercase a-z LM token array),
     persisted MEMORY_AND_DISK (spills, never evicts at scale).
 
-    Memoized by (session, semantic plan hash): calling the builder again
-    on the same input returns the SAME persisted DataFrame, so Spark's
-    CacheManager holds one entry per distinct input instead of one per
-    call — a bench/gate loop invoking the operator dozens of times in one
-    session previously stacked that many pinned corpus copies. A tiny LRU
-    (4 entries — more distinct corpora than that in one session means the
-    caller is managing its own lifecycles) unpersists the oldest entry on
-    overflow."""
-    from pyspark import StorageLevel
+    Both tokenizations every downstream text operator needs hang off ONE
+    cached text scan: ``_w`` is the ``\\s+`` structural split (Gopher /
+    repetition / span machinery), ``_lm`` is the ``[^a-z]+`` lowercase
+    split (unigram/bigram LM fluency, BM25, DSIR). Memoization + LRU
+    discipline live in :mod:`._cache` (one CacheManager entry per
+    distinct input plan per session, oldest-evicted at 4)."""
+    from flink_streaming_etl_spark.operators._cache import memo_persist
 
-    key = (id(documents.sparkSession), documents.semanticHash())
-    hit = _TOKEN_RELATION_CACHE.get(key)
-    if hit is not None:
-        # LRU bump: re-insert as most recent
-        del _TOKEN_RELATION_CACHE[key]
-        _TOKEN_RELATION_CACHE[key] = hit
-        return hit
-    toks = documents.select(
-        "doc_id",
-        "lang",
-        "source",
-        "text",
-        F.split(F.trim("text"), r"\s+").alias("_w"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    while len(_TOKEN_RELATION_CACHE) >= _TOKEN_RELATION_CACHE_MAX:
-        oldest_key, evicted = next(iter(_TOKEN_RELATION_CACHE.items()))
-        del _TOKEN_RELATION_CACHE[oldest_key]
-        evicted.unpersist(blocking=False)
-    _TOKEN_RELATION_CACHE[key] = toks
-    return toks
+    return memo_persist(
+        "shared_tokens",
+        documents.select(
+            "doc_id",
+            "lang",
+            "source",
+            "text",
+            F.split(F.trim("text"), r"\s+").alias("_w"),
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "").alias(
+                "_lm"
+            ),
+        ),
+    )
 
 
 def curated_corpus_v2(documents: DataFrame) -> DataFrame:
@@ -1420,6 +1447,17 @@ def _span_array(w: Column, span_tokens: int = SPAN_TOKENS) -> Column:
     )
 
 
+def _rep_fracs(
+    r2: Column, r3: Column, rs: Column, n_tokens: Column, n_spans: Column
+) -> tuple[Column, Column, Column]:
+    """(top_bigram_frac, top_trigram_frac, dup_span_frac) from the three
+    run-stat structs — shared by repetition_battery and filter_stack."""
+    top2 = q6(r2["max_run"] * 2 / n_tokens)
+    top3 = q6(r3["max_run"] * 3 / n_tokens)
+    dup_span = q6(F.lit(1.0) - rs["n_distinct"] / n_spans)
+    return top2, top3, dup_span
+
+
 def repetition_battery(
     documents: DataFrame,
     top2_max: float = REP_TOP2_MAX,
@@ -1435,9 +1473,9 @@ def repetition_battery(
         _sorted_run_stats(F.array_sort(_span_array(w))).alias("_rs"),
         n_spans_col(w).alias("n_spans"),
     )
-    top2 = q6(F.col("_r2")["max_run"] * 2 / F.col("n_tokens"))
-    top3 = q6(F.col("_r3")["max_run"] * 3 / F.col("n_tokens"))
-    dup_span = q6(F.lit(1.0) - F.col("_rs")["n_distinct"] / F.col("n_spans"))
+    top2, top3, dup_span = _rep_fracs(
+        F.col("_r2"), F.col("_r3"), F.col("_rs"), F.col("n_tokens"), F.col("n_spans")
+    )
     keep = (top2 < top2_max) & (top3 < top3_max) & (dup_span < dup_span_max)
     return staged.select(
         "doc_id",
@@ -1632,22 +1670,41 @@ FROM per_lang
 UNIGRAM_FLUENT_MIN = -5.0
 
 
-def unigram_logprob_score(documents: DataFrame) -> DataFrame:
-    tokens = documents.select(
+def lm_tf_relation(tokens: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) term-frequency rollup over an exploded
+    (doc_id, term) relation — the shared substrate of unigram-LM fluency
+    and BM25. Feeds the vocab rollup, the grand-total action AND the
+    scoring join, so it is persisted; memoization + LRU eviction live in
+    :mod:`._cache` (family ``lm_tf``) — semantically identical token
+    plans from different operators share ONE cached relation, and a
+    long session is bounded instead of accumulating one pinned
+    vocabulary-sized relation per operator call (r6 verdict #4)."""
+    from flink_streaming_etl_spark.operators._cache import memo_persist
+
+    return memo_persist(
+        "lm_tf",
+        tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")),
+    )
+
+
+def _lm_tokens(documents: DataFrame) -> DataFrame:
+    return documents.select(
         "doc_id",
         F.explode(
             F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
         ).alias("term"),
     )
-    # tf feeds the vocab rollup, the grand-total action AND the scoring
-    # join — persist so the tokenize+explode pass runs once (the bm25/tfidf
-    # stage-boundary discipline; CacheManager dedupes by canonicalized
-    # plan, so repeat calls share one entry).
-    tf = (
-        tokens.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
-    )
+
+
+def unigram_logprob_score(
+    documents: DataFrame, tokens: DataFrame | None = None
+) -> DataFrame:
+    """Pass ``tokens`` (doc_id, term) to score an already-tokenized
+    relation (``filter_stack`` feeds the shared cached ``_lm`` array so
+    the corpus is scanned and tokenized once across all five signals)."""
+    if tokens is None:
+        tokens = _lm_tokens(documents)
+    tf = lm_tf_relation(tokens)
     counts = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     # empty corpus → SUM is NULL; 1 keeps the plan valid (no rows score)
     total = counts.agg(F.sum("cnt")).collect()[0][0] or 1
@@ -1864,17 +1921,11 @@ def source_kl_report(documents: DataFrame) -> DataFrame:
     term-keyed re-aggregation for the corpus marginal, a term-keyed join
     (linear, AQE-handled), and a source-keyed final fold — every relation
     is token-vocabulary-sized or smaller, never corpus-text-sized."""
-    tok = documents.select(
-        "source", F.explode(_lower_tokens()).alias("term")
-    )
     # st feeds the corpus marginal, the per-source totals AND the scoring
-    # join — persist the (vocabulary × sources)-sized relation so the
-    # tokenize+explode pass runs once.
-    st = (
-        tok.groupBy("source", "term")
-        .agg(F.count(F.lit(1)).alias("c_st"))
-        .persist()
-    )
+    # join — the memoized (vocabulary × sources)-sized relation shared
+    # with heaps_law_report (family source_term): the tokenize+explode
+    # pass runs once and repeat calls share one bounded CacheManager entry.
+    st = _source_term_counts(documents)
     t = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
     total = t.agg(F.sum("c_t")).collect()[0][0] or 1
     joined = st.join(t, "term")
@@ -1927,34 +1978,17 @@ GROUP BY st.source
 # 4-decimal scores per language), never over the corpus.
 
 
-#: (session id, documents plan hash) → persisted (doc_id, lang,
-#: avg_logprob) relation; tiny LRU, same discipline as
-#: _TOKEN_RELATION_CACHE.
-_SCORED_LANG_CACHE: dict = {}
-_SCORED_LANG_CACHE_MAX = 4
-
-
 def _scored_lang_relation(documents: DataFrame) -> DataFrame:
-    from pyspark import StorageLevel
+    """Memoized persisted (doc_id, lang, avg_logprob) relation — LRU
+    discipline in :mod:`._cache` (family ``scored_lang``)."""
+    from flink_streaming_etl_spark.operators._cache import memo_persist
 
-    key = (id(documents.sparkSession), documents.semanticHash())
-    hit = _SCORED_LANG_CACHE.get(key)
-    if hit is not None:
-        del _SCORED_LANG_CACHE[key]
-        _SCORED_LANG_CACHE[key] = hit
-        return hit
-    scored = (
+    return memo_persist(
+        "scored_lang",
         unigram_logprob_score(documents)
         .join(documents.select("doc_id", "lang"), "doc_id")
-        .select("doc_id", "lang", "avg_logprob")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("doc_id", "lang", "avg_logprob"),
     )
-    while len(_SCORED_LANG_CACHE) >= _SCORED_LANG_CACHE_MAX:
-        oldest_key, evicted = next(iter(_SCORED_LANG_CACHE.items()))
-        del _SCORED_LANG_CACHE[oldest_key]
-        evicted.unpersist(blocking=False)
-    _SCORED_LANG_CACHE[key] = scored
-    return scored
 
 
 def perplexity_buckets(documents: DataFrame) -> DataFrame:
@@ -2076,24 +2110,63 @@ FROM agg a JOIN totals t ON a.lang = t.lang
 ENTROPY_LOW_BITS = 2.0
 
 
+def _char_run_entropy_sum(chars: Column) -> Column:
+    """Fold a SORTED char array into Σ c·log2(c) over its run lengths
+    (runs of a sorted array are exactly the per-char counts) — the
+    Shannon-identity numerator as a single per-row pass, no shuffle.
+    The run==0 guard keeps the initial flush out of 0·log2(0) = NaN."""
+    flush = lambda run: (  # noqa: E731
+        F.when(run > 0, run.cast("double") * F.log2(run)).otherwise(F.lit(0.0))
+    )
+    return F.aggregate(
+        chars,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0.0).alias("s"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["s"])
+            .otherwise(acc["s"] + flush(acc["run"]))
+            .alias("s"),
+        ),
+        lambda acc: acc["s"] + flush(acc["run"]),
+    )
+
+
+def _scored_chars() -> Column:
+    """Sorted array of the non-space characters of lower(text)."""
+    return F.array_sort(
+        F.filter(F.split(F.lower("text"), ""), lambda c: (c != "") & (c != " "))
+    )
+
+
 def entropy_filter(documents: DataFrame) -> DataFrame:
     """(doc_id, n_chars_scored, char_entropy, is_low_entropy). Entropy in
-    bits via the count identity H = log2(n) − (Σ c·log2 c)/n — both terms
-    come out of ONE doc-keyed aggregation over the (doc, char) counts (no
-    per-doc-total join), with exact integer counts and round-half-even at
-    1e-4 on the final transcendental (the cross-engine float rule)."""
-    chars = documents.select(
+    bits via the count identity H = log2(n) − (Σ c·log2 c)/n, both terms
+    from ONE per-row fold over the sorted char array (round lengths are
+    the char counts): a ZERO-shuffle codegen projection — the former
+    (doc, char)-keyed aggregation exploded every character of the corpus
+    through a shuffle, which at 100 TB is a corpus-sized shuffle for a
+    per-document statistic. Exact integer counts, round-half-even at
+    1e-4 on the final transcendental (the cross-engine float rule; the
+    fold sums runs in sorted order, DuckDB in its own — bround-4 absorbs
+    the float reorder exactly as it did for the aggregation form). Docs
+    with no scored chars produce no row (same contract as before)."""
+    staged = documents.select("doc_id", _scored_chars().alias("_ch"))
+    folded = staged.select(
         "doc_id",
-        F.explode(
-            F.filter(F.split(F.lower("text"), ""), lambda c: (c != "") & (c != " "))
-        ).alias("ch"),
+        F.size("_ch").cast("long").alias("_n"),
+        _char_run_entropy_sum(F.col("_ch")).alias("_s"),
     )
-    cc = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
-    n = F.sum("c")
-    s = F.sum(F.col("c") * F.log2("c"))
-    ent = F.bround(F.log2(n) - s / n, 4)
-    return cc.groupBy("doc_id").agg(
-        n.cast("long").alias("n_chars_scored"),
+    ent = F.bround(F.log2("_n") - F.col("_s") / F.col("_n"), 4)
+    return folded.filter(F.col("_n") > 0).select(
+        "doc_id",
+        F.col("_n").alias("n_chars_scored"),
         ent.alias("char_entropy"),
         (ent < F.lit(ENTROPY_LOW_BITS)).cast("int").alias("is_low_entropy"),
     )
@@ -2135,10 +2208,31 @@ FROM cc GROUP BY doc_id
 # (capacity, determinism, no-worse-than-chunk padding).
 
 PACK_FFD_SHARDS = 8
+#: target documents per FFD applyInPandas group — the constant the shard
+#: dial holds as the corpus grows (one group = one Arrow batch + one
+#: O(rows·bins) Python loop; ~4k rows keeps both bounded).
+PACK_FFD_TARGET_GROUP_ROWS = 4096
+
+
+def shards_for_corpus(
+    n_docs: int, target_group_rows: int = PACK_FFD_TARGET_GROUP_ROWS
+) -> int:
+    """The FFD corpus-growth dial (same class as ``centroids_for_corpus``
+    in operators/similarity.py and ``planes_for_corpus``): shards =
+    ceil(n_docs / target_group_rows), floored at PACK_FFD_SHARDS, keeps
+    the per-(lang, shard) group size ~CONSTANT as the corpus grows — the
+    per-group Python FFD loop is O(rows·bins), so a fixed shard count
+    turns linear corpus growth into quadratic group cost (the r6 probe
+    measured 2.2× at 10× data with shards=8 fixed)."""
+    import math
+
+    if n_docs <= 0:
+        return PACK_FFD_SHARDS
+    return max(PACK_FFD_SHARDS, math.ceil(n_docs / target_group_rows))
 
 
 def pack_sequences_ffd(
-    documents: DataFrame, seq_len: int = PACK_SEQ_LEN, shards: int = PACK_FFD_SHARDS
+    documents: DataFrame, seq_len: int = PACK_SEQ_LEN, shards: int | None = None
 ) -> DataFrame:
     """(doc_id, lang, shard, bin_id, n_tokens, bin_fill): FFD bin
     assignment per (lang, shard) group; bin_fill is the bin's final token
@@ -2161,6 +2255,10 @@ def pack_sequences_ffd(
         ]
     )
     cap = int(seq_len)
+    if shards is None:
+        # one cheap count action sizes the dial; callers that know their
+        # corpus (or tests pinning determinism) pass shards explicitly.
+        shards = shards_for_corpus(documents.count())
 
     def pack(pdf):
         import pandas as pd
@@ -2209,29 +2307,86 @@ def pack_sequences_ffd(
 
 
 def filter_stack(documents: DataFrame) -> DataFrame:
-    qs = quality_score(documents).select(
-        "doc_id", F.col("keep").cast("int").alias("quality_ok")
+    """Scan economy (round 7): all five signals hang off the ONE memoized
+    tokenized relation (:func:`_shared_token_relation`, carrying both the
+    ``\\s+`` structural and ``[^a-z]+`` LM token arrays). The four per-row
+    signals — quality, Gopher, repetition, entropy — are computed in a
+    single zero-shuffle projection over it (sharing the exact expression
+    builders the standalone operators use: :func:`_quality_struct`,
+    :func:`_mean_word_len_q6` / :func:`_symbol_ratio_q6`,
+    :func:`_rep_fracs`, :func:`_char_run_entropy_sum`), and the unigram-LM
+    fluency signal explodes the cached ``_lm`` array — so the corpus is
+    scanned and tokenized ONCE instead of five times (r6 verdict #1).
+
+    Totality (r7, ADVICE): every doc_id appears exactly once. A document
+    that produces no a-z tokens (unigram) or no non-space chars (entropy)
+    gets an explicit failed verdict (0) instead of silently vanishing
+    through an inner join; per-row flags null out only on degenerate
+    division (empty text) and coalesce to failed."""
+    toks = _shared_token_relation(documents)
+    text = F.col("text")
+    w = F.col("_w")
+    ntok_d = F.size(w).cast("double")
+    staged = toks.select(
+        "doc_id",
+        F.size(w).cast("long").alias("_nt"),
+        _quality_struct(text, ntok_d).alias("_q"),
+        _mean_word_len_q6(text, ntok_d).alias("_mwl"),
+        _symbol_ratio_q6(text).alias("_sym"),
+        _sorted_run_stats(F.array_sort(w)).alias("_grs"),
+        _sorted_run_stats(F.array_sort(_ngram_array(w, 2))).alias("_r2"),
+        _sorted_run_stats(F.array_sort(_ngram_array(w, 3))).alias("_r3"),
+        _sorted_run_stats(F.array_sort(_span_array(w))).alias("_rsp"),
+        n_spans_col(w).alias("_nsp"),
+        _scored_chars().alias("_ch"),
     )
-    gq = gopher_quality(documents).select(
-        "doc_id", F.col("keep").cast("int").alias("gopher_ok")
+    folded = staged.select(
+        "doc_id",
+        "_nt",
+        "_q",
+        "_mwl",
+        "_sym",
+        "_grs",
+        "_r2",
+        "_r3",
+        "_rsp",
+        "_nsp",
+        F.size("_ch").cast("long").alias("_chn"),
+        _char_run_entropy_sum(F.col("_ch")).alias("_chs"),
     )
-    rb = repetition_battery(documents).select(
-        "doc_id", F.col("keep").cast("int").alias("repetition_ok")
+    flag = lambda cond: F.when(cond, F.lit(1)).otherwise(F.lit(0))  # noqa: E731
+    top2, top3, dup_span = _rep_fracs(
+        F.col("_r2"), F.col("_r3"), F.col("_rsp"), F.col("_nt"), F.col("_nsp")
     )
-    ef = entropy_filter(documents).select(
-        "doc_id", (1 - F.col("is_low_entropy")).alias("entropy_ok")
+    ent = F.bround(F.log2("_chn") - F.col("_chs") / F.col("_chn"), 4)
+    perrow = folded.select(
+        "doc_id",
+        flag(F.col("_q")["score"] >= QUALITY_KEEP_MIN).alias("quality_ok"),
+        flag(
+            F.col("_nt").between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+            & F.col("_mwl").between(GOPHER_MIN_WORD_LEN, GOPHER_MAX_WORD_LEN)
+            & (F.col("_sym") < GOPHER_MAX_SYMBOL_RATIO)
+            & (q6(F.col("_grs")["max_run"] / F.col("_nt")) < GOPHER_MAX_TOP_TOKEN_FRAC)
+        ).alias("gopher_ok"),
+        flag(
+            (top2 < REP_TOP2_MAX)
+            & (top3 < REP_TOP3_MAX)
+            & (dup_span < REP_DUP_SPAN_MAX)
+        ).alias("repetition_ok"),
+        flag((F.col("_chn") > 0) & (ent >= ENTROPY_LOW_BITS)).alias("entropy_ok"),
     )
-    ug = unigram_logprob_score(documents).select(
-        "doc_id", F.col("is_fluent").alias("fluent_ok")
-    )
-    out = qs.join(gq, "doc_id").join(rb, "doc_id").join(ef, "doc_id").join(ug, "doc_id")
+    ug = unigram_logprob_score(
+        documents, tokens=toks.select("doc_id", F.explode("_lm").alias("term"))
+    ).select("doc_id", F.col("is_fluent").alias("_fl"))
+    out = perrow.join(ug, "doc_id", "left")
+    fluent = F.coalesce(F.col("_fl"), F.lit(0))
     n_failed = (
         F.lit(5)
         - F.col("quality_ok")
         - F.col("gopher_ok")
         - F.col("repetition_ok")
         - F.col("entropy_ok")
-        - F.col("fluent_ok")
+        - fluent
     )
     return out.select(
         "doc_id",
@@ -2239,28 +2394,40 @@ def filter_stack(documents: DataFrame) -> DataFrame:
         "gopher_ok",
         "repetition_ok",
         "entropy_ok",
-        "fluent_ok",
+        fluent.alias("fluent_ok"),
         n_failed.cast("int").alias("n_filters_failed"),
         (n_failed == 0).cast("int").alias("keep_all"),
     )
 
 
 def filter_stack_sql() -> str:
+    # LEFT joins from documents + COALESCE-to-failed: every doc_id appears
+    # exactly once, with explicit 0 verdicts for signals the doc can't
+    # produce (no a-z tokens → unigram; no non-space chars → entropy) and
+    # for NULL keeps from degenerate division (empty text). Mirrors the
+    # Spark side's totality contract.
     return f"""
 WITH qs0 AS ({quality_score_sql()}),
-qs AS (SELECT doc_id, CAST(keep AS INT) AS quality_ok FROM qs0),
+qs AS (SELECT doc_id, CASE WHEN keep THEN 1 ELSE 0 END AS quality_ok FROM qs0),
 gq0 AS ({gopher_quality_sql()}),
-gq AS (SELECT doc_id, CAST(keep AS INT) AS gopher_ok FROM gq0),
+gq AS (SELECT doc_id, CASE WHEN keep THEN 1 ELSE 0 END AS gopher_ok FROM gq0),
 rb0 AS ({repetition_battery_sql()}),
-rb AS (SELECT doc_id, CAST(keep AS INT) AS repetition_ok FROM rb0),
+rb AS (SELECT doc_id, CASE WHEN keep THEN 1 ELSE 0 END AS repetition_ok FROM rb0),
 ef0 AS ({entropy_filter_sql()}),
 ef AS (SELECT doc_id, 1 - is_low_entropy AS entropy_ok FROM ef0),
 ug0 AS ({unigram_logprob_score_sql()}),
 ug AS (SELECT doc_id, is_fluent AS fluent_ok FROM ug0),
 j AS (
-  SELECT qs.doc_id, quality_ok, gopher_ok, repetition_ok, entropy_ok, fluent_ok
-  FROM qs JOIN gq USING (doc_id) JOIN rb USING (doc_id)
-          JOIN ef USING (doc_id) JOIN ug USING (doc_id)
+  SELECT d.doc_id,
+         COALESCE(qs.quality_ok, 0) AS quality_ok,
+         COALESCE(gq.gopher_ok, 0) AS gopher_ok,
+         COALESCE(rb.repetition_ok, 0) AS repetition_ok,
+         COALESCE(ef.entropy_ok, 0) AS entropy_ok,
+         COALESCE(ug.fluent_ok, 0) AS fluent_ok
+  FROM documents d
+  LEFT JOIN qs USING (doc_id) LEFT JOIN gq USING (doc_id)
+  LEFT JOIN rb USING (doc_id) LEFT JOIN ef USING (doc_id)
+  LEFT JOIN ug USING (doc_id)
 )
 SELECT doc_id, quality_ok, gopher_ok, repetition_ok, entropy_ok, fluent_ok,
        CAST(5 - quality_ok - gopher_ok - repetition_ok - entropy_ok - fluent_ok AS INT)
@@ -2292,10 +2459,13 @@ def bigram_logprob_score(documents: DataFrame) -> DataFrame:
             )
         ).alias("g"),
     ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
-    tf2 = (
-        grams.groupBy("doc_id", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+    from flink_streaming_etl_spark.operators._cache import memo_persist
+
+    # feeds the two count rollups AND the scoring join; memoized persist
+    # (family lm_tf2) so repeat calls share one bounded CacheManager entry.
+    tf2 = memo_persist(
+        "lm_tf2",
+        grams.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf")),
     )
     c2 = tf2.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
     c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
@@ -2388,4 +2558,310 @@ SELECT lang, split,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(t) AS BIGINT) AS n_tokens
 FROM tagged GROUP BY lang, split
+"""
+
+
+# ---------------------------------------------------------------------------
+# Jelinek-Mercer interpolated LM fluency — avg ln(λ·p(w2|w1) +
+# (1−λ)·p_uni(w2)) over bigram positions: the standard smoothing fix for
+# the raw bigram score's brittleness on unseen-ish transitions (any
+# observed bigram still interpolates toward the unigram marginal).
+# Same vocabulary(²)-keyed relation shapes as bigram_logprob_score (all
+# count rollups get map-side combine); the corpus token total is one
+# collected scalar.
+
+JM_LAMBDA = 0.7
+
+
+def jm_fluency(documents: DataFrame, lam: float = JM_LAMBDA) -> DataFrame:
+    from flink_streaming_etl_spark.operators._cache import memo_persist
+
+    w = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+    grams = documents.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    # identical plan to bigram_logprob_score's tf2 → shared cache entry
+    tf2 = memo_persist(
+        "lm_tf2",
+        grams.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf")),
+    )
+    c2 = tf2.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    uni = lm_tf_relation(_lm_tokens(documents)).groupBy("term").agg(
+        F.sum("tf").alias("cu")
+    )
+    total = uni.agg(F.sum("cu")).collect()[0][0] or 1
+    p_big = F.col("c12").cast("double") / F.col("c1")
+    p_uni = F.col("cu").cast("double") / F.lit(float(total))
+    lp = F.log(F.lit(float(lam)) * p_big + F.lit(1.0 - float(lam)) * p_uni)
+    scored = (
+        tf2.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(uni, F.col("w2") == F.col("term"))
+        .select("doc_id", "tf", (F.col("tf") * lp).alias("wlp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.bround(F.sum("wlp") / F.sum("tf"), 4).alias("avg_jm_logprob"),
+    )
+
+
+def jm_fluency_sql(lam: float = JM_LAMBDA) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM toks, LATERAL (SELECT UNNEST(range(1, len(w))) AS i) r
+), tf2 AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS tf FROM grams GROUP BY doc_id, w1, w2
+), c2 AS (SELECT w1, w2, SUM(tf) AS c12 FROM tf2 GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM c2 GROUP BY w1),
+uni AS (
+  SELECT t.term, COUNT(*) AS cu
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS term) t
+  WHERE t.term <> '' GROUP BY t.term
+), tt AS (SELECT CAST(SUM(cu) AS DOUBLE) AS t FROM uni)
+SELECT tf2.doc_id,
+       CAST(SUM(tf2.tf) AS BIGINT) AS n_bigrams,
+       round_even(SUM(tf2.tf * ln({lam} * (c2.c12::DOUBLE / c1.c1)
+                                  + {1.0 - lam} * (uni.cu::DOUBLE / tt.t))) / SUM(tf2.tf), 4)
+         AS avg_jm_logprob
+FROM tf2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+         JOIN uni ON tf2.w2 = uni.term, tt
+GROUP BY tf2.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-budget planning — given a training-token budget, allocate
+# per-source token counts under temperature-flattened mixing (the same
+# alpha rule as source_mixture_weights) with an epoch cap (no source
+# repeats more than MAX_EPOCHS times, the public data-repetition
+# guidance: repeating past a few epochs stops helping). Source-keyed
+# arithmetic over a handful of rows — nothing scales with the corpus
+# beyond the one token-count aggregation.
+
+BUDGET_TOKENS = 1_000_000
+BUDGET_MAX_EPOCHS = 4.0
+
+
+def token_budget_plan(
+    documents: DataFrame,
+    budget: int = BUDGET_TOKENS,
+    alpha: float = MIX_ALPHA,
+    max_epochs: float = BUDGET_MAX_EPOCHS,
+) -> DataFrame:
+    toks = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    src = documents.select("source", toks.alias("_t")).groupBy("source").agg(
+        F.sum("_t").alias("n_tokens")
+    )
+    tot = src.agg(
+        F.sum("n_tokens").alias("_tot"),
+    )
+    powed = src.join(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.pow(F.col("n_tokens") / F.col("_tot"), F.lit(float(alpha))).alias("_pw"),
+    )
+    z = powed.agg(F.sum("_pw").alias("_z"))
+    p = F.col("_pw") / F.col("_z")
+    planned = F.least(
+        F.lit(float(budget)) * p, F.lit(float(max_epochs)) * F.col("n_tokens")
+    )
+    return powed.join(F.broadcast(z)).select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        q6(p).alias("mix_p"),
+        q6(planned).alias("planned_tokens"),
+        q6(planned / F.col("n_tokens")).alias("epochs"),
+    )
+
+
+def token_budget_plan_sql(
+    budget: int = BUDGET_TOKENS,
+    alpha: float = MIX_ALPHA,
+    max_epochs: float = BUDGET_MAX_EPOCHS,
+) -> str:
+    planned = f"least({float(budget)} * (pw / z), {float(max_epochs)} * n_tokens)"
+    return rf"""
+WITH src AS (
+  SELECT source,
+         SUM(len(string_split_regex(trim(text), '\s+'))) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT SUM(n_tokens) AS t FROM src),
+powed AS (
+  SELECT source, n_tokens, pow(n_tokens / tot.t::DOUBLE, {alpha}) AS pw
+  FROM src, tot
+), zs AS (SELECT SUM(pw) AS z FROM powed)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       {q6_sql("(pw / z)")} AS mix_p,
+       {q6_sql(planned)} AS planned_tokens,
+       {q6_sql(f"({planned}) / n_tokens")} AS epochs
+FROM powed, zs
+"""
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary report — per-source V = K·N^β diagnostics (token
+# count, vocabulary size, implied β = ln V / ln N): the standard check
+# that a source's vocabulary growth looks like natural text (β ≈ 0.5-0.6)
+# rather than templated boilerplate (β → 0) or ID-noise (β → 1). Derived
+# entirely from the memoized (source, term) count relation shared with
+# source_kl_report — one vocabulary-sized aggregation, no second
+# tokenization pass.
+
+
+def _source_term_counts(documents: DataFrame) -> DataFrame:
+    """(source, term, c_st) — the memoized substrate shared by
+    source_kl_report and heaps_law_report (family ``source_term``)."""
+    from flink_streaming_etl_spark.operators._cache import memo_persist
+
+    tok = documents.select("source", F.explode(_lower_tokens()).alias("term"))
+    return memo_persist(
+        "source_term",
+        tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st")),
+    )
+
+
+def heaps_law_report(documents: DataFrame) -> DataFrame:
+    st = _source_term_counts(documents)
+    n = F.sum("c_st")
+    v = F.count(F.lit(1))
+    return st.groupBy("source").agg(
+        n.cast("long").alias("n_tokens"),
+        v.cast("long").alias("vocab"),
+        F.bround(F.log(v) / F.log(n), 4).alias("heaps_beta"),
+    )
+
+
+HEAPS_LAW_REPORT_SQL = """
+WITH tok AS (
+  SELECT source, t.term
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS term) t
+  WHERE t.term <> ''
+), st AS (
+  SELECT source, term, COUNT(*) AS c_st FROM tok GROUP BY source, term
+)
+SELECT source,
+       CAST(SUM(c_st) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       round_even(ln(COUNT(*)) / ln(SUM(c_st)), 4) AS heaps_beta
+FROM st GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Prefix-duplicate drop — documents sharing an identical normalized
+# 64-char prefix are near-certain template duplicates (mirrors, reposts
+# with trailing edits); the cheapest dedup tier, run before MinHash.
+# One shuffle on the prefix key (hashed to keep exchange rows narrow),
+# keep-min-doc_id inside the same aggregation, then one equi join back —
+# never an all-pairs form.
+
+PREFIX_DUP_CHARS = 64
+
+
+def prefix_dup_drop(
+    documents: DataFrame, prefix_chars: int = PREFIX_DUP_CHARS
+) -> DataFrame:
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    pre = documents.select(
+        "doc_id", F.substring(norm, 1, prefix_chars).alias("_pfx")
+    )
+    grp = (
+        pre.groupBy("_pfx")
+        .agg(F.count(F.lit(1)).alias("_c"), F.min("doc_id").alias("kept_doc_id"))
+        .filter(F.col("_c") >= 2)
+    )
+    return (
+        pre.join(grp, "_pfx")
+        .filter(F.col("doc_id") != F.col("kept_doc_id"))
+        .select("doc_id", "kept_doc_id", F.md5("_pfx").alias("prefix_hash"))
+    )
+
+
+def prefix_dup_drop_sql(prefix_chars: int = PREFIX_DUP_CHARS) -> str:
+    norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    return f"""
+WITH pre AS (
+  SELECT doc_id, substring({norm}, 1, {prefix_chars}) AS pfx FROM documents
+), grp AS (
+  SELECT pfx, MIN(doc_id) AS kept_doc_id
+  FROM pre GROUP BY pfx HAVING COUNT(*) >= 2
+)
+SELECT p.doc_id, g.kept_doc_id, md5(p.pfx) AS prefix_hash
+FROM pre p JOIN grp g ON p.pfx = g.pfx
+WHERE p.doc_id <> g.kept_doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confidence — the margin between the best and second-best
+# marker scores, normalized: the signal a routing pipeline thresholds to
+# decide "trust the cheap lang-ID" vs "escalate to a real classifier".
+# Same marker arithmetic as lang_id (shared LANG_MARKERS), with the
+# second-best read from a sorted 5-element array — all per-row codegen,
+# zero shuffle.
+
+
+def lang_confidence(documents: DataFrame) -> DataFrame:
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    scores = {
+        lang: sum([_count_sub(padded, m) for m in markers], F.lit(0).cast("double"))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    arr = F.array_sort(F.array(*scores.values()))
+    best = F.element_at(arr, -1)
+    second = F.element_at(arr, -2)
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier langs win ties
+        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    staged = documents.select(
+        "doc_id",
+        pred.alias("predicted_lang"),
+        best.alias("_b"),
+        second.alias("_s"),
+    )
+    return staged.select(
+        "doc_id",
+        "predicted_lang",
+        F.col("_b").cast("long").alias("top_score"),
+        (F.col("_b") - F.col("_s")).cast("long").alias("margin"),
+        q6((F.col("_b") - F.col("_s")) / (F.col("_b") + F.lit(1.0))).alias(
+            "confidence"
+        ),
+    )
+
+
+def lang_confidence_sql() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    scores = {
+        lang: "(" + " + ".join(_count_sub_sql(padded, m) for m in markers) + ")"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    arr = "list_sort([" + ", ".join(scores.values()) + "])"
+    whens = " ".join(
+        f"WHEN {scores[lang]} = arr[-1] AND arr[-1] > 0 THEN '{lang}'"
+        for lang in LANG_MARKERS
+    )
+    return f"""
+WITH scored AS (SELECT doc_id, text, {arr} AS arr FROM documents)
+SELECT doc_id,
+       CASE {whens} ELSE 'und' END AS predicted_lang,
+       CAST(arr[-1] AS BIGINT) AS top_score,
+       CAST(arr[-1] - arr[-2] AS BIGINT) AS margin,
+       {q6_sql("(arr[-1] - arr[-2]) / (arr[-1] + 1.0)")} AS confidence
+FROM scored
 """

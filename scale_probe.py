@@ -110,6 +110,23 @@ PROBES = [
     "filter_stack",
     "bigram_logprob_score",
     "train_val_test_split",
+    # round-7 additions
+    "nation_trade_volume",
+    "market_share_report",
+    "product_type_profit",
+    "returned_item_report",
+    "important_parts_share",
+    "top_supplier_revenue",
+    "part_supplier_variety",
+    "disjunctive_promo_revenue",
+    "dominant_part_suppliers",
+    "waiting_orders_suppliers",
+    "idle_rich_customers",
+    "jm_fluency",
+    "token_budget_plan",
+    "heaps_law_report",
+    "prefix_dup_drop",
+    "lang_confidence",
 ]
 
 

@@ -576,21 +576,26 @@ def test_curated_corpus_token_cache_memoized(spark):
     from flink_streaming_etl_spark.operators import text as tx
     from tests.conftest import SF_SMOKE
 
-    tx._TOKEN_RELATION_CACHE.clear()
+    from flink_streaming_etl_spark.operators import _cache
+
+    _cache.clear_operator_caches()
     docs = load_tables(spark, SF_SMOKE, register=False)["documents"]
     a = tx._shared_token_relation(docs)
     b = tx._shared_token_relation(docs)
     assert a is b  # same persisted DataFrame, not a second pinned copy
-    assert len(tx._TOKEN_RELATION_CACHE) == 1
+    assert _cache.cache_stats()["shared_tokens"] == 1
     # two full builds share the one cached relation and stay correct
     n1 = tx.curated_corpus_v2(docs).count()
     n2 = tx.curated_corpus_v2(docs).count()
-    assert n1 == n2 and len(tx._TOKEN_RELATION_CACHE) == 1
+    assert n1 == n2 and _cache.cache_stats()["shared_tokens"] == 1
     # LRU eviction unpersists the oldest once capacity is exceeded
-    for i in range(tx._TOKEN_RELATION_CACHE_MAX):
+    for i in range(_cache.DEFAULT_MAX_ENTRIES):
         tx._shared_token_relation(docs.limit(10 + i))
-    assert len(tx._TOKEN_RELATION_CACHE) == tx._TOKEN_RELATION_CACHE_MAX
+    assert _cache.cache_stats()["shared_tokens"] == _cache.DEFAULT_MAX_ENTRIES
     assert a.storageLevel.useMemory is False  # evicted entry was unpersisted
+    # clear_operator_caches releases everything (the bench isolation hook)
+    _cache.clear_operator_caches()
+    assert _cache.cache_stats() == {}
 
 
 def test_banded_interval_join_equals_direct(spark):

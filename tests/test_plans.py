@@ -467,10 +467,13 @@ def test_round6d_ops_plan_shapes(spark):
     p = plan_of(an.customer_order_histogram(t["customer"], t["orders"]))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
     assert p.count("HashAggregate") >= 4, p
-    # entropy: one (doc,char)-keyed agg then one doc-keyed agg — no join.
+    # entropy (r7): a ZERO-shuffle per-row fold — no join, no aggregate,
+    # no key-hash exchange (the only Exchange allowed is the fixture's
+    # round-robin repartition on load); the corpus' characters never
+    # enter a shuffle.
     p = plan_of(tx.entropy_filter(t["documents"]))
     assert "Join" not in p, p
-    assert p.count("HashAggregate") >= 2, p
+    assert "HashAggregate" not in p and "hashpartitioning" not in p, p
     # SQ8 search: encoding is a zero-shuffle projection (model embedded as
     # literals), so the only joins are the broadcast query pairing — no
     # sort-merge join and no per-dim stats join may appear in the search
@@ -509,7 +512,20 @@ def test_filter_stack_joins_ride_doc_id(spark):
     from flink_streaming_etl_spark.operators import text as tx
 
     t = _tables(spark)
+    import re
+
+    from flink_streaming_etl_spark.operators import _cache
+
+    _cache.clear_operator_caches()
     p = plan_of(tx.filter_stack(t["documents"]))
-    # five-way composition: equi-joins on doc_id only — never a cartesian
-    # or nested-loop pair generation anywhere in the stack
+    # composition: equi-joins on doc_id only — never a cartesian or
+    # nested-loop pair generation anywhere in the stack
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    # scan economy (r7): all five signals ride ONE memoized token relation
+    # — the executed tree has at most one parquet scan NODE (inside the
+    # cached relation's build plan); every consumer reads the
+    # InMemoryRelation, instead of five independent corpus scans.
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    assert n_scans <= 1, f"{n_scans} parquet scan nodes\n{p}"
+    assert "InMemoryTableScan" in p, p
+    _cache.clear_operator_caches()
