@@ -2111,25 +2111,29 @@ GROUP BY 1, 2, 3
 
 
 def disjunctive_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    # quantity compares stay on the raw DOUBLE column (integer literal
+    # bounds compare exactly on both engines) so the envelope [min qty,
+    # max qty] pushes into the parquet scan — a decimal cast would block
+    # pushdown and force a full-column read.
     bands = [
         ("Brand#1", 1, 10, 1, 11),
         ("Brand#2", 1, 20, 10, 20),
         ("Brand#3", 1, 30, 20, 30),
     ]
     p = part.select("p_partkey", "p_brand", "p_size")
-    qty = _dec("l_quantity")
     j = lineitem.filter(
-        (qty >= F.lit(min(b[3] for b in bands)).cast(DEC))
-        & (qty <= F.lit(max(b[4] for b in bands)).cast(DEC))
+        F.col("l_quantity").between(
+            float(min(b[3] for b in bands)), float(max(b[4] for b in bands))
+        )
     ).select(
-        "l_partkey", qty.alias("_q"), _revenue_cents().alias("_rev")
+        "l_partkey", F.col("l_quantity").alias("_q"), _revenue_cents().alias("_rev")
     ).join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
     cond = None
     for brand, smin, smax, qmin, qmax in bands:
         c = (
             (F.col("p_brand") == brand)
             & F.col("p_size").between(smin, smax)
-            & F.col("_q").between(F.lit(qmin).cast(DEC), F.lit(qmax).cast(DEC))
+            & F.col("_q").between(float(qmin), float(qmax))
         )
         cond = c if cond is None else (cond | c)
     return j.filter(cond).agg(
@@ -2143,11 +2147,11 @@ SELECT SUM({_REVENUE_CENTS_SQL}) / 10000.0 AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
-       AND CAST(l.l_quantity AS DECIMAL(18,2)) BETWEEN 1 AND 11)
+       AND l.l_quantity BETWEEN 1.0 AND 11.0)
    OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20
-       AND CAST(l.l_quantity AS DECIMAL(18,2)) BETWEEN 10 AND 20)
+       AND l.l_quantity BETWEEN 10.0 AND 20.0)
    OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30
-       AND CAST(l.l_quantity AS DECIMAL(18,2)) BETWEEN 20 AND 30)
+       AND l.l_quantity BETWEEN 20.0 AND 30.0)
 """
 
 

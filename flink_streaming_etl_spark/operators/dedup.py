@@ -1234,3 +1234,24 @@ SELECT CAST(n.n_docs AS BIGINT) AS n_docs,
        floor((n.n_docs - (SELECT COUNT(*) FROM drops))::DOUBLE / n.n_docs * 1000000.0) / 1000000.0 AS survivor_rate
 FROM n, exact
 """
+
+
+# ---------------------------------------------------------------------------
+# Cache-reset hook: this module's id()-keyed memoized relations (sorted
+# shingle arrays, verified LSH pairs, simhash signatures) must reset
+# together with the shared memo-persist families — otherwise a bench/
+# session clearCache() leaves the dicts handing out now-uncached
+# DataFrames and every consumer silently re-mines the pair relation.
+
+from flink_streaming_etl_spark.operators._cache import register_clearer
+
+
+@register_clearer
+def _clear_dedup_caches() -> None:
+    for cache in (_ARRAYS_CACHE, _PAIRS_CACHE, _SIMHASH_CACHE):
+        for _ref, df in cache.values():
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass
+        cache.clear()

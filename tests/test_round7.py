@@ -1,0 +1,150 @@
+"""Round-7 additions: TPC-H shape plan contracts + behavior invariants
+for the new training-pipeline operators. Value correctness is covered by
+tests/test_oracle_parity.py (every oracle entry, every run)."""
+
+from __future__ import annotations
+
+from tests.test_plans import _tables, plan_of
+
+
+def test_round7_tpch_plan_shapes(spark):
+    from flink_streaming_etl_spark.operators import analytics as an
+
+    t = _tables(spark)
+    # Q7: supplier + corridor-filtered nation dims broadcast; ship-date
+    # range pushed to the lineitem scan; no cartesian anywhere.
+    p = plan_of(
+        an.nation_trade_volume(
+            t["lineitem"], t["orders"], t["customer"], t["supplier"], t["nation"]
+        )
+    )
+    assert "BroadcastHashJoin" in p, p
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+    assert "CartesianProduct" not in p, p
+    # Q19: the quantity envelope must reach the parquet scan as pushed
+    # min/max filters (raw double compares — a decimal cast would block
+    # pushdown); part is broadcast, never sort-merge.
+    p = plan_of(an.disjunctive_promo_revenue(t["lineitem"], t["part"]))
+    assert "GreaterThanOrEqual(l_quantity" in p, p
+    assert "LessThanOrEqual(l_quantity" in p, p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+    # Q22: NOT EXISTS decorrelates to a left-anti equi join.
+    p = plan_of(an.idle_rich_customers(t["customer"], t["orders"]))
+    assert "LeftAnti" in p, p
+    # Q15: "= max" via broadcast scalar — no window over the fact side.
+    p = plan_of(an.top_supplier_revenue(t["lineitem"], t["supplier"]))
+    assert "Window" not in p, p
+    assert p.count("HashAggregate") >= 4, p  # partial+final on both aggs
+    # Q16: NOT IN (negative-balance suppliers) as a broadcast anti join.
+    p = plan_of(an.part_supplier_variety(t["lineitem"], t["part"], t["supplier"]))
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p
+    # Q21: the exists/not-exists pair decorrelates to orderkey-keyed
+    # aggregations — no correlated re-scan, no nested-loop pair blowup.
+    p = plan_of(
+        an.waiting_orders_suppliers(t["orders"], t["lineitem"], t["supplier"])
+    )
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    # Q20: semi join into the part filter, exact-integer dominance test.
+    p = plan_of(
+        an.dominant_part_suppliers(t["lineitem"], t["part"], t["supplier"])
+    )
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_round7_text_plan_shapes(spark):
+    from flink_streaming_etl_spark.operators import text as tx
+
+    t = _tables(spark)
+    # lang_confidence: pure per-row codegen — no join/agg/key exchange.
+    p = plan_of(tx.lang_confidence(t["documents"]))
+    assert "Join" not in p and "HashAggregate" not in p, p
+    assert "hashpartitioning" not in p, p
+    # prefix_dup_drop: one prefix-keyed agg + one equi join, no pairs.
+    p = plan_of(tx.prefix_dup_drop(t["documents"]))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_token_budget_plan_invariants(spark):
+    from flink_streaming_etl_spark.operators import text as tx
+
+    docs = _tables(spark)["documents"]
+    rows = tx.token_budget_plan(docs, budget=100_000, max_epochs=4.0).collect()
+    assert rows
+    total_planned = sum(r["planned_tokens"] for r in rows)
+    assert total_planned <= 100_000 + 1e-6  # Σ min(B·p, cap) ≤ B·Σp = B
+    for r in rows:
+        assert r["epochs"] <= 4.0 + 1e-9, r
+        assert 0.0 <= r["mix_p"] <= 1.0, r
+
+
+def test_prefix_dup_drop_keeps_min_doc(spark):
+    from flink_streaming_etl_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Terms of   service apply to all users of this site " + "x" * 40, "en", "a", 90),
+            (5, "terms of service APPLY to all users of this site " + "x" * 40, "en", "b", 90),
+            (9, "terms of service apply to all users of this site " + "x" * 40, "en", "c", 90),
+            (3, "a completely different document body with its own words", "en", "a", 55),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = tx.prefix_dup_drop(docs).collect()
+    dropped = {r["doc_id"] for r in out}
+    assert dropped == {5, 9}
+    assert all(r["kept_doc_id"] == 1 for r in out)
+
+
+def test_lang_confidence_consistent_with_lang_id(spark):
+    from flink_streaming_etl_spark.operators import text as tx
+
+    docs = _tables(spark)["documents"]
+    conf = {r["doc_id"]: r for r in tx.lang_confidence(docs).collect()}
+    pred = {r["doc_id"]: r["predicted_lang"] for r in tx.lang_id(docs).collect()}
+    assert set(conf) == set(pred)
+    for d, r in conf.items():
+        assert r["predicted_lang"] == pred[d]
+        assert r["margin"] >= 0
+        assert 0.0 <= r["confidence"] < 1.0
+
+
+def test_shards_for_corpus_dial():
+    from flink_streaming_etl_spark.operators import text as tx
+
+    # floor at the static default for small corpora
+    assert tx.shards_for_corpus(0) == tx.PACK_FFD_SHARDS
+    assert tx.shards_for_corpus(500) == tx.PACK_FFD_SHARDS
+    # linear growth: group size stays ~constant as the corpus grows
+    n = 10_000_000
+    shards = tx.shards_for_corpus(n)
+    assert n / shards <= tx.PACK_FFD_TARGET_GROUP_ROWS
+    assert tx.shards_for_corpus(10 * n) >= 9 * shards  # ~linear in n
+
+
+def test_heaps_beta_in_natural_range(spark):
+    from flink_streaming_etl_spark.operators import text as tx
+
+    rows = tx.heaps_law_report(_tables(spark)["documents"]).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["heaps_beta"] < 1.0, r
+
+
+def test_sq8_constant_dim_decodes_exactly(spark):
+    """A constant dimension must reconstruct to its exact value (mn), not
+    mn + 0.5 — the r7 ADVICE fix. With dim2 constant at 0.0 and dim1
+    positive, every pair is exactly collinear, so cosine_sq8 must be
+    exactly 1.0; the old +0.5 decode injected a fake dim2 component that
+    pulled cosines below 1."""
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + 1), 0.0], i % 2) for i in range(40)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = sim.ann_int8_topk(emb, k=3, n_queries=5).collect()
+    assert got
+    for r in got:
+        assert r["cosine_sq8"] == 1.0, r
