@@ -756,6 +756,22 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.lang_confidence, "documents"),
         text.lang_confidence_sql(),
     ),
+    "hybrid_rrf_search": (
+        # sparse (exact-int idf) + dense (cosine) retrieval fused via
+        # reciprocal-rank fusion — the production vector-store pattern
+        _q(similarity.hybrid_rrf_search, "documents", "embeddings"),
+        similarity.hybrid_rrf_search_sql(),
+    ),
+    "minhash_band_tuning_report": (
+        # LSH S-curve per (bands, rows) config — pure arithmetic grid
+        lambda spark, sf_dir: dedup.minhash_band_tuning_report(spark),
+        dedup.minhash_band_tuning_report_sql(),
+    ),
+    "dedup_cluster_size_histogram": (
+        # connected-component size audit over the memoized pair relation
+        _q(dedup.dedup_cluster_size_histogram, "documents"),
+        dedup.dedup_cluster_size_histogram_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -825,9 +841,9 @@ _SAMPLE_FRONT = [
     "listagg_items",
     "media_metadata",
     "sql_pricing_summary",
-    "train_val_test_split",
-    "dsir_importance_weights",
-    "gap_fill_daily",
+    "hybrid_rrf_search",
+    "minhash_band_tuning_report",
+    "dedup_cluster_size_histogram",
 ]
 assert len(_SAMPLE_FRONT) == 50 and len(set(_SAMPLE_FRONT)) == 50
 assert all(name in REGISTRY for name in _SAMPLE_FRONT)

@@ -1255,3 +1255,73 @@ def _clear_dedup_caches() -> None:
             except Exception:
                 pass
         cache.clear()
+
+
+# ---------------------------------------------------------------------------
+# LSH band-tuning S-curve — p(candidate | jaccard s) = 1 − (1 − s^r)^b
+# for every (bands, rows) factorization of the signature budget: the
+# table a dedup operator reads to pick the banding for a target
+# similarity threshold (pair with minhash_error_report for the measured
+# side). Pure configuration arithmetic over b·r = N_PERMS — the
+# crossJoin is a 4×9 literal grid, nothing touches the corpus.
+
+
+def minhash_band_tuning_report(spark) -> DataFrame:
+    from flink_streaming_etl_spark.functions import q6
+
+    configs = [(b, N_PERMS // b) for b in (8, 4, 2, 1)]
+    cfg = spark.createDataFrame(configs, "bands int, rows_per_band int")
+    th = spark.range(1, 10).select((F.col("id") / 10.0).alias("jaccard"))
+    s = F.col("jaccard")
+    p = 1 - F.pow(1 - F.pow(s, F.col("rows_per_band")), F.col("bands"))
+    return cfg.crossJoin(th).select(
+        "bands",
+        "rows_per_band",
+        s.alias("jaccard"),
+        q6(p).alias("p_candidate"),
+    )
+
+
+def minhash_band_tuning_report_sql() -> str:
+    values = ", ".join(f"({b}, {N_PERMS // b})" for b in (8, 4, 2, 1))
+    return f"""
+WITH cfg(bands, rows_per_band) AS (VALUES {values}),
+th AS (SELECT i / 10.0 AS jaccard FROM range(1, 10) t(i))
+SELECT cfg.bands, cfg.rows_per_band, th.jaccard,
+       floor((1 - pow(1 - pow(th.jaccard, cfg.rows_per_band), cfg.bands)) * 1000000.0)
+         / 1000000.0 AS p_candidate
+FROM cfg, th
+"""
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster size histogram — how big do the connected components
+# get: the audit that catches boilerplate explosions (one giant cluster =
+# stop-text leaking through the shingle filter) before a keep-one-per-
+# cluster pass silently deletes half the corpus. Rides the memoized pair
+# relation through neardup_clusters; two tiny aggregations over the
+# cluster relation (graph-sized, not corpus-sized).
+
+
+def dedup_cluster_size_histogram(
+    documents: DataFrame, threshold: float = 0.05
+) -> DataFrame:
+    clusters = neardup_clusters(documents, threshold)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).cast("long").alias("n_docs"),
+    )
+
+
+def dedup_cluster_size_histogram_sql(threshold: float = 0.05) -> str:
+    return f"""
+WITH clusters AS ({neardup_clusters_sql(threshold)}),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY cluster_id
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""

@@ -2051,3 +2051,150 @@ SELECT query_id, rank, neighbor_id, cosine_sq8 FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval with reciprocal-rank fusion (RRF, Cormack et al. 2009)
+# — the production vector-store pattern: a sparse (term/idf) ranking and a
+# dense (cosine) ranking fused as Σ 1/(K + rank). Determinism: the term
+# score is EXACT integer arithmetic (idf scaled to 1e6 via integer
+# division — no float fold across terms), ranks come from
+# (score DESC, id ASC) windows, and the fused score is a fixed two-term
+# expression (no aggregation ordering), q6-floored. Scale: query terms
+# are pruned to the top-idf few (the WAND-style trick), so the term join
+# fans out ≤ n_queries · QUERY_TERMS · df(term); the dense side is the
+# bounded cosine_topk; both rank windows partition by query only.
+
+RRF_K = 60
+HYBRID_CAND_K = 20
+HYBRID_TOP_K = 10
+HYBRID_QUERY_TERMS = 8
+
+
+def hybrid_rrf_search(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    k: int = HYBRID_TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from flink_streaming_etl_spark.functions import q6
+    from flink_streaming_etl_spark.operators.text import _lm_tokens, lm_tf_relation
+
+    tf = lm_tf_relation(_lm_tokens(documents))
+    dfr = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.count()
+    # BM25-ratio idf scaled to integer millionths via INTEGER division —
+    # identical on both engines, and the per-candidate score Σ tf·idf_e6
+    # folds in exact int64 (order-free). At web scale swap long → decimal.
+    terms = dfr.select(
+        "term",
+        F.expr(f"(1000000 * (2 * {n_docs} - 2 * df + 1)) div (2 * df + 1)").alias(
+            "idf_e6"
+        ),
+    )
+    wq = Window.partitionBy("doc_id").orderBy(F.desc("idf_e6"), F.asc("term"))
+    qterms = (
+        tf.filter(F.col("doc_id") < n_queries)
+        .join(terms, "term")
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= HYBRID_QUERY_TERMS)
+        .select(F.col("doc_id").alias("query_id"), "term", "idf_e6")
+    )
+    cand = (
+        qterms.join(tf, "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf_e6")).alias("tscore"))
+    )
+    wt = Window.partitionBy("query_id").orderBy(F.desc("tscore"), F.asc("doc_id"))
+    term_rank = (
+        cand.withColumn("trank", F.row_number().over(wt))
+        .filter(F.col("trank") <= HYBRID_CAND_K)
+        .select("query_id", F.col("doc_id").alias("neighbor_id"), "trank")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    vec_rank = (
+        cosine_topk(embeddings, k=HYBRID_CAND_K, n_queries=n_queries)
+        .withColumn("vrank", F.row_number().over(wv))
+        .select("query_id", "neighbor_id", "vrank")
+    )
+    fused = term_rank.join(vec_rank, ["query_id", "neighbor_id"], "full_outer")
+    rrf = q6(
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("trank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("vrank")), F.lit(0.0))
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("_rrf"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("_rrf", rrf)
+        .withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.col("_rrf").alias("rrf_score"),
+            F.coalesce("trank", F.lit(0)).cast("int").alias("term_rank"),
+            F.coalesce("vrank", F.lit(0)).cast("int").alias("vector_rank"),
+        )
+    )
+
+
+def hybrid_rrf_search_sql(
+    k: int = HYBRID_TOP_K, n_queries: int = N_QUERIES
+) -> str:
+    return f"""
+WITH tf AS (
+  SELECT doc_id, t.term, COUNT(*) AS tf
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS term) t
+  WHERE t.term <> '' GROUP BY doc_id, t.term
+), nd AS (SELECT COUNT(*) AS n FROM documents),
+terms AS (
+  SELECT term, (1000000 * (2 * nd.n - 2 * df + 1)) // (2 * df + 1) AS idf_e6
+  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), nd
+), qterms AS (
+  SELECT query_id, term, idf_e6 FROM (
+    SELECT tf.doc_id AS query_id, tf.term, terms.idf_e6,
+           row_number() OVER (PARTITION BY tf.doc_id
+                              ORDER BY terms.idf_e6 DESC, tf.term) AS rn
+    FROM tf JOIN terms USING (term)
+    WHERE tf.doc_id < {n_queries}
+  ) WHERE rn <= {HYBRID_QUERY_TERMS}
+), cand AS (
+  SELECT q.query_id, tf.doc_id, SUM(tf.tf * q.idf_e6) AS tscore
+  FROM qterms q JOIN tf USING (term)
+  WHERE tf.doc_id <> q.query_id
+  GROUP BY q.query_id, tf.doc_id
+), term_rank AS (
+  SELECT query_id, doc_id AS neighbor_id, trank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY tscore DESC, doc_id) AS trank
+    FROM cand
+  ) WHERE trank <= {HYBRID_CAND_K}
+), vtop AS ({cosine_topk_sql(HYBRID_CAND_K, n_queries)}),
+vec_rank AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS vrank
+  FROM vtop
+), fused AS (
+  SELECT COALESCE(t.query_id, v.query_id) AS query_id,
+         COALESCE(t.neighbor_id, v.neighbor_id) AS neighbor_id,
+         t.trank, v.vrank,
+         floor((COALESCE(1.0 / ({RRF_K} + t.trank), 0.0)
+                + COALESCE(1.0 / ({RRF_K} + v.vrank), 0.0)) * 1000000.0)
+           / 1000000.0 AS rrf
+  FROM term_rank t FULL OUTER JOIN vec_rank v
+    ON t.query_id = v.query_id AND t.neighbor_id = v.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, rrf AS rrf_score,
+       CAST(COALESCE(trank, 0) AS INT) AS term_rank,
+       CAST(COALESCE(vrank, 0) AS INT) AS vector_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, neighbor_id) AS rank
+  FROM fused
+) WHERE rank <= {k}
+"""

@@ -127,6 +127,9 @@ PROBES = [
     "heaps_law_report",
     "prefix_dup_drop",
     "lang_confidence",
+    "hybrid_rrf_search",
+    "minhash_band_tuning_report",
+    "dedup_cluster_size_histogram",
 ]
 
 
