@@ -197,6 +197,7 @@ HEADLINE = [
     "hybrid_rrf_search",
     "minhash_band_tuning_report",
     "dedup_cluster_size_histogram",
+    "ccnet_pipeline",
 ]
 
 

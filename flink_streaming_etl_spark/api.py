@@ -772,6 +772,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(dedup.dedup_cluster_size_histogram, "documents"),
         dedup.dedup_cluster_size_histogram_sql(),
     ),
+    "ccnet_pipeline": (
+        # CCNet curation as ONE job: lang-confidence gate + perplexity
+        # tercile + near-dup drop, total per-doc verdicts
+        _q(text.ccnet_pipeline, "documents"),
+        text.ccnet_pipeline_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -839,7 +845,7 @@ _SAMPLE_FRONT = [
     "latest_order_asof",
     "dedup_exact",
     "listagg_items",
-    "media_metadata",
+    "ccnet_pipeline",
     "sql_pricing_summary",
     "hybrid_rrf_search",
     "minhash_band_tuning_report",

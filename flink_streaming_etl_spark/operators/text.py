@@ -1991,19 +1991,12 @@ def _scored_lang_relation(documents: DataFrame) -> DataFrame:
     )
 
 
-def perplexity_buckets(documents: DataFrame) -> DataFrame:
-    """(lang, bucket, n_docs, share, mean_logprob). Mean folds exact
-    integer ten-thousandths (scores are bround-4), so it is
-    order-independent across engines.
-
-    The per-doc scored relation (3 narrow columns) is persisted before
-    branching: both the tercile-cut branch and the tagging branch consume
-    it, and without the persist each branch re-evaluates the whole
-    unigram-LM chain (tokenize → tf → vocab join) — measured 5.4 s →
-    3.8 s at sf0.1. MEMORY_AND_DISK (spills, never recomputes), memoized
-    per (session, input plan) with the same tiny-LRU discipline as
-    ``_shared_token_relation`` so repeat calls in a bench/gate loop reuse
-    one cache entry instead of stacking new ones."""
+def perplexity_tagged(documents: DataFrame) -> DataFrame:
+    """(doc_id, lang, avg_logprob, bucket) — the per-document CCNet
+    tercile tag: the shared substrate of :func:`perplexity_buckets` (the
+    report) and :func:`ccnet_pipeline` (the curation decision). Cuts are
+    exact nearest-rank terciles over the per-(lang, score) HISTOGRAM —
+    the cumulative window runs over histogram rows, never the corpus."""
     from pyspark.sql.window import Window
 
     scored = _scored_lang_relation(documents)
@@ -2035,9 +2028,27 @@ def perplexity_buckets(documents: DataFrame) -> DataFrame:
         .when(F.col("avg_logprob") <= F.col("p67"), F.lit("middle"))
         .otherwise(F.lit("head"))
     )
+    return scored.join(F.broadcast(cuts), "lang").select(
+        "doc_id", "lang", "avg_logprob", bucket.alias("bucket")
+    )
+
+
+def perplexity_buckets(documents: DataFrame) -> DataFrame:
+    """(lang, bucket, n_docs, share, mean_logprob). Mean folds exact
+    integer ten-thousandths (scores are bround-4), so it is
+    order-independent across engines.
+
+    The per-doc scored relation (3 narrow columns) is persisted before
+    branching: both the tercile-cut branch and the tagging branch consume
+    it, and without the persist each branch re-evaluates the whole
+    unigram-LM chain (tokenize → tf → vocab join) — measured 5.4 s →
+    3.8 s at sf0.1. MEMORY_AND_DISK (spills, never recomputes), memoized
+    per (session, input plan) with the same tiny-LRU discipline as
+    ``_shared_token_relation`` so repeat calls in a bench/gate loop reuse
+    one cache entry instead of stacking new ones."""
     lp_e4 = F.round(F.col("avg_logprob") * 10000).cast("long")
-    tagged = scored.join(F.broadcast(cuts), "lang").select(
-        "lang", bucket.alias("bucket"), lp_e4.alias("lp_e4")
+    tagged = perplexity_tagged(documents).select(
+        "lang", "bucket", lp_e4.alias("lp_e4")
     )
     out = tagged.groupBy("lang", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -2594,8 +2605,23 @@ def jm_fluency(documents: DataFrame, lam: float = JM_LAMBDA) -> DataFrame:
     )
     c2 = tf2.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
     c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    uni = lm_tf_relation(_lm_tokens(documents)).groupBy("term").agg(
-        F.sum("tf").alias("cu")
+    # Unigram marginal WITHOUT a second corpus tokenization: every token
+    # occurrence is either a w1 position of some bigram (counted by c1)
+    # or its document's LAST token — so cu(w) = c1(w) + last_count(w),
+    # where last_count is a cheap per-row element_at(-1) projection into
+    # a vocabulary-keyed agg (single-token docs land here too). Exactly
+    # the model the independent tokenize-and-count would fit.
+    lasts = (
+        documents.select(F.element_at(w, -1).alias("term"))
+        .filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("lc"))
+    )
+    uni = (
+        c1.select(F.col("w1").alias("term"), F.col("c1").alias("cnt"))
+        .unionByName(lasts.select("term", F.col("lc").alias("cnt")))
+        .groupBy("term")
+        .agg(F.sum("cnt").alias("cu"))
     )
     total = uni.agg(F.sum("cu")).collect()[0][0] or 1
     p_big = F.col("c12").cast("double") / F.col("c1")
@@ -2864,4 +2890,106 @@ SELECT doc_id,
        CAST(arr[-1] - arr[-2] AS BIGINT) AS margin,
        {q6_sql("(arr[-1] - arr[-2]) / (arr[-1] + 1.0)")} AS confidence
 FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet pipeline (Wenzek et al. 2020) — the full web-curation decision as
+# ONE job: language-ID confidence gate, per-language LM-perplexity
+# tercile (keep head+middle, drop tail), near-duplicate removal. Every
+# stage rides a memoized relation (scored-lang for the terciles, the
+# verified LSH pair relation for dedup), and the report is TOTAL: every
+# doc_id appears with its per-stage verdicts (docs with no a-z tokens get
+# bucket 'none' and fail the perplexity gate explicitly).
+
+CCNET_CONF_MIN = 0.1
+
+
+def ccnet_pipeline(
+    documents: DataFrame,
+    conf_min: float = CCNET_CONF_MIN,
+    threshold: float = 0.05,
+) -> DataFrame:
+    from flink_streaming_etl_spark.operators.dedup import neardup_drop_list
+
+    tag = perplexity_tagged(documents).select("doc_id", "bucket")
+    conf = lang_confidence(documents).select("doc_id", "confidence")
+    drops = neardup_drop_list(documents, threshold).select(
+        "doc_id", F.lit(1).alias("_dup")
+    )
+    out = (
+        documents.select("doc_id", "lang")
+        .join(tag, "doc_id", "left")
+        .join(conf, "doc_id")
+        .join(drops, "doc_id", "left")
+    )
+    bucket = F.coalesce("bucket", F.lit("none"))
+    lang_ok = (F.col("confidence") >= conf_min).cast("int")
+    ppl_ok = bucket.isin("head", "middle").cast("int")
+    is_dup = F.coalesce("_dup", F.lit(0)).cast("int")
+    keep = ((lang_ok == 1) & (ppl_ok == 1) & (is_dup == 0)).cast("int")
+    return out.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        "confidence",
+        lang_ok.alias("lang_ok"),
+        ppl_ok.alias("ppl_ok"),
+        is_dup.alias("is_dup"),
+        keep.alias("keep"),
+    )
+
+
+def ccnet_pipeline_sql(
+    conf_min: float = CCNET_CONF_MIN, threshold: float = 0.05
+) -> str:
+    from flink_streaming_etl_spark.operators.dedup import minhash_lsh_pairs_sql
+
+    return f"""
+WITH scored0 AS ({unigram_logprob_score_sql()}),
+scored AS (
+  SELECT s.doc_id, d.lang, s.avg_logprob
+  FROM scored0 s JOIN documents d ON s.doc_id = d.doc_id
+),
+hist AS (
+  SELECT lang, avg_logprob, COUNT(*) AS freq FROM scored GROUP BY lang, avg_logprob
+),
+cum AS (
+  SELECT lang, avg_logprob,
+         SUM(freq) OVER (PARTITION BY lang ORDER BY avg_logprob
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumfreq,
+         SUM(freq) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+cuts AS (
+  SELECT lang,
+         MIN(CASE WHEN cumfreq >= CEIL(n / 3.0) THEN avg_logprob END) AS p33,
+         MIN(CASE WHEN cumfreq >= CEIL(n * 2.0 / 3.0) THEN avg_logprob END) AS p67
+  FROM cum GROUP BY lang
+),
+tag AS (
+  SELECT s.doc_id,
+         CASE WHEN s.avg_logprob <= c.p33 THEN 'tail'
+              WHEN s.avg_logprob <= c.p67 THEN 'middle'
+              ELSE 'head' END AS bucket
+  FROM scored s JOIN cuts c ON s.lang = c.lang
+),
+conf0 AS ({lang_confidence_sql()}),
+pairs AS ({minhash_lsh_pairs_sql(threshold)}),
+drops AS (SELECT DISTINCT b_id AS doc_id FROM pairs)
+SELECT d.doc_id, d.lang,
+       COALESCE(tag.bucket, 'none') AS bucket,
+       conf0.confidence,
+       CAST(CASE WHEN conf0.confidence >= {conf_min} THEN 1 ELSE 0 END AS INT) AS lang_ok,
+       CAST(CASE WHEN COALESCE(tag.bucket, 'none') IN ('head', 'middle')
+            THEN 1 ELSE 0 END AS INT) AS ppl_ok,
+       CAST(CASE WHEN drops.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup,
+       CAST(CASE WHEN conf0.confidence >= {conf_min}
+                  AND COALESCE(tag.bucket, 'none') IN ('head', 'middle')
+                  AND drops.doc_id IS NULL
+            THEN 1 ELSE 0 END AS INT) AS keep
+FROM documents d
+LEFT JOIN tag ON d.doc_id = tag.doc_id
+JOIN conf0 ON d.doc_id = conf0.doc_id
+LEFT JOIN drops ON d.doc_id = drops.doc_id
 """

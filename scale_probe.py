@@ -130,6 +130,7 @@ PROBES = [
     "hybrid_rrf_search",
     "minhash_band_tuning_report",
     "dedup_cluster_size_histogram",
+    "ccnet_pipeline",
 ]
 
 
