@@ -198,6 +198,9 @@ HEADLINE = [
     "minhash_band_tuning_report",
     "dedup_cluster_size_histogram",
     "ccnet_pipeline",
+    "ann_hamming_topk",
+    "bpe_first_merges",
+    "hashed_bow_sparse",
 ]
 
 
@@ -227,6 +230,13 @@ def main() -> None:
         # tokenize/persist, none rides or suffers a neighbor's cache.
         clear_operator_caches()
         spark.catalog.clearCache()
+        # Force a JVM GC so ContextCleaner frees the finished query's
+        # shuffle files / broadcast blocks NOW, between queries — not
+        # asynchronously inside the next query's timed window. Measured:
+        # mid-sweep cold times ran up to ~1.8x the same query in a quiet
+        # session (perplexity_buckets 7.4 s vs 4.1 s isolated); the r6
+        # periodicGC=2min mitigation was the partial version of this.
+        spark.sparkContext._jvm.System.gc()
 
     # JMH-style warmup: run every headline query once at the smallest scale
     # factor first. This compiles the whole-stage-codegen classes, spins up

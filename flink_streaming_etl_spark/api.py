@@ -778,6 +778,24 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.ccnet_pipeline, "documents"),
         text.ccnet_pipeline_sql(),
     ),
+    "ann_hamming_topk": (
+        # sign-bit binary codes (2 int32 halves in int64s) + popcount(xor)
+        # ranking — the 64x-compressed ANN tier, all-integer exact
+        _q(similarity.ann_hamming_topk, "embeddings"),
+        similarity.ann_hamming_topk_sql(),
+    ),
+    "bpe_first_merges": (
+        # most frequent adjacent char pairs weighted by word frequency —
+        # the first BPE merge-table iteration, vocabulary-sized counting
+        _q(text.bpe_first_merges, "documents"),
+        text.bpe_first_merges_sql(),
+    ),
+    "hashed_bow_sparse": (
+        # feature-hashed bag-of-words vectors in sparse form — the
+        # text → vector-space bridge, exact integer weights
+        _q(text.hashed_bow_sparse, "documents"),
+        text.hashed_bow_sparse_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -841,10 +859,10 @@ _SAMPLE_FRONT = [
     "day_stats",
     "product_stats",
     "region_rollup",
-    "scalar_battery",
-    "latest_order_asof",
     "dedup_exact",
-    "listagg_items",
+    "ann_hamming_topk",
+    "bpe_first_merges",
+    "hashed_bow_sparse",
     "ccnet_pipeline",
     "sql_pricing_summary",
     "hybrid_rrf_search",

@@ -2198,3 +2198,82 @@ FROM (
   FROM fused
 ) WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Binary-code (sign) hamming search — the 64x-compressed ANN tier every
+# production vector store keeps as its cheapest filter: each vector's
+# sign pattern packs into two 32-bit halves of an int64 pair (16 bytes a
+# vector), distance = popcount(xor). All-integer arithmetic: packing is
+# a ZERO-shuffle per-row fold, distances are engine-exact, ranking is
+# the bounded (n_queries × n) broadcast join — at corpus scale compose
+# with the LSH bucket exactly as knn_graph does.
+
+
+def _sign_code(v, lo: int, hi: int):
+    """MSB-first fold of sign bits [lo, hi] into a non-negative long."""
+    return F.aggregate(
+        F.sequence(F.lit(lo), F.lit(hi)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc * 2
+        + F.when(F.element_at(v, j) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+
+
+def ann_hamming_topk(
+    embeddings: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = _as_double(embeddings)
+    d = 64  # embeddings table dimension; two 32-bit halves
+    coded = e.select(
+        "vec_id",
+        _sign_code(F.col("v"), 1, d // 2).alias("c_lo"),
+        _sign_code(F.col("v"), d // 2 + 1, d).alias("c_hi"),
+    )
+    q = coded.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("c_lo").alias("q_lo"),
+        F.col("c_hi").alias("q_hi"),
+    )
+    ham = (
+        F.bit_count(F.col("q_lo").bitwiseXOR(F.col("c_lo")))
+        + F.bit_count(F.col("q_hi").bitwiseXOR(F.col("c_hi")))
+    ).cast("int")
+    scored = (
+        F.broadcast(q)
+        .join(coded, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), ham.alias("hamming"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "hamming")
+    )
+
+
+def ann_hamming_topk_sql(k: int = TOP_K, n_queries: int = N_QUERIES) -> str:
+    return f"""
+WITH ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bits AS (
+  SELECT vec_id, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM ev
+), coded AS (
+  SELECT vec_id,
+         SUM(CASE WHEN j <= 32 AND x >= 0 THEN (1::BIGINT << (32 - j)) ELSE 0 END) AS c_lo,
+         SUM(CASE WHEN j > 32 AND x >= 0 THEN (1::BIGINT << (64 - j)) ELSE 0 END) AS c_hi
+  FROM bits GROUP BY vec_id
+), scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST(bit_count(xor(q.c_lo, e.c_lo)) + bit_count(xor(q.c_hi, e.c_hi)) AS INT) AS hamming
+  FROM coded q JOIN coded e ON e.vec_id <> q.vec_id
+  WHERE q.vec_id < {n_queries}
+)
+SELECT query_id, rank, neighbor_id, hamming FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""

@@ -2993,3 +2993,101 @@ LEFT JOIN tag ON d.doc_id = tag.doc_id
 JOIN conf0 ON d.doc_id = conf0.doc_id
 LEFT JOIN drops ON d.doc_id = drops.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE first-iteration merge table — the most frequent adjacent character
+# pairs across the corpus vocabulary, weighted by word frequency: exactly
+# the statistic the first merge step of byte-pair-encoding training
+# computes (Sennrich et al. 2016). Pair counting runs over the VOCABULARY
+# (distinct words × their lengths), not the corpus: word frequencies come
+# from the memoized tf relation, so the corpus-sized pass is shared.
+
+BPE_TOP_PAIRS = 20
+
+
+def bpe_first_merges(documents: DataFrame, k: int = BPE_TOP_PAIRS) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    wc = (
+        lm_tf_relation(_lm_tokens(documents))
+        .groupBy("term")
+        .agg(F.sum("tf").alias("wcount"))
+    )
+    chars = F.split(F.col("term"), "")
+    pairs = wc.select(
+        "wcount",
+        F.explode(
+            F.zip_with(
+                F.slice(chars, 1, F.greatest(F.size(chars) - 1, F.lit(0))),
+                F.slice(chars, 2, F.greatest(F.size(chars) - 1, F.lit(0))),
+                lambda a, b: F.concat(a, b),
+            )
+        ).alias("pair"),
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("wcount").cast("long").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "pair", "n")
+    )
+
+
+def bpe_first_merges_sql(k: int = BPE_TOP_PAIRS) -> str:
+    return f"""
+WITH tf AS (
+  SELECT doc_id, t.term, COUNT(*) AS tf
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS term) t
+  WHERE t.term <> '' GROUP BY doc_id, t.term
+), wc AS (SELECT term, SUM(tf) AS wcount FROM tf GROUP BY term),
+pairs AS (
+  SELECT wcount, term[i] || term[i + 1] AS pair
+  FROM wc, LATERAL (SELECT UNNEST(range(1, length(term))) AS i) r
+), counted AS (
+  SELECT pair, CAST(SUM(wcount) AS BIGINT) AS n FROM pairs GROUP BY pair
+)
+SELECT rank, pair, n FROM (
+  SELECT *, row_number() OVER (ORDER BY n DESC, pair) AS rank FROM counted
+) WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hashed bag-of-words vectors (feature hashing, Weinberger et al. 2009)
+# — the text → vector-space bridge: every document becomes a sparse
+# D-bucket vector of term frequencies, bucket = md5(term) mod D. Emitted
+# SPARSE ((doc_id, bucket, weight) rows — exact integers, driver-
+# hashable) so downstream dense assembly is one groupBy(doc_id) away;
+# rides the memoized tf relation.
+
+HASHED_BOW_DIM = 64
+
+
+def hashed_bow_sparse(documents: DataFrame, dim: int = HASHED_BOW_DIM) -> DataFrame:
+    from flink_streaming_etl_spark.functions import md5_int
+
+    tf = lm_tf_relation(_lm_tokens(documents))
+    bucket = (md5_int(F.col("term"), 8) % dim).cast("int")
+    return (
+        tf.select("doc_id", bucket.alias("bucket"), "tf")
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("tf").cast("long").alias("weight"))
+    )
+
+
+def hashed_bow_sparse_sql(dim: int = HASHED_BOW_DIM) -> str:
+    from flink_streaming_etl_spark.functions import md5_int_sql
+
+    bucket = f"CAST(({md5_int_sql('term', 8)}) % {dim} AS INT)"
+    return f"""
+WITH tf AS (
+  SELECT doc_id, t.term, COUNT(*) AS tf
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS term) t
+  WHERE t.term <> '' GROUP BY doc_id, t.term
+)
+SELECT doc_id, {bucket} AS bucket, CAST(SUM(tf) AS BIGINT) AS weight
+FROM tf GROUP BY doc_id, {bucket}
+"""

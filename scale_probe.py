@@ -131,6 +131,9 @@ PROBES = [
     "minhash_band_tuning_report",
     "dedup_cluster_size_histogram",
     "ccnet_pipeline",
+    "ann_hamming_topk",
+    "bpe_first_merges",
+    "hashed_bow_sparse",
 ]
 
 

@@ -148,3 +148,57 @@ def test_sq8_constant_dim_decodes_exactly(spark):
     assert got
     for r in got:
         assert r["cosine_sq8"] == 1.0, r
+
+
+def test_ann_hamming_matches_sign_agreement(spark):
+    """Hamming distance over packed sign codes must equal the direct
+    count of sign disagreements, and identical vectors must rank first."""
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    rows = []
+    base = [1.0 if (i * 7) % 3 else -1.0 for i in range(64)]
+    rows.append((0, base, 0))
+    rows.append((1, base, 0))                      # identical signs → ham 0
+    flip3 = list(base); flip3[5], flip3[17], flip3[40] = -flip3[5], -flip3[17], -flip3[40]
+    rows.append((2, flip3, 0))                     # exactly 3 disagreements
+    rows.append((3, [-x for x in base], 0))        # all 64 flipped
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {(r["query_id"], r["neighbor_id"]): r["hamming"]
+           for r in sim.ann_hamming_topk(emb, k=3, n_queries=1).collect()}
+    assert got[(0, 1)] == 0
+    assert got[(0, 2)] == 3
+    assert got[(0, 3)] == 64
+
+
+def test_bpe_first_merges_known_corpus(spark):
+    """'aaab aaab ab' → pair 'aa' count 4 (2 per 'aaab' x freq 2),
+    'ab' count 3 (one per word occurrence)."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab", "en", "s", 12)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["pair"]: r["n"] for r in tx.bpe_first_merges(docs, k=5).collect()}
+    assert out == {"aa": 4, "ab": 3}
+
+
+def test_hashed_bow_sparse_weights_are_tf_sums(spark):
+    """Total weight mass equals the corpus token count; buckets in [0, D)."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_etl_spark.operators import text as tx
+
+    docs = _tables(spark)["documents"]
+    sp = tx.hashed_bow_sparse(docs)
+    agg = sp.agg(F.sum("weight").alias("w"), F.max("bucket").alias("mx"),
+                 F.min("bucket").alias("mn")).collect()[0]
+    n_tokens = (
+        docs.select(F.explode(F.filter(F.split(F.lower("text"), "[^a-z]+"),
+                                       lambda t: t != "")).alias("t")).count()
+    )
+    assert agg["w"] == n_tokens
+    assert 0 <= agg["mn"] and agg["mx"] < tx.HASHED_BOW_DIM
