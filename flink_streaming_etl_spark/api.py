@@ -796,6 +796,26 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.hashed_bow_sparse, "documents"),
         text.hashed_bow_sparse_sql(),
     ),
+    "media_chunk_dedup": (
+        # partial-duplicate media via chunk-hash equi-join, hot-chunk cap
+        _q(multimodal.media_chunk_dedup, "documents"),
+        multimodal.media_chunk_dedup_sql(),
+    ),
+    "pmi_top_pairs": (
+        # PMI co-occurrence over the top-V vocabulary — bounded pair volume
+        _q(text.pmi_top_pairs, "documents"),
+        text.pmi_top_pairs_sql(),
+    ),
+    "bigram_entropy_report": (
+        # H(W), H(W2|W1), and their mutual-information gap in one row
+        _q(text.bigram_entropy_report, "documents"),
+        text.BIGRAM_ENTROPY_REPORT_SQL,
+    ),
+    "anomaly_zscore_daily": (
+        # trailing-7-day z-score anomaly gate, exact integer window folds
+        _q(analytics.anomaly_zscore_daily, "events"),
+        analytics.anomaly_zscore_daily_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -854,10 +874,10 @@ _SAMPLE_FRONT = [
     "pricing_summary",
     "minhash_lsh_pairs",
     "cosine_topk",
-    "order_enrich_join",
-    "user_day_stats",
-    "day_stats",
-    "product_stats",
+    "media_chunk_dedup",
+    "pmi_top_pairs",
+    "bigram_entropy_report",
+    "anomaly_zscore_daily",
     "region_rollup",
     "dedup_exact",
     "ann_hamming_topk",

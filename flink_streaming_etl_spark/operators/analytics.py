@@ -2281,3 +2281,85 @@ WITH flines AS (
 SELECT s.s_suppkey, s.s_name, w.numwait
 FROM wait w JOIN supplier s ON w.sk = s.s_suppkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Daily anomaly z-scores — each (event_type, day)'s value total scored
+# against its own trailing 7-day window: the metrics-pipeline anomaly
+# gate. Engine-exact construction: daily totals fold in integer
+# milli-units, the trailing mean/variance come from exact SUM/SUM-of-
+# squares/COUNT window folds (never an engine-native stddev, whose
+# accumulation algorithm differs between engines), z is one closed-form
+# double expression on exact ints, bround-4. One shuffle (type, day),
+# one ordered window per type.
+
+ANOMALY_Z_THRESHOLD = 3.0
+
+
+def anomaly_zscore_daily(
+    events: DataFrame, z_threshold: float = ANOMALY_Z_THRESHOLD
+) -> DataFrame:
+    daily = (
+        events.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            F.round(F.col("value") * 1000).cast("long").alias("_v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("_v").alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    stats = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.count("x").over(w).alias("_n"),
+        F.sum("x").over(w).alias("_s1"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("_s2"),
+    )
+    n = F.col("_n").cast("double")
+    mean = F.col("_s1") / n
+    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / n) / (n - 1)
+    z = F.bround((F.col("x") - mean) / F.sqrt(var), 4)
+    full = F.col("_n") == 7
+    return stats.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        (F.col("x") / 1000.0).alias("daily_value"),
+        F.when(full, z).alias("zscore"),
+        F.when(full & (F.abs(z) > z_threshold), 1).otherwise(0).alias("is_anomaly"),
+    )
+
+
+def anomaly_zscore_daily_sql(z_threshold: float = ANOMALY_Z_THRESHOLD) -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         SUM(CAST(round(value * 1000) AS BIGINT)) AS x
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, day, x,
+         COUNT(x) OVER w AS n,
+         SUM(x) OVER w AS s1,
+         SUM(x * x) OVER w AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       CAST(day AS VARCHAR) AS day,
+       x / 1000.0 AS daily_value,
+       CASE WHEN n = 7 THEN
+         round_even((x - s1 / n::DOUBLE)
+                    / sqrt((s2 - s1 * s1 / n::DOUBLE) / (n - 1)), 4)
+       END AS zscore,
+       CASE WHEN n = 7 AND ABS(
+         round_even((x - s1 / n::DOUBLE)
+                    / sqrt((s2 - s1 * s1 / n::DOUBLE) / (n - 1)), 4)
+       ) > {z_threshold} THEN 1 ELSE 0 END AS is_anomaly
+FROM stats
+"""

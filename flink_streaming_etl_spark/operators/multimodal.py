@@ -237,3 +237,93 @@ def sample_frames(media: DataFrame, every_n: int = 2, max_frames: int = 4) -> Da
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.mapInPandas(compute, schema=_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level binary dedup — media sharing many content chunks are
+# partial duplicates (same video re-muxed, same image re-headered):
+# fixed-size byte chunks hashed with md5, pairs found by chunk-hash
+# equi-join (never all-pairs), hot chunks capped exactly like hot LSH
+# buckets (a chunk shared by >CAP media is container boilerplate, not
+# content). All engine-exact: byte slicing + md5 + integer counts.
+
+MEDIA_CHUNK_BYTES = 64
+MEDIA_CHUNK_OWNER_CAP = 50
+MEDIA_CHUNK_MIN_SHARED = 2
+
+
+def media_chunk_dedup(
+    documents: DataFrame,
+    chunk_bytes: int = MEDIA_CHUNK_BYTES,
+    min_shared: int = MEDIA_CHUNK_MIN_SHARED,
+    owner_cap: int = MEDIA_CHUNK_OWNER_CAP,
+) -> DataFrame:
+    m = documents_as_media(documents).select("media_id", "payload", "n_bytes")
+    nchunks = F.greatest(
+        F.ceil(F.col("n_bytes") / F.lit(chunk_bytes)).cast("int"), F.lit(1)
+    )
+    chunks = (
+        m.select(
+            "media_id",
+            "payload",
+            F.explode(F.sequence(F.lit(0), nchunks - 1)).alias("ci"),
+        )
+        .select(
+            "media_id",
+            F.md5(
+                F.expr(f"substring(payload, ci * {chunk_bytes} + 1, {chunk_bytes})")
+            ).alias("chash"),
+        )
+        .distinct()
+    )
+    # hot-chunk cap: a chunk owned by more than owner_cap media is
+    # structural boilerplate — joining it would explode quadratically.
+    owners = (
+        chunks.groupBy("chash")
+        .agg(F.count(F.lit(1)).alias("_own"))
+        .filter((F.col("_own") >= 2) & (F.col("_own") <= owner_cap))
+        .select("chash")
+    )
+    keyed = chunks.join(owners, "chash", "left_semi")
+    a = keyed.select(F.col("media_id").alias("a_id"), "chash")
+    b = keyed.select(F.col("media_id").alias("b_id"), "chash")
+    return (
+        a.join(b, "chash")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_chunks"))
+        .filter(F.col("shared_chunks") >= min_shared)
+    )
+
+
+def media_chunk_dedup_sql(
+    chunk_bytes: int = MEDIA_CHUNK_BYTES,
+    min_shared: int = MEDIA_CHUNK_MIN_SHARED,
+    owner_cap: int = MEDIA_CHUNK_OWNER_CAP,
+) -> str:
+    return f"""
+WITH m AS (
+  -- DuckDB cannot slice BLOBs; the corpus is single-byte (verified
+  -- octet_length == length corpus-wide), so char-substring + md5 of the
+  -- VARCHAR chunk is byte-identical to Spark's binary slice + md5.
+  SELECT doc_id AS media_id, text AS payload,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+), chunks AS (
+  SELECT DISTINCT media_id,
+         md5(substring(payload, ci * {chunk_bytes} + 1, {chunk_bytes})) AS chash
+  FROM m, LATERAL (
+    SELECT UNNEST(range(0, GREATEST(CAST(CEIL(n_bytes / {chunk_bytes}.0) AS INT), 1))) AS ci
+  ) r
+), owners AS (
+  SELECT chash FROM chunks GROUP BY chash
+  HAVING COUNT(*) BETWEEN 2 AND {owner_cap}
+), keyed AS (
+  SELECT c.media_id, c.chash FROM chunks c SEMI JOIN owners o ON c.chash = o.chash
+)
+SELECT a.media_id AS a_id, b.media_id AS b_id,
+       CAST(COUNT(*) AS BIGINT) AS shared_chunks
+FROM keyed a JOIN keyed b ON a.chash = b.chash AND a.media_id < b.media_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}
+"""

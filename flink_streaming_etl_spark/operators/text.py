@@ -3091,3 +3091,196 @@ WITH tf AS (
 SELECT doc_id, {bucket} AS bucket, CAST(SUM(tf) AS BIGINT) AS weight
 FROM tf GROUP BY doc_id, {bucket}
 """
+
+
+# ---------------------------------------------------------------------------
+# PMI co-occurrence pairs — pointwise mutual information of word pairs
+# within documents, over the top-V vocabulary only (the WAND-class
+# restriction that bounds pair volume: per-doc pairs ≤ C(V, 2) whatever
+# the corpus size). Document-frequency based (presence, not counts), so
+# every statistic is an exact integer and PMI = ln(df12·N/(df1·df2)) is
+# a single transcendental on an exact rational, bround-4.
+
+PMI_VOCAB_K = 100
+PMI_MIN_PAIR_DF = 5
+PMI_TOP_K = 20
+
+
+def pmi_top_pairs(
+    documents: DataFrame,
+    vocab_k: int = PMI_VOCAB_K,
+    min_pair_df: int = PMI_MIN_PAIR_DF,
+    k: int = PMI_TOP_K,
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    tf = lm_tf_relation(_lm_tokens(documents))
+    wv = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    top = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("cnt"))
+        .withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") <= vocab_k)
+        .select("term")
+    )
+    docterm = tf.join(F.broadcast(top), "term").select("doc_id", "term")
+    dfr = docterm.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = documents.count()
+    a = docterm.select("doc_id", F.col("term").alias("t1"))
+    b = docterm.select("doc_id", F.col("term").alias("t2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("df12"))
+        .filter(F.col("df12") >= min_pair_df)
+    )
+    j = (
+        pairs.join(
+            F.broadcast(dfr.select(F.col("term").alias("t1"), F.col("df_t").alias("df1"))),
+            "t1",
+        )
+        .join(
+            F.broadcast(dfr.select(F.col("term").alias("t2"), F.col("df_t").alias("df2"))),
+            "t2",
+        )
+    )
+    pmi = F.bround(
+        F.log(
+            F.col("df12").cast("double")
+            * F.lit(float(n_docs))
+            / (F.col("df1") * F.col("df2"))
+        ),
+        4,
+    )
+    wk = Window.orderBy(F.desc("pmi"), F.asc("t1"), F.asc("t2"))
+    return (
+        j.select("t1", "t2", F.col("df12").cast("long").alias("df12"), pmi.alias("pmi"))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("rank", "t1", "t2", "df12", "pmi")
+    )
+
+
+def pmi_top_pairs_sql(
+    vocab_k: int = PMI_VOCAB_K,
+    min_pair_df: int = PMI_MIN_PAIR_DF,
+    k: int = PMI_TOP_K,
+) -> str:
+    return f"""
+WITH tf AS (
+  SELECT doc_id, t.term, COUNT(*) AS tf
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS term) t
+  WHERE t.term <> '' GROUP BY doc_id, t.term
+), top AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY SUM(tf) DESC, term) AS rn
+    FROM tf GROUP BY term
+  ) WHERE rn <= {vocab_k}
+), docterm AS (
+  SELECT tf.doc_id, tf.term FROM tf SEMI JOIN top ON tf.term = top.term
+), dfr AS (SELECT term, COUNT(*) AS df_t FROM docterm GROUP BY term),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+pairs AS (
+  SELECT a.term AS t1, b.term AS t2, COUNT(*) AS df12
+  FROM docterm a JOIN docterm b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_pair_df}
+), scored AS (
+  SELECT p.t1, p.t2, CAST(p.df12 AS BIGINT) AS df12,
+         round_even(ln(p.df12::DOUBLE * nd.n / (d1.df_t * d2.df_t)), 4) AS pmi
+  FROM pairs p
+  JOIN dfr d1 ON p.t1 = d1.term
+  JOIN dfr d2 ON p.t2 = d2.term, nd
+)
+SELECT rank, t1, t2, df12, pmi FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, t1, t2) AS rank FROM scored
+) WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram conditional entropy — H(W2|W1) and unigram H(W) in nats:
+# the predictability statistic (low conditional entropy = templated /
+# repetitive corpus; the gap H(W) − H(W2|W1) is the mutual information a
+# bigram model exploits). One-row report from the vocabulary(²)-keyed
+# count relations; exact integer counts into the entropy identities
+# (H(W2|W1) = (Σ c12·ln(c1/c12))/T over bigram mass), bround-4.
+
+
+def bigram_entropy_report(documents: DataFrame) -> DataFrame:
+    w = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+    grams = documents.select(
+        F.explode(
+            F.zip_with(
+                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("g"),
+    ).select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    c2 = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    cond = (
+        c2.join(c1, "w1")
+        .agg(
+            F.sum("c12").alias("_t"),
+            F.sum(F.col("c12") * F.log(F.col("c1") / F.col("c12"))).alias("_h"),
+        )
+        .select(
+            F.col("_t").cast("long").alias("n_bigrams"),
+            F.bround(F.col("_h") / F.col("_t"), 4).alias("h_cond_nats"),
+        )
+    )
+    uni = documents.select(F.explode(w).alias("term")).groupBy("term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    hu = uni.agg(
+        F.sum("c").alias("_t"),
+        F.sum(F.col("c") * F.log("c")).alias("_s"),
+    ).select(
+        F.col("_t").cast("long").alias("n_tokens"),
+        F.bround(F.log(F.col("_t")) - F.col("_s") / F.col("_t"), 4).alias(
+            "h_unigram_nats"
+        ),
+    )
+    return cond.crossJoin(hu).select(
+        "n_tokens",
+        "n_bigrams",
+        "h_unigram_nats",
+        "h_cond_nats",
+        F.bround(F.col("h_unigram_nats") - F.col("h_cond_nats"), 4).alias(
+            "mutual_info_nats"
+        ),
+    )
+
+
+BIGRAM_ENTROPY_REPORT_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM toks, LATERAL (SELECT UNNEST(range(1, len(w))) AS i) r
+), c2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM grams GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c12) AS c1 FROM c2 GROUP BY w1),
+cond AS (
+  SELECT CAST(SUM(c12) AS BIGINT) AS n_bigrams,
+         round_even(SUM(c12 * ln(c1.c1::DOUBLE / c12)) / SUM(c12), 4) AS h_cond_nats
+  FROM c2 JOIN c1 USING (w1)
+),
+uni AS (
+  SELECT t.term, COUNT(*) AS c
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS term) t
+  WHERE t.term <> '' GROUP BY t.term
+),
+hu AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+         round_even(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4) AS h_unigram_nats
+  FROM uni
+)
+SELECT hu.n_tokens, cond.n_bigrams, hu.h_unigram_nats, cond.h_cond_nats,
+       round_even(hu.h_unigram_nats - cond.h_cond_nats, 4) AS mutual_info_nats
+FROM cond, hu
+"""

@@ -134,6 +134,10 @@ PROBES = [
     "ann_hamming_topk",
     "bpe_first_merges",
     "hashed_bow_sparse",
+    "media_chunk_dedup",
+    "pmi_top_pairs",
+    "bigram_entropy_report",
+    "anomaly_zscore_daily",
 ]
 
 

@@ -202,3 +202,92 @@ def test_hashed_bow_sparse_weights_are_tf_sums(spark):
     )
     assert agg["w"] == n_tokens
     assert 0 <= agg["mn"] and agg["mx"] < tx.HASHED_BOW_DIM
+
+
+def test_media_chunk_dedup_shared_chunks_and_hot_cap(spark):
+    """Docs sharing aligned 64-byte chunks pair with the exact shared
+    count; a chunk owned by more than owner_cap media (container
+    boilerplate) must not create pairs."""
+    from flink_streaming_etl_spark.operators import multimodal as mm
+
+    c1, c2, c3, c4 = ("A" * 64, "B" * 64, "C" * 64, "D" * 64)
+    rows = [
+        (1, c1 + c2 + c3),        # shares c1+c2 with doc 2 → pair (1,2)=2
+        (2, c1 + c2 + c4),
+        (3, c3 + c4),             # shares only 1 chunk with each → no pair
+    ]
+    hot = "H" * 64               # owned by 4 docs > owner_cap=3 → excluded
+    rows += [(10 + i, hot + chr(69 + i) * 64) for i in range(4)]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {(r["a_id"], r["b_id"]): r["shared_chunks"]
+           for r in mm.media_chunk_dedup(docs, owner_cap=3).collect()}
+    assert got == {(1, 2): 2}
+
+
+def test_pmi_top_pairs_known_cooccurrence(spark):
+    """alpha+beta always co-occur (df12=df1=df2=6, N=8): PMI=ln(8/6);
+    gamma co-occurs with alpha in 5 of alpha's 6 docs: lower PMI."""
+    import math
+
+    from flink_streaming_etl_spark.operators import text as tx
+
+    rows = [(i, "alpha beta" + (" gamma" if i < 5 else "")) for i in range(6)]
+    rows += [(6, "gamma delta"), (7, "delta epsilon")]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {(r["t1"], r["t2"]): r for r in tx.pmi_top_pairs(docs, min_pair_df=5).collect()}
+    ab = out[("alpha", "beta")]
+    assert ab["df12"] == 6
+    assert abs(ab["pmi"] - round(math.log(8 * 6 / 36), 4)) < 1e-9
+    assert ab["rank"] == 1
+    ag = out[("alpha", "gamma")]
+    assert ag["df12"] == 5
+    assert ag["pmi"] < ab["pmi"]
+
+
+def test_bigram_entropy_fully_deterministic_corpus(spark):
+    """'a b a b a b': every w1 determines w2, so H(W2|W1)=0, H(W)=ln 2,
+    and the mutual-information gap equals the full unigram entropy."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b", "en", "s", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = tx.bigram_entropy_report(docs).collect()[0]
+    assert r["n_tokens"] == 6 and r["n_bigrams"] == 5
+    assert r["h_cond_nats"] == 0.0
+    assert r["h_unigram_nats"] == 0.6931
+    assert r["mutual_info_nats"] == 0.6931
+
+
+def test_anomaly_zscore_flags_spike_only(spark):
+    """Flat history then one spike: the first 7 days have no window
+    (zscore null), steady days z=0, and only the spike is flagged."""
+    import datetime as dt
+
+    from flink_streaming_etl_spark.operators import analytics as an
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for d in range(12):
+        v = 1000.0 if d == 10 else 5.0 + (d % 2)  # alternating 5/6, spike d10
+        rows.append((d, base + dt.timedelta(days=d), 1, "click", v, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r["day"]: r for r in an.anomaly_zscore_daily(ev).collect()}
+    assert len(out) == 12
+    for d in range(7):  # incomplete trailing window → unscored
+        assert out[f"2024-01-{d + 1:02d}"]["zscore"] is None
+    assert out["2024-01-11"]["is_anomaly"] == 1      # the spike
+    assert out["2024-01-09"]["is_anomaly"] == 0      # steady day
+    flagged = [d for d, r in out.items() if r["is_anomaly"] == 1]
+    # the day after the spike isn't flagged: the spike inflates both the
+    # trailing mean and the trailing stddev, shrinking |z| below threshold
+    assert flagged == ["2024-01-11"]
