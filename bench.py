@@ -205,6 +205,11 @@ HEADLINE = [
     "pmi_top_pairs",
     "bigram_entropy_report",
     "anomaly_zscore_daily",
+    "winnow_fingerprints",
+    "winnow_dup_pairs",
+    "tfidf_cosine_pairs",
+    "zipf_fit_report",
+    "doclen_percentile_report",
 ]
 
 

@@ -816,6 +816,31 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(analytics.anomaly_zscore_daily, "events"),
         analytics.anomaly_zscore_daily_sql(),
     ),
+    "winnow_fingerprints": (
+        # MOSS winnowing: rightmost-minimal k-gram hash per window
+        _q(text.winnow_fingerprints, "documents"),
+        text.winnow_fingerprints_sql(),
+    ),
+    "winnow_dup_pairs": (
+        # alignment-free near-dup pairs via shared winnow fingerprints
+        _q(text.winnow_dup_pairs, "documents"),
+        text.winnow_dup_pairs_sql(),
+    ),
+    "tfidf_cosine_pairs": (
+        # stopword-capped tf-idf cosine over a term-keyed posting join
+        _q(text.tfidf_cosine_pairs, "documents"),
+        text.tfidf_cosine_pairs_sql(),
+    ),
+    "zipf_fit_report": (
+        # OLS Zipf slope/intercept/r2 over the top-R vocabulary
+        _q(text.zipf_fit_report, "documents"),
+        text.zipf_fit_report_sql(),
+    ),
+    "doclen_percentile_report": (
+        # exact nearest-rank token-length percentiles per source
+        _q(text.doclen_percentile_report, "documents"),
+        text.DOCLEN_PERCENTILE_REPORT_SQL,
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -872,19 +897,19 @@ _SAMPLE_FRONT = [
     # multi-round-green registry rotates to the tail; every oracle entry
     # is still re-checked each run by tests/test_oracle_parity.py)
     "pricing_summary",
-    "minhash_lsh_pairs",
-    "cosine_topk",
+    "winnow_fingerprints",
+    "winnow_dup_pairs",
     "media_chunk_dedup",
     "pmi_top_pairs",
     "bigram_entropy_report",
     "anomaly_zscore_daily",
-    "region_rollup",
-    "dedup_exact",
+    "tfidf_cosine_pairs",
+    "zipf_fit_report",
+    "doclen_percentile_report",
     "ann_hamming_topk",
     "bpe_first_merges",
     "hashed_bow_sparse",
     "ccnet_pipeline",
-    "sql_pricing_summary",
     "hybrid_rrf_search",
     "minhash_band_tuning_report",
     "dedup_cluster_size_histogram",

@@ -3284,3 +3284,386 @@ SELECT hu.n_tokens, cond.n_bigrams, hu.h_unigram_nats, cond.h_cond_nats,
        round_even(hu.h_unigram_nats - cond.h_cond_nats, 4) AS mutual_info_nats
 FROM cond, hu
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# algorithm): hash every k-gram of the normalized character stream, then
+# keep the RIGHTMOST MINIMAL hash of each sliding window of w consecutive
+# hashes. Guarantees every shared substring of length >= w + k - 1
+# produces a shared fingerprint, with expected density 2/(w+1) — the
+# position-robust complement to fixed-boundary chunk dedup. Engine-exact:
+# md5-derived 40-bit integer hashes, tie-break encoded arithmetically
+# (combined = h·2^20 + (2^20−1−pos), so min() picks min-hash-then-
+# rightmost-pos in one fold). One shuffle on doc_id for the per-doc
+# ordered window; fingerprint volume ≈ 2/(w+1) of the character count.
+
+WINNOW_K = 8
+WINNOW_W = 4
+_WINNOW_POS_BITS = 20  # docs are < 2^20 normalized chars (enforced via cap)
+
+
+def winnow_fingerprints(
+    documents: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from flink_streaming_etl_spark.functions import md5_int
+
+    m = 1 << _WINNOW_POS_BITS
+    s = F.regexp_replace(F.lower("text"), "[^a-z]", "")
+    base = documents.select("doc_id", s.alias("s")).filter(
+        F.length("s") >= k + w - 1
+    )
+    kgrams = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("s") - k + 1)).alias("pos"),
+        F.col("s"),
+    ).select(
+        "doc_id",
+        "pos",
+        (
+            md5_int(F.expr(f"substring(s, pos, {k})"), 10) * m
+            + (F.lit(m - 1) - F.least(F.col("pos"), F.lit(m - 1)))
+        ).alias("combined"),
+    )
+    frame = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    sel = (
+        kgrams.select(
+            "doc_id",
+            F.min("combined").over(frame).alias("wmin"),
+            F.count(F.lit(1)).over(frame).alias("_cnt"),
+        )
+        .filter(F.col("_cnt") == w)  # full windows only
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        F.floor(F.col("wmin") / m).cast("long").alias("fp"),
+        (F.lit(m - 1) - F.col("wmin") % m).cast("long").alias("pos"),
+    )
+
+
+def winnow_fingerprints_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    from flink_streaming_etl_spark.functions import md5_int_sql
+
+    m = 1 << _WINNOW_POS_BITS
+    h = md5_int_sql(f"substring(s, CAST(pos AS INT), {k})", 10)
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z]', '', 'g') AS s
+  FROM documents
+), kgrams AS (
+  SELECT doc_id, pos,
+         {h} * {m} + ({m - 1} - LEAST(pos, {m - 1})) AS combined
+  FROM base, LATERAL (SELECT UNNEST(range(1, len(s) - {k} + 2)) AS pos) r
+  WHERE len(s) >= {k + w - 1}
+), sel AS (
+  SELECT DISTINCT doc_id, wmin FROM (
+    SELECT doc_id,
+           MIN(combined) OVER fr AS wmin,
+           COUNT(*) OVER fr AS cnt
+    FROM kgrams
+    WINDOW fr AS (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+  ) WHERE cnt = {w}
+)
+SELECT doc_id,
+       CAST(FLOOR(wmin / {m}) AS BIGINT) AS fp,
+       CAST({m - 1} - wmin % {m} AS BIGINT) AS pos
+FROM sel
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winnow duplicate pairs — documents sharing >= min_shared winnowing
+# fingerprints: the alignment-free near-dup detector (robust to
+# insertions/shifts that break fixed-boundary chunking). Same bounded
+# shape as media_chunk_dedup: fingerprint equi-join, never all-pairs,
+# hot fingerprints (> owner_cap docs — boilerplate) dropped before the
+# join so per-key fanout is capped.
+
+WINNOW_OWNER_CAP = 50
+WINNOW_MIN_SHARED = 2
+
+
+def winnow_dup_pairs(
+    documents: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = WINNOW_MIN_SHARED,
+    owner_cap: int = WINNOW_OWNER_CAP,
+) -> DataFrame:
+    fps = winnow_fingerprints(documents, k, w).select("doc_id", "fp").distinct()
+    owners = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_own"))
+        .filter((F.col("_own") >= 2) & (F.col("_own") <= owner_cap))
+        .select("fp")
+    )
+    keyed = fps.join(owners, "fp", "left_semi")
+    a = keyed.select(F.col("doc_id").alias("a_id"), "fp")
+    b = keyed.select(F.col("doc_id").alias("b_id"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+def winnow_dup_pairs_sql(
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = WINNOW_MIN_SHARED,
+    owner_cap: int = WINNOW_OWNER_CAP,
+) -> str:
+    return f"""
+WITH allfp AS ({winnow_fingerprints_sql(k, w)}),
+fps AS (SELECT DISTINCT doc_id, fp FROM allfp),
+owners AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND {owner_cap}
+),
+keyed AS (SELECT f.doc_id, f.fp FROM fps f SEMI JOIN owners o ON f.fp = o.fp)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM keyed a JOIN keyed b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sparse tf-idf cosine pairs — lexical near-dup scoring in the
+# stopword-capped tf-idf space: terms appearing in more than
+# df_frac_cap of documents are dropped (they are stopwords — they
+# dominate the posting-list join quadratically while carrying ~zero idf
+# weight), document vectors live over the surviving vocabulary, and
+# pair scores come from a term-keyed posting-list join (never
+# all-pairs). The df cap IS the scale bound: per-term pair volume is
+# <= (df_frac_cap·N)² only for terms at the cap, and idf-weighting
+# makes those terms nearly weightless anyway.
+
+TFIDF_DF_FRAC_CAP = 0.33
+TFIDF_COS_THRESHOLD = 0.5
+
+
+def tfidf_cosine_pairs(
+    documents: DataFrame,
+    df_frac_cap: float = TFIDF_DF_FRAC_CAP,
+    threshold: float = TFIDF_COS_THRESHOLD,
+) -> DataFrame:
+    n_docs = documents.count()
+    cap = int(df_frac_cap * n_docs)
+    tf = lm_tf_relation(_lm_tokens(documents))
+    dfr = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+        .filter((F.col("df_t") >= 2) & (F.col("df_t") <= cap))
+    )
+    wvec = tf.join(dfr, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t"))).alias("wt"),
+    )
+    norms = wvec.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    a = wvec.select(F.col("doc_id").alias("a_id"), "term", F.col("wt").alias("wa"))
+    b = wvec.select(F.col("doc_id").alias("b_id"), "term", F.col("wt").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("nb"))
+    cos = F.bround(F.col("dot") / (F.col("na") * F.col("nb")), 4)
+    return (
+        dots.join(na, "a_id")
+        .join(nb, "b_id")
+        .select("a_id", "b_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def tfidf_cosine_pairs_sql(
+    df_frac_cap: float = TFIDF_DF_FRAC_CAP,
+    threshold: float = TFIDF_COS_THRESHOLD,
+) -> str:
+    return f"""
+WITH tf AS (
+  SELECT doc_id, t.term, COUNT(*) AS tf
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS term) t
+  WHERE t.term <> '' GROUP BY doc_id, t.term
+), nd AS (SELECT COUNT(*) AS n FROM documents),
+dfr AS (
+  SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term
+  HAVING COUNT(*) >= 2
+     AND COUNT(*) <= (SELECT CAST(FLOOR({df_frac_cap} * n) AS BIGINT) FROM nd)
+),
+wvec AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((SELECT n FROM nd)::DOUBLE / dfr.df_t) AS wt
+  FROM tf JOIN dfr USING (term)
+),
+norms AS (SELECT doc_id, sqrt(SUM(wt * wt)) AS nrm FROM wvec GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, SUM(a.wt * b.wt) AS dot
+  FROM wvec a JOIN wvec b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d.a_id, d.b_id,
+       round_even(d.dot / (na.nrm * nb.nrm), 4) AS cosine
+FROM dots d JOIN norms na ON d.a_id = na.doc_id
+            JOIN norms nb ON d.b_id = nb.doc_id
+WHERE round_even(d.dot / (na.nrm * nb.nrm), 4) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit report — OLS of ln(frequency) on ln(rank) over the top-R
+# vocabulary: natural corpora fit slope ≈ −1 (Zipf's law); a flat slope
+# flags templated/synthetic text, a cliff flags boilerplate domination.
+# The companion statistic to heaps_law_report. Vocabulary-sized rollup,
+# one R-row window, closed-form OLS in one aggregation — nothing scales
+# with the corpus beyond the shared tf relation.
+
+ZIPF_TOP_R = 500
+
+
+def zipf_fit_report(documents: DataFrame, top_r: int = ZIPF_TOP_R) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    tf = lm_tf_relation(_lm_tokens(documents))
+    wv = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    ranked = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("cnt"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= top_r)
+        .select(
+            F.log(F.col("rn").cast("double")).alias("x"),
+            F.log(F.col("cnt").cast("double")).alias("y"),
+        )
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r2 = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        F.bround(slope, 4).alias("zipf_slope"),
+        F.bround(intercept, 4).alias("zipf_intercept"),
+        F.bround(r2, 4).alias("r_squared"),
+    )
+
+
+def zipf_fit_report_sql(top_r: int = ZIPF_TOP_R) -> str:
+    return f"""
+WITH tf AS (
+  SELECT doc_id, t.term, COUNT(*) AS tf
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS term) t
+  WHERE t.term <> '' GROUP BY doc_id, t.term
+), ranked AS (
+  SELECT ln(rn::DOUBLE) AS x, ln(cnt::DOUBLE) AS y FROM (
+    SELECT SUM(tf) AS cnt,
+           row_number() OVER (ORDER BY SUM(tf) DESC, term) AS rn
+    FROM tf GROUP BY term
+  ) WHERE rn <= {top_r}
+), agg AS (
+  SELECT COUNT(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_ranks,
+       round_even((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+       round_even((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+         AS zipf_intercept,
+       round_even((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r_squared
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact doc-length percentiles per source — nearest-rank (no
+# interpolation: the value AT row ceil(q·n) of the sorted order, a
+# definition every engine computes identically — interpolating
+# percentile functions differ across engines and are banned from
+# oracle-compared outputs). One shuffle on source; the window runs over
+# per-source partitions, never a global sort.
+
+
+def doclen_percentile_report(documents: DataFrame) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    base = documents.select("doc_id", "source", t.alias("t"))
+    wr = Window.partitionBy("source").orderBy("t", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = base.select(
+        "source",
+        "t",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def at(q: float) -> F.Column:
+        return F.min(
+            F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("t"))
+        )
+
+    return ranked.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        at(0.25).alias("p25_tokens"),
+        at(0.50).alias("p50_tokens"),
+        at(0.75).alias("p75_tokens"),
+        at(0.95).alias("p95_tokens"),
+        F.bround(F.sum("t") / F.count(F.lit(1)), 4).alias("mean_tokens"),
+    )
+
+
+DOCLEN_PERCENTILE_REPORT_SQL = r"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS t
+  FROM documents
+), ranked AS (
+  SELECT source, t,
+         row_number() OVER (PARTITION BY source ORDER BY t, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM base
+)
+SELECT source,
+       CAST(MAX(n) AS BIGINT) AS n_docs,
+       MIN(CASE WHEN rn = CEIL(0.25::DOUBLE * n) THEN t END) AS p25_tokens,
+       MIN(CASE WHEN rn = CEIL(0.50::DOUBLE * n) THEN t END) AS p50_tokens,
+       MIN(CASE WHEN rn = CEIL(0.75::DOUBLE * n) THEN t END) AS p75_tokens,
+       MIN(CASE WHEN rn = CEIL(0.95::DOUBLE * n) THEN t END) AS p95_tokens,
+       round_even(SUM(t) / COUNT(*)::DOUBLE, 4) AS mean_tokens
+FROM ranked GROUP BY source
+"""

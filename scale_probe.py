@@ -138,6 +138,11 @@ PROBES = [
     "pmi_top_pairs",
     "bigram_entropy_report",
     "anomaly_zscore_daily",
+    "winnow_fingerprints",
+    "winnow_dup_pairs",
+    "tfidf_cosine_pairs",
+    "zipf_fit_report",
+    "doclen_percentile_report",
 ]
 
 

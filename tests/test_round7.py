@@ -291,3 +291,101 @@ def test_anomaly_zscore_flags_spike_only(spark):
     # the day after the spike isn't flagged: the spike inflates both the
     # trailing mean and the trailing stddev, shrinking |z| below threshold
     assert flagged == ["2024-01-11"]
+
+
+def test_winnow_guarantee_shared_substring_detected(spark):
+    """Winnowing's core guarantee (Schleimer et al.): any shared substring
+    of length >= w + k - 1 yields at least one shared fingerprint — even
+    when the copy is SHIFTED, which breaks fixed-boundary chunking."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, "AAA " + shared + " tail one", "en", "s", 80),
+            (2, "a totally different and much longer preamble here " + shared, "en", "s", 120),
+            (3, "nothing in common with either of those two documents at all", "en", "s", 60),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    fps = tx.winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shifted shared substring must share a fingerprint"
+    pairs = {(r["a_id"], r["b_id"]): r["shared_fps"]
+             for r in tx.winnow_dup_pairs(docs, min_shared=2).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnow_density_bound(spark):
+    """Selected fingerprints are a subset of windows: count <= number of
+    k-gram positions, and every selected pos is a real k-gram start."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_etl_spark.operators import text as tx
+
+    docs = _tables(spark)["documents"]
+    fps = tx.winnow_fingerprints(docs)
+    norm = docs.select(
+        "doc_id",
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")).alias("nlen"),
+    )
+    joined = (
+        fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"),
+                                  F.max("pos").alias("max_pos"))
+        .join(norm, "doc_id")
+    ).collect()
+    assert joined
+    for r in joined:
+        n_positions = r["nlen"] - tx.WINNOW_K + 1
+        assert r["n_fp"] <= n_positions, r
+        assert r["max_pos"] <= n_positions, r
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark):
+    """Two token-identical docs have cosine exactly 1.0 in the capped
+    space; the ubiquitous term (df > cap) is excluded from vectors."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common alpha beta gamma alpha", "en", "s", 30),
+            (2, "common alpha beta gamma alpha", "en", "s", 30),
+            (3, "common delta epsilon zeta", "en", "s", 26),
+            (4, "common unrelated words here", "en", "s", 28),
+            (5, "common more filler text", "en", "s", 24),
+            (6, "common yet another doc", "en", "s", 23),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # 'common' has df=6 > cap=floor(0.5*6)=3 → dropped from every vector
+    out = {(r["a_id"], r["b_id"]): r["cosine"]
+           for r in tx.tfidf_cosine_pairs(docs, df_frac_cap=0.5, threshold=0.1).collect()}
+    assert out[(1, 2)] == 1.0
+    assert all(k == (1, 2) for k in out), out
+
+
+def test_zipf_fit_on_corpus_is_negative_slope(spark):
+    from flink_streaming_etl_spark.operators import text as tx
+
+    r = tx.zipf_fit_report(_tables(spark)["documents"]).collect()[0]
+    assert r["zipf_slope"] < 0, r
+    assert 0.0 < r["r_squared"] <= 1.0, r
+    assert r["n_ranks"] <= tx.ZIPF_TOP_R
+
+
+def test_doclen_percentiles_nearest_rank(spark):
+    """10 docs of 1..10 tokens: nearest-rank p25=value@3, p50=@5, p75=@8,
+    p95=@10 of the sorted order."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * i), "en", "s", 2 * i) for i in range(1, 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = tx.doclen_percentile_report(docs).collect()[0]
+    assert (r["p25_tokens"], r["p50_tokens"], r["p75_tokens"], r["p95_tokens"]) == (3, 5, 8, 10)
+    assert r["n_docs"] == 10
+    assert r["mean_tokens"] == 5.5
