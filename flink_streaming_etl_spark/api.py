@@ -841,6 +841,22 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.doclen_percentile_report, "documents"),
         text.DOCLEN_PERCENTILE_REPORT_SQL,
     ),
+    "embedding_covariance": (
+        # d x d covariance from exact-integer partial Gram folds
+        _q(similarity.embedding_covariance, "embeddings"),
+        similarity.embedding_covariance_sql(),
+    ),
+    "pca_top_component": (
+        # power iteration on the d^2-bounded collected covariance;
+        # iterative — no SQL oracle (numpy-verified in tests)
+        _q(similarity.pca_top_component, "embeddings"),
+        None,
+    ),
+    "media_simhash_pairs": (
+        # byte-level SimHash near-dup tier, banded candidates + hot cap
+        _q(multimodal.media_simhash_pairs, "documents"),
+        multimodal.media_simhash_pairs_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -881,9 +897,9 @@ _SAMPLE_FRONT = [
     "source_kl_report",
     "bm25_top_terms",
     "curated_corpus_v2",
-    "quality_score",
-    "gopher_quality",
-    "repetition_battery",
+    "embedding_covariance",
+    "pca_top_component",
+    "media_simhash_pairs",
     "perplexity_buckets",
     "knn_graph",
     "pack_sequences_ffd",

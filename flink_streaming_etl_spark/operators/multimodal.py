@@ -327,3 +327,140 @@ FROM keyed a JOIN keyed b ON a.chash = b.chash AND a.media_id < b.media_id
 GROUP BY 1, 2
 HAVING COUNT(*) >= {min_shared}
 """
+
+
+# ---------------------------------------------------------------------------
+# Media SimHash near-dup pairs — byte-level SimHash over sliding payload
+# 4-grams (stride 2): the similarity tier between exact checksum dedup
+# and chunk dedup — robust to small byte edits ANYWHERE in the payload
+# (chunk dedup only survives edits that respect chunk boundaries).
+# Candidate generation is banded (4 x 8-bit bands of the 32-bit code,
+# pigeonhole: hamming <= 3 guarantees a shared band) with a hot-band
+# owner cap, so pair volume is band-bucket-bounded, never all-pairs.
+# Engine-exact: md5-derived gram hashes, integer bit votes, popcount.
+
+MEDIA_SIMHASH_BITS = 32
+MEDIA_SIMHASH_BANDS = 4
+MEDIA_SIMHASH_MAX_HAMMING = 3
+MEDIA_SIMHASH_BAND_CAP = 200
+
+
+def media_simhash_pairs(
+    documents: DataFrame,
+    max_hamming: int = MEDIA_SIMHASH_MAX_HAMMING,
+    band_cap: int = MEDIA_SIMHASH_BAND_CAP,
+) -> DataFrame:
+    from flink_streaming_etl_spark.functions import md5_int
+
+    m = documents_as_media(documents).select("media_id", "payload", "n_bytes")
+    grams = m.filter(F.col("n_bytes") >= 4).select(
+        "media_id",
+        F.explode(F.sequence(F.lit(1), F.col("n_bytes") - 3, F.lit(2))).alias(
+            "pos"
+        ),
+        "payload",
+    ).select(
+        "media_id",
+        md5_int(F.expr("substring(payload, pos, 4)"), 8).alias("h32"),
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h32"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"v{b}")
+        for b in range(MEDIA_SIMHASH_BITS)
+    ]
+    g = grams.groupBy("media_id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for b in range(MEDIA_SIMHASH_BITS):
+        sig = sig + F.when(
+            F.col(f"v{b}") >= 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0))
+    coded = g.select("media_id", sig.alias("code"))
+    band_bits = MEDIA_SIMHASH_BITS // MEDIA_SIMHASH_BANDS
+    bands = coded.select(
+        "media_id",
+        "code",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright(F.col("code"), bi * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("val"),
+                    )
+                    for bi in range(MEDIA_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("media_id", "code", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    hot = (
+        bands.groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("_own"))
+        .filter((F.col("_own") >= 2) & (F.col("_own") <= band_cap))
+        .select("band", "val")
+    )
+    keyed = bands.join(hot, ["band", "val"], "left_semi")
+    a = keyed.select(F.col("media_id").alias("a_id"), F.col("code").alias("ca"), "band", "val")
+    b = keyed.select(F.col("media_id").alias("b_id"), F.col("code").alias("cb"), "band", "val")
+    ham = F.bit_count(F.col("ca").bitwiseXOR(F.col("cb"))).cast("int")
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def media_simhash_pairs_sql(
+    max_hamming: int = MEDIA_SIMHASH_MAX_HAMMING,
+    band_cap: int = MEDIA_SIMHASH_BAND_CAP,
+) -> str:
+    from flink_streaming_etl_spark.functions import md5_int_sql
+
+    bits = MEDIA_SIMHASH_BITS
+    band_bits = bits // MEDIA_SIMHASH_BANDS
+    h = md5_int_sql("substring(payload, CAST(pos AS INT), 4)", 8)
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h32 >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} >= 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(bits)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT media_id, code, {bi} AS band,"
+        f" (code >> {bi * band_bits}) & {(1 << band_bits) - 1} AS val FROM coded"
+        for bi in range(MEDIA_SIMHASH_BANDS)
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text AS payload, octet_length(encode(text)) AS n_bytes
+  FROM documents
+), grams AS (
+  SELECT media_id, {h} AS h32
+  FROM m, LATERAL (
+    SELECT UNNEST(range(1, n_bytes - 2, 2)) AS pos
+  ) r
+  WHERE n_bytes >= 4
+), votes AS (SELECT media_id, {votes} FROM grams GROUP BY media_id),
+coded AS (SELECT media_id, {sig} AS code FROM votes),
+bands AS ({band_rows}),
+hot AS (
+  SELECT band, val FROM bands GROUP BY band, val
+  HAVING COUNT(*) BETWEEN 2 AND {band_cap}
+),
+keyed AS (
+  SELECT b.media_id, b.code, b.band, b.val
+  FROM bands b SEMI JOIN hot h ON b.band = h.band AND b.val = h.val
+)
+SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id,
+       CAST(bit_count(xor(a.code, b.code)) AS INT) AS hamming
+FROM keyed a JOIN keyed b
+  ON a.band = b.band AND a.val = b.val AND a.media_id < b.media_id
+WHERE bit_count(xor(a.code, b.code)) <= {max_hamming}
+"""

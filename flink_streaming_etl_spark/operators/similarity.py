@@ -2277,3 +2277,152 @@ SELECT query_id, rank, neighbor_id, hamming FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact embedding covariance — the d x d covariance matrix of the
+# embedding corpus as an upper-triangle relation. The 100-TB shape:
+# embeddings are quantized to exact 1e-4-unit integers JVM-side (the
+# same round-half-away rule both engines implement), then each Arrow
+# batch folds into a d x d partial Gram matrix in one numpy matmul and
+# emits d(d+1)/2 + d + 1 integer partial rows — the shuffle carries
+# O(d^2) rows per PARTITION, never O(n·d^2), and the final assembly is
+# arithmetic over exact integer sums (engine-identical doubles by
+# construction). Feeds PCA, whitening, and SemDeDup-style diagnostics.
+
+COV_QUANT = 10_000.0  # 1e-4 embedding units; |x| < 3 => |xq| < 30k, products fit int64
+
+
+def embedding_covariance(embeddings: DataFrame) -> DataFrame:
+    q = embeddings.select(
+        F.transform(
+            "embedding",
+            lambda v: F.round(v.cast("double") * F.lit(COV_QUANT)).cast("long"),
+        ).alias("xq")
+    )
+    def gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["xq"].to_numpy()).astype(np.int64)
+            g = x.T @ x  # exact: |xq| < 2**15, n_rows bounded per batch
+            s = x.sum(axis=0)
+            iu, ju = np.triu_indices(x.shape[1])
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu, np.arange(x.shape[1]), [-1]]),
+                    "j": np.concatenate(
+                        [ju, np.full(x.shape[1], -1), [-1]]
+                    ),
+                    "v": np.concatenate([g[iu, ju], s, [len(x)]]),
+                }
+            )
+
+    part = q.mapInPandas(gram, schema="i int, j int, v long")
+    tot = part.groupBy("i", "j").agg(F.sum("v").alias("v"))
+    n_row = tot.filter((F.col("i") == -1) & (F.col("j") == -1)).first()
+    spark = embeddings.sparkSession
+    if n_row is None or n_row["v"] < 2:  # empty / single-vector corpus
+        return spark.createDataFrame([], "dim_i int, dim_j int, cov double")
+    n = n_row["v"]
+    g = tot.filter(F.col("j") >= 0)
+    s = tot.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        "i", F.col("v").alias("s")
+    )
+    si = F.broadcast(s.select(F.col("i").alias("_i"), F.col("s").alias("s_i")))
+    sj = F.broadcast(s.select(F.col("i").alias("_j"), F.col("s").alias("s_j")))
+    # exact ints in, one fixed double expression out: engine-identical.
+    cov = (
+        (
+            F.col("v").cast("double")
+            - F.col("s_i").cast("double")
+            * F.col("s_j").cast("double")
+            / F.lit(float(n))
+        )
+        / F.lit(float(n - 1))
+        / F.lit(COV_QUANT * COV_QUANT)
+    )
+    return (
+        g.join(si, F.col("i") == F.col("_i"))
+        .join(sj, F.col("j") == F.col("_j"))
+        .select(
+            F.col("i").alias("dim_i"),
+            F.col("j").alias("dim_j"),
+            F.bround(cov, 10).alias("cov"),
+        )
+    )
+
+
+def embedding_covariance_sql() -> str:
+    q = int(COV_QUANT)
+    return f"""
+WITH xq AS (
+  SELECT vec_id, i - 1 AS i,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * {q}) AS BIGINT) AS x
+  FROM embeddings, LATERAL (
+    SELECT UNNEST(range(1, len(embedding) + 1)) AS i
+  ) r
+), nn AS (SELECT COUNT(DISTINCT vec_id) AS n FROM xq),
+g AS (
+  SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS v
+  FROM xq a JOIN xq b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+),
+s AS (SELECT i, SUM(x) AS s FROM xq GROUP BY i)
+SELECT g.i AS dim_i, g.j AS dim_j,
+       round_even((g.v::DOUBLE - si.s::DOUBLE * sj.s::DOUBLE / nn.n)
+                  / (nn.n - 1) / {q}.0 / {q}.0, 10) AS cov
+FROM g JOIN s si ON g.i = si.i JOIN s sj ON g.j = sj.i, nn
+"""
+
+
+# ---------------------------------------------------------------------------
+# PCA top component — power iteration on the COLLECTED covariance
+# matrix. The collect is d^2-bounded (the covariance relation's size is
+# independent of the corpus: 2,080 rows at d=64 whether n is 5e2 or
+# 1e10), so the driver-side O(d^2) iteration is the correct distributed
+# design: all corpus-sized work happened inside embedding_covariance's
+# partial Gram folds. Deterministic: fixed uniform start vector, fixed
+# iteration count, sign fixed by the largest-|loading| dimension.
+# No SQL oracle (iterative); verified against numpy.linalg.eigh in
+# tests/test_round7.py.
+
+PCA_ITERS = 500  # (λ2/λ1)^iters: at a narrow 0.95 gap, 500 iters → 7e-12 residual
+
+
+def pca_top_component(embeddings: DataFrame, iters: int = PCA_ITERS) -> DataFrame:
+    cov_rows = embedding_covariance(embeddings).collect()  # d^2-bounded
+    spark = embeddings.sparkSession
+    if not cov_rows:
+        return spark.createDataFrame(
+            [], "dim int, loading double, eigenvalue double, explained_ratio double"
+        )
+    d = max(r["dim_j"] for r in cov_rows) + 1
+    c = np.zeros((d, d))
+    for r in cov_rows:
+        c[r["dim_i"], r["dim_j"]] = r["cov"]
+        c[r["dim_j"], r["dim_i"]] = r["cov"]
+    v = np.full(d, 1.0 / math.sqrt(d))
+    for _ in range(iters):
+        w = c @ v
+        nrm = float(np.linalg.norm(w))
+        if nrm == 0.0:
+            break
+        v = w / nrm
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    eigval = float(v @ c @ v)
+    total_var = float(np.trace(c))
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(i),
+                float(round(v[i], 8)),
+                float(round(eigval, 10)),
+                float(round(eigval / total_var, 8)) if total_var else 0.0,
+            )
+            for i in range(d)
+        ],
+        "dim int, loading double, eigenvalue double, explained_ratio double",
+    )

@@ -143,6 +143,9 @@ PROBES = [
     "tfidf_cosine_pairs",
     "zipf_fit_report",
     "doclen_percentile_report",
+    "embedding_covariance",
+    "pca_top_component",
+    "media_simhash_pairs",
 ]
 
 

@@ -389,3 +389,74 @@ def test_doclen_percentiles_nearest_rank(spark):
     assert (r["p25_tokens"], r["p50_tokens"], r["p75_tokens"], r["p95_tokens"]) == (3, 5, 8, 10)
     assert r["n_docs"] == 10
     assert r["mean_tokens"] == 5.5
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """The distributed integer-Gram covariance must equal numpy's
+    covariance of the quantized vectors to ~1e-12 (exact sums, one
+    closed-form double expression)."""
+    import numpy as np
+
+    from flink_streaming_etl_spark.operators import similarity as sim
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    got = {(r["dim_i"], r["dim_j"]): r["cov"]
+           for r in sim.embedding_covariance(emb).collect()}
+    x = np.vstack(emb.toPandas()["embedding"].to_numpy()).astype(np.float64)
+    xq = np.sign(x * sim.COV_QUANT) * np.floor(np.abs(x * sim.COV_QUANT) + 0.5)
+    ref = np.cov(xq, rowvar=False) / (sim.COV_QUANT**2)
+    d = x.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for (i, j), v in got.items():
+        assert abs(v - ref[i, j]) < 1e-10, (i, j, v, ref[i, j])
+
+
+def test_pca_top_component_matches_eigh(spark):
+    """Power iteration on the collected covariance must agree with
+    numpy.linalg.eigh: same top eigenvalue, |loading| within 1e-5."""
+    import numpy as np
+
+    from flink_streaming_etl_spark.operators import similarity as sim
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    rows = sim.pca_top_component(emb).collect()
+    d = len(rows)
+    v = np.zeros(d)
+    for r in rows:
+        v[r["dim"]] = r["loading"]
+    cov = {(r["dim_i"], r["dim_j"]): r["cov"]
+           for r in sim.embedding_covariance(emb).collect()}
+    c = np.zeros((d, d))
+    for (i, j), val in cov.items():
+        c[i, j] = c[j, i] = val
+    w, vecs = np.linalg.eigh(c)
+    top = vecs[:, -1]
+    if top[int(np.argmax(np.abs(top)))] < 0:
+        top = -top
+    assert abs(rows[0]["eigenvalue"] - w[-1]) < 1e-8
+    assert float(np.abs(np.dot(v, top))) > 1 - 1e-5
+    assert all(0.0 < r["explained_ratio"] <= 1.0 for r in rows)
+
+
+def test_media_simhash_finds_small_byte_edit(spark):
+    """A payload with one small mid-stream edit keeps a near-identical
+    SimHash (found as a pair); unrelated payloads do not pair."""
+    from flink_streaming_etl_spark.operators import multimodal as mm
+
+    base = ("the same media byte stream content repeated " * 20).strip()
+    edited = base[:300] + "X" + base[301:]  # single-byte substitution
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", "s", len(base)),
+            (2, edited, "en", "s", len(edited)),
+            (3, "completely different payload bytes " * 25, "en", "s", 875),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"]
+             for r in mm.media_simhash_pairs(docs, max_hamming=5).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] <= 5
+    assert (1, 3) not in pairs and (2, 3) not in pairs
