@@ -213,6 +213,8 @@ HEADLINE = [
     "embedding_covariance",
     "pca_top_component",
     "media_simhash_pairs",
+    "tokenizer_vocab_coverage",
+    "embedding_norm_report",
 ]
 
 

@@ -857,6 +857,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(multimodal.media_simhash_pairs, "documents"),
         multimodal.media_simhash_pairs_sql(),
     ),
+    "tokenizer_vocab_coverage": (
+        # top-V vocabulary coverage / OOV rate per source
+        _q(text.tokenizer_vocab_coverage, "documents"),
+        text.tokenizer_vocab_coverage_sql(),
+    ),
+    "embedding_norm_report": (
+        # exact integer squared-norm percentiles per label
+        _q(similarity.embedding_norm_report, "embeddings"),
+        similarity.embedding_norm_report_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -892,8 +902,8 @@ _SAMPLE_FRONT = [
     "filter_stack",
     "entropy_filter",
     "ann_int8_topk",
-    "unigram_logprob_score",
-    "bigram_logprob_score",
+    "tokenizer_vocab_coverage",
+    "embedding_norm_report",
     "source_kl_report",
     "bm25_top_terms",
     "curated_corpus_v2",

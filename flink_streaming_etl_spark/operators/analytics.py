@@ -2326,12 +2326,26 @@ def anomaly_zscore_daily(
     var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / n) / (n - 1)
     z = F.bround((F.col("x") - mean) / F.sqrt(var), 4)
     full = F.col("_n") == 7
+    # zero-variance trailing window (all 7 equal): z is undefined — an
+    # EXACT integer test (7·s2 == s1², never a float var≈0 compare), with
+    # the anomaly decision falling back to exact deviation: any x that
+    # differs from a constant history is an infinite-z anomaly.
+    var_zero = F.col("_s2") * 7 == F.col("_s1") * F.col("_s1")
     return stats.select(
         "event_type",
         F.col("day").cast("string").alias("day"),
         (F.col("x") / 1000.0).alias("daily_value"),
-        F.when(full, z).alias("zscore"),
-        F.when(full & (F.abs(z) > z_threshold), 1).otherwise(0).alias("is_anomaly"),
+        F.when(full & ~var_zero, z).alias("zscore"),
+        F.when(
+            full
+            & (
+                (~var_zero & (F.abs(z) > z_threshold))
+                | (var_zero & (F.col("x") * 7 != F.col("_s1")))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_anomaly"),
     )
 
 
@@ -2353,13 +2367,14 @@ WITH daily AS (
 SELECT event_type,
        CAST(day AS VARCHAR) AS day,
        x / 1000.0 AS daily_value,
-       CASE WHEN n = 7 THEN
+       CASE WHEN n = 7 AND s2 * 7 <> s1 * s1 THEN
          round_even((x - s1 / n::DOUBLE)
                     / sqrt((s2 - s1 * s1 / n::DOUBLE) / (n - 1)), 4)
        END AS zscore,
-       CASE WHEN n = 7 AND ABS(
+       CASE WHEN n = 7 AND ((s2 * 7 <> s1 * s1 AND ABS(
          round_even((x - s1 / n::DOUBLE)
                     / sqrt((s2 - s1 * s1 / n::DOUBLE) / (n - 1)), 4)
-       ) > {z_threshold} THEN 1 ELSE 0 END AS is_anomaly
+       ) > {z_threshold}) OR (s2 * 7 = s1 * s1 AND x * 7 <> s1))
+       THEN 1 ELSE 0 END AS is_anomaly
 FROM stats
 """

@@ -2426,3 +2426,87 @@ def pca_top_component(embeddings: DataFrame, iters: int = PCA_ITERS) -> DataFram
         ],
         "dim int, loading double, eigenvalue double, explained_ratio double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm report — the vector-store health check: exact integer
+# squared-norm percentiles per label (norm^2 = sum of quantized-int
+# squares — order-insensitive exact integers, so nearest-rank
+# percentiles compare engine-exactly) plus the derived norm at the
+# median (one sqrt on an exact integer: deterministic). Catches
+# un-normalized batches, dead (near-zero) vectors, and per-label norm
+# drift before they poison cosine retrieval. Zero-shuffle per-row fold
+# into one label-keyed window + aggregation.
+
+
+def embedding_norm_report(embeddings: DataFrame) -> DataFrame:
+    normsq = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda v: F.round(v.cast("double") * F.lit(COV_QUANT)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x * x,
+    )
+    base = embeddings.select("vec_id", "label", normsq.alias("nsq"))
+    wr = Window.partitionBy("label").orderBy("nsq", "vec_id")
+    wn = Window.partitionBy("label")
+    ranked = base.select(
+        "label",
+        "nsq",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def at(q: float) -> F.Column:
+        return F.min(
+            F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("nsq"))
+        )
+
+    agg = ranked.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vectors"),
+        at(0.50).alias("p50_normsq"),
+        at(0.95).alias("p95_normsq"),
+        F.min("nsq").alias("min_normsq"),
+        F.max("nsq").alias("max_normsq"),
+    )
+    return agg.select(
+        "label",
+        "n_vectors",
+        "p50_normsq",
+        "p95_normsq",
+        "min_normsq",
+        "max_normsq",
+        F.bround(
+            F.sqrt(F.col("p50_normsq").cast("double")) / F.lit(COV_QUANT), 6
+        ).alias("p50_norm"),
+    )
+
+
+def embedding_norm_report_sql() -> str:
+    q = int(COV_QUANT)
+    return f"""
+WITH nsq AS (
+  SELECT vec_id, label,
+         CAST((SELECT SUM(CAST(round(CAST(x AS DOUBLE) * {q}) AS BIGINT)
+                          * CAST(round(CAST(x AS DOUBLE) * {q}) AS BIGINT))
+               FROM UNNEST(embedding) AS u(x)) AS BIGINT) AS nsq
+  FROM embeddings
+), ranked AS (
+  SELECT label, nsq,
+         row_number() OVER (PARTITION BY label ORDER BY nsq, vec_id) AS rn,
+         COUNT(*) OVER (PARTITION BY label) AS n
+  FROM nsq
+), agg AS (
+  SELECT label,
+         CAST(MAX(n) AS BIGINT) AS n_vectors,
+         MIN(CASE WHEN rn = CEIL(0.50::DOUBLE * n) THEN nsq END) AS p50_normsq,
+         MIN(CASE WHEN rn = CEIL(0.95::DOUBLE * n) THEN nsq END) AS p95_normsq,
+         MIN(nsq) AS min_normsq,
+         MAX(nsq) AS max_normsq
+  FROM ranked GROUP BY label
+)
+SELECT label, n_vectors, p50_normsq, p95_normsq, min_normsq, max_normsq,
+       round_even(sqrt(p50_normsq::DOUBLE) / {q}, 6) AS p50_norm
+FROM agg
+"""

@@ -3667,3 +3667,88 @@ SELECT source,
        round_even(SUM(t) / COUNT(*)::DOUBLE, 4) AS mean_tokens
 FROM ranked GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage — for a top-V corpus-frequency
+# vocabulary (the stand-in for a trained tokenizer's word list), the
+# fraction of token OCCURRENCES it covers per source, and the OOV rate:
+# the standard tokenizer-fit diagnostic before committing a vocab to a
+# training run. The vocabulary relation is V rows (broadcast); coverage
+# is one semi-join-tagged aggregation over the shared tf relation —
+# vocabulary-keyed, map-side combinable, no corpus re-scan.
+
+VOCAB_COVERAGE_K = 1000
+
+
+def tokenizer_vocab_coverage(
+    documents: DataFrame, vocab_k: int = VOCAB_COVERAGE_K
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    tf = lm_tf_relation(_lm_tokens(documents))
+    wv = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    top = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("cnt"))
+        .withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") <= vocab_k)
+        .select("term", F.lit(1).alias("_in_vocab"))
+    )
+    src = documents.select("doc_id", "source")
+    tagged = (
+        tf.join(F.broadcast(top), "term", "left")
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab") == 1, F.col("tf")).otherwise(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.count_distinct(
+                F.when(F.col("_in_vocab").isNull(), F.col("term"))
+            ).cast("long").alias("oov_terms"),
+        )
+    )
+    cov = F.col("covered_tokens").cast("double") / F.col("n_tokens")
+    return tagged.select(
+        "source",
+        "n_tokens",
+        "covered_tokens",
+        "oov_terms",
+        F.bround(cov, 4).alias("coverage"),
+        F.bround(1.0 - cov, 4).alias("oov_rate"),
+    )
+
+
+def tokenizer_vocab_coverage_sql(vocab_k: int = VOCAB_COVERAGE_K) -> str:
+    return f"""
+WITH tf AS (
+  SELECT doc_id, t.term, COUNT(*) AS tf
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS term) t
+  WHERE t.term <> '' GROUP BY doc_id, t.term
+), top AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY SUM(tf) DESC, term) AS rn
+    FROM tf GROUP BY term
+  ) WHERE rn <= {vocab_k}
+), tagged AS (
+  SELECT d.source, tf.term, tf.tf,
+         CASE WHEN top.term IS NOT NULL THEN 1 END AS in_vocab
+  FROM tf JOIN documents d ON tf.doc_id = d.doc_id
+  LEFT JOIN top ON tf.term = top.term
+), agg AS (
+  SELECT source,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN in_vocab = 1 THEN tf ELSE 0 END) AS BIGINT)
+           AS covered_tokens,
+         CAST(COUNT(DISTINCT CASE WHEN in_vocab IS NULL THEN term END) AS BIGINT)
+           AS oov_terms
+  FROM tagged GROUP BY source
+)
+SELECT source, n_tokens, covered_tokens, oov_terms,
+       round_even(covered_tokens::DOUBLE / n_tokens, 4) AS coverage,
+       round_even(1.0 - covered_tokens::DOUBLE / n_tokens, 4) AS oov_rate
+FROM agg
+"""

@@ -460,3 +460,44 @@ def test_media_simhash_finds_small_byte_edit(spark):
     assert (1, 2) in pairs
     assert pairs[(1, 2)] <= 5
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_tokenizer_vocab_coverage_full_and_partial(spark):
+    """vocab_k big enough → coverage 1.0 / zero OOV; vocab_k=1 → only the
+    most frequent term is covered."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa aa bb", "en", "s", 11),
+            (2, "aa bb cc", "en", "s", 8),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    full = tx.tokenizer_vocab_coverage(docs, vocab_k=10).collect()[0]
+    assert full["coverage"] == 1.0 and full["oov_terms"] == 0
+    one = tx.tokenizer_vocab_coverage(docs, vocab_k=1).collect()[0]
+    # 'aa' covers 4 of 7 occurrences; bb + cc are OOV
+    assert one["n_tokens"] == 7
+    assert one["covered_tokens"] == 4
+    assert one["oov_terms"] == 2
+    assert one["oov_rate"] == round(3 / 7, 4)
+
+
+def test_embedding_norm_report_exact_percentiles(spark):
+    """Unit vectors → p50_norm 1.0 exactly (integer quantization of
+    axis-aligned unit vectors is exact); a zero vector drags min to 0."""
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    rows = [(i, [1.0 if j == i % 4 else 0.0 for j in range(4)], 0) for i in range(9)]
+    rows.append((9, [0.0, 0.0, 0.0, 0.0], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    r = sim.embedding_norm_report(emb).collect()[0]
+    q2 = int(sim.COV_QUANT) ** 2
+    assert r["n_vectors"] == 10
+    assert r["min_normsq"] == 0
+    assert r["max_normsq"] == q2
+    assert r["p50_normsq"] == q2  # rank ceil(0.5*10)=5 of [0, q2 x9] = q2
+    assert r["p50_norm"] == 1.0

@@ -696,3 +696,52 @@ def test_additive_sink_decimal_opt_in_and_overflow_loud(spark, tmp_path):
     with pytest.raises(ValueError, match="decimal_cols"):
         AdditivePartialSink(spark, str(tmp_path / "bad"), keys=["key"],
                             sum_cols=["v"], decimal_cols=["w"])
+
+
+def test_streaming_anomaly_zscore_handover(spark):
+    """Streaming twin of anomaly_zscore_daily: additive daily totals
+    merged across out-of-order micro-batches (with a replay) must equal
+    the batch operator EXACTLY — same integer folds, same doubles."""
+    import datetime as dt
+
+    from flink_streaming_etl_spark.operators.analytics import anomaly_zscore_daily
+    from flink_streaming_etl_spark.streaming.anomaly import AnomalyZScoreAccumulator
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for d in range(15):
+        for h in (1, 13):  # two events per day per type
+            for et, v in (("click", 2.5 + (d % 3)), ("buy", 40.0 if d == 12 else 7.25)):
+                rows.append((d * 100 + h, base + dt.timedelta(days=d, hours=h), 1, et, v, "{}"))
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    full = spark.createDataFrame(rows, schema)
+
+    acc = AnomalyZScoreAccumulator()
+    # out-of-order batches: late chunk carries EARLY days; a day's two
+    # events are split across different batches
+    chunks = [rows[20:40], rows[0:20], rows[40:]]
+    for bid, chunk in enumerate(chunks):
+        acc.add_batch(spark.createDataFrame(chunk, schema), batch_id=bid)
+    acc.add_batch(spark.createDataFrame(chunks[-1], schema), batch_id=len(chunks) - 1)  # replay: no-op
+
+    got = {(r["event_type"], r["day"]): (r["daily_value"], r["zscore"], r["is_anomaly"])
+           for r in acc.result(spark).collect()}
+    want = {(r["event_type"], r["day"]): (r["daily_value"], r["zscore"], r["is_anomaly"])
+            for r in anomaly_zscore_daily(full).collect()}
+    assert got == want
+    assert any(v[2] == 1 for v in want.values())  # the buy spike is flagged
+
+
+def test_streaming_anomaly_retention_evicts_old_days(spark):
+    import datetime as dt
+
+    from flink_streaming_etl_spark.streaming.anomaly import AnomalyZScoreAccumulator
+
+    base = dt.datetime(2024, 3, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    acc = AnomalyZScoreAccumulator(retention_days=8)
+    rows = [(d, base + dt.timedelta(days=d), 1, "click", 1.0, "{}") for d in range(20)]
+    acc.add_batch(spark.createDataFrame(rows, schema), batch_id=0)
+    days = acc.totals["click"]
+    assert len(days) == 8
+    assert min(days) == dt.date(2024, 3, 13)  # 20 days in, keep the last 8
