@@ -501,3 +501,41 @@ def test_embedding_norm_report_exact_percentiles(spark):
     assert r["max_normsq"] == q2
     assert r["p50_normsq"] == q2  # rank ceil(0.5*10)=5 of [0, q2 x9] = q2
     assert r["p50_norm"] == 1.0
+
+
+def test_round7_new_op_plan_shapes(spark):
+    """Scale-critical plan contracts for the wave 4-6 operators: pair
+    generation is always an equi-join (never cartesian / nested-loop),
+    small relations broadcast, per-doc windows are keyed."""
+    from flink_streaming_etl_spark.operators import multimodal as mm
+    from flink_streaming_etl_spark.operators import similarity as sim
+    from flink_streaming_etl_spark.operators import text as tx
+
+    t = _tables(spark)
+    docs, emb = t["documents"], t["embeddings"]
+    for df in (
+        tx.winnow_fingerprints(docs),
+        tx.winnow_dup_pairs(docs),
+        tx.tfidf_cosine_pairs(docs),
+        mm.media_chunk_dedup(docs),
+        mm.media_simhash_pairs(docs),
+        tx.pmi_top_pairs(docs),
+    ):
+        p = plan_of(df)
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+    # pmi: the top-V vocabulary must broadcast into the posting restriction
+    p = plan_of(tx.pmi_top_pairs(docs))
+    assert "BroadcastHashJoin" in p, p
+    # winnowing window is doc_id-keyed — never a global single-partition sort
+    p = plan_of(tx.winnow_fingerprints(docs))
+    assert "hashpartitioning(doc_id" in p, p
+    # covariance assembly: marginals broadcast into the d^2-bounded join
+    p = plan_of(sim.embedding_covariance(emb))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    # norm report / length percentiles: label- and source-keyed windows
+    p = plan_of(sim.embedding_norm_report(emb))
+    assert "hashpartitioning(label" in p, p
+    p = plan_of(tx.doclen_percentile_report(docs))
+    assert "hashpartitioning(source" in p, p
