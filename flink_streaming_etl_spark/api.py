@@ -867,6 +867,22 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(similarity.embedding_norm_report, "embeddings"),
         similarity.embedding_norm_report_sql(),
     ),
+    "event_rollup_report": (
+        # grouping-sets: one Expand+Aggregate for all three granularities
+        _q(analytics.event_rollup_report, "events"),
+        analytics.EVENT_ROLLUP_REPORT_SQL,
+    ),
+    "event_type_pivot_daily": (
+        # static-schema pivot, exact integer milli-unit sums
+        _q(analytics.event_type_pivot_daily, "events"),
+        analytics.EVENT_TYPE_PIVOT_DAILY_SQL,
+    ),
+    "bpe_train_merges": (
+        # full iterative BPE merge table over the collected top-V
+        # word-frequency vocabulary; iterative — no SQL oracle
+        _q(text.bpe_train_merges, "documents"),
+        None,
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -904,13 +920,13 @@ _SAMPLE_FRONT = [
     "ann_int8_topk",
     "tokenizer_vocab_coverage",
     "embedding_norm_report",
-    "source_kl_report",
-    "bm25_top_terms",
+    "event_rollup_report",
+    "event_type_pivot_daily",
     "curated_corpus_v2",
     "embedding_covariance",
     "pca_top_component",
     "media_simhash_pairs",
-    "perplexity_buckets",
+    "bpe_train_merges",
     "knn_graph",
     "pack_sequences_ffd",
     "ann_ivf_pq",

@@ -2378,3 +2378,97 @@ SELECT event_type,
        THEN 1 ELSE 0 END AS is_anomaly
 FROM stats
 """
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP report — the grouping-sets surface: per (event_type, month)
+# totals plus the event_type subtotals plus the grand total in ONE
+# aggregation pass (Spark's rollup lowers to a single Expand+Aggregate —
+# one shuffle for all three granularities, vs three self-joined
+# aggregations hand-rolled). Aggregated-out levels are COALESCED to
+# explicit sentinels so the oracle comparison never depends on
+# engine-specific NULL canonicalization; values fold in exact integer
+# milli-units.
+
+
+def event_rollup_report(events: DataFrame) -> DataFrame:
+    base = events.select(
+        "event_type",
+        F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM").alias("month"),
+        F.round(F.col("value") * 1000).cast("long").alias("_v"),
+    )
+    agg = base.rollup("event_type", "month").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.sum("_v") / 1000.0).alias("total_value"),
+    )
+    return agg.select(
+        F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+        F.coalesce("month", F.lit("(all)")).alias("month"),
+        F.col("gid").cast("int").alias("gid"),
+        "n_events",
+        "total_value",
+    )
+
+
+EVENT_ROLLUP_REPORT_SQL = """
+WITH base AS (
+  SELECT event_type,
+         strftime(date_trunc('month', ts), '%Y-%m') AS month,
+         CAST(round(value * 1000) AS BIGINT) AS v
+  FROM events
+)
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       COALESCE(month, '(all)') AS month,
+       CAST(GROUPING(event_type, month) AS INT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(v) / 1000.0 AS total_value
+FROM base GROUP BY ROLLUP (event_type, month)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Daily pivot — one row per day, one column per event type (the
+# dashboard-feed shape). Spark's pivot with an EXPLICIT value list stays
+# a single Aggregate (no extra distinct-values job, and the output
+# schema is static — the form that scales); totals are exact integer
+# milli-unit sums surfaced as doubles.
+
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def event_type_pivot_daily(events: DataFrame) -> DataFrame:
+    base = events.select(
+        F.date_trunc("day", F.col("ts")).cast("date").cast("string").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 1000).cast("long").alias("_v"),
+    )
+    agg = (
+        base.groupBy("day")
+        .pivot("event_type", PIVOT_EVENT_TYPES)
+        .agg(F.sum("_v"))
+    )
+    return agg.select(
+        "day",
+        *[
+            (F.coalesce(F.col(t), F.lit(0)) / 1000.0).alias(t)
+            for t in PIVOT_EVENT_TYPES
+        ],
+    )
+
+
+EVENT_TYPE_PIVOT_DAILY_SQL = """
+WITH base AS (
+  SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+         event_type,
+         CAST(round(value * 1000) AS BIGINT) AS v
+  FROM events
+)
+SELECT day,
+       COALESCE(SUM(CASE WHEN event_type = 'click' THEN v END), 0) / 1000.0 AS click,
+       COALESCE(SUM(CASE WHEN event_type = 'error' THEN v END), 0) / 1000.0 AS error,
+       COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN v END), 0) / 1000.0 AS purchase,
+       COALESCE(SUM(CASE WHEN event_type = 'signup' THEN v END), 0) / 1000.0 AS signup,
+       COALESCE(SUM(CASE WHEN event_type = 'view' THEN v END), 0) / 1000.0 AS view
+FROM base GROUP BY day
+"""

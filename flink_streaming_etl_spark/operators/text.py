@@ -3752,3 +3752,73 @@ SELECT source, n_tokens, covered_tokens, oov_terms,
        round_even(1.0 - covered_tokens::DOUBLE / n_tokens, 4) AS oov_rate
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Full BPE merge-table training (Sennrich et al. 2016) — the iterative
+# continuation of bpe_first_merges: greedily merge the most frequent
+# adjacent symbol pair, re-count, repeat for n_merges rounds. The
+# corpus-sized work (word frequencies) is ONE distributed aggregation
+# over the shared tf relation; the training loop then runs driver-side
+# over the COLLECTED top-V word-frequency table — vocabulary-bounded
+# (the standard practice: BPE trains on a capped word vocabulary, not
+# the corpus), so the loop's cost is independent of corpus size.
+# Deterministic tie-break: count desc, then pair lexicographic.
+# Iterative — no SQL oracle; Sennrich's worked example is pinned in
+# tests/test_round7.py.
+
+BPE_TRAIN_MERGES = 50
+BPE_TRAIN_VOCAB_CAP = 50_000
+
+
+def bpe_train_merges(
+    documents: DataFrame,
+    n_merges: int = BPE_TRAIN_MERGES,
+    vocab_cap: int = BPE_TRAIN_VOCAB_CAP,
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    wv = Window.orderBy(F.desc("wcount"), F.asc("term"))
+    vocab_rows = (
+        lm_tf_relation(_lm_tokens(documents))
+        .groupBy("term")
+        .agg(F.sum("tf").alias("wcount"))
+        .withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") <= vocab_cap)
+        .select("term", "wcount")
+        .collect()  # vocabulary-bounded, never corpus-bounded
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["term"]): int(r["wcount"]) for r in vocab_rows
+    }
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append((rank, a, b, n))
+        merged = a + b
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, freq in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + freq
+        vocab = new_vocab
+    spark = documents.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, n long"
+    )

@@ -148,6 +148,9 @@ PROBES = [
     "media_simhash_pairs",
     "tokenizer_vocab_coverage",
     "embedding_norm_report",
+    "event_rollup_report",
+    "event_type_pivot_daily",
+    "bpe_train_merges",
 ]
 
 

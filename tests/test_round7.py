@@ -539,3 +539,56 @@ def test_round7_new_op_plan_shapes(spark):
     assert "hashpartitioning(label" in p, p
     p = plan_of(tx.doclen_percentile_report(docs))
     assert "hashpartitioning(source" in p, p
+
+
+def test_bpe_train_merges_sennrich_example(spark):
+    """Sennrich et al.'s worked example: vocabulary {low:5, lower:2,
+    newest:6, widest:3}. First merges: (e,s)->es 9, (es,t)->est 9,
+    (l,o)->lo 7, (lo,w)->low 7 ... deterministic given the count-desc /
+    pair-lexicographic tie-break."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = [(r["rank"], r["left"], r["right"], r["n"])
+           for r in tx.bpe_train_merges(docs, n_merges=4).collect()]
+    assert got[0] == (1, "e", "s", 9)
+    assert got[1] == (2, "es", "t", 9)
+    assert got[2] == (3, "l", "o", 7)
+    assert got[3] == (4, "lo", "w", 7)
+
+
+def test_bpe_train_first_round_equals_first_merges(spark):
+    """Round 1 of the iterative trainer must pick exactly the top pair
+    bpe_first_merges reports (same counts, same tie-break)."""
+    from flink_streaming_etl_spark.operators import text as tx
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    first = tx.bpe_first_merges(docs, k=1).collect()[0]
+    trained = tx.bpe_train_merges(docs, n_merges=1).collect()[0]
+    assert trained["left"] + trained["right"] == first["pair"]
+    assert trained["n"] == first["n"]
+
+
+def test_event_rollup_gid_levels(spark):
+    """gid 0 = detail, 1 = per-type subtotal, 3 = grand total; the grand
+    total must equal the sum of subtotals which must equal the detail."""
+    from flink_streaming_etl_spark.operators import analytics as an
+    from tests.conftest import SF_SMOKE
+
+    from flink_streaming_etl_spark.catalog import load_tables
+
+    ev = load_tables(spark, SF_SMOKE, register=False)["events"]
+    rows = an.event_rollup_report(ev).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert set(by_gid) == {0, 1, 3}
+    total = [r for r in by_gid[3]]
+    assert len(total) == 1 and total[0]["event_type"] == "(all)"
+    assert total[0]["n_events"] == sum(r["n_events"] for r in by_gid[0])
+    assert total[0]["n_events"] == sum(r["n_events"] for r in by_gid[1])
