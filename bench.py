@@ -218,6 +218,8 @@ HEADLINE = [
     "event_rollup_report",
     "event_type_pivot_daily",
     "bpe_train_merges",
+    "linear_quality_classifier",
+    "knn_label_eval",
 ]
 
 

@@ -883,6 +883,17 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.bpe_train_merges, "documents"),
         None,
     ),
+    "linear_quality_classifier": (
+        # broadcast-weights sparse dot product + sigmoid — the
+        # fastText-shaped inference pattern, exact-integer pre-sigmoid
+        _q(text.linear_quality_classifier, "documents"),
+        text.linear_quality_classifier_sql(),
+    ),
+    "knn_label_eval": (
+        # per-label kNN majority-vote accuracy over the bucketed graph
+        _q(similarity.knn_label_eval, "embeddings"),
+        similarity.knn_label_eval_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -922,12 +933,12 @@ _SAMPLE_FRONT = [
     "embedding_norm_report",
     "event_rollup_report",
     "event_type_pivot_daily",
-    "curated_corpus_v2",
+    "linear_quality_classifier",
     "embedding_covariance",
     "pca_top_component",
     "media_simhash_pairs",
     "bpe_train_merges",
-    "knn_graph",
+    "knn_label_eval",
     "pack_sequences_ffd",
     "ann_ivf_pq",
     # stale-red cures (r6 verdict #5): both are registered rows-only

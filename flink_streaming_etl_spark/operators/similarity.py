@@ -2510,3 +2510,80 @@ SELECT label, n_vectors, p50_normsq, p95_normsq, min_normsq, max_normsq,
        round_even(sqrt(p50_normsq::DOUBLE) / {q}, 6) AS p50_norm
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# kNN label-prediction eval — the embedding-quality metric that closes
+# the ANN loop: predict each vector's label by majority vote over its
+# knn_graph neighbors (deterministic tie-break: larger vote count, then
+# smaller label), report per-label accuracy. Rides the bucket-bounded
+# knn graph (no new pair computation); the vote is one (vec_id,
+# label)-keyed aggregation and one max_by argmax — the same
+# partial-aggregating shape as the IVF coarse assign.
+
+
+def knn_label_eval(
+    embeddings: DataFrame, k: int = KNN_K, n_planes: int = BUCKET_DIMS
+) -> DataFrame:
+    graph = knn_graph(embeddings, k=k, n_planes=n_planes)
+    labels = embeddings.select("vec_id", "label")
+    nb = graph.join(
+        F.broadcast(labels.select(F.col("vec_id").alias("neighbor_id"),
+                                  F.col("label").alias("nb_label"))),
+        "neighbor_id",
+    )
+    votes = nb.groupBy("vec_id", "nb_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    # argmax key encoded arithmetically (votes dominant, smaller label
+    # wins ties): labels are < 1000 by contract, so votes·1000 − label
+    # orders exactly like (votes, −label) — and the same scalar key works
+    # in every engine (DuckDB's arg_max has no struct-key overload).
+    pred = votes.groupBy("vec_id").agg(
+        F.max_by(
+            "nb_label", F.col("votes") * 1000 - F.col("nb_label")
+        ).alias("pred_label")
+    )
+    joined = pred.join(labels, "vec_id")
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("pred_label") == F.col("label")).cast("int"))
+            .cast("long")
+            .alias("correct"),
+        )
+        .select(
+            "label",
+            "n",
+            "correct",
+            F.bround(F.col("correct") / F.col("n"), 4).alias("accuracy"),
+        )
+    )
+
+
+def knn_label_eval_sql(k: int = KNN_K, n_planes: int = BUCKET_DIMS) -> str:
+    return f"""
+WITH graph AS ({knn_graph_sql(k, n_planes)}),
+labels AS (SELECT vec_id, label FROM embeddings),
+nb AS (
+  SELECT g.vec_id, l.label AS nb_label
+  FROM graph g JOIN labels l ON g.neighbor_id = l.vec_id
+),
+votes AS (
+  SELECT vec_id, nb_label, COUNT(*) AS votes FROM nb GROUP BY vec_id, nb_label
+),
+pred AS (
+  SELECT vec_id, arg_max(nb_label, votes * 1000 - nb_label) AS pred_label
+  FROM votes GROUP BY vec_id
+),
+joined AS (SELECT p.vec_id, p.pred_label, l.label
+           FROM pred p JOIN labels l ON p.vec_id = l.vec_id)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN pred_label = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS correct,
+       round_even(SUM(CASE WHEN pred_label = label THEN 1 ELSE 0 END)::DOUBLE
+                  / COUNT(*), 4) AS accuracy
+FROM joined GROUP BY label
+"""

@@ -3822,3 +3822,84 @@ def bpe_train_merges(
     return spark.createDataFrame(
         merges, "rank int, left string, right string, n long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier — the fastText-shaped inference pattern over
+# the hashed bag-of-words space: score = sigmoid(Σ_b tf_b · w_b / T)
+# with a BROADCAST weight vector (the 100-TB classifier-inference shape:
+# weights ship to every executor once, scoring is one vocabulary-free
+# sparse dot product + sigmoid — zero shuffle beyond the bow rollup).
+# Weights here are deterministic md5-derived stand-ins (the container has
+# no trained model); every pre-sigmoid quantity is an EXACT integer
+# (tf · milli-weight), so both engines feed the same exact rational into
+# one exp().
+
+CLASSIFIER_SCALE = 1000.0
+
+
+def linear_quality_classifier(
+    documents: DataFrame, dim: int = HASHED_BOW_DIM
+) -> DataFrame:
+    from flink_streaming_etl_spark.functions import md5_int
+
+    bow = hashed_bow_sparse(documents, dim)
+    spark = documents.sparkSession
+    wrows = [(b,) for b in range(dim)]
+    wdf = spark.createDataFrame(wrows, "bucket int").select(
+        "bucket",
+        (md5_int(F.concat(F.lit("w:"), F.col("bucket").cast("string")), 8) % 2001
+         - 1000).alias("w_milli"),
+    )
+    scored = (
+        bow.join(F.broadcast(wdf), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("weight").cast("long").alias("n_tokens"),
+            F.sum(F.col("weight") * F.col("w_milli")).cast("long").alias("raw_milli"),
+        )
+    )
+    x = F.col("raw_milli").cast("double") / (
+        F.lit(CLASSIFIER_SCALE) * F.greatest(F.col("n_tokens"), F.lit(1))
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-x))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "raw_milli",
+        F.bround(prob, 6).alias("prob_keep"),
+        (F.bround(prob, 6) >= 0.5).cast("int").alias("keep"),
+    )
+
+
+def linear_quality_classifier_sql(dim: int = HASHED_BOW_DIM) -> str:
+    from flink_streaming_etl_spark.functions import md5_int_sql
+
+    bucket = f"CAST(({md5_int_sql('term', 8)}) % {dim} AS INT)"
+    w = md5_int_sql("'w:' || CAST(bucket AS VARCHAR)", 8)
+    return f"""
+WITH tf AS (
+  SELECT doc_id, t.term, COUNT(*) AS tf
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS term) t
+  WHERE t.term <> '' GROUP BY doc_id, t.term
+), bow AS (
+  SELECT doc_id, {bucket} AS bucket, CAST(SUM(tf) AS BIGINT) AS weight
+  FROM tf GROUP BY doc_id, {bucket}
+), wdf AS (
+  SELECT bucket, ({w}) % 2001 - 1000 AS w_milli
+  FROM (SELECT UNNEST(range(0, {dim})) AS bucket)
+), scored AS (
+  SELECT doc_id,
+         CAST(SUM(weight) AS BIGINT) AS n_tokens,
+         CAST(SUM(weight * w_milli) AS BIGINT) AS raw_milli
+  FROM bow JOIN wdf USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, raw_milli,
+       round_even(1.0 / (1.0 + exp(-(raw_milli::DOUBLE
+                  / ({CLASSIFIER_SCALE} * GREATEST(n_tokens, 1))))), 6) AS prob_keep,
+       CAST(round_even(1.0 / (1.0 + exp(-(raw_milli::DOUBLE
+                  / ({CLASSIFIER_SCALE} * GREATEST(n_tokens, 1))))), 6) >= 0.5
+            AS INT) AS keep
+FROM scored
+"""

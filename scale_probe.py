@@ -151,6 +151,8 @@ PROBES = [
     "event_rollup_report",
     "event_type_pivot_daily",
     "bpe_train_merges",
+    "linear_quality_classifier",
+    "knn_label_eval",
 ]
 
 
@@ -216,12 +218,26 @@ def _knn_dialed(spark, sf_dir):
     return similarity.knn_graph(emb, n_planes=similarity.planes_for_corpus(n))
 
 
+def _knn_label_eval_dialed(spark, sf_dir):
+    """knn_label_eval with knn_graph's plane dial applied (p =
+    planes_for_corpus(n)) — the eval inherits the graph's documented
+    scale procedure."""
+    from flink_streaming_etl_spark.operators import similarity
+
+    emb = load_tables(spark, sf_dir, register=False)["embeddings"]
+    n = emb.count()
+    return similarity.knn_label_eval(
+        emb, n_planes=similarity.planes_for_corpus(n)
+    )
+
+
 #: (probe, scale-label) → replacement callable: operators whose documented
 #: scale procedure changes a dial with corpus size.
 OVERRIDES = {
     ("ann_lsh_bucketed", "sf1"): _ann_dialed,
     ("semdedup_drop", "sf1"): _semdedup_dialed,
     ("knn_graph", "sf1"): _knn_dialed,
+    ("knn_label_eval", "sf1"): _knn_label_eval_dialed,
 }
 
 

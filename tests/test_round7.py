@@ -592,3 +592,39 @@ def test_event_rollup_gid_levels(spark):
     assert len(total) == 1 and total[0]["event_type"] == "(all)"
     assert total[0]["n_events"] == sum(r["n_events"] for r in by_gid[0])
     assert total[0]["n_events"] == sum(r["n_events"] for r in by_gid[1])
+
+
+def test_linear_classifier_total_and_sigmoid_range(spark):
+    """Every doc is scored (total operator), probabilities live in (0,1),
+    and raw_milli is the exact integer dot product."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    docs = _tables(spark)["documents"]
+    rows = tx.linear_quality_classifier(docs).collect()
+    assert len(rows) == docs.filter("lower(text) rlike '[a-z]'").count()
+    for r in rows:
+        assert 0.0 < r["prob_keep"] < 1.0, r
+        assert r["keep"] == (1 if r["prob_keep"] >= 0.5 else 0), r
+
+
+def test_knn_label_eval_perfect_when_clusters_are_tight(spark):
+    """Two well-separated axis clusters: every vector's neighbors share
+    its label, so per-label accuracy must be 1.0."""
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    rows = []
+    for i in range(12):
+        base = [0.0] * 8
+        base[0 if i % 2 == 0 else 4] = 1.0
+        # strictly positive jitter: every sign bit stays +, so all vectors
+        # share one LSH bucket and the in-bucket top-k sees the full set
+        jitter = [(0.01 * ((i * 7 + j) % 5 + 1)) for j in range(8)]
+        v = [b + je for b, je in zip(base, jitter)]
+        rows.append((i, v, i % 2))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["label"]: r for r in sim.knn_label_eval(emb, k=3).collect()}
+    for lbl, r in out.items():
+        assert r["accuracy"] == 1.0, (lbl, r)
