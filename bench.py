@@ -220,6 +220,7 @@ HEADLINE = [
     "bpe_train_merges",
     "linear_quality_classifier",
     "knn_label_eval",
+    "winnow_containment_pairs",
 ]
 
 

@@ -894,6 +894,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(similarity.knn_label_eval, "embeddings"),
         similarity.knn_label_eval_sql(),
     ),
+    "winnow_containment_pairs": (
+        # Broder containment over winnow fingerprints — alignment-free
+        # short-in-long subset detection
+        _q(text.winnow_containment_pairs, "documents"),
+        text.winnow_containment_pairs_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so

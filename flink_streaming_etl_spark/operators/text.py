@@ -3903,3 +3903,72 @@ SELECT doc_id, n_tokens, raw_milli,
             AS INT) AS keep
 FROM scored
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnow containment pairs — Broder containment scored over winnowing
+# fingerprints: shared_fps / min(|fps_a|, |fps_b|), catching a SHORT
+# document embedded inside a LONG one (plain resemblance dilutes subset
+# matches by the long side's size; containment does not) with
+# winnowing's alignment-free guarantee. Same bounded join as
+# winnow_dup_pairs plus two broadcast-joined per-doc fingerprint counts.
+
+WINNOW_MIN_CONTAINMENT = 0.5
+
+
+def winnow_containment_pairs(
+    documents: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = WINNOW_MIN_SHARED,
+    owner_cap: int = WINNOW_OWNER_CAP,
+    min_containment: float = WINNOW_MIN_CONTAINMENT,
+) -> DataFrame:
+    fps = winnow_fingerprints(documents, k, w).select("doc_id", "fp").distinct()
+    counts = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    pairs = winnow_dup_pairs(documents, k, w, min_shared, owner_cap)
+    ca = counts.select(F.col("doc_id").alias("a_id"), F.col("n_fp").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("b_id"), F.col("n_fp").alias("nb"))
+    containment = F.bround(
+        F.col("shared_fps").cast("double")
+        / F.least(F.col("na"), F.col("nb")),
+        4,
+    )
+    return (
+        pairs.join(ca, "a_id")
+        .join(cb, "b_id")
+        .select("a_id", "b_id", "shared_fps", containment.alias("containment"))
+        .filter(F.col("containment") >= min_containment)
+    )
+
+
+def winnow_containment_pairs_sql(
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = WINNOW_MIN_SHARED,
+    owner_cap: int = WINNOW_OWNER_CAP,
+    min_containment: float = WINNOW_MIN_CONTAINMENT,
+) -> str:
+    return f"""
+WITH allfp AS ({winnow_fingerprints_sql(k, w)}),
+fps AS (SELECT DISTINCT doc_id, fp FROM allfp),
+counts AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id),
+owners AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND {owner_cap}
+),
+keyed AS (SELECT f.doc_id, f.fp FROM fps f SEMI JOIN owners o ON f.fp = o.fp),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         CAST(COUNT(*) AS BIGINT) AS shared_fps
+  FROM keyed a JOIN keyed b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {min_shared}
+)
+SELECT p.a_id, p.b_id, p.shared_fps,
+       round_even(p.shared_fps::DOUBLE / LEAST(ca.n_fp, cb.n_fp), 4)
+         AS containment
+FROM pairs p JOIN counts ca ON p.a_id = ca.doc_id
+             JOIN counts cb ON p.b_id = cb.doc_id
+WHERE round_even(p.shared_fps::DOUBLE / LEAST(ca.n_fp, cb.n_fp), 4)
+      >= {min_containment}
+"""

@@ -153,6 +153,7 @@ PROBES = [
     "bpe_train_merges",
     "linear_quality_classifier",
     "knn_label_eval",
+    "winnow_containment_pairs",
 ]
 
 

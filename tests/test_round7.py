@@ -628,3 +628,52 @@ def test_knn_label_eval_perfect_when_clusters_are_tight(spark):
     out = {r["label"]: r for r in sim.knn_label_eval(emb, k=3).collect()}
     for lbl, r in out.items():
         assert r["accuracy"] == 1.0, (lbl, r)
+
+
+def test_wave78_plan_shapes(spark):
+    """ROLLUP lowers to ONE Expand+Aggregate pass (never three unioned
+    aggregations); explicit-list pivot is a single Aggregate with no
+    distinct-values pre-job; classifier weights broadcast."""
+    from flink_streaming_etl_spark.catalog import load_tables
+    from flink_streaming_etl_spark.operators import analytics as an
+    from flink_streaming_etl_spark.operators import text as tx
+    from tests.conftest import SF_SMOKE
+
+    ev = load_tables(spark, SF_SMOKE, register=False)["events"]
+    p = plan_of(an.event_rollup_report(ev))
+    assert p.count("Expand") >= 1, p
+    assert "Union" not in p, p
+    p = plan_of(an.event_type_pivot_daily(ev))
+    assert "Union" not in p and "CartesianProduct" not in p, p
+    docs = _tables(spark)["documents"]
+    p = plan_of(tx.linear_quality_classifier(docs))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_winnow_containment_short_in_long(spark):
+    """A short doc fully embedded in a much longer one scores containment
+    ~1.0 even though plain resemblance would be diluted by the long
+    side's size."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    short = "the exact same embedded passage appears fully inside the larger document"
+    long_doc = ("lots of unrelated framing text before it. " * 8) + short + (
+        " and plenty of trailing material after the embedded span too. " * 8)
+    docs = spark.createDataFrame(
+        [
+            (1, short, "en", "s", len(short)),
+            (2, long_doc, "en", "s", len(long_doc)),
+            (3, "completely unrelated content with its own words entirely", "en", "s", 56),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {(r["a_id"], r["b_id"]): r["containment"]
+           for r in tx.winnow_containment_pairs(docs, min_containment=0.3).collect()}
+    assert (1, 2) in out
+    # interior-window fingerprints of the embedded span all match; only
+    # the short doc's boundary windows (whose minima depend on context
+    # outside the span) differ — containment lands well above the noise
+    # floor but below 1.0 by construction
+    assert out[(1, 2)] >= 0.5
+    assert (1, 3) not in out and (2, 3) not in out
