@@ -2297,13 +2297,15 @@ ANOMALY_Z_THRESHOLD = 3.0
 
 
 def anomaly_zscore_daily(
-    events: DataFrame, z_threshold: float = ANOMALY_Z_THRESHOLD
+    events: DataFrame,
+    z_threshold: float = ANOMALY_Z_THRESHOLD,
+    value_scale: int = 1000,
 ) -> DataFrame:
     daily = (
         events.select(
             "event_type",
             F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
-            F.round(F.col("value") * 1000).cast("long").alias("_v"),
+            F.round(F.col("value") * value_scale).cast("long").alias("_v"),
         )
         .groupBy("event_type", "day")
         .agg(F.sum("_v").alias("x"))
@@ -2313,6 +2315,14 @@ def anomaly_zscore_daily(
         .orderBy("day")
         .rowsBetween(-7, -1)
     )
+    # Window folds stay EXACT integers (a double window sum would be
+    # association-order-dependent across engines — the banned class);
+    # only the s1² PRODUCT happens in doubles, where the double product
+    # of an exact int is correctly rounded identically in every engine.
+    # Exactness bound: x² needs |x| < 3.03e9 milli-units per (type, day);
+    # a deployment with larger daily totals lowers the quantization via
+    # the ``value_scale`` dial (value_scale=1 buys 1000x headroom at
+    # whole-unit resolution).
     stats = daily.select(
         "event_type",
         "day",
@@ -2320,27 +2330,30 @@ def anomaly_zscore_daily(
         F.count("x").over(w).alias("_n"),
         F.sum("x").over(w).alias("_s1"),
         F.sum(F.col("x") * F.col("x")).over(w).alias("_s2"),
+        F.min("x").over(w).alias("_mn"),
+        F.max("x").over(w).alias("_mx"),
     )
     n = F.col("_n").cast("double")
-    mean = F.col("_s1") / n
-    var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / n) / (n - 1)
+    s1d = F.col("_s1").cast("double")
+    mean = s1d / n
+    var = (F.col("_s2") - s1d * s1d / n) / (n - 1)
     z = F.bround((F.col("x") - mean) / F.sqrt(var), 4)
     full = F.col("_n") == 7
-    # zero-variance trailing window (all 7 equal): z is undefined — an
-    # EXACT integer test (7·s2 == s1², never a float var≈0 compare), with
-    # the anomaly decision falling back to exact deviation: any x that
-    # differs from a constant history is an infinite-z anomaly.
-    var_zero = F.col("_s2") * 7 == F.col("_s1") * F.col("_s1")
+    # zero-variance trailing window iff min == max — an EXACT integer
+    # test with no products (never a float var≈0 compare); the anomaly
+    # decision then falls back to exact deviation: any x differing from
+    # a constant history is an infinite-z anomaly.
+    var_zero = F.col("_mn") == F.col("_mx")
     return stats.select(
         "event_type",
         F.col("day").cast("string").alias("day"),
-        (F.col("x") / 1000.0).alias("daily_value"),
+        (F.col("x") / float(value_scale)).alias("daily_value"),
         F.when(full & ~var_zero, z).alias("zscore"),
         F.when(
             full
             & (
                 (~var_zero & (F.abs(z) > z_threshold))
-                | (var_zero & (F.col("x") * 7 != F.col("_s1")))
+                | (var_zero & (F.col("x") != F.col("_mn")))
             ),
             1,
         )
@@ -2349,32 +2362,36 @@ def anomaly_zscore_daily(
     )
 
 
-def anomaly_zscore_daily_sql(z_threshold: float = ANOMALY_Z_THRESHOLD) -> str:
+def anomaly_zscore_daily_sql(
+    z_threshold: float = ANOMALY_Z_THRESHOLD, value_scale: int = 1000
+) -> str:
     return f"""
 WITH daily AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
-         SUM(CAST(round(value * 1000) AS BIGINT)) AS x
+         SUM(CAST(round(value * {value_scale}) AS BIGINT)) AS x
   FROM events GROUP BY 1, 2
 ), stats AS (
   SELECT event_type, day, x,
          COUNT(x) OVER w AS n,
          SUM(x) OVER w AS s1,
-         SUM(x * x) OVER w AS s2
+         SUM(x::DOUBLE * x::DOUBLE) OVER w AS s2,
+         MIN(x) OVER w AS mn,
+         MAX(x) OVER w AS mx
   FROM daily
   WINDOW w AS (PARTITION BY event_type ORDER BY day
                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
 )
 SELECT event_type,
        CAST(day AS VARCHAR) AS day,
-       x / 1000.0 AS daily_value,
-       CASE WHEN n = 7 AND s2 * 7 <> s1 * s1 THEN
-         round_even((x - s1 / n::DOUBLE)
-                    / sqrt((s2 - s1 * s1 / n::DOUBLE) / (n - 1)), 4)
+       x / {value_scale}.0 AS daily_value,
+       CASE WHEN n = 7 AND mn <> mx THEN
+         round_even((x - s1::DOUBLE / n)
+                    / sqrt((s2 - s1::DOUBLE * s1::DOUBLE / n) / (n - 1)), 4)
        END AS zscore,
-       CASE WHEN n = 7 AND ((s2 * 7 <> s1 * s1 AND ABS(
-         round_even((x - s1 / n::DOUBLE)
-                    / sqrt((s2 - s1 * s1 / n::DOUBLE) / (n - 1)), 4)
-       ) > {z_threshold}) OR (s2 * 7 = s1 * s1 AND x * 7 <> s1))
+       CASE WHEN n = 7 AND ((mn <> mx AND ABS(
+         round_even((x - s1::DOUBLE / n)
+                    / sqrt((s2 - s1::DOUBLE * s1::DOUBLE / n) / (n - 1)), 4)
+       ) > {z_threshold}) OR (mn = mx AND x <> mn))
        THEN 1 ELSE 0 END AS is_anomaly
 FROM stats
 """

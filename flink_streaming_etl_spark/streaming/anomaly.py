@@ -41,7 +41,10 @@ from flink_streaming_etl_spark.operators.analytics import ANOMALY_Z_THRESHOLD
 class AnomalyZScoreAccumulator:
     """Mergeable per-(event_type, day) integer totals + trailing z-scores."""
 
-    def __init__(self, retention_days: int | None = None):
+    def __init__(
+        self, retention_days: int | None = None, value_scale: int = 1000
+    ):
+        self.value_scale = value_scale
         if retention_days is not None and retention_days < 8:
             raise ValueError(
                 "retention_days must be >= 8 (7 trailing days + the scored day)"
@@ -63,7 +66,7 @@ class AnomalyZScoreAccumulator:
             batch_events.select(
                 "event_type",
                 F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
-                F.round(F.col("value") * 1000).cast("long").alias("_v"),
+                F.round(F.col("value") * self.value_scale).cast("long").alias("_v"),
             )
             .groupBy("event_type", "day")
             .agg(F.sum("_v").alias("x"))
@@ -112,19 +115,23 @@ class AnomalyZScoreAccumulator:
                 if len(window) == 7:
                     s1 = sum(window)
                     s2 = sum(v * v for v in window)
-                    if s2 * 7 == s1 * s1:
+                    if min(window) == max(window):
                         # constant history: z undefined; exact-deviation
                         # anomaly test — same semantics as the batch op
-                        is_anom = 1 if x * 7 != s1 else 0
+                        is_anom = 1 if x != window[0] else 0
                     else:
+                        # mirror the batch op's DOUBLE arithmetic exactly:
+                        # products on float(s1), never exact-int s1² (the
+                        # two differ by an ulp once s1 exceeds 2^53)
                         n = 7.0
-                        mean = s1 / n
-                        var = (s2 - s1 * s1 / n) / (n - 1)
+                        s1d = float(s1)
+                        mean = s1d / n
+                        var = (float(s2) - s1d * s1d / n) / (n - 1)
                         zval = (x - mean) / var**0.5
                         z = round(zval, 4)  # Python round = half-even = bround
                         is_anom = 1 if abs(z) > z_threshold else 0
                 out.append(
-                    (event_type, str(day), x / 1000.0, z, is_anom)
+                    (event_type, str(day), x / float(self.value_scale), z, is_anom)
                 )
         return spark.createDataFrame(
             out,
