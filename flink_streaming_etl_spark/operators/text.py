@@ -3851,12 +3851,23 @@ def linear_quality_classifier(
         (md5_int(F.concat(F.lit("w:"), F.col("bucket").cast("string")), 8) % 2001
          - 1000).alias("w_milli"),
     )
-    scored = (
+    scored0 = (
         bow.join(F.broadcast(wdf), "bucket")
         .groupBy("doc_id")
         .agg(
             F.sum("weight").cast("long").alias("n_tokens"),
             F.sum(F.col("weight") * F.col("w_milli")).cast("long").alias("raw_milli"),
+        )
+    )
+    # TOTAL report: a doc with no a-z tokens still appears (zero vector →
+    # raw 0 → sigmoid 0.5), the filter_stack totality rule
+    scored = (
+        documents.select("doc_id")
+        .join(scored0, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("raw_milli", F.lit(0)).alias("raw_milli"),
         )
     )
     x = F.col("raw_milli").cast("double") / (
@@ -3889,11 +3900,16 @@ WITH tf AS (
 ), wdf AS (
   SELECT bucket, ({w}) % 2001 - 1000 AS w_milli
   FROM (SELECT UNNEST(range(0, {dim})) AS bucket)
-), scored AS (
+), scored0 AS (
   SELECT doc_id,
          CAST(SUM(weight) AS BIGINT) AS n_tokens,
          CAST(SUM(weight * w_milli) AS BIGINT) AS raw_milli
   FROM bow JOIN wdf USING (bucket) GROUP BY doc_id
+), scored AS (
+  SELECT d.doc_id,
+         COALESCE(s.n_tokens, 0) AS n_tokens,
+         COALESCE(s.raw_milli, 0) AS raw_milli
+  FROM documents d LEFT JOIN scored0 s ON d.doc_id = s.doc_id
 )
 SELECT doc_id, n_tokens, raw_milli,
        round_even(1.0 / (1.0 + exp(-(raw_milli::DOUBLE

@@ -601,7 +601,7 @@ def test_linear_classifier_total_and_sigmoid_range(spark):
 
     docs = _tables(spark)["documents"]
     rows = tx.linear_quality_classifier(docs).collect()
-    assert len(rows) == docs.filter("lower(text) rlike '[a-z]'").count()
+    assert len(rows) == docs.count()  # TOTAL: token-less docs score 0.5
     for r in rows:
         assert 0.0 < r["prob_keep"] < 1.0, r
         assert r["keep"] == (1 if r["prob_keep"] >= 0.5 else 0), r
