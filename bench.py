@@ -221,6 +221,7 @@ HEADLINE = [
     "linear_quality_classifier",
     "knn_label_eval",
     "winnow_containment_pairs",
+    "heldout_perplexity_report",
 ]
 
 

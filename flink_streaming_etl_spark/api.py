@@ -900,6 +900,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.winnow_containment_pairs, "documents"),
         text.winnow_containment_pairs_sql(),
     ),
+    "heldout_perplexity_report": (
+        # leakage-free eval: train-split unigram LM scores val/test
+        _q(text.heldout_perplexity_report, "documents"),
+        text.heldout_perplexity_report_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so

@@ -3988,3 +3988,104 @@ FROM pairs p JOIN counts ca ON p.a_id = ca.doc_id
 WHERE round_even(p.shared_fps::DOUBLE / LEAST(ca.n_fp, cb.n_fp), 4)
       >= {min_containment}
 """
+
+
+# ---------------------------------------------------------------------------
+# Held-out perplexity — the leakage-free LM eval: fit an add-1-smoothed
+# unigram model on the TRAIN split only (same md5 hash split rule as
+# train_val_test_split), score the val and test splits against it, and
+# report per-split NLL/perplexity. Unseen words hit the Laplace floor
+# 1/(T+V+1) — the +1 "vocabulary slot" for OOV. The train counts are one
+# vocabulary-keyed aggregation; scoring is a term equi-join with the
+# broadcast-scale count relation; every probability is an exact-integer
+# rational into one ln(), summed per split (bround-4, the same
+# corpus-level-sum discipline as source_kl_report).
+
+
+def heldout_perplexity_report(
+    documents: DataFrame,
+    val_pct: int = SPLIT_VAL_PCT,
+    test_pct: int = SPLIT_TEST_PCT,
+) -> DataFrame:
+    from flink_streaming_etl_spark.functions import md5_int
+
+    u = md5_int(F.col("doc_id").cast("string"), 8) % 100
+    split = (
+        F.when(u < test_pct, F.lit("test"))
+        .when(u < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    tagged = documents.select("doc_id", split.alias("split"), "text")
+    toks = tagged.select(
+        "split",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("split", "term").agg(F.count(F.lit(1)).alias("tf"))
+    train = tf.filter(F.col("split") == "train").select(
+        "term", F.col("tf").alias("c")
+    )
+    totals = train.agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")
+    ).first()
+    t_train, v_train = int(totals["t"] or 0), int(totals["v"] or 0)
+    denom = float(t_train + v_train + 1)
+    heldout = tf.filter(F.col("split") != "train")
+    joined = heldout.join(train, "term", "left")
+    # p = (c+1)/(T+V+1) for seen terms, 1/(T+V+1) for OOV — exact ints in
+    nll_term = -F.col("tf") * F.log(
+        (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double") / F.lit(denom)
+    )
+    return (
+        joined.groupBy("split")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(nll_term).alias("_nll"),
+        )
+        .select(
+            "split",
+            "n_tokens",
+            F.bround(F.col("_nll") / F.col("n_tokens"), 4).alias("avg_nll"),
+            F.bround(F.exp(F.col("_nll") / F.col("n_tokens")), 4).alias(
+                "perplexity"
+            ),
+        )
+    )
+
+
+def heldout_perplexity_report_sql(
+    val_pct: int = SPLIT_VAL_PCT, test_pct: int = SPLIT_TEST_PCT
+) -> str:
+    from flink_streaming_etl_spark.functions import md5_int_sql
+
+    u = f"({md5_int_sql('CAST(doc_id AS VARCHAR)', 8)}) % 100"
+    return f"""
+WITH tagged AS (
+  SELECT doc_id,
+         CASE WHEN {u} < {test_pct} THEN 'test'
+              WHEN {u} < {test_pct} + {val_pct} THEN 'val'
+              ELSE 'train' END AS split,
+         text
+  FROM documents
+), toks AS (
+  SELECT split, t.term
+  FROM tagged,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS term) t
+  WHERE t.term <> ''
+), tf AS (SELECT split, term, COUNT(*) AS tf FROM toks GROUP BY split, term),
+train AS (SELECT term, tf AS c FROM tf WHERE split = 'train'),
+tot AS (SELECT SUM(c) AS t, COUNT(*) AS v FROM train),
+scored AS (
+  SELECT h.split, h.tf,
+         -h.tf * ln((COALESCE(tr.c, 0) + 1)::DOUBLE
+                    / (SELECT t + v + 1 FROM tot)) AS nll
+  FROM tf h LEFT JOIN train tr ON h.term = tr.term
+  WHERE h.split <> 'train'
+)
+SELECT split,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       round_even(SUM(nll) / SUM(tf), 4) AS avg_nll,
+       round_even(exp(SUM(nll) / SUM(tf)), 4) AS perplexity
+FROM scored GROUP BY split
+"""

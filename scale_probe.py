@@ -154,6 +154,7 @@ PROBES = [
     "linear_quality_classifier",
     "knn_label_eval",
     "winnow_containment_pairs",
+    "heldout_perplexity_report",
 ]
 
 

