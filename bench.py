@@ -222,6 +222,8 @@ HEADLINE = [
     "knn_label_eval",
     "winnow_containment_pairs",
     "heldout_perplexity_report",
+    "media_neardup_drop",
+    "media_dedup_apply",
 ]
 
 

@@ -905,6 +905,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.heldout_perplexity_report, "documents"),
         text.heldout_perplexity_report_sql(),
     ),
+    "media_neardup_drop": (
+        # union of SimHash + chunk pair drop decisions, keep-min
+        _q(multimodal.media_neardup_drop, "documents"),
+        multimodal.media_neardup_drop_sql(),
+    ),
+    "media_dedup_apply": (
+        # the kept media corpus: one anti-join against the drop list
+        _q(multimodal.media_dedup_apply, "documents"),
+        multimodal.media_dedup_apply_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so

@@ -464,3 +464,73 @@ FROM keyed a JOIN keyed b
   ON a.band = b.band AND a.val = b.val AND a.media_id < b.media_id
 WHERE bit_count(xor(a.code, b.code)) <= {max_hamming}
 """
+
+
+# ---------------------------------------------------------------------------
+# Media near-dup drop + apply — closes the multimodal dedup loop the
+# same way the text side does (neardup_drop_list / dedup_apply): a media
+# item is dropped iff it is the larger id of any SimHash-banded near-dup
+# pair OR any chunk-level partial-dup pair; the kept corpus is one
+# anti-join. Union of two bounded pair relations — no new pair
+# computation tier.
+
+
+def media_neardup_drop(
+    documents: DataFrame,
+    max_hamming: int = MEDIA_SIMHASH_MAX_HAMMING,
+    min_shared: int = MEDIA_CHUNK_MIN_SHARED,
+) -> DataFrame:
+    sh = media_simhash_pairs(documents, max_hamming=max_hamming).select(
+        F.col("b_id").alias("media_id")
+    )
+    ch = media_chunk_dedup(documents, min_shared=min_shared).select(
+        F.col("b_id").alias("media_id")
+    )
+    return sh.unionByName(ch).dropDuplicates(["media_id"])
+
+
+def media_neardup_drop_sql(
+    max_hamming: int = MEDIA_SIMHASH_MAX_HAMMING,
+    min_shared: int = MEDIA_CHUNK_MIN_SHARED,
+) -> str:
+    return f"""
+WITH sh AS ({media_simhash_pairs_sql(max_hamming=max_hamming)}),
+ch AS ({media_chunk_dedup_sql(min_shared=min_shared)})
+SELECT DISTINCT media_id FROM (
+  SELECT b_id AS media_id FROM sh
+  UNION ALL
+  SELECT b_id AS media_id FROM ch
+)
+"""
+
+
+def media_dedup_apply(
+    documents: DataFrame,
+    max_hamming: int = MEDIA_SIMHASH_MAX_HAMMING,
+    min_shared: int = MEDIA_CHUNK_MIN_SHARED,
+) -> DataFrame:
+    drops = media_neardup_drop(documents, max_hamming, min_shared)
+    return (
+        documents_as_media(documents)
+        .join(drops, "media_id", "left_anti")
+        .select("media_id", "media_type", "n_bytes")
+    )
+
+
+def media_dedup_apply_sql(
+    max_hamming: int = MEDIA_SIMHASH_MAX_HAMMING,
+    min_shared: int = MEDIA_CHUNK_MIN_SHARED,
+) -> str:
+    return f"""
+WITH drops AS ({media_neardup_drop_sql(max_hamming, min_shared)}),
+m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+)
+SELECT m.media_id, m.media_type, m.n_bytes
+FROM m ANTI JOIN drops d ON m.media_id = d.media_id
+"""

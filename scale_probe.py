@@ -155,6 +155,8 @@ PROBES = [
     "knn_label_eval",
     "winnow_containment_pairs",
     "heldout_perplexity_report",
+    "media_neardup_drop",
+    "media_dedup_apply",
 ]
 
 

@@ -694,3 +694,13 @@ def test_heldout_perplexity_sane_and_leakage_free(spark):
         assert r["avg_nll"] > 0.0, r
         assert abs(r["perplexity"] - round(2.718281828459045 ** r["avg_nll"], 1)) < \
             max(0.05 * r["perplexity"], 0.5)  # ppl ≈ e^nll (rounding slack)
+
+
+def test_media_dedup_apply_removes_exactly_drop_list(spark):
+    from flink_streaming_etl_spark.operators import multimodal as mm
+
+    docs = _tables(spark)["documents"]
+    total = docs.count()
+    drops = mm.media_neardup_drop(docs).count()
+    kept = mm.media_dedup_apply(docs).count()
+    assert kept == total - drops
