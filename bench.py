@@ -224,6 +224,7 @@ HEADLINE = [
     "heldout_perplexity_report",
     "media_neardup_drop",
     "media_dedup_apply",
+    "vocab_growth_curve",
 ]
 
 

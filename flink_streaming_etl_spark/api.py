@@ -915,6 +915,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(multimodal.media_dedup_apply, "documents"),
         multimodal.media_dedup_apply_sql(),
     ),
+    "vocab_growth_curve": (
+        # Heaps' law measured: vocab after each hash decile, one pass
+        _q(text.vocab_growth_curve, "documents"),
+        text.vocab_growth_curve_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so

@@ -4089,3 +4089,74 @@ SELECT split,
        round_even(exp(SUM(nll) / SUM(tf)), 4) AS perplexity
 FROM scored GROUP BY split
 """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve — Heaps' law measured, not just fitted: the
+# distinct-vocabulary count after ingesting each hash-ordered decile of
+# the corpus. ONE corpus pass: each term's MIN ingest-decile is a single
+# vocabulary-keyed aggregation (a term enters the vocabulary exactly
+# once, at its first decile), the curve is a 10-row cumulative sum —
+# never ten distinct-count jobs over growing prefixes. Exact integers
+# throughout; the deterministic md5 doc order makes the curve
+# reproducible across engines and runs.
+
+VOCAB_CURVE_DECILES = 10
+
+
+def vocab_growth_curve(
+    documents: DataFrame, deciles: int = VOCAB_CURVE_DECILES
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from flink_streaming_etl_spark.functions import md5_int
+
+    bucket = (md5_int(F.col("doc_id").cast("string"), 8) % deciles).cast("int")
+    toks = documents.select(bucket.alias("b"), "text").select(
+        "b",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    first_seen = toks.groupBy("term").agg(F.min("b").alias("fb"))
+    enters = first_seen.groupBy("fb").agg(F.count(F.lit(1)).alias("new_terms"))
+    docs_per = documents.select(bucket.alias("fb")).groupBy("fb").agg(
+        F.count(F.lit(1)).alias("new_docs")
+    )
+    spine = documents.sparkSession.range(deciles).select(
+        F.col("id").cast("int").alias("fb")
+    )
+    w = Window.orderBy("fb").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(enters, "fb", "left")
+        .join(docs_per, "fb", "left")
+        .select(
+            (F.col("fb") + 1).alias("decile"),
+            F.sum(F.coalesce("new_docs", F.lit(0))).over(w).cast("long").alias("n_docs"),
+            F.sum(F.coalesce("new_terms", F.lit(0))).over(w).cast("long").alias("vocab"),
+        )
+    )
+
+
+def vocab_growth_curve_sql(deciles: int = VOCAB_CURVE_DECILES) -> str:
+    from flink_streaming_etl_spark.functions import md5_int_sql
+
+    b = f"CAST(({md5_int_sql('CAST(doc_id AS VARCHAR)', 8)}) % {deciles} AS INT)"
+    return f"""
+WITH toks AS (
+  SELECT {b} AS b, t.term
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS term) t
+  WHERE t.term <> ''
+), first_seen AS (SELECT term, MIN(b) AS fb FROM toks GROUP BY term),
+enters AS (SELECT fb, COUNT(*) AS new_terms FROM first_seen GROUP BY fb),
+docs_per AS (SELECT {b} AS fb, COUNT(*) AS new_docs FROM documents GROUP BY 1),
+spine AS (SELECT UNNEST(range(0, {deciles})) AS fb)
+SELECT CAST(s.fb + 1 AS INT) AS decile,
+       CAST(SUM(COALESCE(d.new_docs, 0)) OVER (ORDER BY s.fb
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_docs,
+       CAST(SUM(COALESCE(e.new_terms, 0)) OVER (ORDER BY s.fb
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab
+FROM spine s LEFT JOIN enters e ON s.fb = e.fb
+             LEFT JOIN docs_per d ON s.fb = d.fb
+"""

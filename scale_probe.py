@@ -157,6 +157,7 @@ PROBES = [
     "heldout_perplexity_report",
     "media_neardup_drop",
     "media_dedup_apply",
+    "vocab_growth_curve",
 ]
 
 

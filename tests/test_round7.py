@@ -704,3 +704,24 @@ def test_media_dedup_apply_removes_exactly_drop_list(spark):
     drops = mm.media_neardup_drop(docs).count()
     kept = mm.media_dedup_apply(docs).count()
     assert kept == total - drops
+
+
+def test_vocab_growth_curve_monotone_and_total(spark):
+    """Cumulative curve: 10 rows, monotone non-decreasing, final decile
+    equals the corpus totals (all docs, full vocabulary)."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_etl_spark.operators import text as tx
+
+    docs = _tables(spark)["documents"]
+    rows = sorted(tx.vocab_growth_curve(docs).collect(), key=lambda r: r["decile"])
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_docs"] >= a["n_docs"] and b["vocab"] >= a["vocab"]
+    full_vocab = (
+        docs.select(F.explode(F.filter(F.split(F.lower("text"), "[^a-z]+"),
+                                       lambda t: t != "")).alias("t"))
+        .agg(F.count_distinct("t")).collect()[0][0]
+    )
+    assert rows[-1]["n_docs"] == docs.count()
+    assert rows[-1]["vocab"] == full_vocab
