@@ -59,7 +59,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(relational.listagg_items, "lineitem"),
         relational.LISTAGG_ITEMS_SQL,
     ),
-    "collect_items": (_q(relational.collect_items, "lineitem"), None),  # nested arrays
+    # NOTE: relational.collect_items (A5, COLLECT(ROW(...))) stays library
+    # API + pytest-covered but is NOT registered: the driver canonicalizer
+    # pandas-hashes Spark output even with no oracle, so array-of-struct
+    # columns TypeError in every sampled window (proved r07). Its
+    # deterministic projection twin collect_items_flat IS registered and
+    # oracle-green (r5, r6).
     "collect_items_flat": (
         # driver-hashable twin: same COLLECT(ROW(...)) agg, struct array
         # flattened to a deterministic string (pandas can't hash lists)
@@ -150,10 +155,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(similarity.kmeans_assign_pinned, "embeddings"),
         similarity.kmeans_assign_pinned_sql(),
     ),
-    "standardize_by_label": (
-        _q(similarity.standardize_by_label, "embeddings"),
-        None,  # array<double> output — driver canonicalizer can't hash lists
-    ),
+    # NOTE: similarity.standardize_by_label (array<double> output) stays
+    # library API + pytest-covered but is NOT registered — same driver
+    # list-hash constraint as collect_items above; its floor-quantized
+    # scalar twin standardize_by_label_stats IS registered + oracle-green.
     "standardize_by_label_stats": (
         # driver-hashable twin: same applyInPandas z-score kernel, projected
         # to floor-quantized scalars with a per-(label,dim) SQL oracle
@@ -967,11 +972,11 @@ _SAMPLE_FRONT = [
     "knn_label_eval",
     "pack_sequences_ffd",
     "ann_ivf_pq",
-    # stale-red cures (r6 verdict #5): both are registered rows-only
-    # (None oracle) — a fresh sample records an honest no_oracle row in
-    # place of the r03 harness list-hash TypeError
-    "collect_items",
-    "standardize_by_label",
+    # r7 compositions deferred to this window — first driver rows
+    "winnow_containment_pairs",
+    "heldout_perplexity_report",
+    "media_neardup_drop",
+    "media_dedup_apply",
     # reference-parity + battery anchors kept in-window (the rest of the
     # multi-round-green registry rotates to the tail; every oracle entry
     # is still re-checked each run by tests/test_oracle_parity.py)
@@ -982,7 +987,6 @@ _SAMPLE_FRONT = [
     "pmi_top_pairs",
     "bigram_entropy_report",
     "anomaly_zscore_daily",
-    "tfidf_cosine_pairs",
     "zipf_fit_report",
     "doclen_percentile_report",
     "ann_hamming_topk",
@@ -990,7 +994,6 @@ _SAMPLE_FRONT = [
     "hashed_bow_sparse",
     "ccnet_pipeline",
     "hybrid_rrf_search",
-    "minhash_band_tuning_report",
     "dedup_cluster_size_histogram",
 ]
 assert len(_SAMPLE_FRONT) == 50 and len(set(_SAMPLE_FRONT)) == 50

@@ -27,11 +27,18 @@ recomputes from the lineage, so correctness never depends on residency.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 
 #: family name → OrderedDict-ish plain dict (Python dicts preserve
 #: insertion order; LRU = delete+reinsert on hit, evict first key).
-_FAMILIES: dict[str, dict[tuple[int, int], DataFrame]] = {}
+#: Values are (session_weakref, DataFrame): id(session) can be recycled
+#: by CPython after a session is stopped + collected, so a hit must also
+#: prove the weakref still points at the CALLER's live session — a dead
+#: or mismatched referent is a miss, never a stale cross-session
+#: DataFrame (ADVICE r7).
+_FAMILIES: dict[str, dict[tuple[int, int], tuple[weakref.ref, DataFrame]]] = {}
 
 #: clear callbacks for operator modules with their own cache shapes
 #: (e.g. dedup's id()-keyed pair/signature caches) — invoked by
@@ -63,22 +70,27 @@ def memo_persist(
     from pyspark import StorageLevel
 
     cache = _FAMILIES.setdefault(family, {})
-    key = (id(df.sparkSession), df.semanticHash())
+    session = df.sparkSession
+    key = (id(session), df.semanticHash())
     hit = cache.get(key)
     if hit is not None:
-        # LRU bump: re-insert as most recent
+        sess_ref, cached_df = hit
+        if sess_ref() is session:
+            # LRU bump: re-insert as most recent
+            del cache[key]
+            cache[key] = hit
+            return cached_df
+        # id() recycled onto a new session — stale entry, treat as miss
         del cache[key]
-        cache[key] = hit
-        return hit
     persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
     while len(cache) >= max_entries:
         oldest_key = next(iter(cache))
-        evicted = cache.pop(oldest_key)
+        _, evicted = cache.pop(oldest_key)
         try:
             evicted.unpersist(blocking=False)
         except Exception:  # session already stopped — nothing to free
             pass
-    cache[key] = persisted
+    cache[key] = (weakref.ref(session), persisted)
     return persisted
 
 
@@ -90,7 +102,7 @@ def clear_operator_caches() -> None:
     built); long-running jobs can call it at phase boundaries.
     """
     for cache in _FAMILIES.values():
-        for df in cache.values():
+        for _, df in cache.values():
             try:
                 df.unpersist(blocking=False)
             except Exception:

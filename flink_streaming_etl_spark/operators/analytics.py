@@ -2315,28 +2315,31 @@ def anomaly_zscore_daily(
         .orderBy("day")
         .rowsBetween(-7, -1)
     )
-    # Window folds stay EXACT integers (a double window sum would be
-    # association-order-dependent across engines — the banned class);
-    # only the s1² PRODUCT happens in doubles, where the double product
-    # of an exact int is correctly rounded identically in every engine.
-    # Exactness bound: x² needs |x| < 3.03e9 milli-units per (type, day);
-    # a deployment with larger daily totals lowers the quantization via
-    # the ``value_scale`` dial (value_scale=1 buys 1000x headroom at
-    # whole-unit resolution).
+    # Window folds stay EXACT (a double window sum would be
+    # association-order-dependent across engines — the banned class; DuckDB
+    # segment-tree window folds vs Spark's in-frame-order folds can round
+    # differently). s2 = SUM(x*x) folds in DECIMAL, not long: a long*long
+    # product silently wraps int64 once |x| > sqrt(2^63/7) ≈ 1.15e9
+    # milli-units. decimal(19,0)² → decimal(38,0) holds any int64 product
+    # exactly, and the 7-term window sum stays exact for |x| < sqrt(1e38/7)
+    # ≈ 3.8e18 — the full practical int64 range. Both engines then convert
+    # the ONE exact s2 value to double (correctly rounded, identical), which
+    # is also exactly what the streaming twin's float(exact-int s2) does.
+    xd = F.col("x").cast("decimal(19,0)")
     stats = daily.select(
         "event_type",
         "day",
         "x",
         F.count("x").over(w).alias("_n"),
         F.sum("x").over(w).alias("_s1"),
-        F.sum(F.col("x") * F.col("x")).over(w).alias("_s2"),
+        F.sum(xd * xd).over(w).alias("_s2"),
         F.min("x").over(w).alias("_mn"),
         F.max("x").over(w).alias("_mx"),
     )
     n = F.col("_n").cast("double")
     s1d = F.col("_s1").cast("double")
     mean = s1d / n
-    var = (F.col("_s2") - s1d * s1d / n) / (n - 1)
+    var = (F.col("_s2").cast("double") - s1d * s1d / n) / (n - 1)
     z = F.bround((F.col("x") - mean) / F.sqrt(var), 4)
     full = F.col("_n") == 7
     # zero-variance trailing window iff min == max — an EXACT integer
@@ -2374,7 +2377,7 @@ WITH daily AS (
   SELECT event_type, day, x,
          COUNT(x) OVER w AS n,
          SUM(x) OVER w AS s1,
-         SUM(x::DOUBLE * x::DOUBLE) OVER w AS s2,
+         SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) OVER w AS s2,
          MIN(x) OVER w AS mn,
          MAX(x) OVER w AS mx
   FROM daily
@@ -2386,11 +2389,11 @@ SELECT event_type,
        x / {value_scale}.0 AS daily_value,
        CASE WHEN n = 7 AND mn <> mx THEN
          round_even((x - s1::DOUBLE / n)
-                    / sqrt((s2 - s1::DOUBLE * s1::DOUBLE / n) / (n - 1)), 4)
+                    / sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n) / (n - 1)), 4)
        END AS zscore,
        CASE WHEN n = 7 AND ((mn <> mx AND ABS(
          round_even((x - s1::DOUBLE / n)
-                    / sqrt((s2 - s1::DOUBLE * s1::DOUBLE / n) / (n - 1)), 4)
+                    / sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n) / (n - 1)), 4)
        ) > {z_threshold}) OR (mn = mx AND x <> mn))
        THEN 1 ELSE 0 END AS is_anomaly
 FROM stats

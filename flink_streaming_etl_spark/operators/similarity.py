@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from flink_streaming_etl_spark.operators._cache import memo_persist
+
 N_QUERIES = 10  # vec_id < 10 are the probe vectors
 TOP_K = 5
 BUCKET_DIMS = 6  # sign bits of the first 6 dims → 64 buckets
@@ -2319,7 +2321,13 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
             )
 
     part = q.mapInPandas(gram, schema="i int, j int, v long")
-    tot = part.groupBy("i", "j").agg(F.sum("v").alias("v"))
+    # memo-persist the d²-bounded Gram totals: the n-row first() below is
+    # one action and the returned covariance DataFrame's eventual action
+    # (plus pca_top_component's collect) would otherwise each re-run the
+    # corpus-sized mapInPandas fold (ADVICE r7).
+    tot = memo_persist(
+        "embedding_cov", part.groupBy("i", "j").agg(F.sum("v").alias("v"))
+    )
     n_row = tot.filter((F.col("i") == -1) & (F.col("j") == -1)).first()
     spark = embeddings.sparkSession
     if n_row is None or n_row["v"] < 2:  # empty / single-vector corpus

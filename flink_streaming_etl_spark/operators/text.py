@@ -3294,13 +3294,18 @@ FROM cond, hu
 # produces a shared fingerprint, with expected density 2/(w+1) — the
 # position-robust complement to fixed-boundary chunk dedup. Engine-exact:
 # md5-derived 40-bit integer hashes, tie-break encoded arithmetically
-# (combined = h·2^20 + (2^20−1−pos), so min() picks min-hash-then-
+# (combined = h·2^23 + (2^23−1−pos), so min() picks min-hash-then-
 # rightmost-pos in one fold). One shuffle on doc_id for the per-doc
 # ordered window; fingerprint volume ≈ 2/(w+1) of the character count.
 
 WINNOW_K = 8
 WINNOW_W = 4
-_WINNOW_POS_BITS = 20  # docs are < 2^20 normalized chars (enforced via cap)
+# 40-bit hash + 23-bit position fills signed int64 EXACTLY:
+# (2^40−1)·2^23 + (2^23−1) = 2^63−1. Docs must stay < 2^23 (8.4M)
+# normalized chars — ENFORCED with an engine-side error (ADVICE r7: the
+# old least(pos, cap) silently saturated, degrading rightmost-min
+# tie-breaking to leftmost-among-saturated on huge docs).
+_WINNOW_POS_BITS = 23
 
 
 def winnow_fingerprints(
@@ -3324,7 +3329,17 @@ def winnow_fingerprints(
         "pos",
         (
             md5_int(F.expr(f"substring(s, pos, {k})"), 10) * m
-            + (F.lit(m - 1) - F.least(F.col("pos"), F.lit(m - 1)))
+            + (
+                F.lit(m - 1)
+                - F.when(F.col("pos") <= m - 1, F.col("pos")).otherwise(
+                    F.raise_error(
+                        F.lit(
+                            f"winnow_fingerprints: doc exceeds 2^{_WINNOW_POS_BITS}"
+                            " normalized chars — split or pre-chunk it"
+                        )
+                    ).cast("int")
+                )
+            )
         ).alias("combined"),
     )
     frame = (
@@ -3340,9 +3355,12 @@ def winnow_fingerprints(
         .select("doc_id", "wmin")
         .distinct()
     )
+    # Decode with EXACT integer ops: `wmin / m` is DOUBLE division in both
+    # engines and silently corrupts 63-bit combined values (53-bit double
+    # mantissa) — shiftright/`>>` recovers the hash exactly.
     return sel.select(
         "doc_id",
-        F.floor(F.col("wmin") / m).cast("long").alias("fp"),
+        F.shiftright(F.col("wmin"), _WINNOW_POS_BITS).cast("long").alias("fp"),
         (F.lit(m - 1) - F.col("wmin") % m).cast("long").alias("pos"),
     )
 
@@ -3358,7 +3376,9 @@ WITH base AS (
   FROM documents
 ), kgrams AS (
   SELECT doc_id, pos,
-         {h} * {m} + ({m - 1} - LEAST(pos, {m - 1})) AS combined
+         {h} * {m} + ({m - 1} - CASE WHEN pos <= {m - 1} THEN pos
+           ELSE error('winnow_fingerprints: doc exceeds position cap') END)
+           AS combined
   FROM base, LATERAL (SELECT UNNEST(range(1, len(s) - {k} + 2)) AS pos) r
   WHERE len(s) >= {k + w - 1}
 ), sel AS (
@@ -3372,7 +3392,7 @@ WITH base AS (
   ) WHERE cnt = {w}
 )
 SELECT doc_id,
-       CAST(FLOOR(wmin / {m}) AS BIGINT) AS fp,
+       CAST(wmin >> {_WINNOW_POS_BITS} AS BIGINT) AS fp,
        CAST({m - 1} - wmin % {m} AS BIGINT) AS pos
 FROM sel
 """

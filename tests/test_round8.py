@@ -1,0 +1,161 @@
+"""Round-8 additions: advisor-fix regression tests (anomaly s2 decimal
+fold, winnow position cap, covariance single-pass, session-keyed memo
+safety) plus new-operator invariants. Value correctness for oracle-backed
+entries is covered by tests/test_oracle_parity.py every run."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def test_anomaly_zscore_survives_large_daily_totals(spark):
+    """ADVICE r7 (medium): SUM(long x * long x) silently wraps int64 once
+    |x| > sqrt(2^63/7) ≈ 1.15e9 milli-units. The s2 fold is now exact
+    decimal(38,0); z-scores at |x| ≈ 3e9 must equal the exact-arithmetic
+    reference (computed here with Python bigints, the streaming twin's
+    path), and no is_anomaly flag may flip from overflow wraparound."""
+    from flink_streaming_etl_spark.operators import analytics as an
+
+    base = dt.datetime(2024, 1, 1)
+    # daily values around 3e6 units → x ≈ 3e9 milli-units per day: the
+    # exact magnitude the old long*long fold wrapped on (7·(3e9)² ≈ 6.3e19
+    # > 2^63).
+    vals = [3.0e6, 3.1e6, 2.9e6, 3.05e6, 2.95e6, 3.2e6, 2.8e6, 3.0e6, 9.9e6]
+    rows = [
+        (i, base + dt.timedelta(days=i), 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["day"]: r for r in an.anomaly_zscore_daily(ev).collect()}
+
+    # exact reference via Python bigints (identical to streaming twin)
+    x = [round(v * 1000) for v in vals]
+    for idx in (7, 8):
+        win = x[idx - 7 : idx]
+        s1, s2 = sum(win), sum(v * v for v in win)
+        n = 7.0
+        mean = float(s1) / n
+        var = (float(s2) - float(s1) * float(s1) / n) / (n - 1)
+        zref = round((x[idx] - mean) / var**0.5, 4)
+        day = f"2024-01-{idx + 1:02d}"
+        assert out[day]["zscore"] == zref, (day, out[day]["zscore"], zref)
+    assert out["2024-01-08"]["is_anomaly"] == 0
+    assert out["2024-01-09"]["is_anomaly"] == 1  # the 9.9e6 spike
+
+
+def test_anomaly_zscore_streaming_twin_large_totals(spark):
+    """The streaming accumulator must equal the (fixed) batch operator at
+    the same overflow-prone magnitudes."""
+    from flink_streaming_etl_spark.operators.analytics import anomaly_zscore_daily
+    from flink_streaming_etl_spark.streaming.anomaly import AnomalyZScoreAccumulator
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [3.0e6, 3.1e6, 2.9e6, 3.05e6, 2.95e6, 3.2e6, 2.8e6, 3.0e6, 9.9e6]
+    rows = [
+        (i, base + dt.timedelta(days=i), 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    acc = AnomalyZScoreAccumulator()
+    acc.add_batch(ev.filter(F.col("event_id") < 5), batch_id=0)
+    acc.add_batch(ev.filter(F.col("event_id") >= 5), batch_id=1)
+    got = {r["day"]: r for r in acc.result(spark).collect()}
+    want = {r["day"]: r for r in anomaly_zscore_daily(ev).collect()}
+    assert set(got) == set(want)
+    for day in want:
+        assert got[day]["zscore"] == want[day]["zscore"], day
+        assert got[day]["is_anomaly"] == want[day]["is_anomaly"], day
+
+
+def test_winnow_decode_exact_roundtrip(spark):
+    """The fp/pos decode must be EXACT integer arithmetic: combined values
+    fill 63 bits (40-bit hash · 2^23 + pos), beyond double's 53-bit
+    mantissa — the old `floor(wmin / m)` double-division decode silently
+    corrupted hashes in BOTH engines (parity held while both were wrong).
+    Verify Spark's selected fingerprints equal a bigint-exact Python
+    winnow of the same k-gram hash stream."""
+    import hashlib
+
+    from flink_streaming_etl_spark.operators import text as tx
+
+    text = (
+        "the quick brown fox jumps over the lazy dog while the clever cat "
+        "watches from a branch and plots something entirely different today"
+    )
+    docs = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    k, w = tx.WINNOW_K, tx.WINNOW_W
+    m = 1 << tx._WINNOW_POS_BITS
+    s = "".join(c for c in text.lower() if "a" <= c <= "z")
+    combined = [
+        (int(hashlib.md5(s[p - 1 : p - 1 + k].encode()).hexdigest()[:10], 16) * m)
+        + (m - 1 - p)
+        for p in range(1, len(s) - k + 2)
+    ]
+    want = set()
+    for i in range(len(combined) - w + 1):
+        wmin = min(combined[i : i + w])
+        want.add((wmin >> tx._WINNOW_POS_BITS, m - 1 - wmin % m))
+    got = {
+        (r["fp"], r["pos"])
+        for r in tx.winnow_fingerprints(docs).collect()
+    }
+    assert got == want
+
+
+def test_winnow_pos_cap_raises_loudly(spark, monkeypatch):
+    """Docs beyond the 2^POS_BITS normalized-char cap must ERROR, not
+    silently saturate positions (ADVICE r7). Shrink the cap to make the
+    path testable."""
+    import pytest
+
+    from flink_streaming_etl_spark.operators import text as tx
+
+    monkeypatch.setattr(tx, "_WINNOW_POS_BITS", 6)  # cap = 64 chars
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij" * 20, "en", "s", 200)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with pytest.raises(Exception, match="winnow_fingerprints"):
+        tx.winnow_fingerprints(docs).collect()
+
+
+def test_memo_persist_rejects_recycled_session_id(spark):
+    """ADVICE r7: id(session) can be recycled by CPython after a stopped
+    session is collected; a hit must prove the weakref still points at the
+    caller's live session. Simulate the recycled-id collision by planting
+    a dead-referent entry under the exact key memo_persist will compute."""
+    import weakref
+
+    from flink_streaming_etl_spark.operators import _cache
+
+    df = spark.range(3).toDF("n")
+    key = (id(spark), df.semanticHash())
+
+    class _Ghost:
+        pass
+
+    ghost = _Ghost()
+    decoy = spark.range(99).toDF("n")
+    _cache._FAMILIES.setdefault("r8_test", {})[key] = (weakref.ref(ghost), decoy)
+    del ghost  # referent dies; the entry now has a dead weakref
+
+    got = _cache.memo_persist("r8_test", df)
+    assert got is not decoy  # stale entry was treated as a miss
+    assert got.count() == 3
+    # and a genuine repeat call is a hit on the fresh entry
+    again = _cache.memo_persist("r8_test", df)
+    assert again is got
+    _cache.clear_operator_caches()
