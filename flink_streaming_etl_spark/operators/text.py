@@ -1709,7 +1709,9 @@ def unigram_logprob_score(
     # empty corpus → SUM is NULL; 1 keeps the plan valid (no rows score)
     total = counts.agg(F.sum("cnt")).collect()[0][0] or 1
     lp = F.log(F.col("cnt").cast("double") / F.lit(float(total)))
-    scored = tf.join(counts, "term").select(
+    # counts is vocabulary-bounded — pin it broadcast so the corpus-sized
+    # tf relation never shuffles for scoring (r7 verdict #4).
+    scored = tf.join(F.broadcast(counts), "term").select(
         "doc_id", "tf", (F.col("tf") * lp).alias("wlp")
     )
     doc = scored.groupBy("doc_id").agg(
@@ -2481,8 +2483,16 @@ def bigram_logprob_score(documents: DataFrame) -> DataFrame:
     c2 = tf2.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
     c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
     lp = F.log(F.col("c12").cast("double") / F.col("c1"))
-    scored = tf2.join(c2, ["w1", "w2"]).join(c1, "w1").select(
-        "doc_id", "tf", (F.col("tf") * lp).alias("wlp")
+    # Enrich vocab-side FIRST (c1 into c2 — both vocabulary-bounded), then
+    # ONE pinned-broadcast join against the corpus-sized tf2: at 100x the
+    # corpus a planner fallback to shuffling tf2 per count-join would be
+    # silent (r7 verdict #4) — the hint makes the vocab relations the
+    # build side by contract, and tf2 never shuffles for scoring at all.
+    enriched = c2.join(F.broadcast(c1), "w1").select(
+        "w1", "w2", lp.alias("lp")
+    )
+    scored = tf2.join(F.broadcast(enriched), ["w1", "w2"]).select(
+        "doc_id", "tf", (F.col("tf") * F.col("lp")).alias("wlp")
     )
     return scored.groupBy("doc_id").agg(
         F.sum("tf").cast("long").alias("n_bigrams"),
@@ -2627,11 +2637,18 @@ def jm_fluency(documents: DataFrame, lam: float = JM_LAMBDA) -> DataFrame:
     p_big = F.col("c12").cast("double") / F.col("c1")
     p_uni = F.col("cu").cast("double") / F.lit(float(total))
     lp = F.log(F.lit(float(lam)) * p_big + F.lit(1.0 - float(lam)) * p_uni)
-    scored = (
-        tf2.join(c2, ["w1", "w2"])
-        .join(c1, "w1")
-        .join(uni, F.col("w2") == F.col("term"))
-        .select("doc_id", "tf", (F.col("tf") * lp).alias("wlp"))
+    # Enrich vocab-side FIRST (c1 + uni into c2 — all vocabulary-bounded
+    # joins), then ONE pinned-broadcast join against the corpus-sized tf2:
+    # the r7 plan shuffled tf2 through three count-joins whenever AQE
+    # declined to broadcast — at production scale that's three silent
+    # corpus shuffles (r7 verdict #4). Same arithmetic, plan-pinned.
+    enriched = (
+        c2.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(uni), F.col("w2") == F.col("term"))
+        .select("w1", "w2", lp.alias("lp"))
+    )
+    scored = tf2.join(F.broadcast(enriched), ["w1", "w2"]).select(
+        "doc_id", "tf", (F.col("tf") * F.col("lp")).alias("wlp")
     )
     return scored.groupBy("doc_id").agg(
         F.sum("tf").cast("long").alias("n_bigrams"),
@@ -4052,7 +4069,8 @@ def heldout_perplexity_report(
     t_train, v_train = int(totals["t"] or 0), int(totals["v"] or 0)
     denom = float(t_train + v_train + 1)
     heldout = tf.filter(F.col("split") != "train")
-    joined = heldout.join(train, "term", "left")
+    # train counts are vocabulary-bounded — pin broadcast (r7 verdict #4)
+    joined = heldout.join(F.broadcast(train), "term", "left")
     # p = (c+1)/(T+V+1) for seen terms, 1/(T+V+1) for OOV — exact ints in
     nll_term = -F.col("tf") * F.log(
         (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double") / F.lit(denom)
