@@ -235,6 +235,9 @@ HEADLINE = [
     "media_neardup_drop",
     "media_dedup_apply",
     "vocab_growth_curve",
+    # round-8 additions
+    "substring_dup_spans",
+    "substring_dedup_cut",
 ]
 
 

@@ -925,6 +925,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.vocab_growth_curve, "documents"),
         text.vocab_growth_curve_sql(),
     ),
+    # --- round 8 ---
+    "substring_dup_spans": (
+        # Lee et al. exact-substring tier: every-offset shingle hashes,
+        # adjacent dup positions merged to maximal spans (r7 verdict #5)
+        _q(text.substring_dup_spans, "documents"),
+        text.substring_dup_spans_sql(),
+    ),
+    "substring_dedup_cut": (
+        # the removal-apply stage: first occurrence survives, other
+        # occurrences' token ranges cut, text rebuilt from kept tokens
+        _q(text.substring_dedup_cut, "documents"),
+        text.substring_dedup_cut_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -977,6 +990,9 @@ _SAMPLE_FRONT = [
     "heldout_perplexity_report",
     "media_neardup_drop",
     "media_dedup_apply",
+    # round-8 additions — first driver rows
+    "substring_dup_spans",
+    "substring_dedup_cut",
     # reference-parity + battery anchors kept in-window (the rest of the
     # multi-round-green registry rotates to the tail; every oracle entry
     # is still re-checked each run by tests/test_oracle_parity.py)
@@ -987,8 +1003,6 @@ _SAMPLE_FRONT = [
     "pmi_top_pairs",
     "bigram_entropy_report",
     "anomaly_zscore_daily",
-    "zipf_fit_report",
-    "doclen_percentile_report",
     "ann_hamming_topk",
     "bpe_first_merges",
     "hashed_bow_sparse",

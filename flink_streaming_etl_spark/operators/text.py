@@ -4198,3 +4198,238 @@ SELECT CAST(s.fb + 1 AS INT) AS decile,
 FROM spine s LEFT JOIN enters e ON s.fb = e.fb
              LEFT JOIN docs_per d ON s.fb = d.fb
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better"): drop EXACT duplicate substrings of
+# >= L tokens that recur anywhere in the corpus — the production
+# complement to winnowing (alignment-free NEAR-dups) and span_dedup
+# (fixed-boundary chunks): this tier catches shifted exact copies at
+# EVERY token offset. Lee et al. build a suffix array; the Spark-shaped
+# equivalent is the sorted-shingle-run formulation: hash the L-token
+# shingle at every position (one corpus-linear projection — no joins),
+# count occurrences per hash (ONE hash-keyed shuffle with map-side
+# combine; duplicated mass is output-denominated), then merge adjacent
+# duplicated positions into maximal spans with a per-doc
+# gaps-and-islands window. Lee et al. use L=50 for web corpora; the
+# default here is 15 to exercise the synthetic corpus — a dial, not a
+# semantic.
+
+SUBSTR_DUP_TOKENS = 15
+
+
+def _substring_shingles(documents: DataFrame, min_tokens: int) -> DataFrame:
+    """(doc_id, p, h): 60-bit hash of the ``min_tokens``-token shingle
+    starting at 1-based token position p, for every position."""
+    from flink_streaming_etl_spark.functions import md5_int
+
+    w = F.split(F.trim("text"), r"\s+")
+    base = documents.select("doc_id", w.alias("w")).filter(
+        F.size("w") >= min_tokens
+    )
+    return base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("w") - min_tokens + 1)
+        ).alias("p"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        "p",
+        md5_int(
+            F.array_join(F.expr(f"slice(w, p, {min_tokens})"), " "), 15
+        ).alias("h"),
+    )
+
+
+def substring_dup_spans(
+    documents: DataFrame, min_tokens: int = SUBSTR_DUP_TOKENS
+) -> DataFrame:
+    """Maximal duplicated spans: token ranges [start_pos, end_pos]
+    (1-based, inclusive) covered by shingles occurring >= 2 times
+    corpus-wide. ALL occurrences are reported (the cut stage decides
+    which survives)."""
+    from pyspark.sql.window import Window
+
+    sh = _substring_shingles(documents, min_tokens)
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("h")
+    )
+    dp = sh.join(dup, "h", "left_semi").select("doc_id", "p")
+    wg = Window.partitionBy("doc_id").orderBy("p")
+    isl = dp.select(
+        "doc_id", "p", (F.col("p") - F.row_number().over(wg)).alias("_g")
+    )
+    return isl.groupBy("doc_id", "_g").agg(
+        F.min("p").cast("long").alias("start_pos"),
+        (F.max("p") + min_tokens - 1).cast("long").alias("end_pos"),
+    ).select(
+        "doc_id",
+        "start_pos",
+        "end_pos",
+        (F.col("end_pos") - F.col("start_pos") + 1).alias("span_tokens"),
+    )
+
+
+def substring_dup_spans_sql(min_tokens: int = SUBSTR_DUP_TOKENS) -> str:
+    from flink_streaming_etl_spark.functions import md5_int_sql
+
+    h = md5_int_sql(
+        f"array_to_string(list_slice(w, p, p + {min_tokens} - 1), ' ')", 15
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id, p, {h} AS h
+  FROM toks, LATERAL (
+    SELECT UNNEST(range(1, len(w) - {min_tokens} + 2)) AS p
+  ) r
+  WHERE len(w) >= {min_tokens}
+), dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
+dp AS (SELECT s.doc_id, s.p FROM sh s SEMI JOIN dup d ON s.h = d.h),
+isl AS (
+  SELECT doc_id, p,
+         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+  FROM dp
+)
+SELECT doc_id,
+       CAST(MIN(p) AS BIGINT) AS start_pos,
+       CAST(MAX(p) + {min_tokens} - 1 AS BIGINT) AS end_pos,
+       CAST(MAX(p) + {min_tokens} - MIN(p) AS BIGINT) AS span_tokens
+FROM isl GROUP BY doc_id, g
+"""
+
+
+def substring_dedup_cut(
+    documents: DataFrame, min_tokens: int = SUBSTR_DUP_TOKENS
+) -> DataFrame:
+    """The removal-apply stage, Lee et al. semantics: for every
+    duplicated shingle the globally FIRST occurrence (min (doc_id, p))
+    survives; every other occurrence's token range is cut from its
+    document, and the cleaned text is rebuilt from the kept tokens.
+    Whitespace is normalized to single spaces uniformly (both engines
+    rebuild identically). Scale shape: the shingle relation is
+    corpus-linear with ONE hash-keyed shuffle; token-level rebuild work
+    is proportional to AFFECTED docs only (untouched docs pass through
+    as a zero-shuffle projection)."""
+    sh = _substring_shingles(documents, min_tokens)
+    # non-canonical occurrences: every (doc,p) of a >=2-occurrence hash
+    # except the global min (doc_id, p) — arithmetic min-encoding keeps
+    # it one aggregation (doc_id < 2^40 assumed, p < 2^23 enforced
+    # upstream by corpus construction; both hold for any sane sharding).
+    key = F.col("doc_id") * F.lit(1 << 23) + F.col("p")
+    canon = sh.groupBy("h").agg(
+        F.count(F.lit(1)).alias("_n"), F.min(key).alias("_k")
+    )
+    # NOT broadcast-pinned: the duplicated-hash relation is bounded by the
+    # corpus's duplicated MASS (web corpora: a few % of positions — Lee et
+    # al. §5), not by a vocabulary — at 100 TB it can exceed broadcast
+    # size, so the equi-join on h (AQE picks build side) is the contract.
+    victims = (
+        sh.join(canon.filter(F.col("_n") >= 2), "h")
+        .filter(key != F.col("_k"))
+        .select("doc_id", "p")
+    )
+    # covered token positions of victim spans
+    covered = victims.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("p"), F.col("p") + min_tokens - 1)).alias(
+            "tp"
+        ),
+    ).distinct()
+    affected = covered.select("doc_id").distinct()
+    w = F.split(F.trim("text"), r"\s+")
+    toks = (
+        documents.join(affected, "doc_id", "left_semi")
+        .select("doc_id", F.posexplode(w).alias("tp0", "term"))
+        .select("doc_id", (F.col("tp0") + 1).alias("tp"), "term")
+    )
+    kept = toks.join(covered, ["doc_id", "tp"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tp", "term"))),
+                lambda s: s["term"],
+            ),
+        ).alias("_ct"),
+        F.count(F.lit(1)).alias("_nk"),
+    )
+    base = documents.select(
+        "doc_id",
+        F.regexp_replace(F.trim("text"), r"\s+", " ").alias("_orig"),
+        F.size(w).cast("long").alias("n_tokens"),
+    )
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("_nk", F.col("n_tokens")))
+            .cast("long")
+            .alias("removed_tokens"),
+            F.coalesce("_ct", F.col("_orig")).alias("clean_text"),
+        )
+    )
+
+
+def substring_dedup_cut_sql(min_tokens: int = SUBSTR_DUP_TOKENS) -> str:
+    from flink_streaming_etl_spark.functions import md5_int_sql
+
+    h = md5_int_sql(
+        f"array_to_string(list_slice(w, p, p + {min_tokens} - 1), ' ')", 15
+    )
+    return rf"""
+WITH toks0 AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id, p, {h} AS h
+  FROM toks0, LATERAL (
+    SELECT UNNEST(range(1, len(w) - {min_tokens} + 2)) AS p
+  ) r
+  WHERE len(w) >= {min_tokens}
+), canon AS (
+  SELECT h, COUNT(*) AS n, MIN(doc_id * {1 << 23} + p) AS k
+  FROM sh GROUP BY h
+), victims AS (
+  SELECT s.doc_id, s.p
+  FROM sh s JOIN canon c ON s.h = c.h
+  WHERE c.n >= 2 AND s.doc_id * {1 << 23} + s.p <> c.k
+), covered AS (
+  SELECT DISTINCT doc_id, tp
+  FROM victims, LATERAL (
+    SELECT UNNEST(range(p, p + {min_tokens})) AS tp
+  ) r
+), affected AS (SELECT DISTINCT doc_id FROM covered),
+tok AS (
+  SELECT t.doc_id, u.tp, u.term
+  FROM toks0 t SEMI JOIN affected a ON t.doc_id = a.doc_id,
+       LATERAL (
+         SELECT UNNEST(t.w) AS term, generate_subscripts(t.w, 1) AS tp
+       ) u
+), kept AS (
+  SELECT k.doc_id, k.tp, k.term
+  FROM tok k ANTI JOIN covered c ON k.doc_id = c.doc_id AND k.tp = c.tp
+), rebuilt AS (
+  SELECT doc_id,
+         string_agg(term, ' ' ORDER BY tp) AS ct,
+         COUNT(*) AS nk
+  FROM kept GROUP BY doc_id
+), base AS (
+  SELECT doc_id,
+         regexp_replace(trim(text), '\s+', ' ', 'g') AS orig,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(b.n_tokens - COALESCE(r.nk, b.n_tokens) AS BIGINT)
+         AS removed_tokens,
+       COALESCE(r.ct, b.orig) AS clean_text
+FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+"""

@@ -158,6 +158,9 @@ PROBES = [
     "media_neardup_drop",
     "media_dedup_apply",
     "vocab_growth_curve",
+    # round-8 additions
+    "substring_dup_spans",
+    "substring_dedup_cut",
 ]
 
 

@@ -159,3 +159,56 @@ def test_memo_persist_rejects_recycled_session_id(spark):
     again = _cache.memo_persist("r8_test", df)
     assert again is got
     _cache.clear_operator_caches()
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_substring_dup_spans_catches_shifted_copy(spark):
+    """Lee et al. semantics: an exact >=L-token run duplicated at a
+    DIFFERENT offset in another doc is found (fixed-boundary chunking
+    misses shifted copies), and adjacent duplicated positions merge
+    into one maximal span."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    run = " ".join(f"tok{i}" for i in range(20))  # 20-token shared run
+    a = "alpha beta " + run + " gamma"
+    b = "one two three four five " + run + " six"
+    c = "entirely different words without any repetition at all here now"
+    out = tx.substring_dup_spans(_docs(spark, [(1, a), (2, b), (3, c)]), 15)
+    spans = {r["doc_id"]: r for r in out.collect()}
+    assert set(spans) == {1, 2}
+    # doc 1: run occupies tokens 3..22; shingle starts 3..8 → span 3..22
+    assert spans[1]["start_pos"] == 3 and spans[1]["end_pos"] == 22
+    assert spans[1]["span_tokens"] == 20
+    # doc 2: run occupies tokens 6..25 (shifted offset)
+    assert spans[2]["start_pos"] == 6 and spans[2]["end_pos"] == 25
+    assert spans[2]["span_tokens"] == 20
+
+
+def test_substring_dedup_cut_first_occurrence_survives(spark):
+    """The cut stage keeps the globally FIRST occurrence (min doc_id,
+    pos) intact and removes the duplicated token range from every other
+    occurrence; untouched docs pass through whitespace-normalized."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_etl_spark.operators import text as tx
+
+    run = " ".join(f"tok{i}" for i in range(15))
+    a = "alpha " + run + " omega"
+    b = "pre " + run + " post"
+    c = "no duplication in this one at all whatsoever truly none here"
+    out = {
+        r["doc_id"]: r
+        for r in tx.substring_dedup_cut(
+            _docs(spark, [(1, a), (2, b), (3, c)]), 15
+        ).collect()
+    }
+    assert out[1]["removed_tokens"] == 0 and out[1]["clean_text"] == a
+    assert out[2]["removed_tokens"] == 15
+    assert out[2]["clean_text"] == "pre post"
+    assert out[3]["removed_tokens"] == 0 and out[3]["clean_text"] == c
