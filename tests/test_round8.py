@@ -212,3 +212,66 @@ def test_substring_dedup_cut_first_occurrence_survives(spark):
     assert out[2]["removed_tokens"] == 15
     assert out[2]["clean_text"] == "pre post"
     assert out[3]["removed_tokens"] == 0 and out[3]["clean_text"] == c
+
+
+def test_streaming_media_chunk_handover(spark):
+    """Streaming twin of media_chunk_dedup: fed the corpus in ordered
+    micro-batches (with a replay no-op), the accumulated pair relation
+    equals the batch operator on the full corpus."""
+    from flink_streaming_etl_spark.operators.multimodal import media_chunk_dedup
+    from flink_streaming_etl_spark.streaming.media_dedup import (
+        MediaChunkDedupAccumulator,
+    )
+
+    # chunking is offset-based (64-byte slices from payload start), so
+    # dup docs share a VARIED 256-byte PREFIX: 4 aligned distinct chunks
+    # each (constant filler would md5-collapse to one distinct chash)
+    blk_a = "".join(f"a{i:03d}" for i in range(64))  # 256 varied bytes
+    blk_b = "".join(f"b{i:03d}" for i in range(64))
+    rows = [
+        (1, blk_a + "tail-one"),
+        (2, blk_b + "two-suffix"),
+        (3, blk_a + "tail-three"),            # dups 1 (cross-batch)
+        (4, "other content entirely " * 10),
+        (5, blk_b + "trailer-five"),           # dups 2 (cross-batch)
+        (6, blk_a + "tail-six"),               # dups 1 AND 3
+        (7, blk_a + "tail-seven"),             # intra-batch dup of 6
+    ]
+    full = _docs(spark, rows)
+
+    acc = MediaChunkDedupAccumulator()
+    batches = [rows[:2], rows[2:5], rows[5:]]
+    for bid, chunk in enumerate(batches):
+        acc.add_batch(_docs(spark, chunk), batch_id=bid)
+    acc.add_batch(_docs(spark, batches[-1]), batch_id=2)  # replay: no-op
+
+    got = {(r["a_id"], r["b_id"]): r["shared_chunks"]
+           for r in acc.result(spark).collect()}
+    want = {(r["a_id"], r["b_id"]): r["shared_chunks"]
+            for r in media_chunk_dedup(full).collect()}
+    assert got == want
+    assert got, "test corpus must actually contain duplicate pairs"
+
+
+def test_streaming_media_chunk_retention_evicts(spark):
+    """T5 idle-state retention: with retention_batches=1, chunks idle for
+    a full batch are evicted, so a later duplicate of an evicted media is
+    NOT flagged — and state stays bounded by the active window."""
+    from flink_streaming_etl_spark.streaming.media_dedup import (
+        MediaChunkDedupAccumulator,
+    )
+
+    blk = "".join(f"z{i:03d}" for i in range(64))  # 4 distinct chunks
+    acc = MediaChunkDedupAccumulator(retention_batches=1)
+    acc.add_batch(_docs(spark, [(1, blk + "one")]), batch_id=0)
+    acc.add_batch(_docs(spark, [(2, "unrelated filler " * 20)]), batch_id=1)
+    # doc 1's chunks were idle through batch 1 → evicted
+    acc.add_batch(_docs(spark, [(3, blk + "three")]), batch_id=2)
+    assert acc.result(spark).count() == 0
+    assert all(b > 1 for b in acc.last_seen.values())
+    # control: WITHOUT retention the same replay flags the (1, 3) pair
+    acc2 = MediaChunkDedupAccumulator()
+    acc2.add_batch(_docs(spark, [(1, blk + "one")]), batch_id=0)
+    acc2.add_batch(_docs(spark, [(2, "unrelated filler " * 20)]), batch_id=1)
+    acc2.add_batch(_docs(spark, [(3, blk + "three")]), batch_id=2)
+    assert {(r["a_id"], r["b_id"]) for r in acc2.result(spark).collect()} == {(1, 3)}
