@@ -238,6 +238,9 @@ HEADLINE = [
     # round-8 additions
     "substring_dup_spans",
     "substring_dedup_cut",
+    "kneser_ney_fluency",
+    "kmv_distinct_report",
+    "embedding_whitening_check",
 ]
 
 

@@ -938,6 +938,24 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.substring_dedup_cut, "documents"),
         text.substring_dedup_cut_sql(),
     ),
+    "kneser_ney_fluency": (
+        # interpolated Kneser-Ney bigram score over the memoized tf2 —
+        # absolute discount + continuation-probability backoff
+        _q(text.kneser_ney_fluency, "documents"),
+        text.kneser_ney_fluency_sql(),
+    ),
+    "kmv_distinct_report": (
+        # deterministic k-minimum-values sketch vs exact distinct, with
+        # the merged '(all)' union row — the bounded-state gauge
+        _q(text.kmv_distinct_report, "documents"),
+        text.kmv_distinct_report_sql(),
+    ),
+    "embedding_whitening_check": (
+        # ZCA whitening applied + whitened covariance (must be identity);
+        # iterative eigh — numpy-verified, no SQL oracle
+        _q(similarity.embedding_whitening_check, "embeddings"),
+        None,
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -993,6 +1011,9 @@ _SAMPLE_FRONT = [
     # round-8 additions — first driver rows
     "substring_dup_spans",
     "substring_dedup_cut",
+    "kneser_ney_fluency",
+    "kmv_distinct_report",
+    "embedding_whitening_check",
     # reference-parity + battery anchors kept in-window (the rest of the
     # multi-round-green registry rotates to the tail; every oracle entry
     # is still re-checked each run by tests/test_oracle_parity.py)
@@ -1000,12 +1021,9 @@ _SAMPLE_FRONT = [
     "winnow_fingerprints",
     "winnow_dup_pairs",
     "media_chunk_dedup",
-    "pmi_top_pairs",
-    "bigram_entropy_report",
     "anomaly_zscore_daily",
     "ann_hamming_topk",
     "bpe_first_merges",
-    "hashed_bow_sparse",
     "ccnet_pipeline",
     "hybrid_rrf_search",
     "dedup_cluster_size_histogram",

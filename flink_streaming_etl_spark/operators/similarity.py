@@ -2595,3 +2595,78 @@ SELECT label,
                   / COUNT(*), 4) AS accuracy
 FROM joined GROUP BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# ZCA whitening check — closes the covariance -> PCA -> WHITENING loop:
+# W = U diag(1/sqrt(max(lambda, floor))) U^T from the eigendecomposition
+# of the d x d covariance (driver-side on the d^2-bounded collected
+# matrix — the same distributed split as pca_top_component: all
+# corpus-sized work stays in the partial Gram folds), then one Arrow
+# pass whitens each batch (x - mu) @ W^T and folds the WHITENED
+# covariance partials — whose assembly must be the identity matrix.
+# That identity test IS the operator's output: the vector-store health
+# check run before cosine retrieval over whitened embeddings.
+# No SQL oracle (iterative eigh); numpy-verified in tests/test_round8.py.
+
+WHITEN_EIG_FLOOR = 1e-9
+
+
+def embedding_whitening_check(embeddings: DataFrame) -> DataFrame:
+    cov_rows = embedding_covariance(embeddings).collect()  # d^2-bounded
+    spark = embeddings.sparkSession
+    if not cov_rows:
+        return spark.createDataFrame([], "dim_i int, dim_j int, cov double")
+    d = max(r["dim_j"] for r in cov_rows) + 1
+    c = np.zeros((d, d))
+    for r in cov_rows:
+        c[r["dim_i"], r["dim_j"]] = r["cov"]
+        c[r["dim_j"], r["dim_i"]] = r["cov"]
+    lam, u = np.linalg.eigh(c)
+    w = (u * (1.0 / np.sqrt(np.maximum(lam, WHITEN_EIG_FLOOR)))) @ u.T
+    # mean vector: one d-keyed aggregation (d rows shuffled, not corpus)
+    mu_rows = (
+        embeddings.select(
+            F.posexplode(
+                F.transform("embedding", lambda v: v.cast("double"))
+            ).alias("i", "x")
+        )
+        .groupBy("i")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    mu = np.zeros(d)
+    n = 0
+    for r in mu_rows:
+        mu[r["i"]] = r["s"] / r["n"]
+        n = r["n"]
+    if n < 2:
+        return spark.createDataFrame([], "dim_i int, dim_j int, cov double")
+
+    bmu, bw = mu, w
+
+    def gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["e"].to_numpy()).astype(np.float64)
+            z = (x - bmu) @ bw.T
+            g = z.T @ z
+            iu, ju = np.triu_indices(z.shape[1])
+            yield pd.DataFrame(
+                {"i": iu, "j": ju, "v": g[iu, ju], "n": len(z)}
+            )
+
+    part = embeddings.select(
+        F.transform("embedding", lambda v: v.cast("double")).alias("e")
+    ).mapInPandas(gram, schema="i int, j int, v double, n long")
+    tot = part.groupBy("i", "j").agg(
+        F.sum("v").alias("v"), F.sum("n").alias("nn")
+    )
+    return tot.select(
+        F.col("i").alias("dim_i"),
+        F.col("j").alias("dim_j"),
+        # each partition emits each (i,j) once with its row count, so the
+        # summed nn equals the total vector count n; cov = v / (n - 1)
+        F.bround(F.col("v") / (F.col("nn") - 1), 6).alias("cov"),
+    )

@@ -2686,6 +2686,96 @@ GROUP BY tf2.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Kneser-Ney fluency (Kneser & Ney 1995; Chen & Goodman 1999's
+# interpolated form) — the standard "best n-gram smoother" upgrade over
+# Jelinek-Mercer: absolute-discount the bigram MLE and back off to the
+# CONTINUATION probability (how many distinct contexts a word follows —
+# "francisco" is frequent but only ever follows "san", so its
+# continuation mass is tiny). For observed-position scoring:
+#   p(w2|w1) = (c12 − D)/c1 + (D · Nr(w1)/c1) · (Nl(w2)/T)
+# with Nr = distinct followers of w1, Nl = distinct predecessors of w2,
+# T = distinct bigram types, D = 0.75 (the textbook discount). Every
+# input is an exact integer from the SAME memoized tf2 relation the
+# JM/bigram scores ride (no extra corpus pass); the scoring join follows
+# the r8 broadcast contract (enrich vocab-side first, one pinned
+# broadcast join against tf2).
+
+KN_DISCOUNT = 0.75
+
+
+def kneser_ney_fluency(
+    documents: DataFrame, discount: float = KN_DISCOUNT
+) -> DataFrame:
+    from flink_streaming_etl_spark.operators._cache import memo_persist
+
+    w = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+    grams = documents.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    tf2 = memo_persist(
+        "lm_tf2",
+        grams.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf")),
+    )
+    c2 = tf2.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("nr")
+    )
+    nl = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("nl"))
+    t_types = c2.count() or 1  # scalar: distinct bigram types
+    d = float(discount)
+    lp = F.log(
+        (F.col("c12").cast("double") - F.lit(d)) / F.col("c1")
+        + (F.lit(d) * F.col("nr") / F.col("c1"))
+        * (F.col("nl") / F.lit(float(t_types)))
+    )
+    enriched = (
+        c2.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(nl), "w2")
+        .select("w1", "w2", lp.alias("lp"))
+    )
+    scored = tf2.join(F.broadcast(enriched), ["w1", "w2"]).select(
+        "doc_id", "tf", (F.col("tf") * F.col("lp")).alias("wlp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.bround(F.sum("wlp") / F.sum("tf"), 4).alias("avg_kn_logprob"),
+    )
+
+
+def kneser_ney_fluency_sql(discount: float = KN_DISCOUNT) -> str:
+    d = float(discount)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM toks, LATERAL (SELECT UNNEST(range(1, len(w))) AS i) r
+), tf2 AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS tf FROM grams GROUP BY doc_id, w1, w2
+), c2 AS (SELECT w1, w2, SUM(tf) AS c12 FROM tf2 GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS nr FROM c2 GROUP BY w1),
+nl AS (SELECT w2, COUNT(*) AS nl FROM c2 GROUP BY w2),
+tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM c2)
+SELECT tf2.doc_id,
+       CAST(SUM(tf2.tf) AS BIGINT) AS n_bigrams,
+       round_even(SUM(tf2.tf * ln((c2.c12::DOUBLE - {d}) / c1.c1
+                                  + ({d} * c1.nr / c1.c1) * (nl.nl / tt.t)))
+                  / SUM(tf2.tf), 4) AS avg_kn_logprob
+FROM tf2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+         JOIN nl USING (w2), tt
+GROUP BY tf2.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Token-budget planning — given a training-token budget, allocate
 # per-source token counts under temperature-flattened mixing (the same
 # alpha rule as source_mixture_weights) with an epoch cap (no source
@@ -4432,4 +4522,99 @@ SELECT b.doc_id, b.n_tokens,
          AS removed_tokens,
        COALESCE(r.ct, b.orig) AS clean_text
 FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch report (Bar-Yossef et al. 2002's k-minimum-
+# values estimator) — the mergeable bounded-state alternative to exact
+# COUNT(DISTINCT): keep the k smallest hash values of the term stream;
+# D-hat = (k-1) / h_(k) with h_(k) the k-th minimum scaled to (0,1).
+# Everything is DETERMINISTIC (md5 order, exact integers until the one
+# final division), so the estimate itself is oracle-checkable — and the
+# report pairs it with the exact distinct count per source plus the
+# MERGED '(all)' union (k-min sets union trivially: the k smallest of
+# the union of k-min sets), making this the gauge that licenses
+# replacing the exact full-shuffle distinct with O(k) state at 100 TB.
+# The k-th-minimum selection here uses the window top-k idiom (one
+# source-keyed sort shuffle over the DISTINCT term relation); the
+# production sketch replaces that with per-partition k-min partials
+# merged at the driver — same estimate by construction.
+
+# k=16 exercises the estimator on the synthetic corpus's ~31-term
+# per-source vocabulary; production uses k=1024+ (rel. error ~1/sqrt(k)).
+KMV_K = 16
+_KMV_HASH_BITS = 60
+
+
+def kmv_distinct_report(documents: DataFrame, k: int = KMV_K) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from flink_streaming_etl_spark.functions import md5_int
+
+    terms = documents.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    per_src = terms.distinct()
+    with_all = per_src.unionByName(
+        per_src.select(F.lit("(all)").alias("source"), "term").distinct()
+    )
+    hashed = with_all.select("source", md5_int(F.col("term"), 15).alias("h"))
+    wr = Window.partitionBy("source").orderBy("h")
+    wn = Window.partitionBy("source")
+    ranked = hashed.select(
+        "source",
+        "h",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    scale = float(1 << _KMV_HASH_BITS)
+    est = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("h") / F.lit(scale))
+    )
+    kth = ranked.filter(F.col("rn") == F.least(F.lit(k), F.col("n")))
+    return kth.select(
+        "source",
+        F.col("n").cast("long").alias("exact_distinct"),
+        F.bround(est, 4).alias("kmv_estimate"),
+        F.bround(
+            F.abs(est - F.col("n")) / F.col("n"), 4
+        ).alias("rel_error"),
+    )
+
+
+def kmv_distinct_report_sql(k: int = KMV_K) -> str:
+    from flink_streaming_etl_spark.functions import md5_int_sql
+
+    h = md5_int_sql("term", 15)
+    scale = float(1 << _KMV_HASH_BITS)
+    return f"""
+WITH per_src AS (
+  SELECT DISTINCT source, t.term
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS term) t
+  WHERE t.term <> ''
+), with_all AS (
+  SELECT source, term FROM per_src
+  UNION ALL
+  SELECT '(all)' AS source, term FROM (SELECT DISTINCT term FROM per_src)
+), ranked AS (
+  SELECT source, {h} AS h,
+         row_number() OVER (PARTITION BY source ORDER BY {h}) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM with_all
+)
+SELECT source,
+       CAST(n AS BIGINT) AS exact_distinct,
+       round_even(CASE WHEN n < {k} THEN n::DOUBLE
+                       ELSE {float(k - 1)} / (h / {scale}) END, 4)
+         AS kmv_estimate,
+       round_even(ABS(CASE WHEN n < {k} THEN n::DOUBLE
+                           ELSE {float(k - 1)} / (h / {scale}) END - n)
+                  / n, 4) AS rel_error
+FROM ranked
+WHERE rn = LEAST({k}, n)
 """

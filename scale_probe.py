@@ -161,6 +161,9 @@ PROBES = [
     # round-8 additions
     "substring_dup_spans",
     "substring_dedup_cut",
+    "kneser_ney_fluency",
+    "kmv_distinct_report",
+    "embedding_whitening_check",
 ]
 
 

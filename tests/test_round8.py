@@ -275,3 +275,80 @@ def test_streaming_media_chunk_retention_evicts(spark):
     acc2.add_batch(_docs(spark, [(2, "unrelated filler " * 20)]), batch_id=1)
     acc2.add_batch(_docs(spark, [(3, blk + "three")]), batch_id=2)
     assert {(r["a_id"], r["b_id"]) for r in acc2.result(spark).collect()} == {(1, 3)}
+
+
+def test_kneser_ney_worked_example(spark):
+    """Pin the interpolated-KN arithmetic on a corpus small enough to
+    check by hand: p(w2|w1) = (c12-D)/c1 + (D·Nr(w1)/c1)·(Nl(w2)/T)."""
+    import math
+
+    from flink_streaming_etl_spark.operators import text as tx
+
+    # corpus: "a b a b" + "a c" → bigrams: (a,b)x2, (b,a)x1, (a,c)x1
+    docs = _docs(spark, [(1, "a b a b"), (2, "a c")])
+    out = {r["doc_id"]: r for r in tx.kneser_ney_fluency(docs).collect()}
+    # c2: (a,b)=2 (b,a)=1 (a,c)=1; c1: a=3 (nr=2), b=1 (nr=1)
+    # nl: b=1, a=1, c=1; T=3; D=0.75
+    T, D = 3.0, 0.75
+    p_ab = (2 - D) / 3 + (D * 2 / 3) * (1 / T)
+    p_ba = (1 - D) / 1 + (D * 1 / 1) * (1 / T)
+    p_ac = (1 - D) / 3 + (D * 2 / 3) * (1 / T)
+    want1 = round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 4)
+    want2 = round(math.log(p_ac), 4)
+    assert out[1]["n_bigrams"] == 3 and out[1]["avg_kn_logprob"] == want1
+    assert out[2]["n_bigrams"] == 1 and out[2]["avg_kn_logprob"] == want2
+
+
+def test_kmv_sketch_merges_and_bounds_error(spark):
+    """The '(all)' row must equal the KMV estimate over the UNION
+    vocabulary (mergeability), the estimator is exact below k, and the
+    relative error stays inside the 3/sqrt(k) concentration bound."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    # alphabetic-only terms (the tokenizer strips digits): 40 unique
+    # words per doc, 10 docs, source = doc parity → 200 distinct each
+    a = "abcdefghij"
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                " ".join(f"{a[i]}x{a[j // 10]}{a[j % 10]}" for j in range(40)),
+                "en",
+                f"s{i % 2}",
+                1,
+            )
+            for i in range(10)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["source"]: r for r in tx.kmv_distinct_report(docs, k=16).collect()}
+    assert set(out) == {"s0", "s1", "(all)"}
+    for src, exact in (("s0", 200), ("s1", 200), ("(all)", 400)):
+        r = out[src]
+        assert r["exact_distinct"] == exact
+        assert r["rel_error"] <= 3 / (16 ** 0.5), (src, r["rel_error"])
+    # below-k path is exact
+    tiny = _docs(spark, [(1, "x y z")])
+    r = tx.kmv_distinct_report(tiny, k=16).collect()
+    assert all(row["kmv_estimate"] == row["exact_distinct"] for row in r)
+
+
+def test_embedding_whitening_check_is_identity(spark):
+    """The whitened covariance must be the identity to within the 1e-4
+    quantization floor of the covariance estimate."""
+    import numpy as np
+
+    from flink_streaming_etl_spark.catalog import load_tables
+    from flink_streaming_etl_spark.operators import similarity as sim
+    from tests.conftest import SF_SMOKE
+
+    emb = load_tables(spark, SF_SMOKE, register=False)["embeddings"]
+    rows = sim.embedding_whitening_check(emb).collect()
+    d = max(r["dim_j"] for r in rows) + 1
+    assert len(rows) == d * (d + 1) // 2
+    m = np.zeros((d, d))
+    for r in rows:
+        m[r["dim_i"], r["dim_j"]] = r["cov"]
+        m[r["dim_j"], r["dim_i"]] = r["cov"]
+    assert np.abs(np.diag(m) - 1).max() < 1e-3
+    assert np.abs(m - np.diag(np.diag(m))).max() < 1e-3
