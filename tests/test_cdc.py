@@ -579,3 +579,53 @@ def test_stream_changelog_env_flag_routes_to_kafka(spark, monkeypatch):
     seen.clear()
     src.stream_changelog(spark, topic="custom.topic")
     assert seen["topic"] == "custom.topic"
+
+
+def test_scd2_history_versions_and_delete(spark):
+    """SCD2 from the changelog: each c/u/r opens a version at its ts_ms,
+    the next event for the key closes it (half-open intervals), a delete
+    closes without emitting, and only the last undeleted version is
+    current."""
+    from flink_streaming_etl_spark.sources.cdc import scd2_history
+
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    lines = [
+        env("c", after=order("o1", "u1", 10.0, "open"), ts=100),
+        env("u", after=order("o1", "u1", 12.0, "open"),
+            before=order("o1", "u1", 10.0, "open"), ts=200),
+        env("u", after=order("o1", "u1", 12.0, "closed"),
+            before=order("o1", "u1", 12.0, "open"), ts=300),
+        env("c", after=order("o2", "u2", 5.0, "open"), ts=150),
+        env("d", before=order("o2", "u2", 5.0, "open"), ts=250),
+        env("r", after=order("o3", "u3", 7.0, "open"), ts=50),
+    ]
+    hist = scd2_history(parse(spark, src, lines), "id").collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r["id"], []).append(r)
+    for versions in by_key.values():
+        versions.sort(key=lambda r: r["valid_from_ms"])
+
+    # o1: three versions, contiguous half-open intervals, last is current
+    v = by_key["o1"]
+    assert [(r["valid_from_ms"], r["valid_to_ms"]) for r in v] == [
+        (100, 200), (200, 300), (300, None)
+    ]
+    assert [r["amount"] for r in v] == [10.0, 12.0, 12.0]
+    assert [r["status"] for r in v] == ["open", "open", "closed"]
+    assert [r["is_current"] for r in v] == [False, False, True]
+    # o2: the delete closed its only version; nothing is current
+    v = by_key["o2"]
+    assert [(r["valid_from_ms"], r["valid_to_ms"], r["is_current"]) for r in v] == [
+        (150, 250, False)
+    ]
+    # o3: snapshot read opens a current version
+    v = by_key["o3"]
+    assert [(r["valid_from_ms"], r["valid_to_ms"], r["is_current"]) for r in v] == [
+        (50, None, True)
+    ]
+    # invariant: latest_state equals the is_current slice (minus audit cols)
+    cur = {r["id"]: r["amount"] for r in hist if r["is_current"]}
+    live = {r["id"]: r["amount"]
+            for r in latest_state(parse(spark, src, lines), "id").collect()}
+    assert cur == live
