@@ -328,13 +328,8 @@ def main() -> None:
         # one +66% outlier that absorbed a full cleanup pass).
         time.sleep(seconds)
 
-    # Quiet-window re-timing: the slowest QUIET_N queries get a settled
-    # min-of-3 that REPLACES their sweep number — these dominate the total
-    # and were exactly the ones the r07 control showed inflated. Cheap
-    # queries keep their sweep min (inflation there is bounded by the
-    # same ~1s cleanup cost that the slow tail amortizes poorly).
-    QUIET_N = 15
-    for name in sorted(timings, key=timings.get, reverse=True)[:QUIET_N]:
+    def quiet_min3(name: str) -> float | None:
+        """Settled min-of-3: isolate, let the cleaner drain, then time."""
         isolate(spark)
         settle()
         best = None
@@ -348,25 +343,37 @@ def main() -> None:
             best = el if best is None else min(best, el)
             isolate(spark)
             settle(0.4)
+        return best
+
+    # Quiet-window re-timing: the slowest QUIET_N queries get a settled
+    # min-of-3 that REPLACES their sweep number — these dominate the total
+    # and were exactly the ones the r07 control showed inflated. Cheap
+    # queries keep their sweep min (inflation there is bounded by the
+    # same ~1s cleanup cost that the slow tail amortizes poorly). The
+    # replaced sweep minima are kept in the ``sweep_tail`` field: the
+    # sweep-vs-quiet gap IS the in-sweep drift measurement.
+    QUIET_N = 15
+    sweep_tail: dict[str, float] = {}
+    for name in sorted(timings, key=timings.get, reverse=True)[:QUIET_N]:
+        best = quiet_min3(name)
         if best is not None:
+            sweep_tail[name] = timings[name]
             timings[name] = best
 
-    # Sweep-end control: one further settled re-time of the 10 slowest.
-    # warm10 ≈ the (quiet) primary numbers means isolation holds; a
-    # systematic gap flags residual session-state accumulation.
+    # Sweep-end control: an INDEPENDENT settled min-of-3 of the 10
+    # slowest — same estimator as the primary, different moment, so the
+    # comparison isolates residual session-state drift from single-run
+    # right-tail noise (a lone re-time ran +20-57% above min-of-3 on the
+    # slow tail). warm10 ≈ primary (±10%) means isolation holds.
     warm10: dict[str, float] = {}
     for name in sorted(timings, key=timings.get, reverse=True)[:10]:
-        isolate(spark)
-        settle(0.6)
-        t0 = time.perf_counter()
-        try:
-            materialize(qs[name](spark, sf_dir))
-            warm10[name] = round(time.perf_counter() - t0, 3)
-        except Exception:
-            pass
+        best = quiet_min3(name)
+        if best is not None:
+            warm10[name] = best
 
     payload, rc, stderr_lines = summarize(timings, errors, len(HEADLINE), sf)
     payload["warm10"] = warm10
+    payload["sweep_tail"] = sweep_tail
     for line in stderr_lines:
         print(line, file=sys.stderr)
     print(json.dumps(payload))

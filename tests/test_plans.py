@@ -552,3 +552,33 @@ def test_lm_family_vocab_joins_broadcast(spark):
         assert "BroadcastHashJoin" in p, (build.__name__, p)
         assert "SortMergeJoin" not in p, (build.__name__, p)
         assert "ShuffledHashJoin" not in p, (build.__name__, p)
+
+
+def test_substring_dedup_plan_shapes(spark):
+    """r8 exact-substring tier: the corpus-linear shingle relation must
+    never cartesian, the cut stage's dup-hash join must NOT be broadcast-
+    pinned (duplicated-mass-bounded, not vocab-bounded — AQE picks the
+    build side), and the documents scan must prune to the columns the
+    shingle needs (doc_id, text)."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    t = _tables(spark)
+    p = plan_of(tx.substring_dup_spans(t["documents"]))
+    assert "CartesianProduct" not in p, p
+    assert "lang" not in p and "n_chars" not in p, p  # column pruning
+    p = plan_of(tx.substring_dedup_cut(t["documents"]))
+    assert "CartesianProduct" not in p, p
+
+
+def test_kmv_and_kn_plan_shapes(spark):
+    """kneser_ney joins follow the r8 broadcast contract (no sort-merge
+    anywhere); kmv's ranked window is source-partitioned (never a single
+    global sort)."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    t = _tables(spark)
+    p = plan_of(tx.kneser_ney_fluency(t["documents"]))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    p = plan_of(tx.kmv_distinct_report(t["documents"]))
+    assert "CartesianProduct" not in p, p
