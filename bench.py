@@ -241,6 +241,7 @@ HEADLINE = [
     "kneser_ney_fluency",
     "kmv_distinct_report",
     "embedding_whitening_check",
+    "quality_calibration_report",
 ]
 
 

@@ -956,6 +956,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(similarity.embedding_whitening_check, "embeddings"),
         None,
     ),
+    "quality_calibration_report": (
+        # classifier keep-decision vs perplexity tercile cross-tab —
+        # the quality-stack agreement gauge
+        _q(text.quality_calibration_report, "documents"),
+        text.quality_calibration_report_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -1014,6 +1020,7 @@ _SAMPLE_FRONT = [
     "kneser_ney_fluency",
     "kmv_distinct_report",
     "embedding_whitening_check",
+    "quality_calibration_report",
     # reference-parity + battery anchors kept in-window (the rest of the
     # multi-round-green registry rotates to the tail; every oracle entry
     # is still re-checked each run by tests/test_oracle_parity.py)
@@ -1023,7 +1030,6 @@ _SAMPLE_FRONT = [
     "media_chunk_dedup",
     "anomaly_zscore_daily",
     "ann_hamming_topk",
-    "bpe_first_merges",
     "ccnet_pipeline",
     "hybrid_rrf_search",
     "dedup_cluster_size_histogram",

@@ -4618,3 +4618,90 @@ SELECT source,
 FROM ranked
 WHERE rn = LEAST({k}, n)
 """
+
+
+# ---------------------------------------------------------------------------
+# Quality-stack calibration — do the two independent quality signals
+# AGREE? Cross-tabulates the fastText-shaped linear classifier's keep
+# decision against the CCNet perplexity tercile (both already in the
+# registry, both riding memoized substrates): per (bucket, keep) doc
+# counts, the within-bucket keep rate, and the mean classifier
+# probability (exact 1e-6 integer folds — prob_keep is bround-6 by
+# construction). A calibrated stack shows keep-rate monotone in the
+# tercile (head >= middle >= tail); an inversion is the signal that one
+# model is stale for the corpus. One doc_id equi-join of two per-doc
+# relations + a 6-row aggregation.
+
+
+def quality_calibration_report(documents: DataFrame) -> DataFrame:
+    tagged = perplexity_tagged(documents).select("doc_id", "bucket")
+    clf = linear_quality_classifier(documents).select(
+        "doc_id",
+        "keep",
+        F.round(F.col("prob_keep") * 1000000).cast("long").alias("_pk_e6"),
+    )
+    joined = tagged.join(clf, "doc_id")
+    out = joined.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("keep").cast("long").alias("n_keep"),
+        F.sum("_pk_e6").alias("_s_e6"),
+    )
+    return out.select(
+        "bucket",
+        "n_docs",
+        "n_keep",
+        q6(F.col("n_keep").cast("double") / F.col("n_docs")).alias("keep_rate"),
+        q6(
+            (F.col("_s_e6").cast("double") / F.lit(1000000.0)) / F.col("n_docs")
+        ).alias("mean_prob_keep"),
+    )
+
+
+def quality_calibration_report_sql(dim: int = HASHED_BOW_DIM) -> str:
+    return f"""
+WITH scored0 AS ({unigram_logprob_score_sql()}),
+scored AS (
+  SELECT s.doc_id, d.lang, s.avg_logprob
+  FROM scored0 s JOIN documents d ON s.doc_id = d.doc_id
+),
+hist AS (
+  SELECT lang, avg_logprob, COUNT(*) AS freq FROM scored GROUP BY lang, avg_logprob
+),
+cum AS (
+  SELECT lang, avg_logprob,
+         SUM(freq) OVER (PARTITION BY lang ORDER BY avg_logprob
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumfreq,
+         SUM(freq) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+cuts AS (
+  SELECT lang,
+         MIN(CASE WHEN cumfreq >= CEIL(n / 3.0) THEN avg_logprob END) AS p33,
+         MIN(CASE WHEN cumfreq >= CEIL(n * 2.0 / 3.0) THEN avg_logprob END) AS p67
+  FROM cum GROUP BY lang
+),
+tagged AS (
+  SELECT s.doc_id,
+         CASE WHEN s.avg_logprob <= c.p33 THEN 'tail'
+              WHEN s.avg_logprob <= c.p67 THEN 'middle'
+              ELSE 'head' END AS bucket
+  FROM scored s JOIN cuts c ON s.lang = c.lang
+),
+clf AS ({linear_quality_classifier_sql(dim)}),
+joined AS (
+  SELECT t.bucket, c.keep,
+         CAST(round(c.prob_keep * 1000000) AS BIGINT) AS pk_e6
+  FROM tagged t JOIN clf c ON t.doc_id = c.doc_id
+),
+agg AS (
+  SELECT bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(keep) AS BIGINT) AS n_keep,
+         SUM(pk_e6) AS s_e6
+  FROM joined GROUP BY bucket
+)
+SELECT bucket, n_docs, n_keep,
+       {q6_sql("CAST(n_keep AS DOUBLE) / n_docs")} AS keep_rate,
+       {q6_sql("(CAST(s_e6 AS DOUBLE) / 1000000.0) / n_docs")} AS mean_prob_keep
+FROM agg
+"""

@@ -164,6 +164,7 @@ PROBES = [
     "kneser_ney_fluency",
     "kmv_distinct_report",
     "embedding_whitening_check",
+    "quality_calibration_report",
 ]
 
 

@@ -352,3 +352,50 @@ def test_embedding_whitening_check_is_identity(spark):
         m[r["dim_j"], r["dim_i"]] = r["cov"]
     assert np.abs(np.diag(m) - 1).max() < 1e-3
     assert np.abs(m - np.diag(np.diag(m))).max() < 1e-3
+
+
+def test_streaming_value_histogram_handover(spark):
+    """Streaming histogram twin: out-of-order batches (with a replay
+    no-op) must equal the batch value_histogram exactly, and the
+    standing-state percentile must match one computed from the batch
+    histogram."""
+    import datetime as dtm
+
+    from flink_streaming_etl_spark.operators.analytics import value_histogram
+    from flink_streaming_etl_spark.streaming.histogram import (
+        ValueHistogramAccumulator,
+    )
+
+    base = dtm.datetime(2024, 5, 1)
+    rows = [
+        (i, base + dtm.timedelta(hours=i), 1,
+         "click" if i % 3 else "buy", float((i * 37) % 520) - 5.0, "{}")
+        for i in range(300)
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    full = spark.createDataFrame(rows, schema)
+
+    acc = ValueHistogramAccumulator()
+    chunks = [rows[100:200], rows[0:100], rows[200:]]  # out of order
+    for bid, chunk in enumerate(chunks):
+        acc.add_batch(spark.createDataFrame(chunk, schema), batch_id=bid)
+    acc.add_batch(spark.createDataFrame(chunks[-1], schema), batch_id=2)  # replay
+
+    got = {(r["event_type"], r["bin"]): (r["bin_lo"], r["n"])
+           for r in acc.result(spark).collect()}
+    want = {(r["event_type"], r["bin"]): (r["bin_lo"], r["n"])
+            for r in value_histogram(full).collect()}
+    assert got == want
+
+    # percentile from standing state == percentile from batch histogram
+    series = sorted((b, n) for (et, b), (_, n) in want.items() if et == "click")
+    total = sum(n for _, n in series)
+    run, p95 = 0, None
+    for b, n in series:
+        run += n
+        if run >= 0.95 * total:
+            p95 = 0.0 + b * 50.0
+            break
+    assert acc.percentile("click", 0.95) == p95
+    assert acc.percentile("nope", 0.5) is None
