@@ -53,7 +53,17 @@ def load_tables(
     pruning and predicate pushdown stay available to Catalyst)."""
     cache_key = (id(spark), os.path.abspath(sf_dir), register)
     if cache_key in _LOAD_CACHE:
-        return dict(_LOAD_CACHE[cache_key])
+        cached = _LOAD_CACHE[cache_key]
+        if register:
+            # ALWAYS re-register on a hit: a later load_tables at a
+            # DIFFERENT sf_dir overwrites the session's temp views
+            # (createOrReplaceTempView), so a cached register=True call
+            # that skipped this left spark.sql() queries silently reading
+            # the other corpus (caught by the sf0.01 gate running after
+            # sf0.001 tests: sql_pricing_summary read sf0.001 views).
+            for name, df in cached.items():
+                df.createOrReplaceTempView(name)
+        return dict(cached)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
     # rejects; read nanos as long and convert to a micro timestamp (what

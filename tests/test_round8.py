@@ -399,3 +399,21 @@ def test_streaming_value_histogram_handover(spark):
             break
     assert acc.percentile("click", 0.95) == p95
     assert acc.percentile("nope", 0.5) is None
+
+
+def test_load_tables_rebinds_views_on_cache_hit(spark):
+    """Order-dependence regression (caught by the full-suite sf0.01 gate
+    running after sf0.001 tests): a cached register=True load_tables call
+    must RE-REGISTER its temp views — a later load at a different sf_dir
+    overwrites them, and the old cache-hit path returned without
+    rebinding, leaving spark.sql() reading the other corpus."""
+    from flink_streaming_etl_spark.catalog import load_tables
+    from tests.conftest import SF_CORRECT, SF_SMOKE
+
+    small = load_tables(spark, SF_SMOKE, register=True)["lineitem"].count()
+    big = load_tables(spark, SF_CORRECT, register=True)["lineitem"].count()
+    assert big > small
+    assert spark.table("lineitem").count() == big
+    # cache HIT for the smoke dir must rebind the views back
+    load_tables(spark, SF_SMOKE, register=True)
+    assert spark.table("lineitem").count() == small
