@@ -417,3 +417,39 @@ def test_load_tables_rebinds_views_on_cache_hit(spark):
     # cache HIT for the smoke dir must rebind the views back
     load_tables(spark, SF_SMOKE, register=True)
     assert spark.table("lineitem").count() == small
+
+
+def test_streaming_kmv_handover(spark):
+    """KMV streaming twin: out-of-order batches (with a replay no-op)
+    must reproduce the batch kmv_distinct_report estimates exactly —
+    k-min sets merge exactly, hashes are deterministic md5."""
+    from flink_streaming_etl_spark.operators import text as tx
+    from flink_streaming_etl_spark.streaming.kmv import KmvDistinctAccumulator
+
+    a = "abcdefghij"
+    rows = [
+        (
+            i,
+            " ".join(f"{a[i]}x{a[j // 10]}{a[j % 10]}" for j in range(40)),
+            "en",
+            f"s{i % 2}",
+            1,
+        )
+        for i in range(10)
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    full = spark.createDataFrame(rows, schema)
+
+    acc = KmvDistinctAccumulator(k=16)
+    chunks = [rows[4:7], rows[0:4], rows[7:]]  # out of order
+    for bid, chunk in enumerate(chunks):
+        acc.add_batch(spark.createDataFrame(chunk, schema), batch_id=bid)
+    acc.add_batch(spark.createDataFrame(chunks[-1], schema), batch_id=2)  # replay
+
+    got = {r["source"]: r["kmv_estimate"] for r in acc.result(spark).collect()}
+    want = {r["source"]: r["kmv_estimate"]
+            for r in tx.kmv_distinct_report(full, k=16).collect()}
+    assert got == want
+    assert set(got) == {"s0", "s1", "(all)"}
+    # state is bounded by k per source
+    assert all(len(h) <= 16 for h in acc.kmin.values())
