@@ -242,6 +242,7 @@ HEADLINE = [
     "kmv_distinct_report",
     "embedding_whitening_check",
     "quality_calibration_report",
+    "bpe_encode_report",
 ]
 
 

@@ -962,6 +962,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.quality_calibration_report, "documents"),
         text.quality_calibration_report_sql(),
     ),
+    "bpe_encode_report": (
+        # APPLY stage of the tokenizer loop: per-doc token counts under
+        # the corpus-trained merge list (broadcast; lowest-rank-first
+        # encode in Arrow batches). Iterative — no SQL oracle; worked
+        # example pinned in tests/test_round8.py.
+        _q(text.bpe_encode_report, "documents"),
+        None,
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -1021,6 +1029,7 @@ _SAMPLE_FRONT = [
     "kmv_distinct_report",
     "embedding_whitening_check",
     "quality_calibration_report",
+    "bpe_encode_report",
     # reference-parity + battery anchors kept in-window (the rest of the
     # multi-round-green registry rotates to the tail; every oracle entry
     # is still re-checked each run by tests/test_oracle_parity.py)
@@ -1031,7 +1040,6 @@ _SAMPLE_FRONT = [
     "anomaly_zscore_daily",
     "ann_hamming_topk",
     "ccnet_pipeline",
-    "hybrid_rrf_search",
     "dedup_cluster_size_histogram",
 ]
 assert len(_SAMPLE_FRONT) == 50 and len(set(_SAMPLE_FRONT)) == 50

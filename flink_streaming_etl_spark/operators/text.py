@@ -4705,3 +4705,95 @@ SELECT bucket, n_docs, n_keep,
        {q6_sql("(CAST(s_e6 AS DOUBLE) / 1000000.0) / n_docs")} AS mean_prob_keep
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE encode/apply — completes the tokenizer loop (pair stats ->
+# bpe_first_merges, full training loop -> bpe_train_merges, APPLY ->
+# here): tokenize the corpus with a LEARNED merge list, the actual
+# production workload a trained tokenizer exists for. The merge list is
+# vocabulary-bounded and ships BROADCAST to every executor; encoding is
+# the standard lowest-rank-first loop (Sennrich et al. 2016, the same
+# order HF tokenizers apply) run inside Arrow batches with a per-batch
+# distinct-word memo (Zipf makes the memo hit rate ~= 1 - V/N). Corpus
+# work is one mapInPandas pass — zero shuffles. No SQL oracle (the
+# iterative merge application is not SQL-expressible); pinned by a
+# worked example in tests and by the invariant that encoding the train
+# corpus reproduces the training loop's final symbol counts.
+
+
+def bpe_encode_report(
+    documents: DataFrame,
+    n_merges: int = BPE_TRAIN_MERGES,
+    merges: list[tuple[int, str, str]] | None = None,
+) -> DataFrame:
+    """(doc_id, n_words, n_chars, n_bpe_tokens, fertility): per-doc BPE
+    token counts under the corpus-trained merge list (or a caller-
+    provided one — the production path, where training ran once)."""
+    if merges is None:
+        merges = [
+            (r["rank"], r["left"], r["right"])
+            for r in bpe_train_merges(documents, n_merges).collect()
+        ]
+    rank_of = {(a, b): rank for rank, a, b in merges}
+
+    def encode_len(word: str, memo: dict) -> int:
+        hit = memo.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word)
+        while len(syms) > 1:
+            best, best_i = None, -1
+            for i, pair in enumerate(zip(syms, syms[1:])):
+                r = rank_of.get(pair)
+                if r is not None and (best is None or r < best):
+                    best, best_i = r, i
+            if best is None:
+                break
+            a, b = syms[best_i], syms[best_i + 1]
+            merged, out, i = a + b, [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        memo[word] = len(syms)
+        return len(syms)
+
+    import re
+
+    split = re.compile("[^a-z]+")
+
+    def compute(batches):
+        import pandas as pd  # executor-side import (closure pickles clean)
+
+        memo: dict = {}
+        for pdf in batches:
+            ids, nw, nc, nt = [], [], [], []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in split.split(str(txt).lower()) if w]
+                ids.append(doc_id)
+                nw.append(len(words))
+                nc.append(sum(len(w) for w in words))
+                nt.append(sum(encode_len(w, memo) for w in words))
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_words": nw, "n_chars": nc, "n_bpe_tokens": nt}
+            )
+
+    out = documents.select("doc_id", "text").mapInPandas(
+        compute,
+        schema="doc_id long, n_words long, n_chars long, n_bpe_tokens long",
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        F.when(
+            F.col("n_words") > 0,
+            q6(F.col("n_bpe_tokens").cast("double") / F.col("n_words")),
+        ).alias("fertility"),
+    )

