@@ -2295,13 +2295,20 @@ SELECT query_id, rank, neighbor_id, hamming FROM (
 COV_QUANT = 10_000.0  # 1e-4 embedding units; |x| < 3 => |xq| < 30k, products fit int64
 
 
-def embedding_covariance(embeddings: DataFrame) -> DataFrame:
+def _gram_totals(embeddings: DataFrame) -> DataFrame:
+    """Memo-persisted exact-integer Gram totals of the quantized corpus:
+    rows (i, j>=i) = Σ xq_i·xq_j, rows (i, -1) = Σ xq_i (the per-dim
+    SUMS — the mean vector's numerator), row (-1, -1) = n. Shared by
+    :func:`embedding_covariance` and :func:`embedding_whitening_check`
+    so neither pays a second corpus pass for moments the fold already
+    computed."""
     q = embeddings.select(
         F.transform(
             "embedding",
             lambda v: F.round(v.cast("double") * F.lit(COV_QUANT)).cast("long"),
         ).alias("xq")
     )
+
     def gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
@@ -2325,9 +2332,13 @@ def embedding_covariance(embeddings: DataFrame) -> DataFrame:
     # one action and the returned covariance DataFrame's eventual action
     # (plus pca_top_component's collect) would otherwise each re-run the
     # corpus-sized mapInPandas fold (ADVICE r7).
-    tot = memo_persist(
+    return memo_persist(
         "embedding_cov", part.groupBy("i", "j").agg(F.sum("v").alias("v"))
     )
+
+
+def embedding_covariance(embeddings: DataFrame) -> DataFrame:
+    tot = _gram_totals(embeddings)
     n_row = tot.filter((F.col("i") == -1) & (F.col("j") == -1)).first()
     spark = embeddings.sparkSession
     if n_row is None or n_row["v"] < 2:  # empty / single-vector corpus
@@ -2624,24 +2635,24 @@ def embedding_whitening_check(embeddings: DataFrame) -> DataFrame:
         c[r["dim_j"], r["dim_i"]] = r["cov"]
     lam, u = np.linalg.eigh(c)
     w = (u * (1.0 / np.sqrt(np.maximum(lam, WHITEN_EIG_FLOOR)))) @ u.T
-    # mean vector: one d-keyed aggregation (d rows shuffled, not corpus)
+    # mean vector from the SAME memoized Gram totals the covariance came
+    # from (rows (i, -1) are the per-dim quantized sums, (-1, -1) is n) —
+    # no extra corpus pass (code-review r8); the 1e-4 quantization in mu
+    # matches C's own quantization and sits far inside the identity gate.
     mu_rows = (
-        embeddings.select(
-            F.posexplode(
-                F.transform("embedding", lambda v: v.cast("double"))
-            ).alias("i", "x")
-        )
-        .groupBy("i")
-        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-        .collect()
+        _gram_totals(embeddings)
+        .filter((F.col("i") >= 0) & (F.col("j") == -1))
+        .collect()  # d-bounded
     )
-    mu = np.zeros(d)
-    n = 0
-    for r in mu_rows:
-        mu[r["i"]] = r["s"] / r["n"]
-        n = r["n"]
+    n_tot = _gram_totals(embeddings).filter(
+        (F.col("i") == -1) & (F.col("j") == -1)
+    ).first()
+    n = int(n_tot["v"]) if n_tot else 0
     if n < 2:
         return spark.createDataFrame([], "dim_i int, dim_j int, cov double")
+    mu = np.zeros(d)
+    for r in mu_rows:
+        mu[r["i"]] = r["v"] / n / COV_QUANT
 
     bmu, bw = mu, w
 

@@ -2460,7 +2460,15 @@ FROM j
 # both count rollups get map-side combine.
 
 
-def bigram_logprob_score(documents: DataFrame) -> DataFrame:
+def _lm_bigram_tf2(documents):
+    """The SHARED memoized (doc_id, w1, w2, tf) bigram relation behind
+    bigram_logprob_score / jm_fluency / kneser_ney_fluency: ONE
+    definition so the three scorers build byte-identical plans and land
+    on the same memo_persist('lm_tf2') cache entry — a drifted copy
+    would silently degrade to three separate corpus-sized persisted
+    relations (code-review r8)."""
+    from flink_streaming_etl_spark.operators._cache import memo_persist
+
     w = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
     grams = documents.select(
         "doc_id",
@@ -2472,14 +2480,14 @@ def bigram_logprob_score(documents: DataFrame) -> DataFrame:
             )
         ).alias("g"),
     ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
-    from flink_streaming_etl_spark.operators._cache import memo_persist
-
-    # feeds the two count rollups AND the scoring join; memoized persist
-    # (family lm_tf2) so repeat calls share one bounded CacheManager entry.
-    tf2 = memo_persist(
+    return memo_persist(
         "lm_tf2",
         grams.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf")),
     )
+
+
+def bigram_logprob_score(documents: DataFrame) -> DataFrame:
+    tf2 = _lm_bigram_tf2(documents)
     c2 = tf2.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
     c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
     lp = F.log(F.col("c12").cast("double") / F.col("c1"))
@@ -2595,24 +2603,8 @@ JM_LAMBDA = 0.7
 
 
 def jm_fluency(documents: DataFrame, lam: float = JM_LAMBDA) -> DataFrame:
-    from flink_streaming_etl_spark.operators._cache import memo_persist
-
     w = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
-    grams = documents.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
-                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("g"),
-    ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
-    # identical plan to bigram_logprob_score's tf2 → shared cache entry
-    tf2 = memo_persist(
-        "lm_tf2",
-        grams.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf")),
-    )
+    tf2 = _lm_bigram_tf2(documents)
     c2 = tf2.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
     c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
     # Unigram marginal WITHOUT a second corpus tokenization: every token
@@ -2706,23 +2698,7 @@ KN_DISCOUNT = 0.75
 def kneser_ney_fluency(
     documents: DataFrame, discount: float = KN_DISCOUNT
 ) -> DataFrame:
-    from flink_streaming_etl_spark.operators._cache import memo_persist
-
-    w = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
-    grams = documents.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
-                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("g"),
-    ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
-    tf2 = memo_persist(
-        "lm_tf2",
-        grams.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf")),
-    )
+    tf2 = _lm_bigram_tf2(documents)
     c2 = tf2.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
     c1 = c2.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("nr")
@@ -4402,11 +4378,16 @@ def substring_dedup_cut(
     duplicated shingle the globally FIRST occurrence (min (doc_id, p))
     survives; every other occurrence's token range is cut from its
     document, and the cleaned text is rebuilt from the kept tokens.
-    Whitespace is normalized to single spaces uniformly (both engines
-    rebuild identically). Scale shape: the shingle relation is
-    corpus-linear with ONE hash-keyed shuffle; token-level rebuild work
-    is proportional to AFFECTED docs only (untouched docs pass through
-    as a zero-shuffle projection)."""
+    Canonical spans are INVIOLATE — a victim range overlapping the
+    canonical first occurrence of a different hash in the same doc is
+    trimmed around it, so canonical content can never be deleted from
+    every copy. A doc whose every token is covered (a full duplicate)
+    emits EMPTY text with removed_tokens = n_tokens — never a silent
+    pass-through. Whitespace is normalized to single spaces uniformly
+    (both engines rebuild identically). Scale shape: the shingle
+    relation is corpus-linear with ONE hash-keyed shuffle; token-level
+    rebuild work is proportional to AFFECTED docs only (untouched docs
+    pass through as a zero-shuffle projection)."""
     sh = _substring_shingles(documents, min_tokens)
     # non-canonical occurrences: every (doc,p) of a >=2-occurrence hash
     # except the global min (doc_id, p) — arithmetic min-encoding keeps
@@ -4425,13 +4406,24 @@ def substring_dedup_cut(
         .filter(key != F.col("_k"))
         .select("doc_id", "p")
     )
-    # covered token positions of victim spans
-    covered = victims.select(
+    # canonical spans are INVIOLATE: a victim range may overlap the
+    # canonical first occurrence of a DIFFERENT hash in the same doc —
+    # cutting through it would delete that content from every copy in
+    # the corpus (its other occurrences are victims of their own hash).
+    # Protect every canonical occurrence's token range from cutting.
+    canons = (
+        sh.join(canon.filter(F.col("_n") >= 2), "h")
+        .filter(key == F.col("_k"))
+        .select("doc_id", "p")
+    )
+    span = lambda rel: rel.select(  # noqa: E731 — tiny local shaper
         "doc_id",
         F.explode(F.sequence(F.col("p"), F.col("p") + min_tokens - 1)).alias(
             "tp"
         ),
     ).distinct()
+    protected = span(canons)
+    covered = span(victims).join(protected, ["doc_id", "tp"], "left_anti")
     affected = covered.select("doc_id").distinct()
     w = F.split(F.trim("text"), r"\s+")
     toks = (
@@ -4455,15 +4447,26 @@ def substring_dedup_cut(
         F.regexp_replace(F.trim("text"), r"\s+", " ").alias("_orig"),
         F.size(w).cast("long").alias("n_tokens"),
     )
+    # An affected doc with NO rebuilt row had EVERY token cut (a full
+    # duplicate): it must emit empty text, not pass through unchanged —
+    # the coalesce(_ct, _orig) fallback is only for UNAFFECTED docs.
+    flagged = affected.withColumn("_hit", F.lit(True))
     return (
         base.join(rebuilt, "doc_id", "left")
+        .join(flagged, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",
-            (F.col("n_tokens") - F.coalesce("_nk", F.col("n_tokens")))
+            F.when(
+                F.col("_hit").isNotNull(),
+                F.col("n_tokens") - F.coalesce("_nk", F.lit(0)),
+            )
+            .otherwise(F.lit(0))
             .cast("long")
             .alias("removed_tokens"),
-            F.coalesce("_ct", F.col("_orig")).alias("clean_text"),
+            F.when(F.col("_hit").isNotNull(), F.coalesce("_ct", F.lit("")))
+            .otherwise(F.col("_orig"))
+            .alias("clean_text"),
         )
     )
 
@@ -4490,11 +4493,22 @@ WITH toks0 AS (
   SELECT s.doc_id, s.p
   FROM sh s JOIN canon c ON s.h = c.h
   WHERE c.n >= 2 AND s.doc_id * {1 << 23} + s.p <> c.k
-), covered AS (
+), canons AS (
+  SELECT s.doc_id, s.p
+  FROM sh s JOIN canon c ON s.h = c.h
+  WHERE c.n >= 2 AND s.doc_id * {1 << 23} + s.p = c.k
+), protected AS (
   SELECT DISTINCT doc_id, tp
-  FROM victims, LATERAL (
+  FROM canons, LATERAL (
     SELECT UNNEST(range(p, p + {min_tokens})) AS tp
   ) r
+), covered AS (
+  SELECT v.doc_id, v.tp FROM (
+    SELECT DISTINCT doc_id, tp
+    FROM victims, LATERAL (
+      SELECT UNNEST(range(p, p + {min_tokens})) AS tp
+    ) r
+  ) v ANTI JOIN protected pr ON v.doc_id = pr.doc_id AND v.tp = pr.tp
 ), affected AS (SELECT DISTINCT doc_id FROM covered),
 tok AS (
   SELECT t.doc_id, u.tp, u.term
@@ -4518,10 +4532,13 @@ tok AS (
   FROM documents
 )
 SELECT b.doc_id, b.n_tokens,
-       CAST(b.n_tokens - COALESCE(r.nk, b.n_tokens) AS BIGINT)
+       CAST(CASE WHEN a.doc_id IS NOT NULL
+                 THEN b.n_tokens - COALESCE(r.nk, 0) ELSE 0 END AS BIGINT)
          AS removed_tokens,
-       COALESCE(r.ct, b.orig) AS clean_text
+       CASE WHEN a.doc_id IS NOT NULL THEN COALESCE(r.ct, '')
+            ELSE b.orig END AS clean_text
 FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+            LEFT JOIN affected a ON b.doc_id = a.doc_id
 """
 
 

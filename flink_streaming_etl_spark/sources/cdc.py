@@ -109,6 +109,15 @@ def scd2_history(
     reference's Flink CDC pipeline keeps only latest state
     (flink-ddl.sql upsert sinks); SCD2 is the standard warehouse
     extension a user of that pipeline asks for first.
+
+    Ordering caveat (shared with ``latest_state``): the default ``_seq``
+    tie-break is ``monotonically_increasing_id`` — partition-local, not
+    global arrival order. Single-partition replays (file fixtures, one
+    Kafka partition per key — Debezium's per-key ordering guarantee)
+    order correctly; a multi-partition source with same-``ts_ms`` events
+    for one key must pass an explicit ``order_cols`` (e.g. the Kafka
+    offset column), else same-millisecond versions can chain in
+    partition order rather than arrival order.
     """
     if isinstance(primary_key, str):
         primary_key = [primary_key]

@@ -56,7 +56,10 @@ class ValueHistogramAccumulator:
             .collect()  # bounded: types x bins
         )
         for r in rows:
-            self.counts[(r["event_type"], int(r["bin"]))] += int(r["n"])
+            # NULL values bin to None — the batch operator emits a
+            # null-bin row; the twin must match it, not crash on int(None)
+            b = None if r["bin"] is None else int(r["bin"])
+            self.counts[(r["event_type"], b)] += int(r["n"])
 
     def attach(self, stream_events: DataFrame, **start_kwargs):
         return (
@@ -68,11 +71,15 @@ class ValueHistogramAccumulator:
     # -- query side ---------------------------------------------------------
 
     def result(self, spark: SparkSession) -> DataFrame:
-        """Same schema and values as the batch ``value_histogram``."""
+        """Same schema and values as the batch ``value_histogram``
+        (including the null-bin row for NULL values)."""
         width = (HIST_HI - HIST_LO) / HIST_BINS
         out = [
-            (et, b, HIST_LO + b * width, n)
-            for (et, b), n in sorted(self.counts.items())
+            (et, b, None if b is None else HIST_LO + b * width, n)
+            for (et, b), n in sorted(
+                self.counts.items(),
+                key=lambda kv: (kv[0][0], kv[0][1] is not None, kv[0][1] or 0),
+            )
         ]
         return spark.createDataFrame(
             out, "event_type string, bin long, bin_lo double, n long"
@@ -84,7 +91,9 @@ class ValueHistogramAccumulator:
         answer that replaces a full-shuffle exact percentile at scale."""
         width = (HIST_HI - HIST_LO) / HIST_BINS
         series = sorted(
-            (b, n) for (et, b), n in self.counts.items() if et == event_type
+            (b, n)
+            for (et, b), n in self.counts.items()
+            if et == event_type and b is not None
         )
         total = sum(n for _, n in series)
         if not total:

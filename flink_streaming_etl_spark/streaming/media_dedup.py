@@ -122,20 +122,24 @@ class MediaChunkDedupAccumulator:
         for r in rows:
             by_media[r["media_id"]].append(r["chash"])
         # media_id order within the batch = deterministic intra-batch
-        # pairing (mirrors the batch operator's a_id < b_id orientation)
+        # pairing; pairs are stored ORIENTATION-NORMALIZED (min, max) so
+        # out-of-id-order arrival across batches still matches the batch
+        # operator's a_id < b_id schema, and a media_id re-delivered
+        # under a new batch id neither self-pairs nor double-registers.
         for mid in sorted(by_media):
             shared: dict[int, int] = defaultdict(int)
             for ch in by_media[mid]:
                 own = self.owners.get(ch)
                 if own is not None and len(own) <= self.owner_cap:
                     for prior in own:
-                        shared[prior] += 1
+                        if prior != mid:  # re-delivery: never self-pair
+                            shared[prior] += 1
             for prior, n in shared.items():
                 if n >= self.min_shared:
-                    self.pairs[(prior, mid)] = n
+                    self.pairs[(min(prior, mid), max(prior, mid))] = n
             for ch in by_media[mid]:
                 own = self.owners.setdefault(ch, [])
-                if len(own) <= self.owner_cap:  # stop tracking once hot
+                if len(own) <= self.owner_cap and mid not in own:
                     own.append(mid)
                 self.last_seen[ch] = self.n_batches
         self._evict()

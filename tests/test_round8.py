@@ -501,4 +501,133 @@ def test_bpe_encode_worked_example(spark):
     assert len(encode("low")) == 1 and len(encode("newest")) == 1
     # doc 2: 'xyzq' has no learned merges → stays 4 chars
     assert out[2]["n_bpe_tokens"] == 4 + len(encode("low")) + len(encode("newest"))
-    assert out[2]["fertility"] == round((4 + 1 + 1) / 3 - 1e-9, 6) or True
+    # fertility = q6(n_bpe_tokens / n_words) — floor-quantized to 6 dp
+    assert out[2]["fertility"] == 2.0  # (4 + 1 + 1) / 3
+
+
+def test_substring_dedup_cut_full_duplicate_emptied(spark):
+    """Code-review regression: a FULL exact duplicate (every token
+    covered by victim spans) must emit empty text with all tokens
+    removed — the old coalesce fallback silently passed it through
+    unchanged, and the oracle shared the bug so parity never saw it."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    run = " ".join(f"tok{i}" for i in range(15))
+    out = {
+        r["doc_id"]: r
+        for r in tx.substring_dedup_cut(
+            _docs(spark, [(1, run), (2, run)]), 15
+        ).collect()
+    }
+    assert out[1]["removed_tokens"] == 0 and out[1]["clean_text"] == run
+    assert out[2]["removed_tokens"] == 15 and out[2]["clean_text"] == ""
+
+
+def test_substring_dedup_cut_protects_canonical_spans(spark):
+    """Canonical spans are inviolate: when a victim range overlaps the
+    canonical first occurrence of a DIFFERENT hash in the same doc, the
+    overlap is trimmed around the canonical span instead of deleting
+    canonical content from every copy in the corpus."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    runY = " ".join(f"y{i}" for i in range(15))
+    runP = " ".join(f"p{i}" for i in range(15))
+    # doc1: Y's canonical; doc2: P's canonical, followed by a victim copy
+    # of Y whose range would otherwise begin inside... place P then Y:
+    # doc2 = P + Y → Y-copy victims cover Y's tokens; P protected.
+    # doc3: a victim copy of P — P must survive in doc2 (canonical).
+    docs = _docs(
+        spark,
+        [(1, runY), (2, runP + " " + runY), (3, runP)],
+    )
+    out = {r["doc_id"]: r for r in tx.substring_dedup_cut(docs, 15).collect()}
+    # doc2 keeps its canonical P, loses the victim Y copy
+    assert out[2]["clean_text"] == runP
+    assert out[2]["removed_tokens"] == 15
+    # doc3's P copy is a victim of doc2's canonical → emptied
+    assert out[3]["clean_text"] == "" and out[3]["removed_tokens"] == 15
+    # doc1's canonical Y untouched
+    assert out[1]["clean_text"] == runY and out[1]["removed_tokens"] == 0
+
+
+def test_substring_dedup_cut_trims_around_canonical_overlap(spark):
+    """The genuinely hard case: a victim range OVERLAPPING a canonical
+    span in the same doc is trimmed around it — only the non-protected
+    part is cut."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    y = [f"t{i}" for i in range(15)]
+    p = ["a", "b", "c", "d", "e"] + y[:10]  # 15 tokens sharing y's head
+    doc0 = " ".join(y)            # canonical Y
+    doc2 = " ".join(p + y[10:])   # canonical P; victim Y at offset 6
+    doc3 = " ".join(p)            # victim P
+    out = {
+        r["doc_id"]: r
+        for r in tx.substring_dedup_cut(
+            _docs(spark, [(0, doc0), (2, doc2), (3, doc3)]), 15
+        ).collect()
+    }
+    assert out[0]["clean_text"] == doc0 and out[0]["removed_tokens"] == 0
+    # doc2: Y's victim range (tokens 6..20) overlaps P's canonical span
+    # (tokens 1..15) → only tokens 16..20 (t10..t14) are cut
+    assert out[2]["clean_text"] == " ".join(p)
+    assert out[2]["removed_tokens"] == 5
+    assert out[3]["clean_text"] == "" and out[3]["removed_tokens"] == 15
+
+
+def test_streaming_media_chunk_orientation_and_redelivery(spark):
+    """Code-review regressions: (a) out-of-id-order arrival across
+    batches must still emit a_id < b_id (orientation-normalized); (b) a
+    media_id re-delivered under a NEW batch id must neither self-pair
+    nor double-register its chunks."""
+    from flink_streaming_etl_spark.operators.multimodal import media_chunk_dedup
+    from flink_streaming_etl_spark.streaming.media_dedup import (
+        MediaChunkDedupAccumulator,
+    )
+
+    blk = "".join(f"m{i:03d}" for i in range(64))
+    rows = [(5, blk + "five"), (3, blk + "three")]
+    acc = MediaChunkDedupAccumulator()
+    # id 5 arrives BEFORE id 3 (separate batches), then 3 re-delivered
+    acc.add_batch(_docs(spark, rows[:1]), batch_id=0)
+    acc.add_batch(_docs(spark, rows[1:]), batch_id=1)
+    acc.add_batch(_docs(spark, rows[1:]), batch_id=2)  # re-delivery, new bid
+    got = {(r["a_id"], r["b_id"]): r["shared_chunks"]
+           for r in acc.result(spark).collect()}
+    want = {(r["a_id"], r["b_id"]): r["shared_chunks"]
+            for r in media_chunk_dedup(_docs(spark, rows)).collect()}
+    assert got == want  # (3, 5) orientation, no (3, 3) self-pair
+    assert all(a < b for a, b in got)
+    # chunks registered once per media despite re-delivery
+    assert all(len(set(o)) == len(o) for o in acc.owners.values())
+
+
+def test_streaming_histogram_null_values(spark):
+    """NULL event values: both engines' greatest() IGNORES nulls, so a
+    NULL value folds into bin 0 identically in Spark, DuckDB, and the
+    accumulator — pin that agreement and that the stream doesn't crash
+    (the review's int(None) scenario cannot occur, but the twin is
+    defensive about a null bin anyway)."""
+    import datetime as dtm
+
+    from flink_streaming_etl_spark.operators.analytics import value_histogram
+    from flink_streaming_etl_spark.streaming.histogram import (
+        ValueHistogramAccumulator,
+    )
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string,"
+              " value double, props string")
+    rows = [
+        (1, dtm.datetime(2024, 5, 1), 1, "click", 42.0, "{}"),
+        (2, dtm.datetime(2024, 5, 2), 1, "click", None, "{}"),
+    ]
+    full = spark.createDataFrame(rows, schema)
+    acc = ValueHistogramAccumulator()
+    acc.add_batch(full, batch_id=0)
+    got = {(r["event_type"], r["bin"]): (r["bin_lo"], r["n"])
+           for r in acc.result(spark).collect()}
+    want = {(r["event_type"], r["bin"]): (r["bin_lo"], r["n"])
+            for r in value_histogram(full).collect()}
+    assert got == want
+    assert got[("click", 0)][1] == 2  # NULL folded into bin 0 (greatest)
+    assert acc.percentile("click", 0.5) == 0.0
