@@ -243,6 +243,7 @@ HEADLINE = [
     "embedding_whitening_check",
     "quality_calibration_report",
     "bpe_encode_report",
+    "substring_dup_rate_report",
 ]
 
 

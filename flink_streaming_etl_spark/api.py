@@ -962,6 +962,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.quality_calibration_report, "documents"),
         text.quality_calibration_report_sql(),
     ),
+    "substring_dup_rate_report": (
+        # corpus-level Lee et al. metric: duplicated-token fraction
+        _q(text.substring_dup_rate_report, "documents"),
+        text.substring_dup_rate_report_sql(),
+    ),
     "bpe_encode_report": (
         # APPLY stage of the tokenizer loop: per-doc token counts under
         # the corpus-trained merge list (broadcast; lowest-rank-first
@@ -1030,13 +1035,13 @@ _SAMPLE_FRONT = [
     "embedding_whitening_check",
     "quality_calibration_report",
     "bpe_encode_report",
+    "substring_dup_rate_report",
     # reference-parity + battery anchors kept in-window (the rest of the
     # multi-round-green registry rotates to the tail; every oracle entry
     # is still re-checked each run by tests/test_oracle_parity.py)
     "pricing_summary",
     "winnow_fingerprints",
     "winnow_dup_pairs",
-    "media_chunk_dedup",
     "anomaly_zscore_daily",
     "ann_hamming_topk",
     "ccnet_pipeline",

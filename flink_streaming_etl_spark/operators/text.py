@@ -4814,3 +4814,67 @@ def bpe_encode_report(
             q6(F.col("n_bpe_tokens").cast("double") / F.col("n_words")),
         ).alias("fertility"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus duplication-rate report — the headline Lee et al. metric ("what
+# fraction of corpus tokens sit inside exact duplicated substrings"):
+# one row summarizing the exact-substring tier over the whole corpus.
+# Rides substring_dup_spans' relation (span volume is output-
+# denominated); corpus totals are one aggregation.
+
+
+def substring_dup_rate_report(
+    documents: DataFrame, min_tokens: int = SUBSTR_DUP_TOKENS
+) -> DataFrame:
+    spans = substring_dup_spans(documents, min_tokens)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_tokens").alias("_dup_tokens")
+    )
+    w = F.split(F.trim("text"), r"\s+")
+    base = documents.select("doc_id", F.size(w).cast("long").alias("_nt"))
+    joined = base.join(per_doc, "doc_id", "left")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("_dup_tokens").isNotNull()).cast("long"))
+        .cast("long")
+        .alias("n_docs_with_dups"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+        F.sum(F.coalesce("_dup_tokens", F.lit(0))).cast("long").alias(
+            "n_dup_tokens"
+        ),
+    ).select(
+        "n_docs",
+        "n_docs_with_dups",
+        "n_tokens",
+        "n_dup_tokens",
+        q6(F.col("n_dup_tokens").cast("double") / F.col("n_tokens")).alias(
+            "dup_token_frac"
+        ),
+    )
+
+
+def substring_dup_rate_report_sql(min_tokens: int = SUBSTR_DUP_TOKENS) -> str:
+    return rf"""
+WITH spans AS ({substring_dup_spans_sql(min_tokens)}),
+per_doc AS (
+  SELECT doc_id, SUM(span_tokens) AS dup_tokens FROM spans GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt
+  FROM documents
+),
+joined AS (
+  SELECT b.nt, p.dup_tokens
+  FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN dup_tokens IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_with_dups,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       CAST(SUM(COALESCE(dup_tokens, 0)) AS BIGINT) AS n_dup_tokens,
+       {q6_sql("CAST(SUM(COALESCE(dup_tokens, 0)) AS DOUBLE) / SUM(nt)")}
+         AS dup_token_frac
+FROM joined
+"""

@@ -166,6 +166,7 @@ PROBES = [
     "embedding_whitening_check",
     "quality_calibration_report",
     "bpe_encode_report",
+    "substring_dup_rate_report",
 ]
 
 

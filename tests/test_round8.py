@@ -631,3 +631,16 @@ def test_streaming_histogram_null_values(spark):
     assert got == want
     assert got[("click", 0)][1] == 2  # NULL folded into bin 0 (greatest)
     assert acc.percentile("click", 0.5) == 0.0
+
+
+def test_substring_dup_rate_report_totals(spark):
+    """Corpus dup-rate: totals must be consistent — dup tokens bounded by
+    totals, affected-docs counted once, fraction = ratio of the sums."""
+    from flink_streaming_etl_spark.operators import text as tx
+
+    run = " ".join(f"tok{i}" for i in range(15))
+    docs = _docs(spark, [(1, run), (2, run), (3, "all fresh words here only now")])
+    r = tx.substring_dup_rate_report(docs, 15).collect()[0]
+    assert r["n_docs"] == 3 and r["n_docs_with_dups"] == 2
+    assert r["n_tokens"] == 36 and r["n_dup_tokens"] == 30
+    assert abs(r["dup_token_frac"] - 30 / 36) < 1e-6  # q6 floor-quantized
