@@ -244,6 +244,7 @@ HEADLINE = [
     "quality_calibration_report",
     "bpe_encode_report",
     "substring_dup_rate_report",
+    "nearest_neighbor_report",
 ]
 
 

@@ -962,6 +962,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.quality_calibration_report, "documents"),
         text.quality_calibration_report_sql(),
     ),
+    "nearest_neighbor_report": (
+        # per-doc closest near-dup from the LSH pair relation — the
+        # curation-audit view before setting a drop threshold
+        _q(dedup.nearest_neighbor_report, "documents"),
+        dedup.nearest_neighbor_report_sql(),
+    ),
     "substring_dup_rate_report": (
         # corpus-level Lee et al. metric: duplicated-token fraction
         _q(text.substring_dup_rate_report, "documents"),
@@ -1036,12 +1042,12 @@ _SAMPLE_FRONT = [
     "quality_calibration_report",
     "bpe_encode_report",
     "substring_dup_rate_report",
+    "nearest_neighbor_report",
     # reference-parity + battery anchors kept in-window (the rest of the
     # multi-round-green registry rotates to the tail; every oracle entry
     # is still re-checked each run by tests/test_oracle_parity.py)
     "pricing_summary",
     "winnow_fingerprints",
-    "winnow_dup_pairs",
     "anomaly_zscore_daily",
     "ann_hamming_topk",
     "ccnet_pipeline",

@@ -1325,3 +1325,73 @@ SELECT cluster_size,
        CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
 FROM sizes GROUP BY cluster_size
 """
+
+
+# ---------------------------------------------------------------------------
+# Nearest near-dup neighbor — per-document best match from the LSH pair
+# relation: the curation-audit view ("show me each doc's closest
+# near-duplicate and how close it is") reviewers ask for before setting
+# a drop threshold. Symmetrizes the a<b pair relation, picks the argmax
+# jaccard per doc with the engine-exact arithmetic max_by encoding
+# (jaccard is q6 floor-quantized → exact 1e-6 integers; ties broken by
+# smaller neighbor id). Cost: the memoized pair relation + one
+# doc-keyed aggregation — output-denominated like every pair consumer.
+
+
+def nearest_neighbor_report(
+    documents: DataFrame, threshold: float = 0.05
+) -> DataFrame:
+    pairs = minhash_lsh_pairs(documents, threshold)
+    sym = pairs.select(
+        F.col("a_id").alias("doc_id"),
+        F.col("b_id").alias("nbr"),
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("b_id").alias("doc_id"),
+            F.col("a_id").alias("nbr"),
+            "jaccard",
+        )
+    )
+    # argmax(jaccard, tie -> min nbr) in ONE exact integer fold:
+    # key = j_e6 * 2^40 + (2^40 - 1 - nbr); decode back after max().
+    m = 1 << 40
+    key = (
+        F.round(F.col("jaccard") * 1000000).cast("long") * m
+        + (F.lit(m - 1) - F.col("nbr"))
+    )
+    agg = sym.groupBy("doc_id").agg(
+        F.max(key).alias("_k"), F.count(F.lit(1)).cast("long").alias("n_nbrs")
+    )
+    return agg.select(
+        "doc_id",
+        (F.lit(m - 1) - F.col("_k") % m).cast("long").alias("best_match_id"),
+        (F.shiftright(F.col("_k"), 40).cast("double") / 1000000.0).alias(
+            "best_jaccard"
+        ),
+        "n_nbrs",
+    )
+
+
+def nearest_neighbor_report_sql(threshold: float = 0.05) -> str:
+    m = 1 << 40
+    return f"""
+WITH pairs AS ({minhash_lsh_pairs_sql(threshold)}),
+sym AS (
+  SELECT a_id AS doc_id, b_id AS nbr, jaccard FROM pairs
+  UNION ALL
+  SELECT b_id AS doc_id, a_id AS nbr, jaccard FROM pairs
+),
+agg AS (
+  SELECT doc_id,
+         MAX(CAST(round(jaccard * 1000000) AS BIGINT) * {m}
+             + ({m - 1} - nbr)) AS k,
+         CAST(COUNT(*) AS BIGINT) AS n_nbrs
+  FROM sym GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({m - 1} - k % {m} AS BIGINT) AS best_match_id,
+       CAST(k >> 40 AS DOUBLE) / 1000000.0 AS best_jaccard,
+       n_nbrs
+FROM agg
+"""

@@ -167,6 +167,7 @@ PROBES = [
     "quality_calibration_report",
     "bpe_encode_report",
     "substring_dup_rate_report",
+    "nearest_neighbor_report",
 ]
 
 
