@@ -2492,3 +2492,54 @@ SELECT day,
        COALESCE(SUM(CASE WHEN event_type = 'view' THEN v END), 0) / 1000.0 AS view
 FROM base GROUP BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# Event transition report (round 9): the first-order Markov transition
+# matrix over each user's event sequence — the behavioral-analytics shape
+# behind "what do users do after X" dashboards and session-model
+# baselines. lead() over (user_id, ts, event_id) pairs each event with its
+# successor (event_id breaks timestamp ties deterministically); counts per
+# (from, to) and a per-from probability close the matrix. Scale shape:
+# ONE user-keyed shuffle for the sequence window (unavoidable — the
+# sequence lives per user), a map-side-combined pair count, and the
+# probability window runs over the |event_types|² count relation, never
+# the event stream.
+
+
+def event_transition_report(events: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    tot = F.sum("n_transitions").over(Window.partitionBy("from_type"))
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        q6(F.col("n_transitions") / tot).alias("p_transition"),
+    )
+
+
+EVENT_TRANSITION_REPORT_SQL = f"""
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       {q6_sql("n_transitions / (SUM(n_transitions) OVER (PARTITION BY from_type))")}
+         AS p_transition
+FROM counts
+"""

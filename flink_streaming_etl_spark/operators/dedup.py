@@ -1395,3 +1395,82 @@ SELECT doc_id,
        n_nbrs
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Decontamination APPLY stage (round 9): the inverse orientation of
+# contamination_check — that operator flags EVAL docs already leaked into
+# training; this one cleans the TRAINING split so a benchmark stays valid
+# going forward (the direction production pipelines actually apply: GPT-3
+# appendix C / PaLM-style "remove training documents overlapping the
+# benchmark"). A train doc is dropped when >= min_ratio of its distinct
+# word shingles occur anywhere in the eval split. Scale shape: the eval
+# shingle set is benchmark-sized (tiny at 100 TB) and distinct — at real
+# scale it BROADCASTS, so the corpus-side pass is one scan + one per-doc
+# rollup; here the same plan runs as a hash left join. The left join
+# cannot multiply rows (eval side unique on h), so one groupBy yields both
+# the shingle count and the overlap count, exactly as in the check stage.
+
+
+def decontaminate_apply(
+    documents: DataFrame, eval_source: str = "src0", min_ratio: float = 0.2
+) -> DataFrame:
+    from flink_streaming_etl_spark.functions import q6
+
+    h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    train_docs = documents.filter(F.col("source") != eval_source)
+    train_sh = _word_shingle_rows(train_docs, distinct=True).select(
+        "doc_id", h.alias("h")
+    )
+    eval_sh = (
+        _word_shingle_rows(documents.filter(F.col("source") == eval_source))
+        .select(h.alias("h"))
+        .distinct()
+    )
+    marked = train_sh.join(eval_sh.withColumn("_hit", F.lit(1)), "h", "left")
+    counts = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_overlap"),
+    )
+    dropped = counts.filter(
+        q6(F.col("n_overlap") / F.col("n_shingles")) >= min_ratio
+    ).select("doc_id")
+    return train_docs.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "source"
+    )
+
+
+def decontaminate_apply_sql(
+    eval_source: str = "src0", min_ratio: float = 0.2
+) -> str:
+    from flink_streaming_etl_spark.functions import q6_sql
+
+    shingle_expr = "concat_ws(' ', w[i], w[i+1])"
+    ratio = q6_sql("COALESCE(o.n_overlap, 0) / t.n_shingles")
+    return rf"""
+WITH words AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         ('0x' || substr(md5({shingle_expr}), 1, 15))::BIGINT AS h
+  FROM words, UNNEST(range(1, greatest(len(w) - 1, 1) + 1)) AS t(i)
+),
+train_sh AS (SELECT doc_id, h FROM sh WHERE source <> '{eval_source}'),
+eval_sh AS (SELECT DISTINCT h FROM sh WHERE source = '{eval_source}'),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train_sh GROUP BY doc_id),
+overlap AS (
+  SELECT doc_id, COUNT(*) AS n_overlap
+  FROM train_sh WHERE h IN (SELECT h FROM eval_sh)
+  GROUP BY doc_id
+),
+dropped AS (
+  SELECT t.doc_id
+  FROM per_doc t LEFT JOIN overlap o ON t.doc_id = o.doc_id
+  WHERE {ratio} >= {min_ratio}
+)
+SELECT d.doc_id, d.source
+FROM documents d
+WHERE d.source <> '{eval_source}'
+  AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""

@@ -534,3 +534,107 @@ m AS (
 SELECT m.media_id, m.media_type, m.n_bytes
 FROM m ANTI JOIN drops d ON m.media_id = d.media_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Media duplication-rate report (round 9): the corpus-level headline
+# metric over the chunk relation — the multimodal twin of
+# text.substring_dup_rate_report. Per media type (plus an '(all)' grand
+# total in the same Expand pass): how many chunk instances are duplicated
+# across payloads, what fraction of stored bytes that is, and how many
+# payloads are touched. Unlike the pair-generating dedup operators this
+# report must NOT hot-cap: boilerplate chunks ARE the duplication being
+# measured. It stays chunk-keyed end to end — chunks join their owner
+# counts on chash (no pair term at any scale), one rollup aggregation.
+
+
+def media_dup_rate_report(
+    documents: DataFrame, chunk_bytes: int = MEDIA_CHUNK_BYTES
+) -> DataFrame:
+    from flink_streaming_etl_spark.functions import q6
+
+    m = documents_as_media(documents).select(
+        "media_id", "media_type", "payload", "n_bytes"
+    )
+    nchunks = F.greatest(
+        F.ceil(F.col("n_bytes") / F.lit(chunk_bytes)).cast("int"), F.lit(1)
+    )
+    chunks = (
+        m.select(
+            "media_id",
+            "media_type",
+            "payload",
+            F.explode(F.sequence(F.lit(0), nchunks - 1)).alias("ci"),
+        )
+        .select(
+            "media_id",
+            "media_type",
+            F.md5(
+                F.expr(f"substring(payload, ci * {chunk_bytes} + 1, {chunk_bytes})")
+            ).alias("chash"),
+        )
+        .distinct()
+    )
+    owners = chunks.groupBy("chash").agg(F.count(F.lit(1)).alias("_own"))
+    marked = chunks.join(owners, "chash").withColumn(
+        "_dup", (F.col("_own") >= 2).cast("int")
+    )
+    n_chunks = F.count(F.lit(1)).cast("long")
+    n_dup = F.sum("_dup").cast("long")
+    return (
+        marked.rollup("media_type")
+        .agg(
+            F.countDistinct("media_id").cast("long").alias("n_media"),
+            n_chunks.alias("n_chunks"),
+            n_dup.alias("n_dup_chunks"),
+            F.countDistinct(F.when(F.col("_dup") == 1, F.col("media_id")))
+            .cast("long")
+            .alias("n_affected_media"),
+        )
+        .select(
+            F.coalesce(F.col("media_type"), F.lit("(all)")).alias("media_type"),
+            "n_media",
+            "n_chunks",
+            "n_dup_chunks",
+            q6(F.col("n_dup_chunks") / F.col("n_chunks")).alias("dup_chunk_fraction"),
+            "n_affected_media",
+        )
+    )
+
+
+def media_dup_rate_report_sql(chunk_bytes: int = MEDIA_CHUNK_BYTES) -> str:
+    from flink_streaming_etl_spark.functions import q6_sql
+
+    frac = q6_sql("SUM(_dup) / COUNT(*)")
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         text AS payload,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+), chunks AS (
+  SELECT DISTINCT media_id, media_type,
+         md5(substring(payload, ci * {chunk_bytes} + 1, {chunk_bytes})) AS chash
+  FROM m, LATERAL (
+    SELECT UNNEST(range(0, GREATEST(CAST(CEIL(n_bytes / {chunk_bytes}.0) AS INT), 1))) AS ci
+  ) r
+), owners AS (
+  SELECT chash, COUNT(*) AS _own FROM chunks GROUP BY chash
+), marked AS (
+  SELECT c.media_id, c.media_type,
+         CASE WHEN o._own >= 2 THEN 1 ELSE 0 END AS _dup
+  FROM chunks c JOIN owners o ON c.chash = o.chash
+)
+SELECT COALESCE(media_type, '(all)') AS media_type,
+       CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_media,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(_dup) AS BIGINT) AS n_dup_chunks,
+       {frac} AS dup_chunk_fraction,
+       CAST(COUNT(DISTINCT CASE WHEN _dup = 1 THEN media_id END) AS BIGINT)
+         AS n_affected_media
+FROM marked
+GROUP BY ROLLUP(media_type)
+"""

@@ -2681,3 +2681,268 @@ def embedding_whitening_check(embeddings: DataFrame) -> DataFrame:
         # summed nn equals the total vector count n; cov = v / (n - 1)
         F.bround(F.col("v") / (F.col("nn") - 1), 6).alias("cov"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ shortlist + exact rerank (round 9): the standard production two-stage
+# vector search (Jégou et al. 2011 §V-E — every deployed IVF-PQ index
+# reranks its ADC shortlist against full-precision vectors). Stage 1 is
+# the existing compressed-domain IVF-ADC scan producing a cheap
+# ``shortlist``-sized candidate list per query; stage 2 rescores ONLY
+# those rows with the exact q6 cosine and re-ranks to the final top-k.
+# Scale shape: the full-precision corpus is touched for shortlist·|Q| rows
+# (an id-keyed join with the tiny shortlist BROADCAST so the corpus never
+# shuffles), instead of n rows — the memory story of PQ with the accuracy
+# story of exact scoring. Deterministic end to end (pinned codebooks, q6
+# scores, id tie-breaks), so the two-stage result is oracle-exact.
+
+RERANK_SHORTLIST = 20
+
+
+def ann_pq_rerank(
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    shortlist: int = RERANK_SHORTLIST,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    from flink_streaming_etl_spark.functions import q6, vec_dot, vec_norm
+
+    e = _as_double(embeddings).withColumn("norm", vec_norm(F.col("v")))
+    short = ann_ivf_pq(embeddings, k=shortlist, n_queries=n_queries).select(
+        "query_id", "neighbor_id"
+    )
+    nv = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("norm").alias("nnorm"),
+    )
+    qv = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cos = q6(vec_dot(F.col("nv"), F.col("qv")) / (F.col("nnorm") * F.col("qnorm")))
+    scored = (
+        nv.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def ann_pq_rerank_sql(
+    k: int = TOP_K, shortlist: int = RERANK_SHORTLIST, n_queries: int = N_QUERIES
+) -> str:
+    cos = _COS_SQL.format(a="nv.v", b="qv.v")
+    return f"""
+WITH short AS ({ann_ivf_pq_sql(k=shortlist, n_queries=n_queries)}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT s.query_id, s.neighbor_id, {cos} AS cosine
+  FROM short s
+  JOIN e nv ON nv.vec_id = s.neighbor_id
+  JOIN e qv ON qv.vec_id = s.query_id
+)
+SELECT query_id, neighbor_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lloyd UPDATE step against pinned centroids (round 9): the oracle-exact
+# twin of the iterative ``kmeans_assign`` loop's OTHER half. The pinned
+# assignment kernel already has an exact value check
+# (``kmeans_assign_pinned``); this closes the loop by value-checking the
+# centroid recomputation: per-(cell, dim) means folded as EXACT integers
+# (coordinates quantized to 1e-4 units, summed as bigints — order-free,
+# so any partitioning gives the identical rational; one double division +
+# q6 at the end). Scale shape: posexplode emits n·d narrow rows but the
+# partial aggregation combines map-side, so the shuffle carries at most
+# k·d rows per task — the textbook distributed Lloyd update.
+
+
+def kmeans_update_pinned(
+    embeddings: DataFrame, k: int = N_CENTROIDS, n_queries: int = N_QUERIES
+) -> DataFrame:
+    from flink_streaming_etl_spark.functions import q6, vec_dot
+
+    e = _as_double(embeddings).withColumn("norm", vec_norm_col())
+    cents = e.filter(
+        (F.col("vec_id") >= n_queries) & (F.col("vec_id") < n_queries + k)
+    ).select(
+        (F.col("vec_id") - n_queries).alias("centroid_idx"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    cos = q6(vec_dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("centroid_idx")
+    )
+    assigned = (
+        e.join(F.broadcast(cents))
+        .withColumn("cos", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("centroid_idx", "v")
+    )
+    xq = F.floor(F.col("x") * F.lit(COV_QUANT)).cast("long")
+    return (
+        assigned.select("centroid_idx", F.posexplode("v").alias("j", "x"))
+        .select("centroid_idx", F.col("j").cast("long").alias("dim"), xq.alias("xq"))
+        .groupBy("centroid_idx", "dim")
+        .agg(
+            F.sum("xq").alias("sq"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+        )
+        .select(
+            "centroid_idx",
+            "dim",
+            "n_members",
+            q6(F.col("sq") / (F.col("n_members") * F.lit(COV_QUANT))).alias(
+                "mean_coord"
+            ),
+        )
+    )
+
+
+def kmeans_update_pinned_sql(k: int = N_CENTROIDS, n_queries: int = N_QUERIES) -> str:
+    from flink_streaming_etl_spark.functions import q6_sql
+
+    cos = _COS_SQL.format(a="e.v", b="c.cv")
+    mean = q6_sql(f"SUM(xq) / (COUNT(*) * {COV_QUANT})")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id - {n_queries} AS centroid_idx, v AS cv FROM e
+      WHERE vec_id >= {n_queries} AND vec_id < {n_queries + k}),
+assign AS (
+  SELECT vec_id, v, centroid_idx FROM (
+    SELECT e.vec_id, e.v, c.centroid_idx,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos} DESC, c.centroid_idx) AS rn
+    FROM e, c
+  ) WHERE rn = 1
+),
+ex AS (
+  SELECT centroid_idx, j - 1 AS dim,
+         CAST(floor(v[j] * {COV_QUANT}) AS BIGINT) AS xq
+  FROM assign, UNNEST(range(1, len(v) + 1)) AS t(j)
+)
+SELECT centroid_idx, dim,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       {mean} AS mean_coord
+FROM ex GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination check (round 9): the embedding-space sibling of
+# dedup.contamination_check. Exact n-gram overlap misses PARAPHRASED
+# benchmark leakage; the standard countermeasure scores each held-out
+# example's nearest training neighbors in embedding space and flags
+# high-cosine hits. Split is a deterministic md5 hash of the vec_id (the
+# same no-RNG discipline as train_val_test_split); candidates come from
+# the sign-LSH orthant bucket (``planes_for_corpus`` is the growth dial),
+# so candidate volume is bucket-bounded, never |eval|·|train|. At real
+# scale the eval split is a benchmark suite — thousands of rows — so the
+# bucketed eval side broadcasts and the train corpus never shuffles more
+# than once. Totality: every eval vector appears, bucket-empty ones with
+# zero candidates (max_cosine NULL), so the report doubles as coverage.
+
+SEM_CONTAM_THRESHOLD = 0.4
+SEM_CONTAM_EVAL_BUCKETS = 10  # md5(vec_id) % 10 == 0 → eval (~10%)
+
+
+def semantic_contamination_check(
+    embeddings: DataFrame,
+    threshold: float = SEM_CONTAM_THRESHOLD,
+    n_planes: int = BUCKET_DIMS,
+) -> DataFrame:
+    from flink_streaming_etl_spark.functions import md5_int, q6, vec_dot, vec_norm
+
+    is_eval = (
+        F.pmod(
+            md5_int(F.col("vec_id").cast("string"), salt="semsplit"),
+            F.lit(SEM_CONTAM_EVAL_BUCKETS),
+        )
+        == 0
+    )
+    e = (
+        _as_double(embeddings)
+        .withColumn("bucket", _bucket_expr_spark(n_planes))
+        .withColumn("norm", vec_norm(F.col("v")))
+        .withColumn("_eval", is_eval)
+    )
+    ev = e.filter(F.col("_eval")).select(
+        "vec_id", F.col("v").alias("qv"), F.col("norm").alias("qn"), "bucket"
+    )
+    tr = e.filter(~F.col("_eval")).select(
+        F.col("v").alias("tv"), F.col("norm").alias("tn"), "bucket"
+    )
+    cos = q6(vec_dot(F.col("qv"), F.col("tv")) / (F.col("qn") * F.col("tn")))
+    hits = (
+        ev.join(tr, "bucket")
+        .select("vec_id", cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.when(F.col("cos") >= threshold, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.max("cos").alias("max_cosine"),
+        )
+    )
+    zero = F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long")
+    zhits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return ev.select("vec_id").join(hits, "vec_id", "left").select(
+        "vec_id",
+        zero.alias("n_candidates"),
+        zhits.alias("n_hits"),
+        "max_cosine",
+        (zhits > 0).alias("is_contaminated"),
+    )
+
+
+def semantic_contamination_check_sql(
+    threshold: float = SEM_CONTAM_THRESHOLD, n_planes: int = BUCKET_DIMS
+) -> str:
+    from flink_streaming_etl_spark.functions import md5_int_sql
+
+    bucket = " || ".join(
+        f"(CASE WHEN v[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(n_planes)
+    )
+    split = md5_int_sql("vec_id::VARCHAR", salt="semsplit")
+    cos = _COS_SQL.format(a="q.qv", b="t.tv")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket,
+         ({split}) % {SEM_CONTAM_EVAL_BUCKETS} = 0 AS is_eval
+  FROM embeddings
+),
+ev AS (SELECT vec_id, v AS qv, bucket FROM e WHERE is_eval),
+tr AS (SELECT v AS tv, bucket FROM e WHERE NOT is_eval),
+hits AS (
+  SELECT q.vec_id,
+         COUNT(*) AS n_candidates,
+         SUM(CASE WHEN {cos} >= {threshold} THEN 1 ELSE 0 END) AS n_hits,
+         MAX({cos}) AS max_cosine
+  FROM ev q JOIN tr t ON q.bucket = t.bucket
+  GROUP BY 1
+)
+SELECT q.vec_id,
+       CAST(COALESCE(h.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       h.max_cosine,
+       COALESCE(h.n_hits, 0) > 0 AS is_contaminated
+FROM ev q LEFT JOIN hits h ON q.vec_id = h.vec_id
+"""

@@ -1,0 +1,325 @@
+"""Round-9 additions: two-stage PQ rerank, the pinned Lloyd UPDATE step,
+semantic decontamination, the shingle-decontamination APPLY stage, the
+media duplication-rate report, and the event transition matrix. Value
+correctness for the oracle-backed entries is covered every run by
+tests/test_oracle_parity.py; these tests pin the definitional invariants
+and the plan shapes that carry to 100 TB."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from flink_streaming_etl_spark.catalog import load_tables
+from flink_streaming_etl_spark.plans import plan_text
+from tests.conftest import SF_SMOKE
+
+
+def _tables(spark):
+    return load_tables(spark, SF_SMOKE, register=False)
+
+
+def _q6(x: float) -> float:
+    return math.floor(x * 1000000.0) / 1000000.0
+
+
+# ---------------------------------------------------------------------------
+# ann_pq_rerank
+
+
+def test_pq_rerank_is_exact_topk_of_shortlist(spark):
+    """Definitional: the reranked result must equal the exact-q6-cosine
+    top-k of the ADC shortlist, computed independently with numpy here."""
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    emb = _tables(spark)["embeddings"]
+    short = sim.ann_ivf_pq(emb, k=sim.RERANK_SHORTLIST).collect()
+    got = sim.ann_pq_rerank(emb).collect()
+
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        # left-associated fold, same as vec_dot / list_dot_product
+        dot = na = nb = 0.0
+        for j in range(len(va)):
+            dot += va[j] * vb[j]
+            na += va[j] * va[j]
+            nb += vb[j] * vb[j]
+        return _q6(dot / (math.sqrt(na) * math.sqrt(nb)))
+
+    by_query: dict[int, list[int]] = {}
+    for r in short:
+        by_query.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    want = {}
+    for q, cands in by_query.items():
+        ranked = sorted(cands, key=lambda n: (-cos(q, n), n))[: sim.TOP_K]
+        want[q] = [(n, cos(q, n)) for n in ranked]
+
+    got_by_q: dict[int, list[tuple[int, float]]] = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], -r["cosine"], r["neighbor_id"])):
+        got_by_q.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["cosine"])
+        )
+    assert got_by_q == want
+
+
+def test_pq_rerank_recall_at_least_adc_only(spark):
+    """The reason the stage exists: exact rescoring of a 4x shortlist must
+    not lose recall vs trusting the ADC order for the final k."""
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    emb = _tables(spark)["embeddings"]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(emb).collect()
+    }
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ann_ivf_pq(emb).collect()
+    }
+    rer = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ann_pq_rerank(emb).collect()
+    }
+    assert len(rer & exact) >= len(adc & exact)
+
+
+def test_pq_rerank_corpus_side_not_shuffled(spark):
+    """Scale pin: the rescoring stage must BROADCAST the shortlist and the
+    query vectors — relative to the shortlist generation (whose internal
+    corpus-keyed joins legitimately sort-merge), the rerank adds ZERO
+    sort-merge joins and at least two broadcast joins."""
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    emb = _tables(spark)["embeddings"]
+    base = plan_text(sim.ann_ivf_pq(emb, k=sim.RERANK_SHORTLIST))
+    full = plan_text(sim.ann_pq_rerank(emb))
+    assert full.count("SortMergeJoin") == base.count("SortMergeJoin"), full
+    assert full.count("BroadcastHashJoin") >= base.count("BroadcastHashJoin") + 2
+
+
+# ---------------------------------------------------------------------------
+# kmeans_update_pinned
+
+
+def test_kmeans_update_matches_numpy(spark):
+    """The per-(cell, dim) means must equal an independent numpy
+    recomputation of the same quantized-integer fold."""
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    emb = _tables(spark)["embeddings"]
+    assign = {
+        r["vec_id"]: r["centroid_idx"]
+        for r in sim.kmeans_assign_pinned(emb).collect()
+    }
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    sums: dict[tuple[int, int], int] = {}
+    counts: dict[int, int] = {}
+    for vid, cell in assign.items():
+        counts[cell] = counts.get(cell, 0) + 1
+        for j, x in enumerate(vecs[vid]):
+            key = (cell, j)
+            sums[key] = sums.get(key, 0) + math.floor(float(x) * 10000.0)
+    got = {
+        (r["centroid_idx"], r["dim"]): (r["n_members"], r["mean_coord"])
+        for r in sim.kmeans_update_pinned(emb).collect()
+    }
+    assert set(got) == set(sums)
+    for (cell, j), (n, mean) in got.items():
+        assert n == counts[cell]
+        assert mean == _q6(sums[(cell, j)] / (counts[cell] * 10000.0))
+
+
+def test_kmeans_update_partial_aggregation(spark):
+    """Scale pin: the (cell, dim) fold must be a partial+final hash
+    aggregation (map-side combine), so the exploded n·d rows never cross
+    an exchange unreduced."""
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    p = plan_text(sim.kmeans_update_pinned(_tables(spark)["embeddings"]))
+    assert p.count("HashAggregate") >= 2, p
+
+
+# ---------------------------------------------------------------------------
+# semantic_contamination_check
+
+
+def test_semantic_contamination_total_and_consistent(spark):
+    """Every eval vector appears exactly once; flags are consistent with
+    counts; candidate counts are bucket-bounded (<= train bucket size)."""
+    from flink_streaming_etl_spark.functions import md5_int
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    emb = _tables(spark)["embeddings"]
+    out = sim.semantic_contamination_check(emb).collect()
+    n_eval = emb.filter(
+        F.pmod(
+            md5_int(F.col("vec_id").cast("string"), salt="semsplit"),
+            F.lit(sim.SEM_CONTAM_EVAL_BUCKETS),
+        )
+        == 0
+    ).count()
+    assert len(out) == n_eval
+    assert len({r["vec_id"] for r in out}) == n_eval
+    for r in out:
+        assert 0 <= r["n_hits"] <= r["n_candidates"]
+        assert r["is_contaminated"] == (r["n_hits"] > 0)
+        if r["n_candidates"] == 0:
+            assert r["max_cosine"] is None
+
+
+def test_semantic_contamination_finds_planted_dup(spark):
+    """A train vector identical to an eval vector (same orthant by
+    construction) must flag that eval vector."""
+    from flink_streaming_etl_spark.functions import md5_int
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    emb = _tables(spark)["embeddings"]
+    # find one eval vec_id, plant an identical train vector with a fresh id
+    is_eval = (
+        F.pmod(
+            md5_int(F.col("vec_id").cast("string"), salt="semsplit"),
+            F.lit(sim.SEM_CONTAM_EVAL_BUCKETS),
+        )
+        == 0
+    )
+    ev_row = emb.filter(is_eval).orderBy("vec_id").first()
+    clone_id = 1_000_003  # md5('semsplit:1000003') % 10 != 0 → lands in train
+    clone = emb.sparkSession.createDataFrame(
+        [(clone_id, ev_row["embedding"], ev_row["label"])], emb.schema
+    )
+    out = sim.semantic_contamination_check(emb.unionByName(clone))
+    hit = out.filter(F.col("vec_id") == ev_row["vec_id"]).first()
+    assert hit["is_contaminated"]
+    assert hit["max_cosine"] >= 0.999999
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_apply
+
+
+def test_decontaminate_apply_drops_leaked_train_doc(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon", "en", "src0", 30),
+            (1, "alpha beta gamma delta epsilon", "en", "src1", 30),  # leaked
+            (2, "zeta eta theta iota kappa", "en", "src1", 25),  # clean
+            (3, "alpha beta completely different tail", "en", "src2", 35),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from flink_streaming_etl_spark.operators import dedup
+
+    kept = {r["doc_id"] for r in dedup.decontaminate_apply(docs).collect()}
+    assert 1 not in kept  # 100% shingle overlap with eval
+    assert 2 in kept  # zero overlap
+    # doc 3 shares 1 of 4 shingles ('alpha beta') = 0.25 >= 0.2 → dropped
+    assert 3 not in kept
+    assert 0 not in kept  # eval docs are never part of the train output
+
+
+def test_decontaminate_apply_partitions_train(spark):
+    """kept ∪ dropped = train corpus: the apply stage only ever removes."""
+    from flink_streaming_etl_spark.operators import dedup
+
+    docs = _tables(spark)["documents"]
+    kept = dedup.decontaminate_apply(docs)
+    train_n = docs.filter(F.col("source") != "src0").count()
+    kept_n = kept.count()
+    assert kept_n <= train_n
+    # kept ids must be a subset of train ids
+    bad = kept.join(
+        docs.filter(F.col("source") != "src0").select("doc_id"),
+        "doc_id",
+        "left_anti",
+    ).count()
+    assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# media_dup_rate_report
+
+
+def test_media_dup_rate_all_row_is_sum_of_types(spark):
+    from flink_streaming_etl_spark.operators import multimodal as mm
+
+    rows = {r["media_type"]: r for r in mm.media_dup_rate_report(
+        _tables(spark)["documents"]
+    ).collect()}
+    assert set(rows) == {"image", "audio", "video", "(all)"}
+    per_type = [rows[t] for t in ("image", "audio", "video")]
+    assert rows["(all)"]["n_media"] == sum(r["n_media"] for r in per_type)
+    assert rows["(all)"]["n_chunks"] == sum(r["n_chunks"] for r in per_type)
+    assert rows["(all)"]["n_dup_chunks"] == sum(
+        r["n_dup_chunks"] for r in per_type
+    )
+    for r in rows.values():
+        assert 0.0 <= r["dup_chunk_fraction"] <= 1.0
+        assert r["n_affected_media"] <= r["n_media"]
+
+
+def test_media_dup_rate_counts_planted_dup(spark):
+    """Two payload-identical media must both count as affected, and all
+    their chunks as duplicated."""
+    from flink_streaming_etl_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [
+            (0, "x " * 200, "en", "src0", 400),
+            (3, "x " * 200, "en", "src0", 400),  # same type (both % 3 == 0)
+            (6, "completely different payload body", "en", "src0", 33),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["media_type"]: r for r in mm.media_dup_rate_report(docs).collect()}
+    img = rows["image"]
+    assert img["n_affected_media"] == 2
+    assert img["n_dup_chunks"] > 0
+
+
+# ---------------------------------------------------------------------------
+# event_transition_report
+
+
+def test_event_transitions_count_and_probabilities(spark):
+    from flink_streaming_etl_spark.operators import analytics as an
+
+    ev = _tables(spark)["events"]
+    out = an.event_transition_report(ev).collect()
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_transitions"] for r in out) == n_events - n_users
+    by_from: dict[str, float] = {}
+    for r in out:
+        by_from[r["from_type"]] = by_from.get(r["from_type"], 0.0) + r["p_transition"]
+    for s in by_from.values():
+        # q6 floors each term, so the sum is <= 1 and within 5 ulp·rows
+        assert 1.0 - 5e-5 <= s <= 1.0 + 1e-9
+
+
+def test_event_transitions_deterministic_tiebreak(spark):
+    """Two events at the SAME timestamp must order by event_id."""
+    from flink_streaming_etl_spark.operators import analytics as an
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    ev = spark.createDataFrame(
+        [
+            (1, t, 7, "view", 1.0, "{}"),
+            (2, t, 7, "click", 1.0, "{}"),  # same ts: event_id orders it 2nd
+            (3, t + dt.timedelta(seconds=5), 7, "purchase", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in an.event_transition_report(ev).collect()
+    }
+    assert got == {("view", "click"): 1, ("click", "purchase"): 1}
