@@ -323,3 +323,200 @@ def test_event_transitions_deterministic_tiebreak(spark):
         for r in an.event_transition_report(ev).collect()
     }
     assert got == {("view", "click"): 1, ("click", "purchase"): 1}
+
+
+# ---------------------------------------------------------------------------
+# IncrementalJoin (streaming/incremental_join.py)
+
+CUSTOMER_SCHEMA_SRC = None  # built lazily (StructType import lives in test_cdc)
+
+
+def _cust(cid, name, area):
+    return {"id": cid, "name": name, "area": area}
+
+
+def _join_scenario(spark):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from flink_streaming_etl_spark.sources.cdc import CdcSource
+    from tests.test_cdc import ORDER_SCHEMA, env, order, raw_df
+
+    cust_schema = StructType(
+        [
+            StructField("id", StringType()),
+            StructField("name", StringType()),
+            StructField("area", StringType()),
+        ]
+    )
+    lsrc = CdcSource("orders", ORDER_SCHEMA, "id")
+    rsrc = CdcSource("customers", cust_schema, "id")
+
+    def L(lines):
+        return lsrc.parse(raw_df(spark, lines)) if lines else None
+
+    def R(lines):
+        return rsrc.parse(raw_df(spark, lines)) if lines else None
+
+    batches = [
+        # 1: dimension side first — no join rows yet
+        (None, [env("c", _cust("u1", "ann", "EU"), ts=1),
+                env("c", _cust("u2", "bob", "US"), ts=2)]),
+        # 2: facts arrive; o3 references a customer that doesn't exist yet
+        ([env("c", order("o1", "u1", 100.0, "payed"), ts=3),
+          env("c", order("o2", "u2", 50.0, "payed"), ts=4),
+          env("c", order("o3", "u3", 30.0, "created"), ts=5)], None),
+        # 3: BOTH sides in one batch — u3 appears (o3 starts joining),
+        # u1 renamed (o1's join row updates), o4 inserted same batch as
+        # the rename (exercises the ΔL⋈ΔR term)
+        ([env("c", order("o4", "u1", 70.0, "payed"), ts=6)],
+         [env("c", _cust("u3", "eve", "APAC"), ts=7),
+          env("u", _cust("u1", "ann-marie", "EU"),
+              before=_cust("u1", "ann", "EU"), ts=8)]),
+        # 4: fact-side update + delete
+        ([env("u", order("o1", "u1", 120.0, "payed"),
+              before=order("o1", "u1", 100.0, "payed"), ts=9),
+          env("d", before=order("o2", "u2", 50.0, "payed"), ts=10)], None),
+        # 5: dimension delete — every remaining u3 join row retracts
+        (None, [env("d", before=_cust("u3", "eve", "APAC"), ts=11)]),
+    ]
+    return L, R, batches
+
+
+def _rows(df):
+    if df is None:
+        return []
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_incremental_join_equals_recompute_after_every_batch(spark):
+    from flink_streaming_etl_spark.streaming.incremental_join import IncrementalJoin
+
+    L, R, batches = _join_scenario(spark)
+    inc = IncrementalJoin(left_pk="id", right_pk="id",
+                          left_key="user_id", right_key="id")
+    for i, (llines, rlines) in enumerate(batches):
+        inc.apply(L(llines), R(rlines), batch_id=i)
+        assert _rows(inc.result()) == _rows(inc.recompute()), f"batch {i}"
+    # final state sanity: o1 (updated amount, renamed customer), o3 gone
+    # (customer deleted), o2 gone (order deleted), o4 alive
+    final = {r["id"]: r for r in inc.result().collect()}
+    assert set(final) == {"o1", "o4"}
+    assert final["o1"]["amount"] == 120.0
+    assert final["o1"]["name"] == "ann-marie"
+
+
+def test_incremental_join_replay_is_noop(spark):
+    from flink_streaming_etl_spark.streaming.incremental_join import IncrementalJoin
+
+    L, R, batches = _join_scenario(spark)
+    inc = IncrementalJoin(left_pk="id", right_pk="id",
+                          left_key="user_id", right_key="id")
+    for i, (llines, rlines) in enumerate(batches[:3]):
+        inc.apply(L(llines), R(rlines), batch_id=i)
+    before = _rows(inc.result())
+    # redeliver batch 2 under its old id — must not double-apply
+    llines, rlines = batches[2]
+    out = inc.apply(L(llines), R(rlines), batch_id=2)
+    assert out is None
+    assert _rows(inc.result()) == before
+
+
+def test_incremental_join_emits_signed_deltas(spark):
+    """The emitted delta relation must carry the retraction (-1 old) and
+    the addition (+1 new) for an update on either side."""
+    from flink_streaming_etl_spark.sources.cdc import CdcSource
+    from flink_streaming_etl_spark.streaming.incremental_join import IncrementalJoin
+    from tests.test_cdc import ORDER_SCHEMA, env, order, raw_df
+
+    L, R, batches = _join_scenario(spark)
+    inc = IncrementalJoin(left_pk="id", right_pk="id",
+                          left_key="user_id", right_key="id")
+    inc.apply(L(batches[0][0]), R(batches[0][1]), batch_id=0)
+    inc.apply(L(batches[1][0]), R(batches[1][1]), batch_id=1)
+    deltas = inc.apply(
+        L([env("u", order("o1", "u1", 999.0, "payed"),
+               before=order("o1", "u1", 100.0, "payed"), ts=99)]),
+        None,
+        batch_id=2,
+    )
+    got = {(r["id"], r["amount"], r["_sign"]) for r in deltas.collect()}
+    assert got == {("o1", 100.0, -1), ("o1", 999.0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# BloomTextDedupAccumulator (streaming/text_dedup.py)
+
+
+def test_streaming_text_dedup_first_owner_semantics(spark):
+    """Fed the corpus split (even ids) then the incoming split (odd ids)
+    in id-ordered batches, the accumulator keeps exactly the docs that are
+    the FIRST owner of their prefix fingerprint in arrival order — and its
+    kept set over the odd split is a subset of the batch operator's
+    (equal when no odd-odd-only fp collisions exist)."""
+    from flink_streaming_etl_spark.operators.dedup import (
+        _prefix_fp,
+        bloom_incremental_dedup,
+    )
+    from flink_streaming_etl_spark.streaming.text_dedup import (
+        BloomTextDedupAccumulator,
+    )
+
+    docs = _tables(spark)["documents"]
+    acc = BloomTextDedupAccumulator()
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    # corpus first (two batches), then incoming (two batches), id-ordered
+    n = docs.count()
+    acc.add_batch(even.filter(F.col("doc_id") < n // 2), batch_id=0)
+    acc.add_batch(even.filter(F.col("doc_id") >= n // 2), batch_id=1)
+    acc.add_batch(odd.filter(F.col("doc_id") < n // 2), batch_id=2)
+    acc.add_batch(odd.filter(F.col("doc_id") >= n // 2), batch_id=3)
+
+    odd_ids = {r["doc_id"] for r in odd.select("doc_id").collect()}
+    got = {r["doc_id"] for r in acc.kept_ids(spark, only=odd_ids).collect()}
+
+    # exact first-owner oracle: corpus-first arrival = any even owner
+    # precedes every odd; within the odd split, lower id arrived first
+    fps = docs.select("doc_id", _prefix_fp(F.col("text")).alias("fp")).collect()
+    by_fp: dict[str, list[int]] = {}
+    for r in fps:
+        by_fp.setdefault(r["fp"], []).append(r["doc_id"])
+    want = set()
+    for fp, ids in by_fp.items():
+        evens = [i for i in ids if i % 2 == 0]
+        odds = sorted(i for i in ids if i % 2 == 1)
+        if not evens and odds:
+            want.add(odds[0])
+        # odd docs with an even owner: all dropped
+    assert got == want
+
+    batch_kept = {
+        r["doc_id"] for r in bloom_incremental_dedup(docs).collect()
+    }
+    assert got <= batch_kept
+
+
+def test_streaming_text_dedup_replay_and_retention(spark):
+    from flink_streaming_etl_spark.streaming.text_dedup import (
+        BloomTextDedupAccumulator,
+    )
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    acc = BloomTextDedupAccumulator(retention_batches=1)
+    b0 = mk([(0, "the same exact prefix text here", "en", "s", 30)])
+    b1 = mk([(1, "the same exact prefix text here", "en", "s", 30)])
+    acc.add_batch(b0, batch_id=0)
+    acc.add_batch(b1, batch_id=1)
+    assert acc.kept[0] and not acc.kept[1]  # dup within retention window
+    # replay of batch 1 is a no-op
+    acc.add_batch(b1, batch_id=1)
+    assert acc.last_batch_id == 1
+    # two idle batches later the fp is evicted from the exact tier: a
+    # re-arrival is kept again (retention trade-off, T5 discipline)
+    acc.add_batch(mk([(10, "filler unrelated body", "en", "s", 20)]), batch_id=2)
+    acc.add_batch(mk([(11, "other filler body two", "en", "s", 20)]), batch_id=3)
+    b4 = mk([(5, "the same exact prefix text here", "en", "s", 30)])
+    acc.add_batch(b4, batch_id=4)
+    assert acc.kept[5]
