@@ -1019,6 +1019,18 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(analytics.event_transition_report, "events"),
         analytics.EVENT_TRANSITION_REPORT_SQL,
     ),
+    "basket_lift_pairs": (
+        # market-basket support/lift pairs — per-order self-join bounded
+        # by basket size, part-keyed frequency joins
+        _q(analytics.basket_lift_pairs, "lineitem"),
+        analytics.basket_lift_pairs_sql(),
+    ),
+    "diverse_sample_report": (
+        # one most-central exemplar per embedding cell — the
+        # cluster-coverage sampling stage after SemDeDup-style dedup
+        _q(similarity.diverse_sample_report, "embeddings"),
+        similarity.diverse_sample_report_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -1035,6 +1047,8 @@ _SAMPLE_FRONT = [
     "decontaminate_apply",
     "media_dup_rate_report",
     "event_transition_report",
+    "basket_lift_pairs",
+    "diverse_sample_report",
     # r7 compositions + round-8 additions, retained from the r8 window:
     # no CORRECTNESS_r08.json was recorded in-repo, so their first driver
     # rows are unconfirmed — keep them in-window until a green row lands
@@ -1084,8 +1098,6 @@ _SAMPLE_FRONT = [
     "quantize_embeddings",
     "pq_encode",
     "minhash_error_report",
-    "ann_recall_report",
-    "neardup_keep_best",
 ]
 assert len(_SAMPLE_FRONT) == 50 and len(set(_SAMPLE_FRONT)) == 50
 assert all(name in REGISTRY for name in _SAMPLE_FRONT)

@@ -2543,3 +2543,83 @@ SELECT from_type, to_type, n_transitions,
          AS p_transition
 FROM counts
 """
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association pairs (round 9): support + lift for parts
+# co-ordered within one order — the classic association-rule OLAP shape
+# (Agrawal & Srikant 1994's frequent-pair tier). Scale shape: the pair
+# relation is the per-order self-join of the DISTINCT (order, part)
+# relation, so pair volume is Σ_orders C(lines, 2) — bounded by the max
+# basket size (a per-order constant), LINEAR in orders, never |parts|².
+# The two frequency joins key on the part dimension (broadcastable), and
+# the order total rides in as one broadcast scalar. Lift is folded in
+# doubles with a fixed multiplication order (never long·long, whose
+# silent int64 wrap bit anomaly_zscore_daily in r7) so both engines agree
+# bit-for-bit before the q6 floor.
+
+BASKET_MIN_PAIR = 2
+
+
+def basket_lift_pairs(lineitem: DataFrame, min_pair: int = BASKET_MIN_PAIR) -> DataFrame:
+    items = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_orders = items.groupBy().agg(
+        F.countDistinct("ok").cast("long").alias("_n")
+    )
+    part_counts = items.groupBy("pk").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    a = items.select("ok", F.col("pk").alias("part_a"))
+    b = items.select("ok", F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair)
+    )
+    out = (
+        pairs.join(
+            part_counts.select(F.col("pk").alias("part_a"), F.col("_c").alias("n_a")),
+            "part_a",
+        )
+        .join(
+            part_counts.select(F.col("pk").alias("part_b"), F.col("_c").alias("n_b")),
+            "part_b",
+        )
+        .join(F.broadcast(n_orders))
+    )
+    supp = q6(F.col("n_pair") / F.col("_n"))
+    lift = q6(
+        (F.col("n_pair").cast("double") * F.col("_n"))
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+    )
+    return out.select(
+        "part_a", "part_b", "n_pair", "n_a", "n_b",
+        supp.alias("support"), lift.alias("lift"),
+    )
+
+
+def basket_lift_pairs_sql(min_pair: int = BASKET_MIN_PAIR) -> str:
+    supp = q6_sql("n_pair / _n")
+    lift = q6_sql("(CAST(n_pair AS DOUBLE) * _n) / (CAST(n_a AS DOUBLE) * n_b)")
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+totals AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS _n FROM items),
+part_counts AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS _c FROM items GROUP BY pk),
+pairs AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {min_pair}
+)
+SELECT p.part_a, p.part_b, p.n_pair,
+       ca._c AS n_a, cb._c AS n_b,
+       {supp} AS support, {lift} AS lift
+FROM pairs p
+JOIN part_counts ca ON ca.pk = p.part_a
+JOIN part_counts cb ON cb.pk = p.part_b
+CROSS JOIN totals
+"""

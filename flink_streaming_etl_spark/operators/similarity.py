@@ -2946,3 +2946,49 @@ SELECT q.vec_id,
        COALESCE(h.n_hits, 0) > 0 AS is_contaminated
 FROM ev q LEFT JOIN hits h ON q.vec_id = h.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Cluster-diversity sampling (round 9): ONE representative per coarse
+# embedding cell — the "keep the most central exemplar per cluster"
+# selection stage that follows SemDeDup-style clustering in curation
+# pipelines (cluster → dedup within cell → sample across cells for
+# coverage). Rides the same pinned-centroid assignment kernel as
+# kmeans_assign_pinned; the per-cell argmax is a PARTIAL-AGGREGATING
+# max(struct) fold (map-side combine, k rows out), never a corpus-wide
+# window sort. The preference key is the exact integer q6-cosine·1e6 with
+# -vec_id as tie-break, so the winner is engine-exact.
+
+
+def diverse_sample_report(
+    embeddings: DataFrame, k: int = N_CENTROIDS, n_queries: int = N_QUERIES
+) -> DataFrame:
+    assigned = kmeans_assign_pinned(embeddings, k, n_queries)
+    pref = (F.col("cosine") * F.lit(1000000.0)).cast("long")  # q6 → exact int
+    best = assigned.groupBy("centroid_idx").agg(
+        F.max(F.struct(pref.alias("p"), (-F.col("vec_id")).alias("ni"))).alias("_b"),
+        F.count(F.lit(1)).cast("long").alias("cell_size"),
+    )
+    return best.select(
+        "centroid_idx",
+        (-F.col("_b.ni")).alias("vec_id"),
+        (F.col("_b.p") / F.lit(1000000.0)).alias("cosine"),
+        "cell_size",
+    )
+
+
+def diverse_sample_report_sql(k: int = N_CENTROIDS, n_queries: int = N_QUERIES) -> str:
+    return f"""
+WITH assigned AS ({kmeans_assign_pinned_sql(k, n_queries)}),
+ranked AS (
+  SELECT centroid_idx, vec_id, cosine,
+         COUNT(*) OVER (PARTITION BY centroid_idx) AS cell_size,
+         row_number() OVER (PARTITION BY centroid_idx
+                            ORDER BY cosine DESC, vec_id) AS rn
+  FROM assigned
+)
+SELECT centroid_idx, vec_id,
+       CAST(cosine * 1000000.0 AS BIGINT) / 1000000.0 AS cosine,
+       CAST(cell_size AS BIGINT) AS cell_size
+FROM ranked WHERE rn = 1
+"""

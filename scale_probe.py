@@ -168,6 +168,13 @@ PROBES = [
     "bpe_encode_report",
     "substring_dup_rate_report",
     "nearest_neighbor_report",
+    # round-9 additions
+    "ann_pq_rerank",
+    "kmeans_update_pinned",
+    "semantic_contamination_check",
+    "decontaminate_apply",
+    "media_dup_rate_report",
+    "event_transition_report",
 ]
 
 
@@ -246,6 +253,19 @@ def _knn_label_eval_dialed(spark, sf_dir):
     )
 
 
+def _sem_contam_dialed(spark, sf_dir):
+    """semantic_contamination_check with the plane dial APPLIED (p =
+    planes_for_corpus(n)) — same cliff class as ann_lsh_bucketed: at fixed
+    p the per-bucket eval x train candidate volume grows quadratically."""
+    from flink_streaming_etl_spark.operators import similarity
+
+    emb = load_tables(spark, sf_dir, register=False)["embeddings"]
+    n = emb.count()
+    return similarity.semantic_contamination_check(
+        emb, n_planes=similarity.planes_for_corpus(n)
+    )
+
+
 #: (probe, scale-label) → replacement callable: operators whose documented
 #: scale procedure changes a dial with corpus size.
 OVERRIDES = {
@@ -253,6 +273,7 @@ OVERRIDES = {
     ("semdedup_drop", "sf1"): _semdedup_dialed,
     ("knn_graph", "sf1"): _knn_dialed,
     ("knn_label_eval", "sf1"): _knn_label_eval_dialed,
+    ("semantic_contamination_check", "sf1"): _sem_contam_dialed,
 }
 
 

@@ -520,3 +520,154 @@ def test_streaming_text_dedup_replay_and_retention(spark):
     b4 = mk([(5, "the same exact prefix text here", "en", "s", 30)])
     acc.add_batch(b4, batch_id=4)
     assert acc.kept[5]
+
+
+# ---------------------------------------------------------------------------
+# basket_lift_pairs
+
+
+def test_basket_lift_on_known_baskets(spark):
+    from flink_streaming_etl_spark.operators import analytics as an
+
+    li = spark.createDataFrame(
+        # baskets: {1,2} x2, {1,3} x1, {2} alone x1  → 4 orders
+        [
+            (10, 1), (10, 2),
+            (11, 1), (11, 2),
+            (12, 1), (12, 3),
+            (13, 2),
+        ],
+        "l_orderkey long, l_partkey long",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "1 AS l_suppkey", "1 AS l_linenumber",
+        "1.0 AS l_quantity", "1.0 AS l_extendedprice", "0.0 AS l_discount",
+        "0.0 AS l_tax", "'N' AS l_returnflag", "'O' AS l_linestatus",
+        "DATE '2020-01-01' AS l_shipdate",
+    )
+    rows = {(r["part_a"], r["part_b"]): r for r in an.basket_lift_pairs(li).collect()}
+    assert set(rows) == {(1, 2)}  # only pair with count >= 2
+    r = rows[(1, 2)]
+    assert r["n_pair"] == 2 and r["n_a"] == 3 and r["n_b"] == 3
+    assert r["support"] == _q6(2 / 4)
+    # lift = (2 * 4) / (3 * 3)
+    assert r["lift"] == _q6(8.0 / 9.0)
+
+
+def test_basket_lift_pair_volume_is_basket_bounded(spark):
+    """Scale pin: the self-join must key on the order (pair volume
+    Σ C(basket,2)) — the plan has no cartesian/broadcast-nested-loop."""
+    from flink_streaming_etl_spark.operators import analytics as an
+
+    p = plan_text(an.basket_lift_pairs(_tables(spark)["lineitem"]))
+    assert "CartesianProduct" not in p
+    # exactly one nested-loop node: the broadcast of the 1-row totals
+    # scalar (formatted plans print each node twice — tree + detail)
+    assert p.count("BroadcastNestedLoopJoin") <= 2, p
+
+
+# ---------------------------------------------------------------------------
+# diverse_sample_report
+
+
+def test_diverse_sample_one_exemplar_per_cell(spark):
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    emb = _tables(spark)["embeddings"]
+    assigned = sim.kmeans_assign_pinned(emb).collect()
+    by_cell: dict[int, list] = {}
+    for r in assigned:
+        by_cell.setdefault(r["centroid_idx"], []).append(r)
+    got = {r["centroid_idx"]: r for r in sim.diverse_sample_report(emb).collect()}
+    assert set(got) == set(by_cell)
+    for cell, members in by_cell.items():
+        want = sorted(members, key=lambda r: (-r["cosine"], r["vec_id"]))[0]
+        assert got[cell]["vec_id"] == want["vec_id"]
+        assert got[cell]["cosine"] == want["cosine"]
+        assert got[cell]["cell_size"] == len(members)
+
+
+def test_diverse_sample_is_partial_agg_not_window(spark):
+    """Scale pin: the per-cell argmax folds as partial+final aggregation —
+    no corpus-wide window sort in the selection stage."""
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    p = plan_text(sim.diverse_sample_report(_tables(spark)["embeddings"]))
+    # exactly the assignment kernel's one window (its row_number);
+    # the exemplar selection adds none
+    base = plan_text(sim.kmeans_assign_pinned(_tables(spark)["embeddings"]))
+    assert p.count("Window") == base.count("Window"), p
+
+
+# ---------------------------------------------------------------------------
+# EventTransitionAccumulator (streaming/transitions.py)
+
+
+def test_streaming_transitions_equal_batch(spark):
+    """Fed a batch-monotone split of the events table (by day), the
+    accumulated matrix equals the batch operator on the full table."""
+    from flink_streaming_etl_spark.operators.analytics import (
+        event_transition_report,
+    )
+    from flink_streaming_etl_spark.streaming.transitions import (
+        EventTransitionAccumulator,
+    )
+
+    ev = _tables(spark)["events"]
+    # batch-monotone split: exact global (ts, event_id) thirds — every
+    # user's batch-N events precede their batch-N+1 events in the batch
+    # operator's own ordering
+    keys = sorted(
+        (r["ts"], r["event_id"]) for r in ev.select("ts", "event_id").collect()
+    )
+    c1, c2 = keys[len(keys) // 3], keys[2 * len(keys) // 3]
+
+    def upto(cut):
+        return (F.col("ts") < F.lit(cut[0])) | (
+            (F.col("ts") == F.lit(cut[0])) & (F.col("event_id") <= F.lit(cut[1]))
+        )
+
+    acc = EventTransitionAccumulator()
+    acc.add_batch(ev.filter(upto(c1)), batch_id=0)
+    acc.add_batch(ev.filter(~upto(c1) & upto(c2)), batch_id=1)
+    acc.add_batch(ev.filter(~upto(c2)), batch_id=2)
+
+    want = sorted(tuple(r) for r in event_transition_report(ev).collect())
+    got = sorted(tuple(r) for r in acc.result(spark).collect())
+    assert got == want
+
+
+def test_streaming_transitions_replay_and_boundary(spark):
+    import datetime as dt
+
+    from flink_streaming_etl_spark.streaming.transitions import (
+        EventTransitionAccumulator,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    mk = lambda rows: spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    acc = EventTransitionAccumulator()
+    acc.add_batch(mk([(1, t0, 7, "view", 1.0, "{}")]), batch_id=0)
+    # boundary: stored last (view) chains to this batch's first (click)
+    acc.add_batch(
+        mk([(2, t0 + dt.timedelta(minutes=1), 7, "click", 1.0, "{}")]),
+        batch_id=1,
+    )
+    got = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in acc.result(spark).collect()
+    }
+    assert got == {("view", "click"): 1}
+    # replay batch 1 → no double count
+    acc.add_batch(
+        mk([(2, t0 + dt.timedelta(minutes=1), 7, "click", 1.0, "{}")]),
+        batch_id=1,
+    )
+    got2 = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in acc.result(spark).collect()
+    }
+    assert got2 == got
