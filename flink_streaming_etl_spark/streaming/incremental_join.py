@@ -61,15 +61,40 @@ class IncrementalJoin:
         right_pk: str,
         left_key: str,
         right_key: str,
+        left_project: dict[str, str] | None = None,
+        right_project: dict[str, str] | None = None,
     ):
         self.left_pk = left_pk
         self.right_pk = right_pk
         self.left_key = left_key
         self.right_key = right_key
+        #: optional out_name -> source_column renames applied to each side
+        #: before the join (disambiguates clashing names, e.g. the
+        #: reference's orders.ctime vs users.ctime). The join columns must
+        #: survive under their own names; PK-keyed state stays full-schema.
+        self.left_project = left_project
+        self.right_project = right_project
+        if left_project is not None:
+            assert left_project.get(left_key) == left_key, (
+                "left_project must keep the join key under its own name"
+            )
+        if right_project is not None:
+            assert right_project.get(right_key) == right_key, (
+                "right_project must keep the join key under its own name"
+            )
         self.left_state: DataFrame | None = None
         self.right_state: DataFrame | None = None
         self.join_state: DataFrame | None = None
         self.last_batch_id: int | None = None
+
+    @staticmethod
+    def _proj(df: DataFrame, proj: dict[str, str] | None) -> DataFrame:
+        if df is None or proj is None:
+            return df
+        cols = [F.col(src).alias(out) for out, src in proj.items()]
+        if "_sign" in df.columns:
+            cols.append(F.col("_sign"))
+        return df.select(*cols)
 
     # -- delta algebra ------------------------------------------------------
 
@@ -88,13 +113,22 @@ class IncrementalJoin:
                         sign_expr.alias("_sign"))
             )
 
-        if dl is not None and self.right_state is not None:
-            parts.append(
-                emit(dl, self.right_state.withColumn("_sign", F.lit(1)), dl["_sign"])
-            )
-        if dr is not None and self.left_state is not None:
-            ls = self.left_state.withColumn("_sign", F.lit(1))
-            parts.append(emit(ls, dr, dr["_sign"]))
+        dl = self._proj(dl, self.left_project)
+        dr = self._proj(dr, self.right_project)
+        rs = (
+            self._proj(self.right_state, self.right_project)
+            if self.right_state is not None
+            else None
+        )
+        ls = (
+            self._proj(self.left_state, self.left_project)
+            if self.left_state is not None
+            else None
+        )
+        if dl is not None and rs is not None:
+            parts.append(emit(dl, rs.withColumn("_sign", F.lit(1)), dl["_sign"]))
+        if dr is not None and ls is not None:
+            parts.append(emit(ls.withColumn("_sign", F.lit(1)), dr, dr["_sign"]))
         if dl is not None and dr is not None:
             parts.append(emit(dl, dr, dl["_sign"] * dr["_sign"]))
         if not parts:
@@ -171,13 +205,10 @@ class IncrementalJoin:
         states — the equality oracle for tests."""
         if self.left_state is None or self.right_state is None:
             return None
-        r = self.right_state
+        ls = self._proj(self.left_state, self.left_project)
+        r = self._proj(self.right_state, self.right_project)
         right_cols = [c for c in r.columns if c != self.right_key]
-        return (
-            self.left_state.join(
-                r, self.left_state[self.left_key] == r[self.right_key]
-            ).select(
-                *[self.left_state[c] for c in self.left_state.columns],
-                *[r[c] for c in right_cols],
-            )
+        return ls.join(r, ls[self.left_key] == r[self.right_key]).select(
+            *[ls[c] for c in ls.columns],
+            *[r[c] for c in right_cols],
         )

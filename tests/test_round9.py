@@ -671,3 +671,69 @@ def test_streaming_transitions_replay_and_boundary(spark):
         for r in acc.result(spark).collect()
     }
     assert got2 == got
+
+
+def test_reference_order_view_in_delta_mode(spark):
+    """Reference parity in TRUE incremental mode: the reference's
+    enrichment join (flink-ddl.sql:179-190, orders ⋈ users on user_id =
+    users.id) maintained by IncrementalJoin ±deltas — with per-side
+    projections disambiguating the clashing ctime/utime names — equals
+    the recompute join after every batch of the README seed + golden
+    status-flip scenario, including a dimension-side rename and a
+    fact-side delete."""
+    from flink_streaming_etl_spark.streaming.incremental_join import IncrementalJoin
+    from flink_streaming_etl_spark.streaming.reference_pipeline import sources
+    from tests.test_reference_pipeline import env
+
+    srcs = sources()
+
+    def parse(name, lines):
+        return srcs[name].parse(
+            spark.createDataFrame([(l,) for l in lines], "value string")
+        )
+
+    t = "2020-07-30 10:08:22"
+    inc = IncrementalJoin(
+        left_pk="id", right_pk="id", left_key="user_id", right_key="id",
+        left_project={
+            "id": "id", "user_id": "user_id", "amount": "amount",
+            "status": "status", "channel": "channel",
+            "ctime": "ctime", "utime": "utime",
+        },
+        right_project={"id": "id", "uname": "name", "age": "age"},
+    )
+    batches = [
+        (None, parse("users", [
+            env("c", {"id": "0001", "name": "Jark", "age": 22, "ctime": t, "utime": t}, ts=1),
+            env("c", {"id": "0002", "name": "Sabella", "age": 23, "ctime": t, "utime": t}, ts=1),
+        ])),
+        (parse("orders", [
+            env("c", {"id": "o001", "user_id": "0001", "amount": 100.0,
+                      "status": "closed", "channel": "app", "ctime": t, "utime": t}, ts=2),
+            env("c", {"id": "o002", "user_id": "0002", "amount": 50.0,
+                      "status": "payed", "channel": "web", "ctime": t, "utime": t}, ts=3),
+        ]), None),
+        # golden changelog status flip (sample/cdc.orders.change-log:123,131)
+        (parse("orders", [
+            env("u", {"id": "o001", "user_id": "0001", "amount": 100.0,
+                      "status": "payed", "channel": "app", "ctime": t, "utime": t},
+                before={"id": "o001", "user_id": "0001", "amount": 100.0,
+                        "status": "closed", "channel": "app", "ctime": t, "utime": t}, ts=4),
+        ]), None),
+        # dimension-side rename: every o001 join row must update
+        (None, parse("users", [
+            env("u", {"id": "0001", "name": "Jark Wu", "age": 22, "ctime": t, "utime": t},
+                before={"id": "0001", "name": "Jark", "age": 22, "ctime": t, "utime": t}, ts=5),
+        ])),
+        (parse("orders", [
+            env("d", before={"id": "o002", "user_id": "0002", "amount": 50.0,
+                             "status": "payed", "channel": "web", "ctime": t, "utime": t}, ts=6),
+        ]), None),
+    ]
+    for i, (lo, ru) in enumerate(batches):
+        inc.apply(lo, ru, batch_id=i)
+        assert _rows(inc.result()) == _rows(inc.recompute()), f"batch {i}"
+    final = {r["id"]: r for r in inc.result().collect()}
+    assert set(final) == {"o001"}
+    assert final["o001"]["uname"] == "Jark Wu"
+    assert final["o001"]["status"] == "payed"
