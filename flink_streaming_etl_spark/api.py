@@ -1031,6 +1031,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(similarity.diverse_sample_report, "embeddings"),
         similarity.diverse_sample_report_sql(),
     ),
+    "fuzzy_prefix_pairs": (
+        # typo-level dedup tier: SymSpell deletion-neighborhood blocking
+        # + exact levenshtein verify on normalized prefixes
+        _q(dedup.fuzzy_prefix_pairs, "documents"),
+        dedup.fuzzy_prefix_pairs_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -1049,6 +1055,7 @@ _SAMPLE_FRONT = [
     "event_transition_report",
     "basket_lift_pairs",
     "diverse_sample_report",
+    "fuzzy_prefix_pairs",
     # r7 compositions + round-8 additions, retained from the r8 window:
     # no CORRECTNESS_r08.json was recorded in-repo, so their first driver
     # rows are unconfirmed — keep them in-window until a green row lands
@@ -1097,7 +1104,6 @@ _SAMPLE_FRONT = [
     "source_mixture_weights",
     "quantize_embeddings",
     "pq_encode",
-    "minhash_error_report",
 ]
 assert len(_SAMPLE_FRONT) == 50 and len(set(_SAMPLE_FRONT)) == 50
 assert all(name in REGISTRY for name in _SAMPLE_FRONT)

@@ -1474,3 +1474,110 @@ FROM documents d
 WHERE d.source <> '{eval_source}'
   AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy prefix pairs (round 9): the typo-level dedup tier. MinHash /
+# winnowing / chunk hashing all key on EXACT token or byte content, so a
+# one-character typo in a short identifying prefix defeats every tier
+# above. This is the SymSpell / FastSS deletion-neighborhood trick
+# (Schulz & Mihov 2002, public): two strings are within edit distance 1
+# iff they share a member of each other's 1-deletion neighborhood, so
+# emitting prefix + its L one-char-deletions (L+1 bounded variants per
+# doc) turns the fuzzy match into an EXACT equi-join on the variant key.
+# (Window caveat: an edit EARLY in the text shifts every later character
+# of a fixed-length prefix, so the two PREFIXES can sit at distance 2
+# even when the full texts differ by one edit — the tier is exact about
+# prefix distance, which is the blocking key production fuzzy dedup
+# actually uses; raising prefix_chars trades recall for variant volume.)
+# Candidates are then verified with the engines' levenshtein() (identical
+# integer DP in Spark and DuckDB). Scale shape: variant volume is
+# (L+1)·docs — linear; a hot-variant owner cap excises boilerplate
+# prefixes exactly like hot LSH buckets / hot chunks; pair volume is
+# output-denominated past the cap.
+
+FUZZY_PREFIX_CHARS = 16
+FUZZY_MAX_DIST = 1
+FUZZY_OWNER_CAP = 50
+
+
+def _norm_prefix(text: Column, n: int = FUZZY_PREFIX_CHARS) -> Column:
+    return F.substring(
+        F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), 1, n
+    )
+
+
+def fuzzy_prefix_pairs(
+    documents: DataFrame,
+    prefix_chars: int = FUZZY_PREFIX_CHARS,
+    max_dist: int = FUZZY_MAX_DIST,
+    owner_cap: int = FUZZY_OWNER_CAP,
+) -> DataFrame:
+    """(a_id, b_id, dist): doc pairs whose normalized ``prefix_chars``-char
+    prefixes are within levenshtein distance ``max_dist`` (=1: deletion
+    blocking is exact for distance 1; the verify keeps it honest)."""
+    p = documents.select("doc_id", _norm_prefix(F.col("text"), prefix_chars).alias("p"))
+    # variant 0 = the prefix itself; variant i = prefix with char i deleted
+    variants = p.select(
+        "doc_id",
+        "p",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("p")),
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(F.length("p"), F.lit(1))),
+                        lambda i: F.concat(
+                            F.substring(F.col("p"), 1, (i - 1).cast("int")),
+                            F.col("p").substr(i + 1, F.lit(prefix_chars)),
+                        ),
+                    ),
+                )
+            )
+        ).alias("v"),
+    )
+    hot = (
+        variants.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("_own"))
+        .filter((F.col("_own") >= 2) & (F.col("_own") <= owner_cap))
+        .select("v")
+    )
+    keyed = variants.join(hot, "v", "left_semi")
+    a = keyed.select(F.col("doc_id").alias("a_id"), F.col("p").alias("pa"), "v")
+    b = keyed.select(F.col("doc_id").alias("b_id"), F.col("p").alias("pb"), "v")
+    return (
+        a.join(b, "v")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.levenshtein("pa", "pb").alias("dist"))
+        .filter(F.col("dist") <= max_dist)
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
+def fuzzy_prefix_pairs_sql(
+    prefix_chars: int = FUZZY_PREFIX_CHARS,
+    max_dist: int = FUZZY_MAX_DIST,
+    owner_cap: int = FUZZY_OWNER_CAP,
+) -> str:
+    return rf"""
+WITH p AS (
+  SELECT doc_id,
+         substring(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, {prefix_chars}) AS p
+  FROM documents
+),
+variants AS (
+  SELECT DISTINCT doc_id, p,
+         CASE WHEN i = 0 THEN p
+              ELSE substring(p, 1, i - 1) || substring(p, i + 1, {prefix_chars})
+         END AS v
+  FROM p, UNNEST(range(0, greatest(length(p), 1) + 1)) AS t(i)
+),
+hot AS (
+  SELECT v FROM variants GROUP BY v HAVING COUNT(*) BETWEEN 2 AND {owner_cap}
+),
+keyed AS (SELECT x.doc_id, x.p, x.v FROM variants x SEMI JOIN hot h ON x.v = h.v)
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       levenshtein(a.p, b.p) AS dist
+FROM keyed a JOIN keyed b ON a.v = b.v AND a.doc_id < b.doc_id
+WHERE levenshtein(a.p, b.p) <= {max_dist}
+"""

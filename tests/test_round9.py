@@ -737,3 +737,43 @@ def test_reference_order_view_in_delta_mode(spark):
     assert set(final) == {"o001"}
     assert final["o001"]["uname"] == "Jark Wu"
     assert final["o001"]["status"] == "payed"
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_prefix_pairs
+
+
+def test_fuzzy_prefix_finds_planted_typo(spark):
+    from flink_streaming_etl_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hello world this is a doc", "en", "s", 25),
+            (2, "hxllo world this is a doc", "en", "s", 25),  # substitution
+            (3, "completely different body", "en", "s", 25),
+            (4, "hello world this is another", "en", "s", 27),  # same prefix
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in dedup.fuzzy_prefix_pairs(docs).collect()
+    }
+    assert got == {(0, 2): 1, (0, 4): 0, (2, 4): 1}
+
+
+def test_fuzzy_prefix_hot_variant_capped(spark):
+    """A prefix shared by more docs than owner_cap is boilerplate — its
+    pairs must be excised, exactly like hot LSH buckets."""
+    from flink_streaming_etl_spark.operators import dedup
+
+    n = 10
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate prefix body", "en", "s", 32) for i in range(n)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert dedup.fuzzy_prefix_pairs(docs, owner_cap=5).count() == 0
+    # under the cap the full pair set appears
+    assert (
+        dedup.fuzzy_prefix_pairs(docs, owner_cap=50).count() == n * (n - 1) // 2
+    )
