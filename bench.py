@@ -42,6 +42,7 @@ holds.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -245,6 +246,16 @@ HEADLINE = [
     "bpe_encode_report",
     "substring_dup_rate_report",
     "nearest_neighbor_report",
+    # round-9 additions
+    "ann_pq_rerank",
+    "kmeans_update_pinned",
+    "semantic_contamination_check",
+    "decontaminate_apply",
+    "media_dup_rate_report",
+    "event_transition_report",
+    "basket_lift_pairs",
+    "diverse_sample_report",
+    "fuzzy_prefix_pairs",
 ]
 
 
@@ -274,12 +285,22 @@ def main() -> None:
         # tokenize/persist, none rides or suffers a neighbor's cache.
         clear_operator_caches()
         spark.catalog.clearCache()
-        # Force a JVM GC so ContextCleaner frees the finished query's
-        # shuffle files / broadcast blocks NOW, between queries — not
-        # asynchronously inside the next query's timed window. Measured:
-        # mid-sweep cold times ran up to ~1.8x the same query in a quiet
-        # session (perplexity_buckets 7.4 s vs 4.1 s isolated); the r6
-        # periodicGC=2min mitigation was the partial version of this.
+        # Release PYTHON references BEFORE the JVM GC (round 9): py4j only
+        # drops its JVM handles when the Python wrapper objects are
+        # collected, and the localCheckpoint()ed DataFrames inside
+        # iterative operators (connected components, Lloyd loops) sit in
+        # Python reference cycles after their query ends. Without this,
+        # their RDD blocks survive every System.gc() and ACCUMULATE across
+        # the sweep — measured: 8 isolated runs of neardup_keep_best grew
+        # standing storage RDDs 10 → 21 and run time 7.5 → 10.1 s
+        # ("Block rdd_N already exists" warnings); with gc.collect()
+        # first, standing RDDs stay flat at 9-10 and times improve
+        # monotonically. This was the r8-unexplained warm-control upward
+        # outlier class (r9 warm10: dedup_stats_report 5.7 → 14.9 s,
+        # neardup_keep_best 5.7 → 24.7 s at sweep end — fresh-session
+        # min-of-3 confirmed ~4-5 s, i.e. the inflation was bench state,
+        # not the operators).
+        gc.collect()
         spark.sparkContext._jvm.System.gc()
 
     # JMH-style warmup: run every headline query once at the smallest scale

@@ -175,6 +175,9 @@ PROBES = [
     "decontaminate_apply",
     "media_dup_rate_report",
     "event_transition_report",
+    "basket_lift_pairs",
+    "diverse_sample_report",
+    "fuzzy_prefix_pairs",
 ]
 
 
