@@ -383,7 +383,15 @@ def main() -> None:
         best = quiet_min3(name)
         if best is not None:
             sweep_tail[name] = timings[name]
-            timings[name] = best
+            # MIN over both phases, not replacement (round 9): the r9 run
+            # showed the quiet phase itself can catch a transient host/GC
+            # window (quality_calibration_report sweep 5.44 s -> quiet
+            # 16.43 s while the immediately-following warm10 control read
+            # 6.13 s). Every phase is a legitimate execution of the same
+            # warm plan, so the minimum over {2 sweep passes, 3 quiet
+            # passes} is the least-upward-biased steady-state estimate;
+            # replacement would adopt whichever phase was unlucky.
+            timings[name] = min(timings[name], best)
 
     # Sweep-end control: an INDEPENDENT settled min-of-3 of the 10
     # slowest — same estimator as the primary, different moment, so the
