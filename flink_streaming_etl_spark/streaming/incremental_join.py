@@ -106,6 +106,12 @@ class IncrementalJoin:
         def emit(left: DataFrame, right: DataFrame, sign_expr) -> DataFrame:
             right_cols = [c for c in right.columns if c not in ("_sign", rk)]
             left_cols = [c for c in left.columns if c != "_sign"]
+            clash = set(left_cols) & set(right_cols)
+            if clash:
+                raise ValueError(
+                    f"join sides share column names {sorted(clash)} beyond the "
+                    f"join key — disambiguate with left_project/right_project"
+                )
             return (
                 left.join(right, left[lk] == right[rk])
                 .select(*[left[c] for c in left_cols],
