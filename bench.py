@@ -256,6 +256,7 @@ HEADLINE = [
     "basket_lift_pairs",
     "diverse_sample_report",
     "fuzzy_prefix_pairs",
+    "moore_lewis_selection",
 ]
 
 

@@ -1037,6 +1037,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(dedup.fuzzy_prefix_pairs, "documents"),
         dedup.fuzzy_prefix_pairs_sql(),
     ),
+    "moore_lewis_selection": (
+        # cross-entropy-difference data selection (Moore & Lewis 2010):
+        # in-domain vs general unigram LM, broadcast vocab relations
+        _q(text.moore_lewis_selection, "documents"),
+        text.moore_lewis_selection_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -1056,6 +1062,7 @@ _SAMPLE_FRONT = [
     "basket_lift_pairs",
     "diverse_sample_report",
     "fuzzy_prefix_pairs",
+    "moore_lewis_selection",
     # r7 compositions + round-8 additions, retained from the r8 window:
     # no CORRECTNESS_r08.json was recorded in-repo, so their first driver
     # rows are unconfirmed — keep them in-window until a green row lands
@@ -1103,7 +1110,6 @@ _SAMPLE_FRONT = [
     "curated_corpus_v2",
     "source_mixture_weights",
     "quantize_embeddings",
-    "pq_encode",
 ]
 assert len(_SAMPLE_FRONT) == 50 and len(set(_SAMPLE_FRONT)) == 50
 assert all(name in REGISTRY for name in _SAMPLE_FRONT)

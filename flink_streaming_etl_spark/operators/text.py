@@ -4878,3 +4878,107 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
          AS dup_token_frac
 FROM joined
 """
+
+
+# ---------------------------------------------------------------------------
+# Moore-Lewis data selection (round 9; Moore & Lewis 2010, "Intelligent
+# Selection of Language Model Training Data", ACL — public): score every
+# document by the cross-entropy DIFFERENCE between an in-domain LM and a
+# general-corpus LM; positive scores look more like the target domain
+# than like the average of the pool, and selecting them is the classic
+# recipe for domain-targeted pretraining mixes. Here the in-domain model
+# is fit on the `src0` slice and the general model on the whole pool —
+# both add-1-smoothed unigram LMs over the same tokenization the rest of
+# the LM family shares. Scale shape: both LM relations are
+# VOCABULARY-bounded and broadcast (r7 verdict #4 discipline); the
+# per-doc pass is one doc-keyed aggregation; totality: every doc_id
+# appears, token-less docs with NULL score and selected = false.
+
+ML_IN_DOMAIN_SOURCE = "src0"
+
+
+def moore_lewis_selection(
+    documents: DataFrame, in_source: str = ML_IN_DOMAIN_SOURCE
+) -> DataFrame:
+    toks = documents.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    dtf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    in_tf = (
+        toks.filter(F.col("source") == in_source)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_in"))
+    )
+    gen_tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c_gen"))
+    tot_in = in_tf.agg(F.sum("c_in").alias("t"), F.count(F.lit(1)).alias("v")).first()
+    tot_gen = gen_tf.agg(
+        F.sum("c_gen").alias("t"), F.count(F.lit(1)).alias("v")
+    ).first()
+    denom_in = float((tot_in["t"] or 0) + (tot_in["v"] or 0) + 1)
+    denom_gen = float((tot_gen["t"] or 0) + (tot_gen["v"] or 0) + 1)
+    term_gain = F.col("tf") * (
+        F.log((F.coalesce(F.col("c_in"), F.lit(0)) + 1).cast("double") / F.lit(denom_in))
+        - F.log((F.col("c_gen") + 1).cast("double") / F.lit(denom_gen))
+    )
+    scores = (
+        dtf.join(F.broadcast(in_tf), "term", "left")
+        .join(F.broadcast(gen_tf), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(term_gain).alias("_g"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            # +0.0 canonicalizes IEEE negative zero (a tiny negative sum
+            # rounds to -0.0 in one engine and 0.0 in the other)
+            (F.bround(F.col("_g") / F.col("n_tokens"), 4) + F.lit(0.0)).alias(
+                "ml_score"
+            ),
+        )
+    )
+    out = documents.select("doc_id").join(scores, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        "ml_score",
+        F.coalesce(F.col("ml_score") > 0, F.lit(False)).alias("selected"),
+    )
+
+
+def moore_lewis_selection_sql(in_source: str = ML_IN_DOMAIN_SOURCE) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, t.term
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS term) t
+  WHERE t.term <> ''
+),
+dtf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+in_tf AS (SELECT term, COUNT(*) AS c_in FROM toks WHERE source = '{in_source}' GROUP BY 1),
+gen_tf AS (SELECT term, COUNT(*) AS c_gen FROM toks GROUP BY 1),
+tot_in AS (SELECT SUM(c_in) + COUNT(*) + 1 AS denom FROM in_tf),
+tot_gen AS (SELECT SUM(c_gen) + COUNT(*) + 1 AS denom FROM gen_tf),
+scores AS (
+  SELECT d.doc_id,
+         CAST(SUM(d.tf) AS BIGINT) AS n_tokens,
+         round_even(SUM(d.tf * (
+             ln((COALESCE(i.c_in, 0) + 1)::DOUBLE / (SELECT denom FROM tot_in))
+           - ln((g.c_gen + 1)::DOUBLE / (SELECT denom FROM tot_gen))
+         )) / SUM(d.tf), 4) + 0.0 AS ml_score
+  FROM dtf d
+  LEFT JOIN in_tf i ON d.term = i.term
+  JOIN gen_tf g ON d.term = g.term
+  GROUP BY d.doc_id
+)
+SELECT doc.doc_id,
+       CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       s.ml_score,
+       COALESCE(s.ml_score > 0, FALSE) AS selected
+FROM documents doc LEFT JOIN scores s ON doc.doc_id = s.doc_id
+"""

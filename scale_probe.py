@@ -178,6 +178,7 @@ PROBES = [
     "basket_lift_pairs",
     "diverse_sample_report",
     "fuzzy_prefix_pairs",
+    "moore_lewis_selection",
 ]
 
 

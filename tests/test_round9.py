@@ -777,3 +777,40 @@ def test_fuzzy_prefix_hot_variant_capped(spark):
     assert (
         dedup.fuzzy_prefix_pairs(docs, owner_cap=50).count() == n * (n - 1) // 2
     )
+
+
+# ---------------------------------------------------------------------------
+# moore_lewis_selection
+
+
+def test_moore_lewis_prefers_in_domain_docs(spark):
+    """A doc made of in-domain-only vocabulary must outscore a doc made of
+    out-of-domain vocabulary; totality: token-less docs appear unselected."""
+    from flink_streaming_etl_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta alpha beta gamma", "en", "src0", 27),
+            (1, "alpha beta gamma alpha", "en", "src1", 22),  # in-domain-ish
+            (2, "zeta eta theta zeta eta", "en", "src1", 23),  # out-of-domain
+            (3, "12345 67890", "en", "src1", 11),  # no a-z tokens
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["doc_id"]: r for r in t.moore_lewis_selection(docs).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert rows[1]["ml_score"] > rows[2]["ml_score"]
+    assert rows[1]["selected"] and not rows[2]["selected"]
+    assert rows[3]["n_tokens"] == 0 and rows[3]["ml_score"] is None
+    assert rows[3]["selected"] is False
+
+
+def test_moore_lewis_lm_joins_broadcast(spark):
+    """Scale pin (r7 verdict #4 discipline): both vocabulary-side LM joins
+    must broadcast — the corpus-sized doc-term relation never shuffles for
+    them."""
+    from flink_streaming_etl_spark.operators import text as t
+
+    p = plan_text(t.moore_lewis_selection(_tables(spark)["documents"]))
+    assert "SortMergeJoin" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2
