@@ -4893,6 +4893,16 @@ FROM joined
 # VOCABULARY-bounded and broadcast (r7 verdict #4 discipline); the
 # per-doc pass is one doc-keyed aggregation; totality: every doc_id
 # appears, token-less docs with NULL score and selected = false.
+#
+# Scan economy (r9 verdict #1): every relation here rides the two
+# memoized substrates the sibling LM operators already pay for — the
+# per-doc term frequencies come from :func:`lm_tf_relation` (family
+# ``lm_tf``) and BOTH model-side count relations derive from
+# :func:`_source_term_counts` (family ``source_term``, shared with
+# source_kl_report / heaps_law_report). The two scalar total actions and
+# the final scoring job all replay those cached relations, so a cold
+# call tokenizes the corpus at most twice (once per substrate) and a
+# warm call zero times — never the 4 full-corpus scans of the r9 shape.
 
 ML_IN_DOMAIN_SOURCE = "src0"
 
@@ -4900,20 +4910,14 @@ ML_IN_DOMAIN_SOURCE = "src0"
 def moore_lewis_selection(
     documents: DataFrame, in_source: str = ML_IN_DOMAIN_SOURCE
 ) -> DataFrame:
-    toks = documents.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
-        ).alias("term"),
-    )
-    dtf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dtf = lm_tf_relation(_lm_tokens(documents))
+    st = _source_term_counts(documents)
     in_tf = (
-        toks.filter(F.col("source") == in_source)
+        st.filter(F.col("source") == in_source)
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("c_in"))
+        .agg(F.sum("c_st").cast("long").alias("c_in"))
     )
-    gen_tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c_gen"))
+    gen_tf = st.groupBy("term").agg(F.sum("c_st").cast("long").alias("c_gen"))
     tot_in = in_tf.agg(F.sum("c_in").alias("t"), F.count(F.lit(1)).alias("v")).first()
     tot_gen = gen_tf.agg(
         F.sum("c_gen").alias("t"), F.count(F.lit(1)).alias("v")
@@ -4962,8 +4966,12 @@ WITH toks AS (
 dtf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
 in_tf AS (SELECT term, COUNT(*) AS c_in FROM toks WHERE source = '{in_source}' GROUP BY 1),
 gen_tf AS (SELECT term, COUNT(*) AS c_gen FROM toks GROUP BY 1),
-tot_in AS (SELECT SUM(c_in) + COUNT(*) + 1 AS denom FROM in_tf),
-tot_gen AS (SELECT SUM(c_gen) + COUNT(*) + 1 AS denom FROM gen_tf),
+-- COALESCE mirrors the Spark side's empty-slice handling: with no
+-- in-domain docs SUM over zero rows is NULL in SQL but the Spark
+-- driver coalesces the totals to 0, so both engines use denom = 1
+-- and the in-domain half contributes ln(1/1) = 0 (ADVICE r9).
+tot_in AS (SELECT COALESCE(SUM(c_in), 0) + COUNT(*) + 1 AS denom FROM in_tf),
+tot_gen AS (SELECT COALESCE(SUM(c_gen), 0) + COUNT(*) + 1 AS denom FROM gen_tf),
 scores AS (
   SELECT d.doc_id,
          CAST(SUM(d.tf) AS BIGINT) AS n_tokens,
