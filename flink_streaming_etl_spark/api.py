@@ -1004,9 +1004,17 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "decontaminate_apply": (
         # the decontamination APPLY stage: drop train docs overlapping
-        # the eval split, return the kept training corpus
-        _q(dedup.decontaminate_apply, "documents"),
-        dedup.decontaminate_apply_sql(),
+        # the eval split, return the kept training corpus. min_ratio is
+        # 0.8 here, NOT the library default 0.2: the synthetic gate
+        # corpus shares so much vocabulary that 0.2 drops every train
+        # doc, making the parity row verify only empty==empty (ADVICE
+        # r9). Gate ratios span 0.36-1.0 with median 0.79, so 0.8
+        # exercises BOTH the keep and drop paths non-trivially.
+        _q(
+            lambda docs: dedup.decontaminate_apply(docs, min_ratio=0.8),
+            "documents",
+        ),
+        dedup.decontaminate_apply_sql(min_ratio=0.8),
     ),
     "media_dup_rate_report": (
         # corpus-level chunk-duplication metrics per media type + (all)

@@ -2550,8 +2550,14 @@ FROM counts
 # co-ordered within one order — the classic association-rule OLAP shape
 # (Agrawal & Srikant 1994's frequent-pair tier). Scale shape: the pair
 # relation is the per-order self-join of the DISTINCT (order, part)
-# relation, so pair volume is Σ_orders C(lines, 2) — bounded by the max
-# basket size (a per-order constant), LINEAR in orders, never |parts|².
+# relation, so pair volume is Σ_orders C(lines, 2) — LINEAR in orders,
+# never |parts|², PROVIDED basket size is actually bounded: r9 verdict #4
+# observed nothing enforced that, so one pathological mega-order (a
+# crawler cart with 1e6 distinct parts) would contribute 5e11 pairs. The
+# ``max_basket`` guard drops whole baskets above the cap BEFORE any
+# counting (the same hot-key-cap discipline as every dedup tier), so the
+# analyzed universe is "orders with a plausible basket" and C(max_basket,
+# 2) bounds any order's pair contribution by contract.
 # The two frequency joins key on the part dimension (broadcastable), and
 # the order total rides in as one broadcast scalar. Lift is folded in
 # doubles with a fixed multiplication order (never long·long, whose
@@ -2559,12 +2565,32 @@ FROM counts
 # bit-for-bit before the q6 floor.
 
 BASKET_MIN_PAIR = 2
+#: orders with more distinct parts than this are dropped wholesale —
+#: TPC-H baskets top out at 7 lines, real retail carts at a few hundred;
+#: anything past this is a crawler/bot artifact whose C(n,2) pair mass
+#: would dominate the relation (r9 verdict #4).
+BASKET_MAX_ITEMS = 200
 
 
-def basket_lift_pairs(lineitem: DataFrame, min_pair: int = BASKET_MIN_PAIR) -> DataFrame:
-    items = lineitem.select(
+def basket_lift_pairs(
+    lineitem: DataFrame,
+    min_pair: int = BASKET_MIN_PAIR,
+    max_basket: int = BASKET_MAX_ITEMS,
+) -> DataFrame:
+    items0 = lineitem.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
+    # basket-size cap (r9 verdict #4): left_semi against the under-cap
+    # order keys; the groupBy reuses the ok partitioning the pair
+    # self-join needs anyway, so the guard adds no extra shuffle of the
+    # items relation.
+    keep = (
+        items0.groupBy("ok")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .filter(F.col("_sz") <= max_basket)
+        .select("ok")
+    )
+    items = items0.join(keep, "ok", "left_semi")
     n_orders = items.groupBy().agg(
         F.countDistinct("ok").cast("long").alias("_n")
     )
@@ -2602,11 +2628,15 @@ def basket_lift_pairs(lineitem: DataFrame, min_pair: int = BASKET_MIN_PAIR) -> D
     )
 
 
-def basket_lift_pairs_sql(min_pair: int = BASKET_MIN_PAIR) -> str:
+def basket_lift_pairs_sql(
+    min_pair: int = BASKET_MIN_PAIR, max_basket: int = BASKET_MAX_ITEMS
+) -> str:
     supp = q6_sql("n_pair / _n")
     lift = q6_sql("(CAST(n_pair AS DOUBLE) * _n) / (CAST(n_a AS DOUBLE) * n_b)")
     return f"""
-WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+WITH items0 AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+keep AS (SELECT ok FROM items0 GROUP BY ok HAVING COUNT(*) <= {max_basket}),
+items AS (SELECT i.ok, i.pk FROM items0 i JOIN keep k ON i.ok = k.ok),
 totals AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS _n FROM items),
 part_counts AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS _c FROM items GROUP BY pk),
 pairs AS (

@@ -2956,23 +2956,30 @@ FROM ev q LEFT JOIN hits h ON q.vec_id = h.vec_id
 # coverage). Rides the same pinned-centroid assignment kernel as
 # kmeans_assign_pinned; the per-cell argmax is a PARTIAL-AGGREGATING
 # max(struct) fold (map-side combine, k rows out), never a corpus-wide
-# window sort. The preference key is the exact integer q6-cosine·1e6 with
-# -vec_id as tie-break, so the winner is engine-exact.
+# window sort. The preference key is the RAW q6 cosine double (already
+# floor-quantized identically on both engines by the assignment kernel)
+# with -vec_id as tie-break; the r9 shape re-scaled it through
+# (cos*1e6).cast(long), whose truncation toward zero disagreed with the
+# SQL twin's rounding CAST for values landing just below the integer
+# (249/1e6*1e6 = 248.999...) — ADVICE r9 (high). Doubles are totally
+# ordered here, so ranking and emitting the raw value is both exact and
+# cheaper.
 
 
 def diverse_sample_report(
     embeddings: DataFrame, k: int = N_CENTROIDS, n_queries: int = N_QUERIES
 ) -> DataFrame:
     assigned = kmeans_assign_pinned(embeddings, k, n_queries)
-    pref = (F.col("cosine") * F.lit(1000000.0)).cast("long")  # q6 → exact int
     best = assigned.groupBy("centroid_idx").agg(
-        F.max(F.struct(pref.alias("p"), (-F.col("vec_id")).alias("ni"))).alias("_b"),
+        F.max(
+            F.struct(F.col("cosine").alias("p"), (-F.col("vec_id")).alias("ni"))
+        ).alias("_b"),
         F.count(F.lit(1)).cast("long").alias("cell_size"),
     )
     return best.select(
         "centroid_idx",
         (-F.col("_b.ni")).alias("vec_id"),
-        (F.col("_b.p") / F.lit(1000000.0)).alias("cosine"),
+        F.col("_b.p").alias("cosine"),
         "cell_size",
     )
 
@@ -2987,8 +2994,7 @@ ranked AS (
                             ORDER BY cosine DESC, vec_id) AS rn
   FROM assigned
 )
-SELECT centroid_idx, vec_id,
-       CAST(cosine * 1000000.0 AS BIGINT) / 1000000.0 AS cosine,
+SELECT centroid_idx, vec_id, cosine,
        CAST(cell_size AS BIGINT) AS cell_size
 FROM ranked WHERE rn = 1
 """

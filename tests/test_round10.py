@@ -77,3 +77,269 @@ def test_moore_lewis_empty_in_domain_slice(spark):
             sql_rows[d].ml_score
         ), sql_rows[d]
         assert abs(sql_rows[d].ml_score - rows[d]["ml_score"]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# IncrementalJoin: multiplicity-exact fold under PK-less projections
+# (r9 verdict #2 / ADVICE r9)
+
+
+def _rows(df):
+    if df is None:
+        return []
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_incremental_join_pkless_projection_keeps_multiplicity(spark):
+    """Projections that drop a side's primary key can make two DISTINCT
+    state rows produce IDENTICAL output rows. The fold must store the
+    net multiplicity, so retracting ONE of them removes one logical row,
+    not both. Pinned fold == recompute (as multisets) after every
+    prefix, including the prefix right after the partial retraction."""
+    from flink_streaming_etl_spark.streaming.incremental_join import IncrementalJoin
+    from tests.test_cdc import env, order
+
+    from tests.test_round9 import _join_scenario
+
+    L, R, _ = _join_scenario(spark)
+    inc = IncrementalJoin(
+        left_pk="id",
+        right_pk="id",
+        left_key="user_id",
+        right_key="id",
+        # drops the order PK: o1/o2 below become indistinguishable outputs
+        left_project={"user_id": "user_id", "amount": "amount"},
+        right_project={"id": "id", "name": "name"},
+    )
+    batches = [
+        (None, [env("c", {"id": "u1", "name": "ann", "area": "EU"}, ts=1)]),
+        # two orders with IDENTICAL projected images
+        ([env("c", order("o1", "u1", 100.0, "payed"), ts=2),
+          env("c", order("o2", "u1", 100.0, "payed"), ts=3)], None),
+        # retract ONE of them — exactly one logical join row must survive
+        ([env("d", before=order("o1", "u1", 100.0, "payed"), ts=4)], None),
+        # retract the other — now zero
+        ([env("d", before=order("o2", "u1", 100.0, "payed"), ts=5)], None),
+    ]
+    for i, (ll, rr) in enumerate(batches):
+        inc.apply(L(ll), R(rr), batch_id=i)
+        assert _rows(inc.result()) == _rows(inc.recompute()), f"batch {i}"
+    assert _rows(inc.result()) == []
+    # and the intermediate state after batch 2 really held TWO identical
+    # logical rows (the collapse bug returned 1)
+    inc2 = IncrementalJoin(
+        left_pk="id", right_pk="id", left_key="user_id", right_key="id",
+        left_project={"user_id": "user_id", "amount": "amount"},
+        right_project={"id": "id", "name": "name"},
+    )
+    for i, (ll, rr) in enumerate(batches[:2]):
+        inc2.apply(L(ll), R(rr), batch_id=i)
+    assert len(_rows(inc2.result())) == 2
+
+
+# ---------------------------------------------------------------------------
+# LM-family broadcast size guard (r9 verdict #3)
+
+
+def test_lm_vocab_broadcast_guard_both_regimes(spark, monkeypatch):
+    """Below VOCAB_BROADCAST_MAX_ROWS the scoring joins stay pinned
+    broadcast (the r7/r8 contract); above it the hint is WITHHELD so the
+    plan degrades to a vocab-keyed shuffle join instead of shipping a
+    web-scale bigram vocabulary to the driver. Values must be identical
+    in both regimes."""
+    from flink_streaming_etl_spark.operators import text as t
+
+    docs = _tables(spark)["documents"]
+    scorers = (t.bigram_logprob_score, t.jm_fluency, t.kneser_ney_fluency)
+
+    # regime 1: vocabulary fits -> broadcast pinned, no shuffle join
+    for build in scorers:
+        p = plan_text(build(docs))
+        assert "BroadcastHashJoin" in p, (build.__name__, p)
+        assert "SortMergeJoin" not in p, (build.__name__, p)
+    baseline = {r["doc_id"]: r for r in scorers[0](docs).collect()}
+
+    # regime 2: synthesize "oversized" vocabulary by zeroing the cap;
+    # disable planner auto-broadcast so a fallback must be a genuine
+    # shuffle join (at test scale AQE would otherwise re-broadcast the
+    # tiny relation and mask a missing guard)
+    monkeypatch.setattr(t, "VOCAB_BROADCAST_MAX_ROWS", 0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for build in scorers:
+            p = plan_text(build(docs))
+            assert "BroadcastHashJoin" not in p, (build.__name__, p)
+            assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, (
+                build.__name__,
+                p,
+            )
+        fallback = {r["doc_id"]: r for r in scorers[0](docs).collect()}
+        assert fallback == baseline
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# ---------------------------------------------------------------------------
+# basket_lift_pairs basket-size cap (r9 verdict #4)
+
+
+def test_basket_lift_caps_mega_baskets(spark):
+    """One pathological mega-order must contribute ZERO pairs (dropped
+    wholesale before counting) instead of C(n,2) — and it must not count
+    in the order total either, so lifts among normal baskets are
+    unchanged by its presence."""
+    from flink_streaming_etl_spark.operators import analytics as a
+
+    normal = [(ok, pk) for ok in (1, 2, 3) for pk in (10, 20)]
+    mega = [(99, pk) for pk in range(1000, 1050)]  # 50 items > cap of 10
+    li = spark.createDataFrame(
+        [(ok, pk, 1.0) for ok, pk in normal + mega],
+        "l_orderkey long, l_partkey long, l_quantity double",
+    )
+    out = a.basket_lift_pairs(li, min_pair=2, max_basket=10).collect()
+    got = {(r["part_a"], r["part_b"]): r for r in out}
+    assert set(got) == {(10, 20)}
+    r = got[(10, 20)]
+    # 3 capped orders, pair present in all 3 -> support 1, lift 1/1... :
+    # n_pair=3, n_a=n_b=3, _n=3 -> lift = 3*3/(3*3) = 1
+    assert r["n_pair"] == 3 and r["n_a"] == 3 and r["n_b"] == 3
+    assert r["support"] == 1.0 and r["lift"] == 1.0
+    # oracle twin mirrors the cap
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("lineitem", li.toPandas())
+    odf = con.execute(a.basket_lift_pairs_sql(2, 10)).fetchdf()
+    assert len(odf) == 1 and int(odf.n_pair[0]) == 3
+
+
+# ---------------------------------------------------------------------------
+# IncrementalJoinAgg: the reference's user_order_stats (join feeding an
+# aggregate) in TRUE ±delta mode (r9 verdict #7)
+
+
+def _user_order_stats_agg(inc=None):
+    from pyspark.sql import functions as F
+
+    from flink_streaming_etl_spark.streaming.incremental_join import (
+        IncrementalJoin,
+        IncrementalJoinAgg,
+    )
+
+    join = inc or IncrementalJoin(
+        left_pk="id", right_pk="id", left_key="user_id", right_key="id"
+    )
+    return IncrementalJoinAgg(
+        join,
+        group_cols={
+            "user_id": "user_id",
+            "cday": F.substring(F.col("ctime"), 1, 10),
+        },
+        amount="amount",
+        predicate=F.col("status") != "closed",
+    )
+
+
+def test_incremental_join_agg_equals_recompute_after_every_prefix(spark):
+    """The full reference chain — order⋈user join deltas feeding the
+    per-user/day SUM/COUNT with the status<>'closed' filter — must equal
+    the recompute twin after EVERY changelog prefix, including prefixes
+    where updates retract join rows and groups net to zero."""
+    from tests.test_round9 import _join_scenario
+
+    L, R, batches = _join_scenario(spark)
+    agg = _user_order_stats_agg()
+    for i, (ll, rr) in enumerate(batches):
+        agg.apply(L(ll), R(rr), batch_id=i)
+        got = _rows(agg.result())
+        want = _rows(agg.recompute())
+        assert got == want, f"batch {i}: {got} != {want}"
+    # final sanity: o1 (120, payed) for u1 plus o4 (70) same user/day;
+    # o2 deleted, o3's customer deleted
+    final = {(r["user_id"], r["cday"]): (float(r["amount"]), r["cnt"])
+             for r in agg.result().collect()}
+    assert final == {("u1", "2020-07-30"): (190.0, 2)}
+
+
+def test_incremental_join_agg_status_filter_retracts(spark):
+    """An update flipping status to 'closed' must RETRACT the order from
+    the aggregate (predicate over signed rows), mirroring the reference's
+    retraction requirement on order_stats."""
+    from tests.test_cdc import env, order
+    from tests.test_round9 import _join_scenario
+
+    L, R, _ = _join_scenario(spark)
+    agg = _user_order_stats_agg()
+    agg.apply(None, R([env("c", {"id": "u1", "name": "ann", "area": "EU"}, ts=1)]),
+              batch_id=0)
+    agg.apply(L([env("c", order("o1", "u1", 100.0, "payed"), ts=2)]), None,
+              batch_id=1)
+    agg.apply(
+        L([env("u", order("o1", "u1", 100.0, "closed"),
+               before=order("o1", "u1", 100.0, "payed"), ts=3)]),
+        None,
+        batch_id=2,
+    )
+    assert _rows(agg.result()) == _rows(agg.recompute()) == []
+
+
+def test_incremental_join_agg_foreachbatch_attach(spark, tmp_path):
+    """Drive both changelog sides through attach() (one streaming query
+    per topic, like the reference's per-table Kafka consumers); the final
+    aggregate equals recompute, and a full no-checkpoint re-attach (every
+    batch id replays from 0) is a no-op — effectively-once (T6)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from flink_streaming_etl_spark.sources.cdc import CdcSource
+    from tests.test_cdc import ORDER_SCHEMA, env, order
+
+    cust_schema = StructType(
+        [
+            StructField("id", StringType()),
+            StructField("name", StringType()),
+            StructField("area", StringType()),
+        ]
+    )
+    ldir, rdir = tmp_path / "orders", tmp_path / "users"
+    ldir.mkdir(), rdir.mkdir()
+    (rdir / "b0.jsonl").write_text(
+        "\n".join([env("c", {"id": "u1", "name": "ann", "area": "EU"}, ts=1),
+                   env("c", {"id": "u2", "name": "bob", "area": "US"}, ts=2)])
+    )
+    (ldir / "b0.jsonl").write_text(
+        "\n".join([env("c", order("o1", "u1", 100.0, "payed"), ts=3),
+                   env("c", order("o2", "u2", 50.0, "payed"), ts=4)])
+    )
+    (ldir / "b1.jsonl").write_text(
+        "\n".join([env("u", order("o1", "u1", 120.0, "payed"),
+                       before=order("o1", "u1", 100.0, "payed"), ts=5),
+                   env("d", before=order("o2", "u2", 50.0, "payed"), ts=6)])
+    )
+    lsrc = CdcSource("orders", ORDER_SCHEMA, "id")
+    rsrc = CdcSource("customers", cust_schema, "id")
+    agg = _user_order_stats_agg()
+    # dimension side first so the fact batches join against live state
+    for q in agg.attach(
+        right_stream=rsrc.stream_changelog(spark, str(rdir)),
+        checkpoint_root=str(tmp_path / "ckpt_r"),
+    ):
+        q.awaitTermination(120)
+    for q in agg.attach(
+        left_stream=lsrc.stream_changelog(spark, str(ldir)),
+        checkpoint_root=str(tmp_path / "ckpt_l"),
+    ):
+        q.awaitTermination(120)
+    assert _rows(agg.result()) == _rows(agg.recompute())
+    final = {(r["user_id"], r["cday"]): (float(r["amount"]), r["cnt"])
+             for r in agg.result().collect()}
+    assert final == {("u1", "2020-07-30"): (120.0, 1)}
+    before = _rows(agg.result())
+    # replay everything with NO checkpoint: batch ids restart at 0 and the
+    # per-side guard must make every delivery a no-op
+    for q in agg.attach(
+        left_stream=lsrc.stream_changelog(spark, str(ldir)),
+        right_stream=rsrc.stream_changelog(spark, str(rdir)),
+    ):
+        q.awaitTermination(120)
+    assert _rows(agg.result()) == before
