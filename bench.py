@@ -241,9 +241,9 @@ HEADLINE = [
     "substring_dedup_cut",
     "kneser_ney_fluency",
     "kmv_distinct_report",
-    "embedding_whitening_check",
+    "whitening_identity_report",
     "quality_calibration_report",
-    "bpe_encode_report",
+    "bpe_encode_pinned",
     "substring_dup_rate_report",
     "nearest_neighbor_report",
     # round-9 additions

@@ -4847,6 +4847,68 @@ def bpe_encode_report(
     )
 
 
+# Pinned-merge BPE encode (round 10; r9 verdict #8): the SAME generic
+# lowest-rank-first encoder as bpe_encode_report, but under a FIXED merge
+# list chosen so the encode length has a closed form an independent SQL
+# engine can verify. The four pairs draw on pairwise-DISJOINT letters and
+# merge raw characters only, which buys two exactness guarantees:
+# (a) no merge can create or destroy another pair's adjacency (the pairs
+#     share no letters, so their occurrences in the raw word can never
+#     overlap positionally), and
+# (b) the encoder's inner loop replaces every occurrence of the chosen
+#     pair left-to-right non-overlapping in one pass — exactly the
+#     semantics of a regex non-overlapping match count.
+# Hence tokens(word) = len(word) − Σ_pairs count_non_overlap(word, pair),
+# computable in DuckDB, while the Spark side still runs the REAL encode
+# loop (mapInPandas, rank dict, distinct-word memo) — so the oracle
+# value-checks the production encoder, not a simplified twin. The
+# corpus-TRAINED path (bpe_train_merges feeding the same encoder) stays
+# pinned by the pytest invariant that encoding the train corpus
+# reproduces the training loop's final symbol counts.
+
+BPE_PINNED_MERGES: list[tuple[int, str, str]] = [
+    (0, "t", "h"),
+    (1, "e", "r"),
+    (2, "o", "n"),
+    (3, "a", "l"),
+]
+
+
+def bpe_encode_pinned(documents: DataFrame) -> DataFrame:
+    return bpe_encode_report(documents, merges=BPE_PINNED_MERGES)
+
+
+def bpe_encode_pinned_sql() -> str:
+    from flink_streaming_etl_spark.functions import q6_sql
+
+    deduction = " + ".join(
+        f"len(regexp_extract_all(w, '{a}{b}'))" for _, a, b in BPE_PINNED_MERGES
+    )
+    fert = q6_sql("SUM(len(w) - ({d}))::DOUBLE / COUNT(*)".format(d=deduction))
+    return f"""
+WITH words AS (
+  SELECT doc_id, t.w
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS w) t
+  WHERE t.w <> ''
+),
+enc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(len(w)) AS BIGINT) AS n_chars,
+         CAST(SUM(len(w) - ({deduction})) AS BIGINT) AS n_bpe_tokens,
+         {fert} AS fertility
+  FROM words GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(e.n_words, 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(e.n_chars, 0) AS BIGINT) AS n_chars,
+       CAST(COALESCE(e.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+       e.fertility
+FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Corpus duplication-rate report — the headline Lee et al. metric ("what
 # fraction of corpus tokens sit inside exact duplicated substrings"):

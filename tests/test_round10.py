@@ -343,3 +343,52 @@ def test_incremental_join_agg_foreachbatch_attach(spark, tmp_path):
     ):
         q.awaitTermination(120)
     assert _rows(agg.result()) == before
+
+
+# ---------------------------------------------------------------------------
+# Earned oracles for previously rows-only entries (r9 verdict #8)
+
+
+def test_bpe_encode_pinned_worked_example(spark):
+    """The pinned-merge closed form (len - non-overlapping pair counts)
+    must equal the REAL encoder on cascade-bearing words: 'ther' merges
+    th then er (4 chars -> 2 tokens), 'onon' merges both 'on's in one
+    pass, 'thon' both pairs."""
+    from flink_streaming_etl_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(0, "ther onon thon xyz", "en", "src0", 18),
+         (1, "alal erer", "en", "src0", 9),
+         (2, "12345", "en", "src0", 5)],  # zero a-z words
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["doc_id"]: r for r in t.bpe_encode_pinned(docs).collect()}
+    # ther->2, onon->2, thon->2, xyz->3  => 9 tokens / 4 words / 15 chars
+    assert (rows[0]["n_words"], rows[0]["n_chars"], rows[0]["n_bpe_tokens"]) == (4, 15, 9)
+    # alal->2, erer->2 => 4 tokens / 2 words / 8 chars
+    assert (rows[1]["n_words"], rows[1]["n_chars"], rows[1]["n_bpe_tokens"]) == (2, 8, 4)
+    assert rows[2]["n_words"] == 0 and rows[2]["fertility"] is None
+    # oracle twin agrees on the same micro-corpus
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    odf = con.execute(t.bpe_encode_pinned_sql()).fetchdf().sort_values("doc_id")
+    assert list(odf.n_bpe_tokens) == [9, 4, 0]
+
+
+def test_whitening_identity_report_scalars(spark):
+    """The one-row report must agree with the element-level whitening
+    relation: deviations quantize to 0.0 at 1e-3 and identity_ok holds;
+    n_pairs/d match the relation's own shape."""
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    emb = _tables(spark)["embeddings"]
+    rep = sim.whitening_identity_report(emb).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    rel = sim.embedding_whitening_check(emb).collect()
+    d = max(x["dim_j"] for x in rel) + 1
+    assert r["d"] == d and r["n_pairs"] == d * (d + 1) // 2 == len(rel)
+    assert r["max_abs_offdiag_q3"] == 0.0 and r["max_diag_dev_q3"] == 0.0
+    assert r["identity_ok"] is True
