@@ -25,10 +25,14 @@ state is two-tier, mirroring the batch operator's scale design:
   production rotating-bloom).
 
 Replays are idempotent by batch id (same contract as the other
-accumulators). Equality pin (tests/test_round9.py): seeding the corpus
-(even doc_ids) then feeding the incoming split (odd doc_ids) in batches
-keeps exactly the ids ``bloom_incremental_dedup`` keeps on the full
-corpus.
+accumulators). First-owner contract (pinned in tests/test_round9.py):
+seeding the corpus (even doc_ids) then feeding the incoming split (odd
+doc_ids) in batches keeps, per fingerprint, only the FIRST arriving
+owner — a SUBSET of what ``bloom_incremental_dedup`` keeps on the full
+corpus, since the batch operator keeps every incoming doc whose
+fingerprint is absent from the corpus side even when several incoming
+docs share it. The two sets are equal exactly when no fingerprint is
+duplicated only within the incoming split (ADVICE r9).
 """
 
 from __future__ import annotations
