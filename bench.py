@@ -246,6 +246,12 @@ HEADLINE = [
     "bpe_encode_pinned",
     "substring_dup_rate_report",
     "nearest_neighbor_report",
+    # round-10 additions
+    "blocklist_filter_report",
+    "distinct_ngram_report",
+    "quality_ensemble_report",
+    "dedup_tier_agreement_report",
+    "hard_negative_mining",
     # round-9 additions
     "ann_pq_rerank",
     "kmeans_update_pinned",

@@ -1058,6 +1058,37 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(text.moore_lewis_selection, "documents"),
         text.moore_lewis_selection_sql(),
     ),
+    # --- round 10 ---
+    "blocklist_filter_report": (
+        # C4-style bad-word page filter: exact-token hits against a tiny
+        # broadcast blocklist, riding the memoized doc-term relation
+        _q(text.blocklist_filter_report, "documents"),
+        text.blocklist_filter_report_sql(),
+    ),
+    "distinct_ngram_report": (
+        # distinct-1/distinct-2 diversity per source (Li et al. 2016) —
+        # the templated/generated-text alarm; rides both LM substrates
+        _q(text.distinct_ngram_report, "documents"),
+        text.distinct_ngram_report_sql(),
+    ),
+    "quality_ensemble_report": (
+        # majority vote of gopher/entropy/LM-tercile keep signals +
+        # per-vote-pattern census (the stack-disagreement review queue)
+        _q(text.quality_ensemble_report, "documents"),
+        text.quality_ensemble_report_sql(),
+    ),
+    "dedup_tier_agreement_report": (
+        # MinHash-LSH vs SimHash candidate-pair set agreement — decides
+        # whether the cheap tier can gate the expensive one
+        _q(dedup.dedup_tier_agreement_report, "documents"),
+        dedup.dedup_tier_agreement_report_sql(),
+    ),
+    "hard_negative_mining": (
+        # contrastive-training negatives: bucket-blocked candidates in a
+        # cosine band [lo, hi) — close but not near-dup — top-k per query
+        _q(similarity.hard_negative_mining, "embeddings"),
+        similarity.hard_negative_mining_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -1083,6 +1114,12 @@ _SAMPLE_FRONT = [
     "bigram_logprob_score",
     "jm_fluency",
     "kneser_ney_fluency",
+    # round-10 additions — first driver rows
+    "blocklist_filter_report",
+    "distinct_ngram_report",
+    "quality_ensemble_report",
+    "dedup_tier_agreement_report",
+    "hard_negative_mining",
     # r9 additions (rows one round old)
     "ann_pq_rerank",
     "kmeans_update_pinned",
@@ -1121,11 +1158,6 @@ _SAMPLE_FRONT = [
     "ann_lsh_bucketed",
     "ann_ivf",
     "lang_id",
-    "token_count",
-    "quality_score",
-    "repetition_score",
-    "doc_fingerprint",
-    "normalize_text",
 ]
 assert len(_SAMPLE_FRONT) == 50 and len(set(_SAMPLE_FRONT)) == 50
 assert all(name in REGISTRY for name in _SAMPLE_FRONT)

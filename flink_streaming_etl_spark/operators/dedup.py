@@ -1581,3 +1581,77 @@ SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
 FROM keyed a JOIN keyed b ON a.v = b.v AND a.doc_id < b.doc_id
 WHERE levenshtein(a.p, b.p) <= {max_dist}
 """
+
+
+# ---------------------------------------------------------------------------
+# Dedup-tier agreement audit (round 10) — when a pipeline runs several
+# near-dup tiers (shingle MinHash-LSH, bit-level SimHash), the operator
+# question is whether they FIND THE SAME PAIRS: high agreement means the
+# cheaper tier can gate the expensive one; low agreement means the tiers
+# see different duplication classes and both must run. One-row census of
+# the two candidate-pair relations plus their set-Jaccard. Scale shape:
+# both inputs are the already-capped banded tiers (candidate-bounded,
+# never all-pairs); the audit join keys on the (a_id, b_id) pair itself
+# and its output is one row — pure pair-relation-sized work.
+
+
+def dedup_tier_agreement_report(
+    documents: DataFrame,
+    threshold: float = 0.05,
+    max_hamming: int = HAMMING_MAX,
+) -> DataFrame:
+    from flink_streaming_etl_spark.functions import q6
+
+    lsh = minhash_lsh_pairs(documents, threshold).select(
+        "a_id", "b_id", F.lit(1).alias("_l")
+    )
+    sh = simhash_pairs(documents, max_hamming).select(
+        "a_id", "b_id", F.lit(1).alias("_s")
+    )
+    u = lsh.join(sh, ["a_id", "b_id"], "full_outer")
+    return u.agg(
+        F.sum(F.coalesce("_l", F.lit(0))).cast("long").alias("n_lsh_pairs"),
+        F.sum(F.coalesce("_s", F.lit(0))).cast("long").alias("n_simhash_pairs"),
+        F.sum(
+            F.when(F.col("_l").isNotNull() & F.col("_s").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_both"),
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+    ).select(
+        "n_lsh_pairs",
+        "n_simhash_pairs",
+        "n_both",
+        "n_union",
+        F.when(
+            F.col("n_union") > 0,
+            q6(F.col("n_both").cast("double") / F.col("n_union")),
+        ).alias("tier_jaccard"),
+    )
+
+
+def dedup_tier_agreement_report_sql(
+    threshold: float = 0.05, max_hamming: int = HAMMING_MAX
+) -> str:
+    from flink_streaming_etl_spark.functions import q6_sql
+
+    tj = q6_sql("CAST(n_both AS DOUBLE) / n_union")
+    return f"""
+WITH lsh AS ({minhash_lsh_pairs_sql(threshold)}),
+sh AS ({simhash_pairs_sql(max_hamming)}),
+u AS (
+  SELECT COALESCE(l.a_id, s.a_id) AS a_id,
+         COALESCE(l.b_id, s.b_id) AS b_id,
+         (l.a_id IS NOT NULL)::INT AS in_l,
+         (s.a_id IS NOT NULL)::INT AS in_s
+  FROM lsh l FULL OUTER JOIN sh s ON l.a_id = s.a_id AND l.b_id = s.b_id
+),
+tot AS (
+  SELECT CAST(SUM(in_l) AS BIGINT) AS n_lsh_pairs,
+         CAST(SUM(in_s) AS BIGINT) AS n_simhash_pairs,
+         CAST(SUM(in_l * in_s) AS BIGINT) AS n_both,
+         CAST(COUNT(*) AS BIGINT) AS n_union
+  FROM u
+)
+SELECT n_lsh_pairs, n_simhash_pairs, n_both, n_union,
+       CASE WHEN n_union > 0 THEN {tj} END AS tier_jaccard
+FROM tot
+"""

@@ -3052,3 +3052,90 @@ SELECT centroid_idx, vec_id, cosine,
        CAST(cell_size AS BIGINT) AS cell_size
 FROM ranked WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (round 10) — the data side of contrastive embedding
+# training (Karpukhin et al. 2020, DPR: in-batch + hard negatives;
+# public): for each probe query, surface corpus vectors that are CLOSE
+# but not near-duplicate — cosine inside [lo, hi) — because those are the
+# negatives that actually move a bi-encoder. Scale shape: candidate
+# generation is the SAME sign-plane bucket blocking as ann_lsh_bucketed
+# (candidates ∝ n/2^p per bucket, growth dial planes_for_corpus), the
+# band filter runs inside the bucket-local join, and the final top-k is a
+# per-query window over band-filtered candidates only — never a corpus
+# sort. Determinism: q6 cosine, neighbor-id tie-break.
+
+NEG_COS_LO = 0.2
+NEG_COS_HI = 0.9
+NEG_TOP_K = 5
+
+
+def hard_negative_mining(
+    embeddings: DataFrame,
+    k: int = NEG_TOP_K,
+    lo: float = NEG_COS_LO,
+    hi: float = NEG_COS_HI,
+    n_queries: int = N_QUERIES,
+    n_planes: int = BUCKET_DIMS,
+) -> DataFrame:
+    from flink_streaming_etl_spark.functions import q6, vec_dot, vec_norm
+
+    e = _as_double(embeddings).withColumn(
+        "bucket", _bucket_expr_spark(n_planes)
+    ).withColumn("norm", vec_norm(F.col("v")))
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        "bucket",
+    )
+    t = e.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("v").alias("tv"),
+        F.col("norm").alias("tn"),
+        "bucket",
+    )
+    cos = q6(vec_dot(F.col("qv"), F.col("tv")) / (F.col("qn") * F.col("tn")))
+    cand = (
+        q.join(t, "bucket")
+        .select("query_id", "neg_id", cos.alias("cosine"))
+        .filter((F.col("cosine") >= lo) & (F.col("cosine") < hi))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neg_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def hard_negative_mining_sql(
+    k: int = NEG_TOP_K,
+    lo: float = NEG_COS_LO,
+    hi: float = NEG_COS_HI,
+    n_queries: int = N_QUERIES,
+) -> str:
+    bucket = " || ".join(
+        f"(CASE WHEN v[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(BUCKET_DIMS)
+    )
+    cos = _COS_SQL.format(a="q.v", b="t.v")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v, bucket FROM e WHERE vec_id < {n_queries}),
+t AS (SELECT vec_id AS neg_id, v, bucket FROM e WHERE vec_id >= {n_queries}),
+cand AS (
+  SELECT q.query_id, t.neg_id, {cos} AS cosine
+  FROM q JOIN t ON q.bucket = t.bucket
+)
+SELECT query_id, neg_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neg_id) AS rank
+  FROM cand WHERE cosine >= {lo} AND cosine < {hi}
+) WHERE rank <= {k}
+"""

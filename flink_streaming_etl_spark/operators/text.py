@@ -2035,6 +2035,43 @@ def perplexity_tagged(documents: DataFrame) -> DataFrame:
     )
 
 
+def perplexity_tagged_sql() -> str:
+    """(doc_id, lang, avg_logprob, bucket) — the SQL twin of
+    :func:`perplexity_tagged`, factored out (round 10) so every consumer
+    (quality_calibration_report, quality_ensemble_report) embeds ONE
+    definition of the per-language nearest-rank tercile chain instead of
+    drifting copies (the same single-definition discipline as
+    _lm_bigram_tf2)."""
+    return f"""
+WITH scored0 AS ({unigram_logprob_score_sql()}),
+scored AS (
+  SELECT s.doc_id, d.lang, s.avg_logprob
+  FROM scored0 s JOIN documents d ON s.doc_id = d.doc_id
+),
+hist AS (
+  SELECT lang, avg_logprob, COUNT(*) AS freq FROM scored GROUP BY lang, avg_logprob
+),
+cum AS (
+  SELECT lang, avg_logprob,
+         SUM(freq) OVER (PARTITION BY lang ORDER BY avg_logprob
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumfreq,
+         SUM(freq) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+cuts AS (
+  SELECT lang,
+         MIN(CASE WHEN cumfreq >= CEIL(n / 3.0) THEN avg_logprob END) AS p33,
+         MIN(CASE WHEN cumfreq >= CEIL(n * 2.0 / 3.0) THEN avg_logprob END) AS p67
+  FROM cum GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.avg_logprob,
+       CASE WHEN s.avg_logprob <= c.p33 THEN 'tail'
+            WHEN s.avg_logprob <= c.p67 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM scored s JOIN cuts c ON s.lang = c.lang
+"""
+
+
 def perplexity_buckets(documents: DataFrame) -> DataFrame:
     """(lang, bucket, n_docs, share, mean_logprob). Mean folds exact
     integer ten-thousandths (scores are bround-4), so it is
@@ -4707,34 +4744,7 @@ def quality_calibration_report(documents: DataFrame) -> DataFrame:
 
 def quality_calibration_report_sql(dim: int = HASHED_BOW_DIM) -> str:
     return f"""
-WITH scored0 AS ({unigram_logprob_score_sql()}),
-scored AS (
-  SELECT s.doc_id, d.lang, s.avg_logprob
-  FROM scored0 s JOIN documents d ON s.doc_id = d.doc_id
-),
-hist AS (
-  SELECT lang, avg_logprob, COUNT(*) AS freq FROM scored GROUP BY lang, avg_logprob
-),
-cum AS (
-  SELECT lang, avg_logprob,
-         SUM(freq) OVER (PARTITION BY lang ORDER BY avg_logprob
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumfreq,
-         SUM(freq) OVER (PARTITION BY lang) AS n
-  FROM hist
-),
-cuts AS (
-  SELECT lang,
-         MIN(CASE WHEN cumfreq >= CEIL(n / 3.0) THEN avg_logprob END) AS p33,
-         MIN(CASE WHEN cumfreq >= CEIL(n * 2.0 / 3.0) THEN avg_logprob END) AS p67
-  FROM cum GROUP BY lang
-),
-tagged AS (
-  SELECT s.doc_id,
-         CASE WHEN s.avg_logprob <= c.p33 THEN 'tail'
-              WHEN s.avg_logprob <= c.p67 THEN 'middle'
-              ELSE 'head' END AS bucket
-  FROM scored s JOIN cuts c ON s.lang = c.lang
-),
+WITH tagged AS ({perplexity_tagged_sql()}),
 clf AS ({linear_quality_classifier_sql(dim)}),
 joined AS (
   SELECT t.bucket, c.keep,
@@ -5082,4 +5092,239 @@ SELECT doc.doc_id,
        s.ml_score,
        COALESCE(s.ml_score > 0, FALSE) AS selected
 FROM documents doc LEFT JOIN scores s ON doc.doc_id = s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Blocklist filter (round 10) — C4-style bad-word page removal (Raffel et
+# al. 2020 §2.2 drop any page containing a word from a blocklist; public).
+# Per doc: how many token occurrences hit the blocklist, how many distinct
+# blocked terms, keep = zero hits. Scale shape: the blocklist is tiny BY
+# DEFINITION (hundreds of terms), so it ships as one broadcast build side
+# against the memoized (doc_id, term, tf) relation every LM operator
+# shares — per-doc counting is a map-side-combined doc-keyed agg, the
+# corpus never reshuffles, and the totality left-join reads only doc_id.
+# Matching is exact-token (the C4 recipe), not substring: "class" does
+# not hit a blocklist entry "ass" — substring policies belong to a
+# separate normalizer stage.
+
+BLOCKLIST_DEFAULT: tuple[str, ...] = ("slow", "broken", "deadlock")
+
+
+def blocklist_filter_report(
+    documents: DataFrame, blocklist: tuple[str, ...] = BLOCKLIST_DEFAULT
+) -> DataFrame:
+    spark = documents.sparkSession
+    dtf = lm_tf_relation(_lm_tokens(documents))
+    bl = spark.createDataFrame([(t,) for t in blocklist], "term string")
+    hits = (
+        dtf.join(F.broadcast(bl), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_blocked_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_blocked_terms"),
+        )
+    )
+    return documents.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_blocked_tokens", F.lit(0)).cast("long").alias(
+            "n_blocked_tokens"
+        ),
+        F.coalesce("n_blocked_terms", F.lit(0)).cast("long").alias(
+            "n_blocked_terms"
+        ),
+        (F.coalesce("n_blocked_tokens", F.lit(0)) == 0).alias("keep"),
+    )
+
+
+def blocklist_filter_report_sql(
+    blocklist: tuple[str, ...] = BLOCKLIST_DEFAULT,
+) -> str:
+    terms = ", ".join(f"('{t}')" for t in blocklist)
+    return f"""
+WITH bl(term) AS (VALUES {terms}),
+toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS term) t
+  WHERE t.term <> ''
+),
+hits AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_blocked_tokens,
+         CAST(COUNT(DISTINCT term) AS BIGINT) AS n_blocked_terms
+  FROM toks WHERE term IN (SELECT term FROM bl)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_blocked_tokens, 0) AS BIGINT) AS n_blocked_tokens,
+       CAST(COALESCE(h.n_blocked_terms, 0) AS BIGINT) AS n_blocked_terms,
+       COALESCE(h.n_blocked_tokens, 0) = 0 AS keep
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distinct-n-gram diversity (round 10) — distinct-1 / distinct-2 ratios
+# per source (Li et al. 2016, "A Diversity-Promoting Objective Function
+# for Neural Conversation Models"; the standard templated/generated-text
+# alarm: boilerplate repeats the same n-grams, so distinct/total
+# collapses). Rides BOTH memoized LM substrates — unigrams from the
+# (source, term) relation shared with source_kl/heaps_law, bigrams from
+# the (doc, w1, w2) tf2 relation shared with the LM scorers (enriched
+# with the doc→source map, a thin two-column scan) — so no new corpus
+# tokenization. All counts are exact integers; the two ratios are
+# q6-floored for the cross-engine hash.
+
+
+def distinct_ngram_report(documents: DataFrame) -> DataFrame:
+    st = _source_term_counts(documents)
+    uni = st.groupBy("source").agg(
+        F.sum("c_st").cast("long").alias("n_unigrams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_unigrams"),
+    )
+    tf2 = _lm_bigram_tf2(documents)
+    src_map = documents.select("doc_id", "source")
+    bi = (
+        tf2.join(src_map, "doc_id")
+        .groupBy("source", "w1", "w2")
+        .agg(F.sum("tf").alias("c2"))
+        .groupBy("source")
+        .agg(
+            F.sum("c2").cast("long").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+        )
+    )
+    return uni.join(bi, "source", "left").select(
+        "source",
+        "n_unigrams",
+        "n_distinct_unigrams",
+        q6(
+            F.col("n_distinct_unigrams").cast("double") / F.col("n_unigrams")
+        ).alias("distinct_1"),
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("n_distinct_bigrams", F.lit(0)).cast("long").alias(
+            "n_distinct_bigrams"
+        ),
+        F.when(
+            F.coalesce("n_bigrams", F.lit(0)) > 0,
+            q6(
+                F.col("n_distinct_bigrams").cast("double") / F.col("n_bigrams")
+            ),
+        ).alias("distinct_2"),
+    )
+
+
+DISTINCT_NGRAM_REPORT_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, t.term
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS term) t
+  WHERE t.term <> ''
+),
+uni AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_unigrams,
+         CAST(COUNT(DISTINCT term) AS BIGINT) AS n_distinct_unigrams
+  FROM toks GROUP BY source
+),
+words AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'), t -> t <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT source, w[i] AS w1, w[i + 1] AS w2
+  FROM words, LATERAL (SELECT UNNEST(range(1, len(w))) AS i) r
+),
+bi AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(COUNT(DISTINCT (w1, w2)) AS BIGINT) AS n_distinct_bigrams
+  FROM grams GROUP BY source
+)
+SELECT u.source, u.n_unigrams, u.n_distinct_unigrams,
+       {d1} AS distinct_1,
+       CAST(COALESCE(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(b.n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams,
+       CASE WHEN COALESCE(b.n_bigrams, 0) > 0 THEN {d2} END AS distinct_2
+FROM uni u LEFT JOIN bi b ON u.source = b.source
+"""
+
+
+def distinct_ngram_report_sql() -> str:
+    from flink_streaming_etl_spark.functions import q6_sql
+
+    return DISTINCT_NGRAM_REPORT_SQL.format(
+        d1=q6_sql("u.n_distinct_unigrams::DOUBLE / u.n_unigrams"),
+        d2=q6_sql("b.n_distinct_bigrams::DOUBLE / b.n_bigrams"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-ensemble vote (round 10) — the production pattern every serious
+# curation stack converges on: no single quality signal is trusted alone;
+# documents are kept by MAJORITY VOTE of independent filters (structural
+# Gopher rules, character-entropy degeneracy, CCNet LM-perplexity
+# tercile). Each signal is an already-oracle-checked operator riding its
+# own memoized substrate; this entry pins the COMPOSITION — the three
+# doc_id equi-joins, the vote arithmetic, and the per-pattern census that
+# shows WHERE the stack disagrees (the 2-of-3 cells are the review
+# queue). Totality: docs missing a signal row (no scored chars / no
+# tokens) count that vote as keep=false.
+
+
+def quality_ensemble_report(documents: DataFrame) -> DataFrame:
+    g = gopher_quality(documents).select(
+        "doc_id", F.col("keep").cast("int").alias("v_gopher")
+    )
+    e = entropy_filter(documents).select(
+        "doc_id", (1 - F.col("is_low_entropy")).cast("int").alias("v_entropy")
+    )
+    p = perplexity_tagged(documents).select(
+        "doc_id", (F.col("bucket") != "tail").cast("int").alias("v_lm")
+    )
+    per_doc = (
+        documents.select("doc_id")
+        .join(g, "doc_id", "left")
+        .join(e, "doc_id", "left")
+        .join(p, "doc_id", "left")
+        .select(
+            F.coalesce("v_gopher", F.lit(0)).alias("v_gopher"),
+            F.coalesce("v_entropy", F.lit(0)).alias("v_entropy"),
+            F.coalesce("v_lm", F.lit(0)).alias("v_lm"),
+        )
+    )
+    votes = F.col("v_gopher") + F.col("v_entropy") + F.col("v_lm")
+    return (
+        per_doc.groupBy("v_gopher", "v_entropy", "v_lm")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(
+            "v_gopher",
+            "v_entropy",
+            "v_lm",
+            "n_docs",
+            (votes >= 2).alias("keep_majority"),
+        )
+    )
+
+
+def quality_ensemble_report_sql() -> str:
+    return f"""
+WITH g AS ({gopher_quality_sql()}),
+ef AS ({entropy_filter_sql()}),
+pt AS ({perplexity_tagged_sql()}),
+per_doc AS (
+  SELECT COALESCE(CAST(g.keep AS INT), 0) AS v_gopher,
+         COALESCE(1 - ef.is_low_entropy, 0) AS v_entropy,
+         COALESCE(CASE WHEN pt.bucket <> 'tail' THEN 1 ELSE 0 END, 0) AS v_lm
+  FROM documents d
+  LEFT JOIN g ON d.doc_id = g.doc_id
+  LEFT JOIN ef ON d.doc_id = ef.doc_id
+  LEFT JOIN pt ON d.doc_id = pt.doc_id
+)
+SELECT v_gopher, v_entropy, v_lm,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       (v_gopher + v_entropy + v_lm) >= 2 AS keep_majority
+FROM per_doc GROUP BY v_gopher, v_entropy, v_lm
 """

@@ -377,6 +377,99 @@ def test_bpe_encode_pinned_worked_example(spark):
     assert list(odf.n_bpe_tokens) == [9, 4, 0]
 
 
+# ---------------------------------------------------------------------------
+# round-10 operator wave
+
+
+def test_blocklist_filter_semantics(spark):
+    """Exact-token matching only: a doc containing 'slowly' must NOT hit
+    the 'slow' entry; hits count token occurrences and distinct terms."""
+    from flink_streaming_etl_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(0, "slow query slow join", "en", "s", 20),
+         (1, "slowly but surely", "en", "s", 17),
+         (2, "broken deadlock slow", "en", "s", 20),
+         (3, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["doc_id"]: r for r in t.blocklist_filter_report(docs).collect()}
+    assert (rows[0]["n_blocked_tokens"], rows[0]["n_blocked_terms"]) == (2, 1)
+    assert rows[0]["keep"] is False
+    assert rows[1]["n_blocked_tokens"] == 0 and rows[1]["keep"] is True
+    assert (rows[2]["n_blocked_tokens"], rows[2]["n_blocked_terms"]) == (3, 3)
+    assert rows[3]["keep"] is True
+
+
+def test_blocklist_filter_plan_broadcasts(spark):
+    from flink_streaming_etl_spark.operators import text as t
+
+    p = plan_text(t.blocklist_filter_report(_tables(spark)["documents"]))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_distinct_ngram_flags_templated_source(spark):
+    """A source that repeats one sentence must score lower distinct-2
+    than a source of distinct sentences."""
+    from flink_streaming_etl_spark.operators import text as t
+
+    rep = [(i, "the quick brown fox jumps", "en", "templ", 25) for i in range(5)]
+    div = [(10, "alpha beta gamma delta", "en", "varied", 22),
+           (11, "epsilon zeta eta theta", "en", "varied", 22),
+           (12, "iota kappa lambda mu", "en", "varied", 20)]
+    docs = spark.createDataFrame(
+        rep + div,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["source"]: r for r in t.distinct_ngram_report(docs).collect()}
+    assert rows["templ"]["distinct_2"] < rows["varied"]["distinct_2"]
+    assert rows["varied"]["distinct_1"] == 1.0  # no repeated unigrams
+
+
+def test_quality_ensemble_census_is_total(spark):
+    """The vote-pattern census partitions the corpus: n_docs sums to the
+    corpus size and keep_majority == (votes >= 2) in every cell."""
+    from flink_streaming_etl_spark.operators import text as t
+
+    docs = _tables(spark)["documents"]
+    rows = t.quality_ensemble_report(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        votes = r["v_gopher"] + r["v_entropy"] + r["v_lm"]
+        assert r["keep_majority"] == (votes >= 2), r
+
+
+def test_dedup_tier_agreement_invariants(spark):
+    """Set identities: n_both <= min(|A|, |B|) and
+    n_union = |A| + |B| - n_both; tier_jaccard consistent."""
+    from flink_streaming_etl_spark.operators import dedup as d
+
+    r = d.dedup_tier_agreement_report(_tables(spark)["documents"]).collect()[0]
+    assert r["n_both"] <= min(r["n_lsh_pairs"], r["n_simhash_pairs"])
+    assert r["n_union"] == r["n_lsh_pairs"] + r["n_simhash_pairs"] - r["n_both"]
+    if r["n_union"]:
+        assert abs(r["tier_jaccard"] - r["n_both"] / r["n_union"]) < 1e-6
+
+
+def test_hard_negative_mining_band_and_rank(spark):
+    """Negatives never include probe vectors, every cosine sits inside
+    [lo, hi), and ranks are contiguous from 1 per query."""
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    out = sim.hard_negative_mining(_tables(spark)["embeddings"]).collect()
+    assert out, "expected at least one mined negative at smoke scale"
+    by_q = {}
+    for r in out:
+        assert r["neg_id"] >= sim.N_QUERIES
+        assert sim.NEG_COS_LO <= r["cosine"] < sim.NEG_COS_HI
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
+    p = plan_text(sim.hard_negative_mining(_tables(spark)["embeddings"]))
+    assert "CartesianProduct" not in p
+
+
 def test_whitening_identity_report_scalars(spark):
     """The one-row report must agree with the element-level whitening
     relation: deviations quantize to 0.0 at 1e-3 and identity_ok holds;
