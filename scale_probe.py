@@ -163,9 +163,9 @@ PROBES = [
     "substring_dedup_cut",
     "kneser_ney_fluency",
     "kmv_distinct_report",
-    "embedding_whitening_check",
+    "whitening_identity_report",
     "quality_calibration_report",
-    "bpe_encode_report",
+    "bpe_encode_pinned",
     "substring_dup_rate_report",
     "nearest_neighbor_report",
     # round-9 additions
@@ -179,6 +179,12 @@ PROBES = [
     "diverse_sample_report",
     "fuzzy_prefix_pairs",
     "moore_lewis_selection",
+    # round-10 additions
+    "blocklist_filter_report",
+    "distinct_ngram_report",
+    "quality_ensemble_report",
+    "dedup_tier_agreement_report",
+    "hard_negative_mining",
 ]
 
 
@@ -282,6 +288,13 @@ OVERRIDES = {
 
 
 def main() -> None:
+    import sys
+
+    # optional argv filter: `python scale_probe.py name1 name2` probes only
+    # the named entries (used for the per-round delta probes; the full
+    # sweep stays the default).
+    selected = [n for n in sys.argv[1:] if n in set(PROBES)]
+    probes = selected or PROBES
     spark = get_spark("scale-probe")
     build_sf1(spark)
     qs = api.queries()
@@ -290,7 +303,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     results = {}
-    for name in PROBES:
+    for name in probes:
         row = {}
         for label, sf_dir in [("sf0.1", SRC), ("sf1", DST)]:
             fn = OVERRIDES.get((name, label), qs[name])
