@@ -2653,3 +2653,182 @@ JOIN part_counts ca ON ca.pk = p.part_a
 JOIN part_counts cb ON cb.pk = p.part_b
 CROSS JOIN totals
 """
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — the classic recency/frequency/monetary customer
+# scoring (quartile 4 = best on each axis), computed per market segment.
+# Exact across engines end to end: recency is integer days against the
+# corpus max order date (one 1-row broadcast scalar), frequency is a
+# count, monetary folds int64 cents (the pricing_summary discipline),
+# and the quartile is rank arithmetic — q = 1 + (4·(rn−1)) DIV n over a
+# deterministic (metric, custkey) ordering — never a float percentile.
+#
+# Scale: the per-customer rollup is one map-side-combined groupBy on
+# o_custkey; the segment join broadcasts nothing big (customer dim is
+# key-projected). The rank windows partition by c_mktsegment (5 values)
+# — exact quartiles per segment cost a per-segment sort, fine at bench
+# scale; the 100 TB path swaps the window for approx quartile
+# THRESHOLDS per segment (percentile_approx → 3-row broadcast per
+# segment, map-side CASE assignment) at the cost of boundary-exactness,
+# the same trade doclen_percentile_report documents.
+
+
+def rfm_segmentation(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Per-customer RFM quartile scores within market segment.
+
+    Returns (c_custkey, c_mktsegment, recency_days, frequency, monetary,
+    r_q, f_q, m_q, rfm_score); rfm_score = 100·r + 10·f + m.
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents).alias("monetary_c"),
+    )
+    anchor = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("anchor"))
+    base = (
+        per.crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("anchor", "last_date").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_c",
+        )
+        .join(
+            customer.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+    )
+    wseg = Window.partitionBy("c_mktsegment")
+    ranked = base.select(
+        "*",
+        F.row_number()
+        .over(wseg.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        .alias("rn_r"),
+        F.row_number()
+        .over(wseg.orderBy(F.asc("frequency"), F.asc("o_custkey")))
+        .alias("rn_f"),
+        F.row_number()
+        .over(wseg.orderBy(F.asc("monetary_c"), F.asc("o_custkey")))
+        .alias("rn_m"),
+        F.count(F.lit(1)).over(wseg).alias("n_seg"),
+    )
+    scored = ranked.select(
+        F.col("o_custkey").alias("c_custkey"),
+        "c_mktsegment",
+        "recency_days",
+        "frequency",
+        (F.col("monetary_c") / 100.0).alias("monetary"),
+        F.expr("4 - (4 * (rn_r - 1)) DIV n_seg").cast("int").alias("r_q"),
+        F.expr("1 + (4 * (rn_f - 1)) DIV n_seg").cast("int").alias("f_q"),
+        F.expr("1 + (4 * (rn_m - 1)) DIV n_seg").cast("int").alias("m_q"),
+    )
+    return scored.withColumn(
+        "rfm_score",
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).cast("int"),
+    )
+
+
+RFM_SEGMENTATION_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_date,
+         COUNT(*) AS frequency,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_c
+  FROM orders GROUP BY o_custkey
+),
+anchor AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+base AS (
+  SELECT p.o_custkey,
+         CAST(date_diff('day', p.last_date, a.anchor) AS BIGINT) AS recency_days,
+         p.frequency, p.monetary_c, c.c_mktsegment
+  FROM per p CROSS JOIN anchor a
+  JOIN customer c ON c.c_custkey = p.o_custkey
+),
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY c_mktsegment ORDER BY recency_days, o_custkey) AS rn_r,
+    row_number() OVER (PARTITION BY c_mktsegment ORDER BY frequency, o_custkey) AS rn_f,
+    row_number() OVER (PARTITION BY c_mktsegment ORDER BY monetary_c, o_custkey) AS rn_m,
+    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n_seg
+  FROM base
+)
+SELECT c_custkey, c_mktsegment, recency_days, frequency, monetary,
+       r_q, f_q, m_q,
+       CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS rfm_score
+FROM (
+  SELECT o_custkey AS c_custkey, c_mktsegment, recency_days, frequency,
+         monetary_c / 100.0 AS monetary,
+         CAST(4 - (4 * (rn_r - 1)) // n_seg AS INT) AS r_q,
+         CAST(1 + (4 * (rn_f - 1)) // n_seg AS INT) AS f_q,
+         CAST(1 + (4 * (rn_m - 1)) // n_seg AS INT) AS m_q
+  FROM ranked
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Burstiness report — per event type, how far the daily arrival process
+# is from Poisson (Goh & Barabási burstiness; a training-data curation
+# signal: bursty event/log sources are crawl artifacts or incidents, not
+# steady behavior, and get down-weighted in mixtures). Everything folds
+# as exact int64 (daily counts, their squares, the peak), and every
+# emitted float is ONE division of exact integers — engine-identical
+# IEEE, no rounding step needed:
+#   mean_daily = S1/n,  fano = (n·S2 − S1²)/(n·S1)   [= var/mean],
+#   peak_ratio = (peak·n)/S1                          [peak vs mean].
+# Scale: two map-side-combined groupBys (events → daily counts → per-
+# type moments); the moment relation is |types|·|days| — tiny. Bound:
+# n·S2 needs |days|·Σc² inside int64 — fine until a single type logs
+# ~10⁹ events/day for years; past that the fold widens to DECIMAL(38).
+
+
+def burstiness_report(events: DataFrame) -> DataFrame:
+    """Per-event-type daily-count dispersion: (event_type, n_days,
+    total, peak, mean_daily, fano, peak_ratio). Fano 1 ≈ Poisson,
+    >1 overdispersed/bursty."""
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.max("c").alias("peak"),
+    )
+    return per.select(
+        "event_type",
+        "n_days",
+        "total",
+        "peak",
+        (F.col("total") / F.col("n_days")).alias("mean_daily"),
+        (
+            (F.col("n_days") * F.col("s2") - F.col("total") * F.col("total"))
+            / (F.col("n_days") * F.col("total"))
+        ).alias("fano"),
+        ((F.col("peak") * F.col("n_days")) / F.col("total")).alias("peak_ratio"),
+    )
+
+
+BURSTINESS_REPORT_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+per AS (
+  SELECT event_type,
+         COUNT(*) AS n_days,
+         CAST(SUM(c) AS BIGINT) AS total,
+         CAST(SUM(c * c) AS BIGINT) AS s2,
+         MAX(c) AS peak
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, n_days, total, peak,
+       CAST(total AS DOUBLE) / n_days AS mean_daily,
+       CAST(n_days * s2 - total * total AS DOUBLE) / (n_days * total) AS fano,
+       CAST(peak * n_days AS DOUBLE) / total AS peak_ratio
+FROM per
+"""

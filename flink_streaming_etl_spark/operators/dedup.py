@@ -1655,3 +1655,58 @@ SELECT n_lsh_pairs, n_simhash_pairs, n_both, n_union,
        CASE WHEN n_union > 0 THEN {tj} END AS tier_jaccard
 FROM tot
 """
+
+
+# ---------------------------------------------------------------------------
+# SoftDeDup — down-WEIGHT near-duplicates instead of dropping them (He
+# et al. 2024 "SoftDedup"; the D4/semantic-dedup line keeps one doc per
+# cluster, but modern mixes often prefer reweighting: every member of an
+# n-doc near-dup component trains with weight 1/n, so the component as a
+# whole contributes one document's worth of gradient and no information
+# is discarded). Rides the SAME connected-component relation as
+# neardup_clusters — the pair graph is orders of magnitude smaller than
+# the corpus, and the join back to the corpus is doc_id-keyed; docs
+# outside every component keep weight 1. Weight is a single exact
+# division 1/n (one float op, engine-identical); cluster sizes and ids
+# are exact integers.
+
+
+def softdedup_weights(documents: DataFrame, threshold: float = 0.05) -> DataFrame:
+    """Per-document sampling weight 1/|near-dup component|.
+
+    Returns (doc_id, cluster_id, cluster_size, weight); singletons (docs
+    in no near-dup pair) carry cluster_id = doc_id, size 1, weight 1.0.
+    """
+    clusters = neardup_clusters(documents, threshold)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    withc = clusters.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    return (
+        documents.select("doc_id")
+        .join(withc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+        )
+        .withColumn("weight", F.lit(1.0) / F.col("cluster_size"))
+    )
+
+
+def softdedup_weights_sql(threshold: float = 0.05) -> str:
+    return f"""
+WITH clusters AS ({neardup_clusters_sql(threshold)}),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY cluster_id
+)
+SELECT d.doc_id,
+       COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(s.cluster_size, 1) AS cluster_size,
+       CAST(1.0 AS DOUBLE) / COALESCE(s.cluster_size, 1) AS weight
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN clusters cl ON cl.doc_id = d.doc_id
+LEFT JOIN sizes s ON s.cluster_id = cl.cluster_id
+"""

@@ -3139,3 +3139,107 @@ SELECT query_id, neg_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
   FROM cand WHERE cosine >= {lo} AND cosine < {hi}
 ) WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# PageRank (pinned) — damped PageRank over the k-NN graph, T power
+# iterations UNROLLED into the dataflow, all arithmetic in exact int64
+# micro-units so the result is engine-order-independent (the same
+# exact-integer-fold discipline as kmeans_update_pinned). This is the
+# graph-centrality quality signal web-corpus curation uses (Common
+# Crawl ranks hosts by centrality before sampling; a high-PR node in
+# the embedding k-NN graph is a "representative" document, a near-zero
+# one an outlier).
+#
+# Scale design: edges = n·k rows (knn_graph is bucket-blocked, never
+# all-pairs). Each iteration is ONE shuffle of the contribution
+# relation keyed by dst plus a node-keyed left join — the classic
+# unrolled power-iteration plan; nothing driver-side, no collect. The
+# iteration count is a dial (fixed T unrolls into T join+agg stages;
+# production convergence runs pick T ~ 10-20 — linear stage growth,
+# same per-stage cost). Integer micro-units: r0 = SCALE per node;
+# contribution = pr DIV out_degree (exact truncating int division);
+# r' = (SCALE - SCALE*d) + (d_num * Σcontrib) DIV d_den. All values
+# nonnegative, so DuckDB's `//` (floor) and Spark's `DIV` (trunc)
+# agree; magnitudes stay far inside int64 (Σ mass ≤ n·SCALE).
+# Dangling nodes (out-degree 0 — a singleton LSH bucket) simply leak
+# their mass, the standard simplification; they still RECEIVE rank.
+
+PR_ITERS = 2
+PR_SCALE = 1_000_000
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85
+
+
+def pagerank_pinned(
+    embeddings: DataFrame,
+    k: int = KNN_K,
+    n_planes: int = BUCKET_DIMS,
+    iters: int = PR_ITERS,
+) -> DataFrame:
+    """Exact int64 damped PageRank over the bucket-blocked k-NN graph.
+
+    Returns (vec_id, pagerank_u) where pagerank_u is the rank after
+    ``iters`` iterations in micro-units (uniform init = PR_SCALE).
+    Deterministic: integer sums are order-independent.
+    """
+    edges = memo_persist(
+        "pagerank_edges",
+        knn_graph(embeddings, k, n_planes).select(
+            F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+        ),
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    esrc = edges.join(outdeg, "src")
+    nodes = embeddings.select("vec_id")
+    base = PR_SCALE - PR_SCALE * PR_DAMP_NUM // PR_DAMP_DEN
+    ranks = nodes.select(
+        "vec_id", F.lit(PR_SCALE).cast("long").alias("pr")
+    )
+    for _ in range(iters):
+        contrib = esrc.join(ranks, esrc["src"] == ranks["vec_id"]).select(
+            F.col("dst"), F.expr("pr DIV od").alias("c")
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(incoming, nodes["vec_id"] == incoming["dst"], "left")
+            .select(
+                nodes["vec_id"],
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(s, cast(0 as bigint)))"
+                        f" DIV {PR_DAMP_DEN}"
+                    )
+                )
+                .cast("long")
+                .alias("pr"),
+            )
+        )
+    return ranks.select("vec_id", F.col("pr").alias("pagerank_u"))
+
+
+def pagerank_pinned_sql(
+    k: int = KNN_K, n_planes: int = BUCKET_DIMS, iters: int = PR_ITERS
+) -> str:
+    base = PR_SCALE - PR_SCALE * PR_DAMP_NUM // PR_DAMP_DEN
+    ctes = [
+        f"WITH knn AS ({knn_graph_sql(k, n_planes)}),",
+        "edges AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),",
+        "outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),",
+        "nodes AS (SELECT vec_id FROM embeddings),",
+        f"r0 AS (SELECT vec_id, CAST({PR_SCALE} AS BIGINT) AS pr FROM nodes),",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"c{i + 1} AS (SELECT e.dst, SUM(r.pr // o.od) AS s"
+            f" FROM edges e JOIN outdeg o USING (src)"
+            f" JOIN r{i} r ON r.vec_id = e.src GROUP BY e.dst),"
+        )
+        ctes.append(
+            f"r{i + 1} AS (SELECT n.vec_id,"
+            f" CAST({base} + ({PR_DAMP_NUM} * COALESCE(c.s, 0))"
+            f" // {PR_DAMP_DEN} AS BIGINT) AS pr"
+            f" FROM nodes n LEFT JOIN c{i + 1} c ON c.dst = n.vec_id),"
+        )
+    body = "\n".join(ctes).rstrip(",")
+    return f"{body}\nSELECT vec_id, pr AS pagerank_u FROM r{iters}\n"

@@ -485,3 +485,214 @@ def test_whitening_identity_report_scalars(spark):
     assert r["d"] == d and r["n_pairs"] == d * (d + 1) // 2 == len(rel)
     assert r["max_abs_offdiag_q3"] == 0.0 and r["max_diag_dev_q3"] == 0.0
     assert r["identity_ok"] is True
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave 2: pagerank_pinned / rfm_segmentation / softdedup_weights
+# (cross-engine value equality for all three runs in test_oracle_parity;
+# these pin the semantics on structured inputs)
+
+
+def test_pagerank_pinned_mass_and_floor(spark):
+    """Rank floor: every node receives at least the (1-d) base mass
+    (150_000 micro-units); total mass never exceeds the initial n·SCALE
+    (truncating division + dangling nodes only LEAK mass); a node with
+    incoming edges ends strictly above the floor."""
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    emb = _tables(spark)["embeddings"]
+    out = sim.pagerank_pinned(emb).collect()
+    n = emb.count()
+    assert len(out) == n
+    base = sim.PR_SCALE - sim.PR_SCALE * sim.PR_DAMP_NUM // sim.PR_DAMP_DEN
+    assert all(r["pagerank_u"] >= base for r in out)
+    assert sum(r["pagerank_u"] for r in out) <= n * sim.PR_SCALE
+    assert max(r["pagerank_u"] for r in out) > base  # graph is non-empty
+
+    # in-degree-0 nodes sit exactly on the floor
+    edges = sim.knn_graph(emb).select("neighbor_id").distinct()
+    with_in = {r["neighbor_id"] for r in edges.collect()}
+    floor_ids = {r["vec_id"] for r in out if r["pagerank_u"] == base}
+    assert floor_ids == {r["vec_id"] for r in out} - with_in
+
+
+def test_pagerank_pinned_star_graph(spark):
+    """4-node star in one LSH bucket: the hub (nearest neighbor of every
+    spoke) must out-rank every spoke after 2 iterations."""
+    import math
+
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    dim = 8
+    hub = [1.0] + [0.0] * (dim - 1)
+
+    def spoke(i):
+        v = list(hub)
+        v[1 + i] = 0.2  # same bucket (all coords >= 0), close to hub
+        return [x / math.sqrt(1 + 0.04) for x in v]
+
+    rows = [(0, hub, "a")] + [(i, spoke(i - 1), "a") for i in (1, 2, 3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    # k=1: each spoke's single nearest neighbor is the hub (cos ≈ 0.98
+    # vs spoke-spoke ≈ 0.96), so the hub collects every spoke's
+    # contribution while only spoke 1 gets the hub's single edge. An
+    # ODD iteration count (3) keeps the hub on the receiving half-phase
+    # of the hub↔spoke1 2-cycle (even T parks the slosh on the spoke —
+    # the textbook oscillation a convergence run damps out).
+    out = {r["vec_id"]: r["pagerank_u"]
+           for r in sim.pagerank_pinned(emb, k=1, iters=3).collect()}
+    assert out[0] > max(out[i] for i in (1, 2, 3))
+    assert out[2] == out[3] == 150_000  # in-degree-0 spokes sit on the floor
+
+
+def test_rfm_segmentation_quartiles(spark):
+    """Quartile scores stay in 1..4; within one segment, the customer
+    with the most orders carries f_q=4 and the biggest spender m_q=4;
+    rfm_score composes digits."""
+    t = _tables(spark)
+    from flink_streaming_etl_spark.operators import analytics as an
+
+    out = an.rfm_segmentation(t["orders"], t["customer"]).collect()
+    assert out
+    for r in out:
+        for c in ("r_q", "f_q", "m_q"):
+            assert 1 <= r[c] <= 4, (c, r)
+        assert r["rfm_score"] == r["r_q"] * 100 + r["f_q"] * 10 + r["m_q"]
+        assert r["recency_days"] >= 0
+    seg = out[0]["c_mktsegment"]
+    rows = [r for r in out if r["c_mktsegment"] == seg]
+    assert max(rows, key=lambda r: (r["frequency"], r["c_custkey"]))["f_q"] == 4
+    assert max(rows, key=lambda r: (r["monetary"], r["c_custkey"]))["m_q"] == 4
+    assert min(rows, key=lambda r: (r["recency_days"], r["c_custkey"]))["r_q"] == 4
+
+
+def test_softdedup_weights_partition_of_unity(spark):
+    """weight · cluster_size == 1 exactly per row; every doc appears
+    exactly once; summed weights count one unit per component (clustered
+    docs share their component's unit, singletons keep their own); the
+    component relation agrees with neardup_clusters."""
+    from flink_streaming_etl_spark.operators import dedup as dd
+
+    docs = _tables(spark)["documents"]
+    out = dd.softdedup_weights(docs).collect()
+    assert len(out) == docs.count()
+    assert len({r["doc_id"] for r in out}) == len(out)
+    for r in out:
+        assert r["weight"] * r["cluster_size"] == 1.0
+    n_components = len({r["cluster_id"] for r in out})
+    assert abs(sum(r["weight"] for r in out) - n_components) < 1e-9
+
+    clustered = {r["doc_id"]: r["cluster_id"] for r in dd.neardup_clusters(docs).collect()}
+    for r in out:
+        assert r["cluster_id"] == clustered.get(r["doc_id"], r["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# IncrementalTopK — Flink retractable Top-N parity (per-group ORDER BY
+# amount DESC LIMIT k over a changelog, touched-group-bounded work)
+
+
+def _topk_scenario(spark):
+    from flink_streaming_etl_spark.sources.cdc import CdcSource
+    from tests.test_cdc import ORDER_SCHEMA, env, order, raw_df
+
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+
+    def B(lines):
+        return src.parse(raw_df(spark, lines))
+
+    batches = [
+        # 1: two groups appear
+        [env("c", order("o1", "u1", 100.0, "payed"), ts=1),
+         env("c", order("o2", "u2", 80.0, "payed"), ts=2),
+         env("c", order("o3", "u3", 60.0, "payed"), ts=3),
+         env("c", order("o4", "u4", 50.0, "created"), ts=4)],
+        # 2: below-buffer insert (payed rank 4) + new top row (created)
+        [env("c", order("o5", "u5", 10.0, "payed"), ts=5),
+         env("c", order("o6", "u6", 70.0, "created"), ts=6)],
+        # 3: cross-group MOVE: o1 (payed #1) flips to created — both
+        # groups' buffers change in one envelope
+        [env("u", order("o1", "u1", 100.0, "created"),
+             before=order("o1", "u1", 100.0, "payed"), ts=7)],
+        # 4: buffer EVICTION: delete created's current #1 (o1) — the
+        # refill must come from full state, not the old buffer
+        [env("d", before=order("o1", "u1", 100.0, "created"), ts=8)],
+        # 5: value update INSIDE the buffer reorders it
+        [env("u", order("o3", "u3", 90.0, "payed"),
+             before=order("o3", "u3", 60.0, "payed"), ts=9)],
+    ]
+    return B, batches
+
+
+def _topk_rows(df):
+    return sorted(
+        tuple(r[c] for c in ("status", "rank", "id", "amount")) for r in df.collect()
+    )
+
+
+def test_incremental_topk_equals_recompute_after_every_prefix(spark):
+    from flink_streaming_etl_spark.streaming.topk import IncrementalTopK
+
+    B, batches = _topk_scenario(spark)
+    inc = IncrementalTopK(pk="id", group_cols=["status"], order_col="amount", k=2)
+    for i, lines in enumerate(batches):
+        inc.apply(B(lines), batch_id=i)
+        assert _topk_rows(inc.result()) == _topk_rows(inc.recompute()), f"batch {i}"
+    final = _topk_rows(inc.result())
+    # payed: o3 (90) then o2 (80); created: o6 (70) then o4 (50)
+    assert [(s, r, i) for s, r, i, _ in final] == [
+        ("created", 1, "o6"), ("created", 2, "o4"),
+        ("payed", 1, "o3"), ("payed", 2, "o2"),
+    ]
+
+
+def test_incremental_topk_replay_and_untouched_groups(spark):
+    from flink_streaming_etl_spark.streaming.topk import IncrementalTopK
+
+    B, batches = _topk_scenario(spark)
+    inc = IncrementalTopK(pk="id", group_cols=["status"], order_col="amount", k=2)
+    inc.apply(B(batches[0]), batch_id=0)
+    # batch 2 touches only payed+created via o5/o6; returned refresh
+    # must cover exactly the touched groups
+    refreshed = inc.apply(B(batches[1]), batch_id=1)
+    assert {r["status"] for r in refreshed.collect()} == {"payed", "created"}
+    before = _topk_rows(inc.result())
+    assert inc.apply(B(batches[1]), batch_id=1) is None  # replay no-op
+    assert _topk_rows(inc.result()) == before
+    # a batch touching ONLY 'created' leaves payed's buffer rows intact
+    from tests.test_cdc import env, order
+    inc.apply(B([env("c", order("o7", "u7", 65.0, "created"), ts=10)]), batch_id=2)
+    after = _topk_rows(inc.result())
+    assert [t for t in after if t[0] == "payed"] == [t for t in before if t[0] == "payed"]
+    assert ("created", 2, "o7", 65.0) in after
+    assert _topk_rows(inc.result()) == _topk_rows(inc.recompute())
+
+
+def test_burstiness_report_poisson_vs_bursty(spark):
+    """A perfectly uniform daily series has fano == 0 (no variance); one
+    hot day drives fano and peak_ratio up; arithmetic stays exact
+    single-division int/int."""
+    from datetime import datetime
+
+    from flink_streaming_etl_spark.operators import analytics as an
+
+    rows = []
+    eid = 0
+    for d in range(1, 11):  # uniform: 5/day for 10 days
+        for _ in range(5):
+            rows.append((eid, datetime(2024, 1, d, 12, 0), 1, "steady", 0.0, "{}"))
+            eid += 1
+    for d in range(1, 11):  # bursty: 1/day, but 41 on day 10 (total 50)
+        n = 41 if d == 10 else 1
+        for _ in range(n):
+            rows.append((eid, datetime(2024, 1, d, 12, 0), 1, "bursty", 0.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {r["event_type"]: r for r in an.burstiness_report(ev).collect()}
+    s, b = out["steady"], out["bursty"]
+    assert s["fano"] == 0.0 and s["peak_ratio"] == 1.0 and s["mean_daily"] == 5.0
+    assert b["total"] == 50 and b["peak"] == 41
+    # var = (10*1690 - 2500)/100 = 144; fano = 144/5 = 28.8; peak_ratio 8.2
+    assert b["fano"] == 28.8 and b["peak_ratio"] == 8.2
