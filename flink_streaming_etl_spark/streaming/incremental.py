@@ -119,3 +119,141 @@ class IncrementalSumCount:
 
     def result(self) -> DataFrame | None:
         return self.state
+
+
+class IncrementalDistinctCount:
+    """Exact incremental COUNT(DISTINCT value) GROUP BY key over a
+    changelog — the retraction aggregate Flink singles out as the hard
+    case (a plain count can fold ±1s; a DISTINCT count changes only when
+    a value's multiplicity crosses 0, so the operator must keep per-
+    (group, value) reference counts as state — Flink's
+    DistinctAccumulator does exactly this map).
+
+    Two-tier state, both relations keyed for cluster partitioning:
+
+    - ``ref_state`` (group, value, cnt>0): the reference counts. Per
+      batch, only the batch's own (group, value) deltas shuffle (one
+      row per touched pair after a map-side combine), then a keyed
+      outer-join merge — cost ∝ batch, never state.
+    - ``count_state`` (group, distinct_cnt): maintained from the SIGNED
+      CROSSINGS the merge emits (+1 when a pair's cnt goes 0→positive,
+      −1 when positive→0). The distinct count is a plain SUM of
+      crossings, so the second tier is an ordinary IncrementalSumCount-
+      style fold — bounded by touched pairs too.
+
+    Same delivery contract as the siblings (per-key exactly-once with
+    faithful before-images); replay-idempotent via batch ids; pinned
+    equal to a full recompute after every changelog prefix in
+    tests/test_round10.py.
+    """
+
+    def __init__(
+        self,
+        key_exprs: Callable[[Column], list[Column]],
+        value: Callable[[Column], Column],
+        predicate: Callable[[Column], Column] | None = None,
+    ):
+        self.key_exprs = key_exprs
+        self.value = value
+        self.predicate = predicate
+        #: (k0..kn, v, cnt) reference counts, cnt > 0
+        self.ref_state: DataFrame | None = None
+        #: (k0..kn, distinct_cnt), distinct_cnt > 0
+        self.count_state: DataFrame | None = None
+        self.last_batch_id: int | None = None
+
+    def apply(self, chunk: DataFrame, batch_id: int | None = None) -> DataFrame | None:
+        if batch_id is not None:
+            if self.last_batch_id is not None and batch_id <= self.last_batch_id:
+                return None
+            self.last_batch_id = int(batch_id)
+
+        img = F.col("img")
+        deltas = changelog_deltas(chunk, self.predicate)
+        keys = self.key_exprs(img)
+        key_names = [f"k{i}" for i in range(len(keys))]
+        pair_names = [*key_names, "v"]
+        batch = (
+            deltas.select(
+                *[k.alias(n) for k, n in zip(keys, key_names)],
+                self.value(img).alias("v"),
+                F.col("sign").cast("long").alias("_d"),
+            )
+            # COUNT(DISTINCT) ignores NULL values; so must the ref tier
+            .filter(F.col("v").isNotNull())
+            .groupBy(*pair_names)
+            .agg(F.sum("_d").alias("d_cnt"))
+            .filter(F.col("d_cnt") != 0)
+        )
+
+        # merge into reference counts, emitting the 0-crossings
+        if self.ref_state is None:
+            merged = batch.select(*pair_names, F.col("d_cnt").alias("cnt"))
+            old_cnt = F.lit(0)
+        else:
+            merged = (
+                self.ref_state.withColumnRenamed("cnt", "_old")
+                .join(batch, on=pair_names, how="full_outer")
+                .select(
+                    *pair_names,
+                    F.coalesce(F.col("_old"), F.lit(0)).alias("_old"),
+                    (
+                        F.coalesce(F.col("_old"), F.lit(0))
+                        + F.coalesce(F.col("d_cnt"), F.lit(0))
+                    ).alias("cnt"),
+                )
+            )
+            old_cnt = F.col("_old")
+        crossings = (
+            merged.select(
+                *key_names,
+                (
+                    F.when((old_cnt <= 0) & (F.col("cnt") > 0), 1)
+                    .when((old_cnt > 0) & (F.col("cnt") <= 0), -1)
+                    .otherwise(0)
+                ).alias("_x"),
+            )
+            .groupBy(*key_names)
+            .agg(F.sum("_x").alias("d_distinct"))
+            .filter(F.col("d_distinct") != 0)
+        )
+        self.ref_state = (
+            merged.filter(F.col("cnt") > 0)
+            .select(*pair_names, "cnt")
+            .localCheckpoint(eager=True)
+        )
+
+        # fold crossings into the per-group distinct count
+        if self.count_state is None:
+            counts = crossings.select(
+                *key_names, F.col("d_distinct").alias("distinct_cnt")
+            )
+        else:
+            counts = (
+                self.count_state.join(crossings, on=key_names, how="full_outer")
+                .select(
+                    *key_names,
+                    (
+                        F.coalesce(F.col("distinct_cnt"), F.lit(0))
+                        + F.coalesce(F.col("d_distinct"), F.lit(0))
+                    ).alias("distinct_cnt"),
+                )
+            )
+        self.count_state = (
+            counts.filter(F.col("distinct_cnt") > 0).localCheckpoint(eager=True)
+        )
+        return self.count_state
+
+    def result(self) -> DataFrame | None:
+        return self.count_state
+
+    def recompute(self) -> DataFrame | None:
+        """COUNT(DISTINCT) over the reference counts — the always-correct
+        twin for the equality pin (ref_state is itself delta-maintained,
+        so the pin also exercises the first tier)."""
+        if self.ref_state is None:
+            return None
+        key_names = [c for c in self.ref_state.columns if c.startswith("k")]
+        return self.ref_state.groupBy(*key_names).agg(
+            F.count_distinct(F.col("v")).alias("distinct_cnt")
+        )

@@ -696,3 +696,66 @@ def test_burstiness_report_poisson_vs_bursty(spark):
     assert b["total"] == 50 and b["peak"] == 41
     # var = (10*1690 - 2500)/100 = 144; fano = 144/5 = 28.8; peak_ratio 8.2
     assert b["fano"] == 28.8 and b["peak_ratio"] == 8.2
+
+
+# ---------------------------------------------------------------------------
+# IncrementalDistinctCount — Flink's retractable COUNT(DISTINCT) (per-
+# (group,value) reference counts + 0-crossing folds)
+
+
+def test_incremental_distinct_count_equals_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from flink_streaming_etl_spark.sources.cdc import CdcSource, apply_changelog
+    from flink_streaming_etl_spark.streaming.incremental import (
+        IncrementalDistinctCount,
+    )
+    from tests.test_cdc import ORDER_SCHEMA, env, order, raw_df
+
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    B = lambda lines: src.parse(raw_df(spark, lines))  # noqa: E731
+
+    batches = [
+        # status 'payed': users u1,u1,u2 → 2 distinct; 'created': u3 → 1
+        [env("c", order("o1", "u1", 10.0, "payed"), ts=1),
+         env("c", order("o2", "u1", 20.0, "payed"), ts=2),
+         env("c", order("o3", "u2", 30.0, "payed"), ts=3),
+         env("c", order("o4", "u3", 40.0, "created"), ts=4)],
+        # delete ONE of u1's payed orders: refcount 2→1, distinct stays 2
+        [env("d", before=order("o1", "u1", 10.0, "payed"), ts=5)],
+        # delete the OTHER: refcount 1→0, distinct drops to 1
+        [env("d", before=order("o2", "u1", 20.0, "payed"), ts=6)],
+        # u: o4 moves created→payed (u3 leaves created entirely — the
+        # group itself must vanish; payed gains u3 → distinct 2)
+        [env("u", order("o4", "u3", 40.0, "payed"),
+             before=order("o4", "u3", 40.0, "created"), ts=7)],
+        # same-batch churn: insert + delete of the same pair nets to 0
+        [env("c", order("o5", "u4", 5.0, "payed"), ts=8),
+         env("d", before=order("o5", "u4", 5.0, "payed"), ts=9)],
+    ]
+
+    inc = IncrementalDistinctCount(
+        key_exprs=lambda img: [img["status"]], value=lambda img: img["user_id"]
+    )
+    state = None
+    for i, lines in enumerate(batches):
+        chunk = B(lines)
+        inc.apply(chunk, batch_id=i)
+        state = apply_changelog(state, chunk, "id")
+        # pin 1: crossing-folded counts == COUNT(DISTINCT) over ref tier
+        got = sorted((r["k0"], r["distinct_cnt"]) for r in inc.result().collect())
+        tier1 = sorted(
+            (r["k0"], r["distinct_cnt"]) for r in inc.recompute().collect()
+        )
+        assert got == tier1, f"batch {i}"
+        # pin 2: both tiers == an INDEPENDENT recompute from latest state
+        truth = sorted(
+            (r["status"], r["d"])
+            for r in state.groupBy("status")
+            .agg(F.count_distinct("user_id").alias("d"))
+            .collect()
+        )
+        assert got == truth, f"batch {i}: {got} != {truth}"
+    assert got == [("payed", 2)]
+    # replay no-op
+    assert inc.apply(B(batches[-1]), batch_id=len(batches) - 1) is None
