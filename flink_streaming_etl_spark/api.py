@@ -1115,6 +1115,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(analytics.burstiness_report, "events"),
         analytics.BURSTINESS_REPORT_SQL,
     ),
+    "pca_power_pinned": (
+        # oracle-backed PCA: both engines run the IDENTICAL fixed-order
+        # power iteration on the exact covariance relation (recursive
+        # CTE vs sequential driver fold) — retires the "iterative ⇒
+        # rows-only" excuse for the PCA family
+        _q(similarity.pca_power_pinned, "embeddings"),
+        similarity.pca_power_pinned_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -1153,6 +1161,7 @@ _SAMPLE_FRONT = [
     "rfm_segmentation",
     "softdedup_weights",
     "burstiness_report",
+    "pca_power_pinned",
     # r9 additions (rows one round old)
     "ann_pq_rerank",
     "kmeans_update_pinned",
@@ -1186,7 +1195,6 @@ _SAMPLE_FRONT = [
     "contamination_check",
     "bloom_incremental_dedup",
     "cosine_topk",
-    "embedding_neardup",
 ]
 assert len(_SAMPLE_FRONT) == 50 and len(set(_SAMPLE_FRONT)) == 50
 assert all(name in REGISTRY for name in _SAMPLE_FRONT)

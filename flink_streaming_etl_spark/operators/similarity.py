@@ -3243,3 +3243,120 @@ def pagerank_pinned_sql(
         )
     body = "\n".join(ctes).rstrip(",")
     return f"{body}\nSELECT vec_id, pr AS pagerank_u FROM r{iters}\n"
+
+
+# ---------------------------------------------------------------------------
+# PCA power iteration (pinned) — the oracle-backed twin of
+# pca_top_component. The iterative family was rows-only ("not
+# SQL-expressible"); this entry retires that excuse for PCA the same way
+# kmeans_*_pinned did for Lloyd's two halves: BOTH engines run the
+# IDENTICAL fixed-order arithmetic, so the result is bit-equal without
+# needing convergence. The distributed work is embedding_covariance's
+# Gram folds (corpus-sized, memoized, already ★); everything after is
+# d²-bounded driver math — the correct split at any corpus size, since
+# the covariance relation is 2,080 rows at d=64 whether n is 5e2 or
+# 1e10. Determinism argument: the covariance values are engine-equal
+# (★embedding_covariance pins them); DuckDB's list_dot_product folds
+# left-to-right exactly like the sequential Python dot below (verified
+# bit-identical over randomized magnitude-spread trials); sqrt and
+# division are correctly-rounded IEEE; the oracle's recursive CTE runs
+# the same iteration count with the same guard. No sign convention
+# needed — identical arithmetic lands on the identical sign.
+
+PCA_POWER_ITERS = 60
+
+
+def _seq_dot(a: list, b: list) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def pca_power_pinned(
+    embeddings: DataFrame, iters: int = PCA_POWER_ITERS
+) -> DataFrame:
+    """Top principal component via ``iters`` pinned power-iteration steps
+    on the exact covariance relation. Returns one row per dimension:
+    (dim, loading, eigenvalue, explained_ratio), q6-quantized."""
+    from flink_streaming_etl_spark.functions import q6
+
+    cov_rows = embedding_covariance(embeddings).collect()  # d²-bounded
+    spark = embeddings.sparkSession
+    schema = "dim int, loading double, eigenvalue double, explained_ratio double"
+    if not cov_rows:
+        return spark.createDataFrame([], schema)
+    d = max(r["dim_j"] for r in cov_rows) + 1
+    c = [[0.0] * d for _ in range(d)]
+    for r in cov_rows:
+        c[r["dim_i"]][r["dim_j"]] = r["cov"]
+        c[r["dim_j"]][r["dim_i"]] = r["cov"]
+    v = [1.0 / math.sqrt(d)] * d
+    for _ in range(iters):
+        w = [_seq_dot(row, v) for row in c]
+        nrm = math.sqrt(_seq_dot(w, w))
+        if nrm != 0.0:  # all-zero covariance: keep the previous vector
+            v = [x / nrm for x in w]
+    lam = _seq_dot(v, [_seq_dot(row, v) for row in c])
+    trace = _seq_dot([c[i][i] for i in range(d)], [1.0] * d)
+    ratio = lam / trace if trace != 0.0 else 0.0
+    out = spark.createDataFrame(
+        [(i, v[i], lam, ratio) for i in range(d)], schema
+    )
+    return out.select(
+        "dim",
+        q6(F.col("loading")).alias("loading"),
+        q6(F.col("eigenvalue")).alias("eigenvalue"),
+        q6(F.col("explained_ratio")).alias("explained_ratio"),
+    )
+
+
+def pca_power_pinned_sql(iters: int = PCA_POWER_ITERS) -> str:
+    from flink_streaming_etl_spark.functions import q6_sql
+
+    return f"""
+WITH RECURSIVE cov AS ({embedding_covariance_sql()}),
+fullcov AS (
+  SELECT dim_i, dim_j, cov FROM cov
+  UNION ALL
+  SELECT dim_j AS dim_i, dim_i AS dim_j, cov FROM cov WHERE dim_i <> dim_j
+),
+crow AS (
+  SELECT dim_i, list(cov ORDER BY dim_j) AS row FROM fullcov GROUP BY dim_i
+),
+dd AS (SELECT COUNT(*) AS d FROM crow),
+it(n, v) AS (
+  SELECT 0, (SELECT list_transform(range(dd.d),
+                                   x -> CAST(1.0 AS DOUBLE) / sqrt(dd.d))
+             FROM dd)
+  UNION ALL
+  SELECT n + 1,
+    (WITH w AS (SELECT list(list_dot_product(c.row, it.v) ORDER BY c.dim_i)
+                AS w FROM crow c),
+          nrm AS (SELECT sqrt(list_dot_product(w.w, w.w)) AS m FROM w)
+     SELECT CASE WHEN nrm.m = 0 THEN it.v
+                 ELSE list_transform(w.w, x -> x / nrm.m) END
+     FROM w, nrm)
+  FROM it WHERE n < {iters}
+),
+vf AS (SELECT v FROM it WHERE n = {iters}),
+wf AS (
+  SELECT (SELECT list(list_dot_product(c.row, vf.v) ORDER BY c.dim_i)
+          FROM crow c) AS w
+  FROM vf
+),
+lam AS (SELECT list_dot_product(vf.v, wf.w) AS eigval FROM vf, wf),
+tr AS (
+  SELECT list_dot_product(
+           (SELECT list(cov ORDER BY dim_i) FROM cov WHERE dim_i = dim_j),
+           (SELECT list_transform(range(dd.d), x -> CAST(1.0 AS DOUBLE))
+            FROM dd)) AS total
+),
+dims AS (SELECT UNNEST(range(dd.d)) AS i FROM dd)
+SELECT CAST(dims.i AS INT) AS dim,
+       {q6_sql("vf.v[dims.i + 1]")} AS loading,
+       {q6_sql("lam.eigval")} AS eigenvalue,
+       {q6_sql("CASE WHEN tr.total = 0 THEN 0.0 ELSE lam.eigval / tr.total END")}
+         AS explained_ratio
+FROM dims, vf, lam, tr
+"""

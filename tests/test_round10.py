@@ -759,3 +759,49 @@ def test_incremental_distinct_count_equals_recompute(spark):
     assert got == [("payed", 2)]
     # replay no-op
     assert inc.apply(B(batches[-1]), batch_id=len(batches) - 1) is None
+
+
+# ---------------------------------------------------------------------------
+# pca_power_pinned — oracle-backed PCA (identical fixed-order arithmetic
+# in both engines; value parity runs in test_oracle_parity)
+
+
+def test_pca_power_pinned_invariants(spark):
+    """Unit-norm loadings (up to q6), PSD Rayleigh bounds (mean-variance
+    <= eigenvalue <= trace — the quotient is monotone non-decreasing
+    over power steps from the uniform start), ratio consistency."""
+    import numpy as np
+
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    emb = _tables(spark)["embeddings"]
+    rows = sorted(sim.pca_power_pinned(emb).collect(), key=lambda r: r["dim"])
+    v = np.array([r["loading"] for r in rows])
+    assert abs(float(v @ v) - 1.0) < 1e-4  # q6 per-coord quantization
+    lam = rows[0]["eigenvalue"]
+    ratio = rows[0]["explained_ratio"]
+    cov = sim.embedding_covariance(emb).collect()
+    trace = sum(r["cov"] for r in cov if r["dim_i"] == r["dim_j"])
+    d = max(r["dim_j"] for r in cov) + 1
+    assert trace / d - 1e-6 <= lam <= trace + 1e-6
+    assert abs(ratio - lam / trace) < 1e-4
+    # the pinned component agrees with the converged pca_top_component
+    # direction (same covariance, same start, more iterations there)
+    top = sorted(sim.pca_top_component(emb).collect(), key=lambda r: r["dim"])
+    t = np.array([r["loading"] for r in top])
+    assert abs(float(v @ t)) > 0.98
+
+
+def test_wave2_entries_survive_empty_corpus(spark, tmp_path):
+    """The empty-corpus hardening contract for every wave-2 entry (the
+    module-scoped sweep in test_empty_inputs covers them too; this keeps
+    the guarantee local to the round)."""
+    from flink_streaming_etl_spark import api
+    from flink_streaming_etl_spark.catalog import load_tables
+
+    src = load_tables(spark, SF_SMOKE, register=False)
+    for name, df in src.items():
+        df.limit(0).write.mode("overwrite").parquet(str(tmp_path / f"{name}.parquet"))
+    for name in ("pagerank_pinned", "rfm_segmentation", "softdedup_weights",
+                 "burstiness_report", "pca_power_pinned"):
+        api.queries()[name](spark, str(tmp_path)).collect()
