@@ -244,6 +244,11 @@ class IncrementalDistinctCount:
         )
         return self.count_state
 
+    def attach(self, stream: DataFrame, checkpoint_root: str | None = None, **kw):
+        """Run this accumulator over a changelog stream (see
+        attach_changelog_stream)."""
+        return attach_changelog_stream(self, stream, checkpoint_root, **kw)
+
     def result(self) -> DataFrame | None:
         return self.count_state
 
@@ -257,3 +262,20 @@ class IncrementalDistinctCount:
         return self.ref_state.groupBy(*key_names).agg(
             F.count_distinct(F.col("v")).alias("distinct_cnt")
         )
+
+
+def attach_changelog_stream(acc, stream: DataFrame, checkpoint_root: str | None = None, **start_kwargs):
+    """Wire ONE changelog stream into an accumulator exposing
+    ``apply(chunk, batch_id)`` via foreachBatch and start it
+    (availableNow). foreachBatch is at-least-once, so the accumulator's
+    own batch-id guard makes restart replays no-ops (T6) — same
+    discipline as IncrementalJoin.attach, minus the two-sided lock (one
+    stream, one writer)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        acc.apply(batch_df, batch_id=int(batch_id))
+
+    w = stream.writeStream.foreachBatch(process)
+    if checkpoint_root is not None:
+        w = w.option("checkpointLocation", checkpoint_root)
+    return w.trigger(availableNow=True).start(**start_kwargs)

@@ -105,6 +105,15 @@ class IncrementalTopK:
             self.topk = kept.unionByName(refreshed).localCheckpoint(eager=True)
         return refreshed
 
+    def attach(self, stream: DataFrame, checkpoint_root: str | None = None, **kw):
+        """Run this maintainer over a changelog stream (see
+        streaming.incremental.attach_changelog_stream)."""
+        from flink_streaming_etl_spark.streaming.incremental import (
+            attach_changelog_stream,
+        )
+
+        return attach_changelog_stream(self, stream, checkpoint_root, **kw)
+
     def result(self) -> DataFrame | None:
         return self.topk
 

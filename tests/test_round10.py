@@ -805,3 +805,58 @@ def test_wave2_entries_survive_empty_corpus(spark, tmp_path):
     for name in ("pagerank_pinned", "rfm_segmentation", "softdedup_weights",
                  "burstiness_report", "pca_power_pinned"):
         api.queries()[name](spark, str(tmp_path)).collect()
+
+
+def test_incremental_topk_and_distinct_foreachbatch_attach(spark, tmp_path):
+    """Drive both new accumulators through attach() (file-replay
+    changelog stream, availableNow) — final state equals recompute, and
+    a no-checkpoint re-attach (batch ids restart at 0) is a no-op."""
+    from pyspark.sql import functions as F
+
+    from flink_streaming_etl_spark.sources.cdc import CdcSource
+    from flink_streaming_etl_spark.streaming.incremental import (
+        IncrementalDistinctCount,
+    )
+    from flink_streaming_etl_spark.streaming.topk import IncrementalTopK
+    from tests.test_cdc import ORDER_SCHEMA, env, order
+
+    d = tmp_path / "orders"
+    d.mkdir()
+    (d / "b0.jsonl").write_text(
+        "\n".join([env("c", order("o1", "u1", 100.0, "payed"), ts=1),
+                   env("c", order("o2", "u1", 80.0, "payed"), ts=2),
+                   env("c", order("o3", "u2", 60.0, "payed"), ts=3)])
+    )
+    (d / "b1.jsonl").write_text(
+        "\n".join([env("d", before=order("o1", "u1", 100.0, "payed"), ts=4),
+                   env("c", order("o4", "u3", 50.0, "created"), ts=5)])
+    )
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+
+    topk = IncrementalTopK(pk="id", group_cols=["status"], order_col="amount", k=2)
+    topk.attach(
+        src.stream_changelog(spark, str(d)),
+        checkpoint_root=str(tmp_path / "ck_t"),
+    ).awaitTermination(120)
+    assert _topk_rows(topk.result()) == _topk_rows(topk.recompute())
+    assert [(s, r, i) for s, r, i, _ in _topk_rows(topk.result())] == [
+        ("created", 1, "o4"), ("payed", 1, "o2"), ("payed", 2, "o3"),
+    ]
+
+    dc = IncrementalDistinctCount(
+        key_exprs=lambda img: [img["status"]], value=lambda img: img["user_id"]
+    )
+    dc.attach(
+        src.stream_changelog(spark, str(d)),
+        checkpoint_root=str(tmp_path / "ck_d"),
+    ).awaitTermination(120)
+    got = sorted((r["k0"], r["distinct_cnt"]) for r in dc.result().collect())
+    assert got == [("created", 1), ("payed", 2)]
+
+    # replay with no checkpoint: batch ids restart at 0 — both guards
+    # must no-op every delivery
+    t_before = _topk_rows(topk.result())
+    topk.attach(src.stream_changelog(spark, str(d))).awaitTermination(120)
+    assert _topk_rows(topk.result()) == t_before
+    dc.attach(src.stream_changelog(spark, str(d))).awaitTermination(120)
+    assert sorted((r["k0"], r["distinct_cnt"]) for r in dc.result().collect()) == got
