@@ -185,6 +185,12 @@ PROBES = [
     "quality_ensemble_report",
     "dedup_tier_agreement_report",
     "hard_negative_mining",
+    # round-10 wave 2
+    "pagerank_pinned",
+    "rfm_segmentation",
+    "softdedup_weights",
+    "burstiness_report",
+    "pca_power_pinned",
 ]
 
 
