@@ -1123,6 +1123,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(similarity.pca_power_pinned, "embeddings"),
         similarity.pca_power_pinned_sql(),
     ),
+    "knn_outlier_report": (
+        # kNN-distance outlier scoring over the bucket-blocked knn_graph
+        # relation — the embedding-space noise detector; bucket-singletons
+        # surface as isolated instead of vanishing
+        _q(similarity.knn_outlier_report, "embeddings"),
+        similarity.knn_outlier_report_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -1162,6 +1169,7 @@ _SAMPLE_FRONT = [
     "softdedup_weights",
     "burstiness_report",
     "pca_power_pinned",
+    "knn_outlier_report",
     # r9 additions (rows one round old)
     "ann_pq_rerank",
     "kmeans_update_pinned",
@@ -1194,7 +1202,6 @@ _SAMPLE_FRONT = [
     "dedup_apply",
     "contamination_check",
     "bloom_incremental_dedup",
-    "cosine_topk",
 ]
 assert len(_SAMPLE_FRONT) == 50 and len(set(_SAMPLE_FRONT)) == 50
 assert all(name in REGISTRY for name in _SAMPLE_FRONT)

@@ -3360,3 +3360,58 @@ SELECT CAST(dims.i AS INT) AS dim,
          AS explained_ratio
 FROM dims, vf, lam, tr
 """
+
+
+# ---------------------------------------------------------------------------
+# k-NN outlier report — the embedding-space noise detector (kNN-distance
+# outlier scoring, Ramaswamy et al. 2000 posture): a vector whose k
+# nearest in-bucket neighbors are all far (low mean cosine), or that has
+# FEWER than k in-bucket candidates at all, is an isolate — OCR junk, a
+# wrong-modality embedding, or a mis-normalized batch — and gets flagged
+# before it poisons contrastive sampling or coverage-weighted mixtures.
+# Rides the SAME bucket-blocked knn_graph relation as pagerank_pinned
+# (n·k rows, never a corpus²); the report is one vec_id-keyed rollup +
+# a left join back to the corpus id set so bucket-singletons (k_found=0)
+# surface instead of vanishing. Determinism: q6 cosines in, and the
+# mean is round_even(SUM/COUNT, 4) — the house rule for small float
+# folds (sum order over ≤k values).
+
+
+def knn_outlier_report(
+    embeddings: DataFrame, k: int = KNN_K, n_planes: int = BUCKET_DIMS
+) -> DataFrame:
+    """Per-vector isolation report: (vec_id, k_found, mean_neighbor_cos,
+    isolated). ``isolated`` = fewer than k in-bucket neighbors;
+    ``mean_neighbor_cos`` NULL for bucket-singletons."""
+    g = knn_graph(embeddings, k, n_planes)
+    per = g.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("k_found"),
+        F.bround(F.sum("cosine") / F.count(F.lit(1)), 4).alias("mean_neighbor_cos"),
+    )
+    return (
+        embeddings.select("vec_id")
+        .join(per, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("k_found", F.lit(0)).cast("long").alias("k_found"),
+            "mean_neighbor_cos",
+            (F.coalesce("k_found", F.lit(0)) < k).alias("isolated"),
+        )
+    )
+
+
+def knn_outlier_report_sql(k: int = KNN_K, n_planes: int = BUCKET_DIMS) -> str:
+    return f"""
+WITH g AS ({knn_graph_sql(k, n_planes)}),
+per AS (
+  SELECT vec_id, COUNT(*) AS k_found,
+         round_even(SUM(cosine) / COUNT(*), 4) AS mean_neighbor_cos
+  FROM g GROUP BY vec_id
+)
+SELECT e.vec_id,
+       COALESCE(per.k_found, 0) AS k_found,
+       per.mean_neighbor_cos,
+       COALESCE(per.k_found, 0) < {k} AS isolated
+FROM (SELECT vec_id FROM embeddings) e
+LEFT JOIN per ON per.vec_id = e.vec_id
+"""

@@ -803,7 +803,7 @@ def test_wave2_entries_survive_empty_corpus(spark, tmp_path):
     for name, df in src.items():
         df.limit(0).write.mode("overwrite").parquet(str(tmp_path / f"{name}.parquet"))
     for name in ("pagerank_pinned", "rfm_segmentation", "softdedup_weights",
-                 "burstiness_report", "pca_power_pinned"):
+                 "burstiness_report", "pca_power_pinned", "knn_outlier_report"):
         api.queries()[name](spark, str(tmp_path)).collect()
 
 
@@ -860,3 +860,30 @@ def test_incremental_topk_and_distinct_foreachbatch_attach(spark, tmp_path):
     assert _topk_rows(topk.result()) == t_before
     dc.attach(src.stream_changelog(spark, str(d))).awaitTermination(120)
     assert sorted((r["k0"], r["distinct_cnt"]) for r in dc.result().collect()) == got
+
+
+def test_knn_outlier_report_isolates_far_vector(spark):
+    """A vector alone in its LSH bucket is isolated with NULL mean; a
+    tight clique reports high mean neighbor cosine and no flag."""
+    import math
+
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    dim = 8
+    base = [1.0] + [0.0] * (dim - 1)
+
+    def near(i):
+        v = list(base)
+        v[1 + i] = 0.1
+        return [x / math.sqrt(1.01) for x in v]
+
+    lone = [0.0] * dim
+    lone[1] = -1.0  # negative coord 2 → unique bucket
+    rows = [(0, base, "a"), (1, near(0), "a"), (2, near(1), "a"), (3, lone, "a")]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = {r["vec_id"]: r for r in sim.knn_outlier_report(emb, k=2).collect()}
+    assert out[3]["isolated"] and out[3]["k_found"] == 0
+    assert out[3]["mean_neighbor_cos"] is None
+    for i in (0, 1, 2):
+        assert not out[i]["isolated"] and out[i]["k_found"] == 2
+        assert out[i]["mean_neighbor_cos"] > 0.9
