@@ -191,6 +191,7 @@ PROBES = [
     "softdedup_weights",
     "burstiness_report",
     "pca_power_pinned",
+    "knn_outlier_report",
 ]
 
 
