@@ -96,12 +96,18 @@ class IncrementalTopK:
         )
         # Probe ONLY the touched groups' state slice. The broadcast is
         # batch-bounded (the micro-batch's own group keys), never state.
-        slice_ = self.state.join(F.broadcast(touched), self.group_cols, "semi")
+        # (Reselect the state's column order — a list-keyed join moves
+        # the join columns first, and result() must match recompute().)
+        slice_ = self.state.join(
+            F.broadcast(touched), self.group_cols, "semi"
+        ).select(*self.state.columns)
         refreshed = self._rank(slice_).localCheckpoint(eager=True)
         if self.topk is None:
             self.topk = refreshed
         else:
-            kept = self.topk.join(F.broadcast(touched), self.group_cols, "anti")
+            kept = self.topk.join(
+                F.broadcast(touched), self.group_cols, "anti"
+            ).select(*refreshed.columns)
             self.topk = kept.unionByName(refreshed).localCheckpoint(eager=True)
         return refreshed
 

@@ -119,3 +119,104 @@ def test_emit_changelog_round_trip_property(spark, events_a, events_b):
     got = {r["id"]: (r["status"], r["amount"]) for r in replayed.collect()}
     want = {r["id"]: (r["status"], r["amount"]) for r in new.collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round 10: the retractable TopK / COUNT(DISTINCT) accumulators under
+# ARBITRARY valid changelogs. Unlike apply_changelog (upsert semantics,
+# robust to malformed sequences), the signed-delta accumulators require
+# the Debezium contract: faithful before-images, c only on dead keys,
+# u/d only on live ones — so the generator tracks model state and emits
+# only valid envelopes, exercising every transition (insert, in-place
+# update, group-moving update, delete, reinsert) across arbitrary
+# chunkings.
+
+VKEYS = ["o1", "o2", "o3", "o4"]
+VUSERS = ["u1", "u2"]
+
+
+@st.composite
+def valid_changelog(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    state, events = {}, []
+    for _ in range(n):
+        live = sorted(state)
+        if live and draw(st.booleans()):
+            key = draw(st.sampled_from(live))
+            if draw(st.booleans()):  # delete
+                events.append(("d", key, state.pop(key), None))
+                continue
+            new = (
+                draw(st.sampled_from(STATUSES)),
+                draw(st.sampled_from(VUSERS)),
+                draw(st.floats(min_value=1.0, max_value=9.0, allow_nan=False)),
+            )
+            events.append(("u", key, state[key], new))
+            state[key] = new
+        else:
+            dead = [k for k in VKEYS if k not in state]
+            if not dead:
+                continue
+            key = draw(st.sampled_from(dead))
+            new = (
+                draw(st.sampled_from(STATUSES)),
+                draw(st.sampled_from(VUSERS)),
+                draw(st.floats(min_value=1.0, max_value=9.0, allow_nan=False)),
+            )
+            events.append(("c", key, None, new))
+            state[key] = new
+    return events
+
+
+def _venv(op, key, before, after, ts):
+    def row(v):
+        if v is None:
+            return None
+        status, user, amount = v
+        return {"id": key, "user_id": user, "amount": amount,
+                "status": status, "ctime": "2020-07-30 10:00:00"}
+
+    return json.dumps({"before": row(before), "after": row(after),
+                       "source": None, "op": op, "ts_ms": ts})
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(events=valid_changelog(), n_chunks=st.integers(min_value=1, max_value=2))
+def test_retractable_topk_and_distinct_equal_recompute(spark, events, n_chunks):
+    from pyspark.sql import functions as F
+
+    from flink_streaming_etl_spark.sources.cdc import apply_changelog
+    from flink_streaming_etl_spark.streaming.incremental import (
+        IncrementalDistinctCount,
+    )
+    from flink_streaming_etl_spark.streaming.topk import IncrementalTopK
+
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    lines = [_venv(op, k, b, a, ts)
+             for ts, (op, k, b, a) in enumerate(events, start=1)]
+    topk = IncrementalTopK(pk="id", group_cols=["status"], order_col="amount", k=2)
+    dc = IncrementalDistinctCount(
+        key_exprs=lambda img: [img["status"]], value=lambda img: img["user_id"]
+    )
+    state = None
+    size = max(1, len(lines) // n_chunks)
+    for bi, i in enumerate(range(0, len(lines), size)):
+        chunk = src.parse(raw_df(spark, lines[i : i + size]))
+        topk.apply(chunk, batch_id=bi)
+        dc.apply(chunk, batch_id=bi)
+        state = apply_changelog(state, chunk, "id")
+        got_t = sorted(tuple(r) for r in topk.result().collect())
+        want_t = sorted(tuple(r) for r in topk.recompute().collect())
+        assert got_t == want_t, f"topk batch {bi}"
+        got_d = sorted((r["k0"], r["distinct_cnt"]) for r in dc.result().collect())
+        want_d = sorted(
+            (r["status"], r["d"])
+            for r in state.groupBy("status")
+            .agg(F.count_distinct("user_id").alias("d"))
+            .collect()
+        )
+        assert got_d == want_d, f"distinct batch {bi}"
