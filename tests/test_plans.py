@@ -582,3 +582,32 @@ def test_kmv_and_kn_plan_shapes(spark):
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
     p = plan_of(tx.kmv_distinct_report(t["documents"]))
     assert "CartesianProduct" not in p, p
+
+
+def test_round10_wave2_plan_shapes(spark):
+    """pagerank iterates over the MEMOIZED edge relation (InMemory scans,
+    no cartesian); burstiness is two partial+final hash aggregations;
+    rfm's 1-row anchor rides a broadcast nested-loop (never a sort-merge)
+    and the outlier report stays bucket-join-shaped."""
+    from flink_streaming_etl_spark.operators import _cache, analytics, similarity
+
+    t = _tables(spark)
+    _cache.clear_operator_caches()
+    try:
+        p = plan_of(similarity.pagerank_pinned(t["embeddings"]))
+        assert "CartesianProduct" not in p, p
+        assert "InMemoryTableScan" in p, p  # both iterations ride the memo
+    finally:
+        _cache.clear_operator_caches()
+
+    p = plan_of(analytics.burstiness_report(t["events"]))
+    assert p.count("HashAggregate") >= 4, p  # 2 aggs x partial+final
+    assert "CartesianProduct" not in p, p
+    assert "props" not in p, p  # column pruning on the wide events table
+
+    p = plan_of(analytics.rfm_segmentation(t["orders"], t["customer"]))
+    assert "BroadcastNestedLoopJoin" in p, p  # the 1-row anchor scalar
+    assert "CartesianProduct" not in p, p
+
+    p = plan_of(similarity.knn_outlier_report(t["embeddings"]))
+    assert "CartesianProduct" not in p, p
