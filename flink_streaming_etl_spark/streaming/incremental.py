@@ -152,6 +152,7 @@ class IncrementalDistinctCount:
         key_exprs: Callable[[Column], list[Column]],
         value: Callable[[Column], Column],
         predicate: Callable[[Column], Column] | None = None,
+        state_dir: str | None = None,
     ):
         self.key_exprs = key_exprs
         self.value = value
@@ -161,6 +162,27 @@ class IncrementalDistinctCount:
         #: (k0..kn, distinct_cnt), distinct_cnt > 0
         self.count_state: DataFrame | None = None
         self.last_batch_id: int | None = None
+        #: durable state (see streaming/state_store.py) — required when
+        #: attach() uses a persistent checkpointLocation
+        self._store = None
+        if state_dir is not None:
+            from flink_streaming_etl_spark.streaming.state_store import (
+                AccumulatorStateStore,
+            )
+
+            self._store = AccumulatorStateStore(state_dir)
+
+    def restore(self, spark) -> bool:
+        """Load the last saved state (True if something was restored)."""
+        if self._store is None:
+            return False
+        loaded = self._store.load(spark)
+        if loaded is None:
+            return False
+        self.last_batch_id, rels = loaded
+        self.ref_state = rels.get("ref_state")
+        self.count_state = rels.get("count_state")
+        return True
 
     def apply(self, chunk: DataFrame, batch_id: int | None = None) -> DataFrame | None:
         if batch_id is not None:
@@ -242,6 +264,11 @@ class IncrementalDistinctCount:
         self.count_state = (
             counts.filter(F.col("distinct_cnt") > 0).localCheckpoint(eager=True)
         )
+        if self._store is not None and batch_id is not None:
+            self._store.save(
+                batch_id,
+                {"ref_state": self.ref_state, "count_state": self.count_state},
+            )
         return self.count_state
 
     def attach(self, stream: DataFrame, checkpoint_root: str | None = None, **kw):

@@ -55,6 +55,7 @@ class IncrementalTopK:
         group_cols: list[str],
         order_col: str,
         k: int = 3,
+        state_dir: str | None = None,
     ):
         self.pk = pk
         self.group_cols = list(group_cols)
@@ -63,6 +64,29 @@ class IncrementalTopK:
         self.state: DataFrame | None = None
         self.topk: DataFrame | None = None
         self.last_batch_id: int | None = None
+        #: durable state (see streaming/state_store.py): REQUIRED when
+        #: attach() uses a persistent checkpointLocation — a restarted
+        #: stream skips committed batches, so the accumulator must come
+        #: back with the state those batches built.
+        self._store = None
+        if state_dir is not None:
+            from flink_streaming_etl_spark.streaming.state_store import (
+                AccumulatorStateStore,
+            )
+
+            self._store = AccumulatorStateStore(state_dir)
+
+    def restore(self, spark) -> bool:
+        """Load the last saved state (True if something was restored)."""
+        if self._store is None:
+            return False
+        loaded = self._store.load(spark)
+        if loaded is None:
+            return False
+        self.last_batch_id, rels = loaded
+        self.state = rels.get("state")
+        self.topk = rels.get("topk")
+        return True
 
     # -- rank kernel (shared by the incremental path and the recompute pin)
 
@@ -109,6 +133,8 @@ class IncrementalTopK:
                 F.broadcast(touched), self.group_cols, "anti"
             ).select(*refreshed.columns)
             self.topk = kept.unionByName(refreshed).localCheckpoint(eager=True)
+        if self._store is not None and batch_id is not None:
+            self._store.save(batch_id, {"state": self.state, "topk": self.topk})
         return refreshed
 
     def attach(self, stream: DataFrame, checkpoint_root: str | None = None, **kw):

@@ -887,3 +887,71 @@ def test_knn_outlier_report_isolates_far_vector(spark):
     for i in (0, 1, 2):
         assert not out[i]["isolated"] and out[i]["k_found"] == 2
         assert out[i]["mean_neighbor_cos"] > 0.9
+
+
+def test_accumulator_state_survives_restart(spark, tmp_path):
+    """Durable-state round trip: with a PERSISTENT streaming checkpoint a
+    restarted stream skips committed batches, so the accumulator must
+    come back with the state those batches built (state_store.py). Drive
+    b0 with checkpoint+state_dir, discard the accumulator (the restart),
+    restore a fresh one from state_dir, deliver b1 through the SAME
+    checkpoint — only b1 is processed, and the result equals recompute
+    over the full changelog."""
+    from flink_streaming_etl_spark.sources.cdc import CdcSource
+    from flink_streaming_etl_spark.streaming.incremental import (
+        IncrementalDistinctCount,
+    )
+    from flink_streaming_etl_spark.streaming.topk import IncrementalTopK
+    from tests.test_cdc import ORDER_SCHEMA, env, order
+
+    d = tmp_path / "orders"
+    d.mkdir()
+    (d / "b0.jsonl").write_text(
+        "\n".join([env("c", order("o1", "u1", 100.0, "payed"), ts=1),
+                   env("c", order("o2", "u2", 80.0, "payed"), ts=2)])
+    )
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    ck = str(tmp_path / "ck")
+
+    t1 = IncrementalTopK(pk="id", group_cols=["status"], order_col="amount",
+                         k=2, state_dir=str(tmp_path / "st_t"))
+    t1.attach(src.stream_changelog(spark, str(d)), checkpoint_root=ck).awaitTermination(120)
+    d1 = IncrementalDistinctCount(
+        key_exprs=lambda img: [img["status"]], value=lambda img: img["user_id"],
+        state_dir=str(tmp_path / "st_d"),
+    )
+    ckd = str(tmp_path / "ckd")
+    d1.attach(src.stream_changelog(spark, str(d)), checkpoint_root=ckd).awaitTermination(120)
+    del t1, d1  # the restart: in-memory state gone
+
+    # new data arrives while "down"; a delete exercises retraction across
+    # the restart boundary (needs the restored ref-counts to net to 0)
+    (d / "b1.jsonl").write_text(
+        "\n".join([env("d", before=order("o1", "u1", 100.0, "payed"), ts=3),
+                   env("c", order("o3", "u3", 90.0, "created"), ts=4)])
+    )
+
+    t2 = IncrementalTopK(pk="id", group_cols=["status"], order_col="amount",
+                         k=2, state_dir=str(tmp_path / "st_t"))
+    assert t2.restore(spark)
+    assert t2.last_batch_id == 0  # b0 was committed pre-restart
+    t2.attach(src.stream_changelog(spark, str(d)), checkpoint_root=ck).awaitTermination(120)
+    assert _topk_rows(t2.result()) == _topk_rows(t2.recompute())
+    assert [(s, r, i) for s, r, i, _ in _topk_rows(t2.result())] == [
+        ("created", 1, "o3"), ("payed", 1, "o2"),
+    ]
+
+    d2 = IncrementalDistinctCount(
+        key_exprs=lambda img: [img["status"]], value=lambda img: img["user_id"],
+        state_dir=str(tmp_path / "st_d"),
+    )
+    assert d2.restore(spark)
+    d2.attach(src.stream_changelog(spark, str(d)), checkpoint_root=ckd).awaitTermination(120)
+    got = sorted((r["k0"], r["distinct_cnt"]) for r in d2.result().collect())
+    assert got == [("created", 1), ("payed", 1)]
+
+    # a fresh accumulator WITHOUT restore on the same checkpoint would
+    # have seen only b1 — the failure mode the store exists to prevent
+    t3 = IncrementalTopK(pk="id", group_cols=["status"], order_col="amount", k=2)
+    t3.attach(src.stream_changelog(spark, str(d)), checkpoint_root=ck).awaitTermination(120)
+    assert t3.result() is None or _topk_rows(t3.result()) != _topk_rows(t2.result())
