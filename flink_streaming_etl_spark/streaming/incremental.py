@@ -179,7 +179,7 @@ class IncrementalDistinctCount:
         loaded = self._store.load(spark)
         if loaded is None:
             return False
-        self.last_batch_id, rels = loaded
+        self.last_batch_id, rels, _ = loaded
         self.ref_state = rels.get("ref_state")
         self.count_state = rels.get("count_state")
         return True

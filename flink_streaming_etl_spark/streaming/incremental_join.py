@@ -63,6 +63,7 @@ class IncrementalJoin:
         right_key: str,
         left_project: dict[str, str] | None = None,
         right_project: dict[str, str] | None = None,
+        state_dir: str | None = None,
     ):
         self.left_pk = left_pk
         self.right_pk = right_pk
@@ -86,6 +87,53 @@ class IncrementalJoin:
         self.right_state: DataFrame | None = None
         self.join_state: DataFrame | None = None
         self.last_batch_id: int | None = None
+        #: durable state (streaming/state_store.py) — required when
+        #: attach() uses a persistent checkpointLocation: a restarted
+        #: stream skips committed batches, so the join must come back
+        #: with the three state tables those batches built (and the
+        #: per-side replay guards).
+        self._store = None
+        self._version = 0
+        if state_dir is not None:
+            from flink_streaming_etl_spark.streaming.state_store import (
+                AccumulatorStateStore,
+            )
+
+            self._store = AccumulatorStateStore(state_dir)
+
+    def _persist(self) -> None:
+        if self._store is None:
+            return
+        self._version += 1
+        self._store.save(
+            self._version,
+            {
+                "left_state": self.left_state,
+                "right_state": self.right_state,
+                "join_state": self.join_state,
+            },
+            extra={
+                "last_batch_id": self.last_batch_id,
+                "side_seen": getattr(self, "_side_seen", None),
+                "version": self._version,
+            },
+        )
+
+    def restore(self, spark) -> bool:
+        """Load the last saved state (True if something was restored)."""
+        if self._store is None:
+            return False
+        loaded = self._store.load(spark)
+        if loaded is None:
+            return False
+        self._version, rels, extra = loaded
+        self.left_state = rels.get("left_state")
+        self.right_state = rels.get("right_state")
+        self.join_state = rels.get("join_state")
+        self.last_batch_id = extra.get("last_batch_id")
+        if extra.get("side_seen") is not None:
+            self._side_seen = {k: int(v) for k, v in extra["side_seen"].items()}
+        return True
 
     @staticmethod
     def _proj(df: DataFrame, proj: dict[str, str] | None) -> DataFrame:
@@ -179,6 +227,7 @@ class IncrementalJoin:
         if deltas is not None:
             deltas = deltas.localCheckpoint(eager=True)
             self._fold_result(deltas)
+        self._persist()
         return deltas
 
     def _fold_result(self, deltas: DataFrame) -> None:
@@ -274,6 +323,7 @@ class IncrementalJoinAgg:
         group_cols: dict,
         amount,
         predicate=None,
+        state_dir: str | None = None,
     ):
         def as_col(c):
             return F.col(c) if isinstance(c, str) else c
@@ -283,6 +333,28 @@ class IncrementalJoinAgg:
         self.amount = as_col(amount)
         self.predicate = predicate
         self.state: DataFrame | None = None
+        #: durable AGG state; the composed restart is join.restore() +
+        #: agg.restore() (give the inner join its own state_dir)
+        self._store = None
+        self._version = 0
+        if state_dir is not None:
+            from flink_streaming_etl_spark.streaming.state_store import (
+                AccumulatorStateStore,
+            )
+
+            self._store = AccumulatorStateStore(state_dir)
+
+    def restore(self, spark) -> bool:
+        """Load the last saved agg state (True if restored). Restore the
+        inner join separately via ``self.join.restore(spark)``."""
+        if self._store is None:
+            return False
+        loaded = self._store.load(spark)
+        if loaded is None:
+            return False
+        self._version, rels, _ = loaded
+        self.state = rels.get("state")
+        return True
 
     _DEC = "decimal(18,2)"
 
@@ -332,6 +404,9 @@ class IncrementalJoinAgg:
         self.state = (
             merged.filter(F.col("cnt") > 0).localCheckpoint(eager=True)
         )
+        if self._store is not None:
+            self._version += 1
+            self._store.save(self._version, {"state": self.state})
         return self.state
 
     def result(self) -> DataFrame | None:

@@ -46,7 +46,12 @@ class AccumulatorStateStore:
     def _meta_path(self) -> str:
         return os.path.join(self.root, "meta.json")
 
-    def save(self, batch_id: int, relations: dict[str, DataFrame | None]) -> None:
+    def save(
+        self,
+        batch_id: int,
+        relations: dict[str, DataFrame | None],
+        extra: dict | None = None,
+    ) -> None:
         vdir = os.path.join(self.root, f"b{batch_id}")
         names = []
         for name, df in relations.items():
@@ -56,7 +61,11 @@ class AccumulatorStateStore:
             names.append(name)
         tmp = self._meta_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"last_batch_id": int(batch_id), "relations": names}, f)
+            json.dump(
+                {"last_batch_id": int(batch_id), "relations": names,
+                 "extra": extra or {}},
+                f,
+            )
         os.replace(tmp, self._meta_path())  # the atomic pointer flip
         # prune superseded versions (best-effort; failures leave garbage,
         # never a bad pointer)
@@ -66,8 +75,9 @@ class AccumulatorStateStore:
 
     def load(
         self, spark: SparkSession
-    ) -> tuple[int, dict[str, DataFrame]] | None:
-        """Return (last_batch_id, {name: relation}) or None if never saved."""
+    ) -> tuple[int, dict[str, DataFrame], dict] | None:
+        """Return (last_batch_id, {name: relation}, extra) or None if
+        never saved."""
         if not os.path.exists(self._meta_path()):
             return None
         with open(self._meta_path()) as f:
@@ -81,4 +91,4 @@ class AccumulatorStateStore:
             .localCheckpoint(eager=True)
             for name in meta["relations"]
         }
-        return bid, rels
+        return bid, rels, meta.get("extra", {})

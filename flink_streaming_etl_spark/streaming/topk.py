@@ -83,7 +83,7 @@ class IncrementalTopK:
         loaded = self._store.load(spark)
         if loaded is None:
             return False
-        self.last_batch_id, rels = loaded
+        self.last_batch_id, rels, _ = loaded
         self.state = rels.get("state")
         self.topk = rels.get("topk")
         return True

@@ -955,3 +955,54 @@ def test_accumulator_state_survives_restart(spark, tmp_path):
     t3 = IncrementalTopK(pk="id", group_cols=["status"], order_col="amount", k=2)
     t3.attach(src.stream_changelog(spark, str(d)), checkpoint_root=ck).awaitTermination(120)
     assert t3.result() is None or _topk_rows(t3.result()) != _topk_rows(t2.result())
+
+
+def test_incremental_join_agg_state_survives_restart(spark, tmp_path):
+    """The composed join→agg chain under a real restart: fold prefix
+    batches with state_dirs, discard both objects, restore fresh ones,
+    fold the remaining batches (including a fact-side update whose
+    retraction must hit the RESTORED join state), pin against recompute
+    and against a never-restarted run."""
+    from flink_streaming_etl_spark.streaming.incremental_join import (
+        IncrementalJoin,
+        IncrementalJoinAgg,
+    )
+    from tests.test_round9 import _join_scenario
+
+    from pyspark.sql import functions as F
+
+    def mk(state_root=None):
+        join = IncrementalJoin(
+            left_pk="id", right_pk="id", left_key="user_id", right_key="id",
+            state_dir=None if state_root is None else f"{state_root}/join",
+        )
+        agg = IncrementalJoinAgg(
+            join,
+            group_cols={"user_id": "user_id",
+                        "cday": F.substring("ctime", 1, 10)},
+            amount=F.col("amount"),
+            predicate=F.col("status") != "closed",
+            state_dir=None if state_root is None else f"{state_root}/agg",
+        )
+        return join, agg
+
+    L, R, batches = _join_scenario(spark)
+    root = str(tmp_path / "state")
+
+    _, agg1 = mk(root)
+    for i, (ll, rr) in enumerate(batches[:2]):
+        agg1.apply(L(ll), R(rr), batch_id=i)
+    del agg1  # restart: in-memory state gone
+
+    join2, agg2 = mk(root)
+    assert join2.restore(spark)
+    assert agg2.restore(spark)
+    for i, (ll, rr) in enumerate(batches[2:], start=2):
+        agg2.apply(L(ll), R(rr), batch_id=i)
+    assert _rows(agg2.result()) == _rows(agg2.recompute())
+
+    # equals the never-restarted run
+    _, agg3 = mk(None)
+    for i, (ll, rr) in enumerate(batches):
+        agg3.apply(L(ll), R(rr), batch_id=i)
+    assert _rows(agg2.result()) == _rows(agg3.result())
