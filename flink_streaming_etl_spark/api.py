@@ -1130,6 +1130,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(similarity.knn_outlier_report, "embeddings"),
         similarity.knn_outlier_report_sql(),
     ),
+    "label_centroid_confusion": (
+        # pairwise label-centroid cosines (exact integer coordinate
+        # folds, fixed-order list dots) — the label-space health check
+        _q(similarity.label_centroid_confusion, "embeddings"),
+        similarity.label_centroid_confusion_sql(),
+    ),
+    "top_event_paths": (
+        # session-opening path frequency head (gap sessions → first-5
+        # event-type paths → top-20) — the Markov matrix's full-path
+        # complement
+        _q(analytics.top_event_paths, "events"),
+        analytics.top_event_paths_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -1170,6 +1183,8 @@ _SAMPLE_FRONT = [
     "burstiness_report",
     "pca_power_pinned",
     "knn_outlier_report",
+    "label_centroid_confusion",
+    "top_event_paths",
     # r9 additions (rows one round old)
     "ann_pq_rerank",
     "kmeans_update_pinned",
@@ -1195,11 +1210,9 @@ _SAMPLE_FRONT = [
     "dedup_exact",
     "minhash_signatures",
     "minhash_lsh_pairs",
-    "simhash",
     "simhash_pairs",
     "neardup_drop_list",
     "neardup_clusters",
-    "dedup_apply",
     "contamination_check",
     "bloom_incremental_dedup",
 ]

@@ -2832,3 +2832,102 @@ SELECT event_type, n_days, total, peak,
        CAST(peak * n_days AS DOUBLE) / total AS peak_ratio
 FROM per
 """
+
+
+# ---------------------------------------------------------------------------
+# Top event paths — classic product-analytics path analysis: gap-based
+# sessions (the session_windows recipe: lag + running sum, exact in
+# both engines), each session reduced to its first ``max_steps`` event
+# types joined with '>', then the corpus-wide path frequency table,
+# top-N by (count, path). The behavioral complement of the Markov
+# transition matrix (event_transition_report gives edge probabilities;
+# this gives the actual head of the full-path distribution). Scale: one
+# user-keyed window pass (same shuffle session_windows already pays), a
+# session-keyed fold, and a path-keyed count whose relation is bounded
+# by |distinct paths| ≤ |event types|^max_steps in the worst case but
+# the head is tiny; top-N is a TakeOrderedAndProject heap, never a
+# global sort materialization. Deterministic: (ts, event_id) event
+# order, (count DESC, path) tie-break.
+
+PATH_GAP_MINUTES = 30
+PATH_MAX_STEPS = 5
+PATH_TOP_N = 20
+
+
+def top_event_paths(
+    events: DataFrame,
+    gap_minutes: int = PATH_GAP_MINUTES,
+    max_steps: int = PATH_MAX_STEPS,
+    top_n: int = PATH_TOP_N,
+) -> DataFrame:
+    """Most frequent session-opening paths: (path, n_sessions)."""
+    from pyspark.sql.window import Window as W
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    is_new = F.when(prev_us.isNull() | ((us - prev_us) > gap_us), 1).otherwise(0)
+    sess = events.withColumn(
+        "session_idx",
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    evs = (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        us.alias("us"),
+                        F.col("event_id").alias("eid"),
+                        F.col("event_type").alias("t"),
+                    )
+                )
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.slice(F.transform("evs", lambda s: s["t"]), 1, max_steps)
+            ).alias("path")
+        )
+    )
+    return (
+        evs.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(top_n)
+    )
+
+
+def top_event_paths_sql(
+    gap_minutes: int = PATH_GAP_MINUTES,
+    max_steps: int = PATH_MAX_STEPS,
+    top_n: int = PATH_TOP_N,
+) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, event_id, event_type, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+),
+paths AS (
+  SELECT array_to_string(
+           list_slice(list(event_type ORDER BY epoch_us(ts), event_id),
+                      1, {max_steps}), '>') AS path
+  FROM sessions GROUP BY user_id, session_idx
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {top_n}
+"""

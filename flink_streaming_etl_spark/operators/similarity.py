@@ -3415,3 +3415,85 @@ SELECT e.vec_id,
 FROM (SELECT vec_id FROM embeddings) e
 LEFT JOIN per ON per.vec_id = e.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid confusion — the label-space health check: per-label mean
+# embedding (exact integer folds, the kmeans_update discipline), then
+# pairwise cosines between label centroids. Two labels whose centroids
+# are near-parallel are confusable (mislabeled slices, duplicated
+# classes, or a collapsed embedding space) — checked before the labels
+# drive stratified sampling or filtered ANN. Scale: the corpus-sized
+# work is ONE map-side-combined (label, dim) integer fold (rows =
+# labels·d); the pairwise stage is labels², a driver-scale relation.
+# Determinism: quantized int64 coordinate sums are order-independent;
+# each centroid coordinate is one exact division; the cosine folds
+# fixed-order lists (vec_dot ≡ list_dot_product, bit-identical), q6 out.
+
+
+def label_centroid_confusion(embeddings: DataFrame) -> DataFrame:
+    """Pairwise label-centroid cosines: (label_a, label_b, n_a, n_b,
+    cosine), label_a < label_b, q6."""
+    from flink_streaming_etl_spark.functions import q6, vec_dot
+
+    e = embeddings.select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    xq = F.floor(F.col("x") * F.lit(COV_QUANT)).cast("long")
+    sums = (
+        e.select("label", F.posexplode("v").alias("dim", "x"))
+        .select("label", "dim", xq.alias("xq"))
+        .groupBy("label", "dim")
+        .agg(F.sum("xq").alias("sq"), F.count(F.lit(1)).alias("n"))
+    )
+    cents = (
+        sums.select(
+            "label",
+            "n",
+            F.struct(F.col("dim"), (F.col("sq") / (F.col("n") * F.lit(COV_QUANT))).alias("c")).alias("dc"),
+        )
+        .groupBy("label", "n")
+        .agg(F.transform(F.sort_array(F.collect_list("dc")), lambda s: s["c"]).alias("cv"))
+    )
+    a = cents.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"), F.col("cv").alias("va"))
+    b = cents.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"), F.col("cv").alias("vb"))
+    dot = vec_dot(F.col("va"), F.col("vb"))
+    na = F.sqrt(vec_dot(F.col("va"), F.col("va")))
+    nb = F.sqrt(vec_dot(F.col("vb"), F.col("vb")))
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a", "label_b", "n_a", "n_b",
+            q6(dot / (na * nb)).alias("cosine"),
+        )
+    )
+
+
+def label_centroid_confusion_sql() -> str:
+    from flink_streaming_etl_spark.functions import q6_sql
+
+    q = COV_QUANT
+    cos = q6_sql(
+        "list_dot_product(a.cv, b.cv) / "
+        "(sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv)))"
+    )
+    return f"""
+WITH xq AS (
+  SELECT label, i - 1 AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {q}) AS BIGINT) AS xq
+  FROM embeddings, LATERAL (
+    SELECT UNNEST(range(1, len(embedding) + 1)) AS i
+  ) r
+),
+sums AS (
+  SELECT label, dim, CAST(SUM(xq) AS BIGINT) AS sq, COUNT(*) AS n
+  FROM xq GROUP BY label, dim
+),
+cents AS (
+  SELECT label, n, list(sq::DOUBLE / (n * {q}) ORDER BY dim) AS cv
+  FROM sums GROUP BY label, n
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       a.n AS n_a, b.n AS n_b, {cos} AS cosine
+FROM cents a JOIN cents b ON a.label < b.label
+"""

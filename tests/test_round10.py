@@ -803,7 +803,8 @@ def test_wave2_entries_survive_empty_corpus(spark, tmp_path):
     for name, df in src.items():
         df.limit(0).write.mode("overwrite").parquet(str(tmp_path / f"{name}.parquet"))
     for name in ("pagerank_pinned", "rfm_segmentation", "softdedup_weights",
-                 "burstiness_report", "pca_power_pinned", "knn_outlier_report"):
+                 "burstiness_report", "pca_power_pinned", "knn_outlier_report",
+                 "label_centroid_confusion", "top_event_paths"):
         api.queries()[name](spark, str(tmp_path)).collect()
 
 
@@ -1006,3 +1007,55 @@ def test_incremental_join_agg_state_survives_restart(spark, tmp_path):
     for i, (ll, rr) in enumerate(batches):
         agg3.apply(L(ll), R(rr), batch_id=i)
     assert _rows(agg2.result()) == _rows(agg3.result())
+
+
+def test_label_centroid_confusion_semantics(spark):
+    """Two tight same-direction labels report cosine ~1; an orthogonal
+    third reports ~0; n_a/n_b count members; pairs are a < b exactly
+    once."""
+    rows = []
+    for i in range(4):   # label "a": along e0
+        v = [0.0] * 8; v[0] = 1.0; v[1] = 0.01 * i
+        rows.append((i, v, "a"))
+    for i in range(3):   # label "b": same direction as a
+        v = [0.0] * 8; v[0] = 2.0; v[2] = 0.01 * i
+        rows.append((10 + i, v, "b"))
+    for i in range(2):   # label "c": orthogonal (e3)
+        v = [0.0] * 8; v[3] = 1.0
+        rows.append((20 + i, v, "c"))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    out = {(r["label_a"], r["label_b"]): r
+           for r in sim.label_centroid_confusion(emb).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert out[("a", "b")]["n_a"] == 4 and out[("a", "b")]["n_b"] == 3
+    assert out[("a", "b")]["cosine"] > 0.99
+    assert abs(out[("a", "c")]["cosine"]) < 0.05
+    assert abs(out[("b", "c")]["cosine"]) < 0.05
+
+
+def test_top_event_paths_sessionizes_and_truncates(spark):
+    """Events 10 min apart share a session (path joins in ts order);
+    a >30-min gap splits; paths truncate at max_steps."""
+    from datetime import datetime
+
+    from flink_streaming_etl_spark.operators import analytics as an
+
+    base = datetime(2024, 3, 1, 12, 0)
+    rows = [
+        # u1 session 1: view > click > purchase (10-min spacing)
+        (1, datetime(2024, 3, 1, 12, 0), 1, "view", 0.0, "{}"),
+        (2, datetime(2024, 3, 1, 12, 10), 1, "click", 0.0, "{}"),
+        (3, datetime(2024, 3, 1, 12, 20), 1, "purchase", 0.0, "{}"),
+        # u1 session 2 (2 h later): view alone
+        (4, datetime(2024, 3, 1, 14, 30), 1, "view", 0.0, "{}"),
+        # u2: 7 rapid events → truncated to the first 5
+        *[(10 + i, datetime(2024, 3, 1, 12, i), 2, t, 0.0, "{}")
+          for i, t in enumerate(["a", "b", "c", "d", "e", "f", "g"])],
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r["path"]: r["n_sessions"] for r in an.top_event_paths(ev).collect()}
+    assert got == {"view>click>purchase": 1, "view": 1, "a>b>c>d>e": 1}
