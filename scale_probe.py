@@ -192,6 +192,8 @@ PROBES = [
     "burstiness_report",
     "pca_power_pinned",
     "knn_outlier_report",
+    "label_centroid_confusion",
+    "top_event_paths",
 ]
 
 
