@@ -391,3 +391,81 @@ def emit_changelog(
         )
         .filter(F.col("op").isNotNull())
     )
+
+
+def compact_changelog(
+    changelog: DataFrame, primary_key: list[str] | str
+) -> DataFrame:
+    """Kafka-log-compaction at the envelope level: reduce a changelog to
+    at most ONE net envelope per key, such that applying the compacted
+    log produces the same state as applying the full log (law tested
+    property-based in tests/test_cdc_properties.py).
+
+    Per key, ordered by (ts_ms, _seq): keep the FIRST op's before-image
+    B and the LAST op's after-image A, then:
+
+    - created-and-deleted within the log (first op c, last op d) → no
+      envelope at all (the net no-op compaction exists to eliminate);
+    - last op d (key predates the log) → one ``d`` with before = B;
+    - first op c → one ``c`` with after = A;
+    - otherwise → one ``u`` (B, A) — DROPPED when B ≡ A (exact null-safe
+      struct comparison, the emit_changelog discipline), since a
+      net-unchanged key needs no envelope.
+
+    Same contract as the ±delta consumers: per-key in-order envelopes
+    with faithful images. Scale: one key-partitioned window pass over
+    the log — this is what a Kafka compacted topic does to our
+    emit_changelog output, expressed as an operator so a downstream
+    consumer can be fed the compacted form directly.
+    """
+    if isinstance(primary_key, str):
+        primary_key = [primary_key]
+    log = changelog.filter(F.col("op").isin("c", "u", "d", "r"))
+    if "_seq" not in log.columns:
+        log = log.withColumn("_seq", F.monotonically_increasing_id())
+    key = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
+    keyed = log.select(
+        *[key.getField(k).alias(f"_k{i}") for i, k in enumerate(primary_key)],
+        "before", "after", "op", "ts_ms", "_seq",
+    )
+    knames = [f"_k{i}" for i in range(len(primary_key))]
+    w = Window.partitionBy(*knames).orderBy("ts_ms", "_seq")
+    wdesc = Window.partitionBy(*knames).orderBy(F.col("ts_ms").desc(), F.col("_seq").desc())
+    ranked = keyed.select(
+        *knames, "before", "after", "op", "ts_ms",
+        F.row_number().over(w).alias("_rn_first"),
+        F.row_number().over(wdesc).alias("_rn_last"),
+    )
+    first = ranked.filter(F.col("_rn_first") == 1).select(
+        *knames,
+        F.col("before").alias("_b"),
+        F.col("op").alias("_op_first"),
+    )
+    last = ranked.filter(F.col("_rn_last") == 1).select(
+        *knames,
+        F.col("after").alias("_a"),
+        F.col("op").alias("_op_last"),
+        F.col("ts_ms").alias("_ts"),
+    )
+    net = first.join(last, knames)
+    created = F.col("_op_first") == "c"
+    deleted = F.col("_op_last") == "d"
+    op = (
+        F.when(created & deleted, F.lit(None).cast("string"))
+        .when(deleted, F.lit("d"))
+        .when(created, F.lit("c"))
+        .when(F.col("_b").eqNullSafe(F.col("_a")), F.lit(None).cast("string"))
+        .otherwise(F.lit("u"))
+    )
+    # c → (None, A); d → (B, None); u → (B, A)
+    out = (
+        net.withColumn("_op", op)
+        .filter(F.col("_op").isNotNull())
+        .select(
+            F.when(F.col("_op") == "c", F.lit(None)).otherwise(F.col("_b")).alias("before"),
+            F.when(F.col("_op") == "d", F.lit(None)).otherwise(F.col("_a")).alias("after"),
+            F.col("_op").alias("op"),
+            F.col("_ts").alias("ts_ms"),
+        )
+    )
+    return out

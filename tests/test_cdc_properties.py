@@ -220,3 +220,92 @@ def test_retractable_topk_and_distinct_equal_recompute(spark, events, n_chunks):
             .collect()
         )
         assert got_d == want_d, f"distinct batch {bi}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(events=valid_changelog())
+def test_compact_changelog_law(spark, events):
+    """Compaction law: applying the compacted log from empty equals
+    applying the full log; the compacted log carries at most one
+    envelope per key, and net no-op keys (created-and-deleted, or
+    net-unchanged updates) vanish entirely."""
+    from flink_streaming_etl_spark.sources.cdc import (
+        CdcSource,
+        apply_changelog,
+        compact_changelog,
+    )
+
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    lines = [_venv(op, k, b, a, ts)
+             for ts, (op, k, b, a) in enumerate(events, start=1)]
+    log = src.parse(raw_df(spark, lines))
+    compacted = compact_changelog(log, "id")
+
+    def rows(state):
+        if state is None:
+            return []
+        return sorted(tuple(r) for r in state.collect())
+
+    full = apply_changelog(None, log, "id")
+    via_compact = apply_changelog(None, compacted, "id")
+    assert rows(full) == rows(via_compact)
+
+    envs = compacted.collect()
+    keys = [(r["before"] or r["after"])["id"] for r in envs]
+    assert len(keys) == len(set(keys))  # ≤ 1 envelope per key
+    # live keys appear as c (log starts from empty); dead keys vanish
+    live = {r["id"] for r in full.collect()}
+    assert {k for k in keys} <= live | set()
+    for r in envs:
+        assert r["op"] in ("c", "u", "d")
+
+
+def test_compact_changelog_midstream_branches(spark):
+    """Branches the from-empty generator can't reach: a log whose first
+    per-key op is u or d (key predates the log), plus a net-unchanged
+    update pair that must vanish."""
+    from flink_streaming_etl_spark.sources.cdc import (
+        CdcSource,
+        apply_changelog,
+        compact_changelog,
+    )
+
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    A = ("payed", "u1", 5.0)
+    B = ("payed", "u1", 7.0)
+    lines = [
+        # o1: u then u → one net u (first before, last after)
+        _venv("u", "o1", A, B, 1),
+        _venv("u", "o1", B, ("closed", "u1", 7.0), 2),
+        # o2: u then back → net-unchanged, must vanish
+        _venv("u", "o2", A, B, 3),
+        _venv("u", "o2", B, A, 4),
+        # o3: straight delete of a pre-log key
+        _venv("d", "o3", A, None, 5),
+        # o4: u then d → one net d carrying the FIRST before-image
+        _venv("u", "o4", A, B, 6),
+        _venv("d", "o4", B, None, 7),
+    ]
+    log = src.parse(raw_df(spark, lines))
+    envs = {(r["before"] or r["after"])["id"]: r
+            for r in compact_changelog(log, "id").collect()}
+    assert set(envs) == {"o1", "o3", "o4"}  # o2 vanished
+    assert envs["o1"]["op"] == "u"
+    assert envs["o1"]["before"]["amount"] == 5.0  # first B
+    assert envs["o1"]["after"]["status"] == "closed"  # last A
+    assert envs["o3"]["op"] == "d" and envs["o3"]["after"] is None
+    assert envs["o4"]["op"] == "d"
+    assert envs["o4"]["before"]["amount"] == 5.0  # first B, not the mid image
+
+    # the law against a consistent PRIOR state (keys predate the log)
+    prior_lines = [_venv("c", k, None, A, 0) for k in ("o1", "o2", "o3", "o4")]
+    prior = apply_changelog(None, src.parse(raw_df(spark, prior_lines)), "id")
+    full = apply_changelog(prior, log, "id")
+    via = apply_changelog(prior, compact_changelog(log, "id"), "id")
+    assert sorted(tuple(r) for r in full.collect()) == sorted(
+        tuple(r) for r in via.collect()
+    )
