@@ -1143,6 +1143,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(analytics.top_event_paths, "events"),
         analytics.top_event_paths_sql(),
     ),
+    "ann_graph_expand": (
+        # graph-expanded ANN: bucket candidates ∪ one-hop knn-graph
+        # neighbors, exact rerank — recall dominates the plain bucket
+        # tier by construction (candidate superset)
+        _q(similarity.ann_graph_expand, "embeddings"),
+        similarity.ann_graph_expand_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -1185,6 +1192,7 @@ _SAMPLE_FRONT = [
     "knn_outlier_report",
     "label_centroid_confusion",
     "top_event_paths",
+    "ann_graph_expand",
     # r9 additions (rows one round old)
     "ann_pq_rerank",
     "kmeans_update_pinned",
@@ -1208,7 +1216,6 @@ _SAMPLE_FRONT = [
     "sql_pricing_summary",
     "scalar_battery",
     "dedup_exact",
-    "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "neardup_drop_list",

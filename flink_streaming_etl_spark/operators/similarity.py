@@ -3497,3 +3497,138 @@ SELECT a.label AS label_a, b.label AS label_b,
        a.n AS n_a, b.n AS n_b, {cos} AS cosine
 FROM cents a JOIN cents b ON a.label < b.label
 """
+
+
+# ---------------------------------------------------------------------------
+# Graph-expanded ANN — the graph-based retrieval augmentation (the idea
+# behind HNSW/NSG neighborhoods, in its one-hop distributed form):
+# sign-bucket candidates miss true neighbors that fall across an orthant
+# boundary; expanding each bucket candidate through neighbor-graph edges
+# pulls in the neighbors-of-candidates, and an exact full-precision
+# rerank keeps top-k. CRITICAL DESIGN POINT: the expansion graph must be
+# built at COARSER buckets than the query tier (graph_planes =
+# n_planes − 3 here), otherwise every edge stays inside the query's own
+# fine bucket and the expansion is a no-op — a coarse-graph edge is
+# exactly what carries a candidate across a fine-bucket boundary.
+# Recall then dominates the plain bucket tier (candidate superset by
+# construction) and genuinely adds cross-bucket true neighbors (both
+# pinned in tests). Scale: candidates per query = fine-bucket population
+# + k·that, never corpus²; the coarse graph is n·k rows, bucket-blocked
+# at 2^graph_planes orthants. Deterministic: q6, (cosine DESC, id) ties.
+
+
+def ann_graph_expand(
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_planes: int = BUCKET_DIMS,
+    graph_k: int = KNN_K,
+    graph_planes: int | None = None,
+) -> DataFrame:
+    """Top-k per query over bucket candidates ∪ their one-hop knn_graph
+    neighbors, exact-cosine reranked: (query_id, neighbor_id, cosine,
+    rank)."""
+    from pyspark.sql.window import Window
+
+    from flink_streaming_etl_spark.functions import q6, vec_dot
+
+    e = (
+        _as_double(embeddings)
+        .withColumn("bucket", _bucket_expr_spark(n_planes))
+        .withColumn("norm", vec_norm_col())
+    )
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        "bucket",
+    )
+    # stage 1: same-bucket candidates
+    cand0 = q.join(
+        e.select(F.col("vec_id").alias("cand_id"), "bucket"), ["bucket"]
+    ).select("query_id", "cand_id")
+    # stage 2: one-hop expansion through the COARSE-bucket knn graph
+    if graph_planes is None:
+        graph_planes = max(1, n_planes - 3)
+    edges = memo_persist(
+        "graph_expand_edges",
+        knn_graph(embeddings, graph_k, graph_planes).select(
+            F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+        ),
+    )
+    expanded = cand0.join(edges, cand0["cand_id"] == edges["src"]).select(
+        "query_id", F.col("dst").alias("cand_id")
+    )
+    cands = cand0.unionByName(expanded).distinct()
+    # exact rerank
+    scored = (
+        cands.filter(F.col("cand_id") != F.col("query_id"))
+        .join(q.select("query_id", "qv", "qn"), "query_id")
+        .join(
+            e.select(
+                F.col("vec_id").alias("cand_id"),
+                F.col("v").alias("cv"),
+                F.col("norm").alias("cn"),
+            ),
+            "cand_id",
+        )
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neighbor_id"),
+            q6(vec_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ann_graph_expand_sql(
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    n_planes: int = BUCKET_DIMS,
+    graph_k: int = KNN_K,
+    graph_planes: int | None = None,
+) -> str:
+    if graph_planes is None:
+        graph_planes = max(1, n_planes - 3)
+    bucket = " || ".join(
+        f"(CASE WHEN v[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(n_planes)
+    )
+    cos = _COS_SQL.format(a="q.qv", b="c.v")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {bucket} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < {n_queries}),
+knn AS ({knn_graph_sql(graph_k, graph_planes)}),
+edges AS (SELECT vec_id AS src, neighbor_id AS dst FROM knn),
+cand0 AS (
+  SELECT q.query_id, e.vec_id AS cand_id FROM q JOIN e ON e.bucket = q.bucket
+),
+cands AS (
+  SELECT DISTINCT query_id, cand_id FROM (
+    SELECT query_id, cand_id FROM cand0
+    UNION ALL
+    SELECT c.query_id, ed.dst AS cand_id FROM cand0 c JOIN edges ed ON ed.src = c.cand_id
+  )
+),
+scored AS (
+  SELECT cd.query_id, cd.cand_id AS neighbor_id, {cos} AS cosine
+  FROM cands cd
+  JOIN q ON q.query_id = cd.query_id
+  JOIN e c ON c.vec_id = cd.cand_id
+  WHERE cd.cand_id <> cd.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
