@@ -194,6 +194,7 @@ PROBES = [
     "knn_outlier_report",
     "label_centroid_confusion",
     "top_event_paths",
+    "ann_graph_expand",
 ]
 
 
