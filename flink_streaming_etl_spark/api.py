@@ -1150,6 +1150,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(similarity.ann_graph_expand, "embeddings"),
         similarity.ann_graph_expand_sql(),
     ),
+    "graph_clustering_report": (
+        # exact per-node triangles + local clustering coefficient over
+        # the knn graph (a<b<c oriented join, integer counts) — tight
+        # near-dup cliques vs hub/noise structure
+        _q(similarity.graph_clustering_report, "embeddings"),
+        similarity.graph_clustering_report_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -1193,6 +1200,7 @@ _SAMPLE_FRONT = [
     "label_centroid_confusion",
     "top_event_paths",
     "ann_graph_expand",
+    "graph_clustering_report",
     # r9 additions (rows one round old)
     "ann_pq_rerank",
     "kmeans_update_pinned",
@@ -1215,7 +1223,6 @@ _SAMPLE_FRONT = [
     "pricing_summary",
     "sql_pricing_summary",
     "scalar_battery",
-    "dedup_exact",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "neardup_drop_list",

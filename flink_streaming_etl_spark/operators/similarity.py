@@ -3632,3 +3632,102 @@ SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Graph clustering report — exact per-node triangle counts and local
+# clustering coefficients over the (undirected) k-NN graph: the standard
+# graph-structure health check for embedding spaces (high coefficient =
+# tight near-dup cliques SemDeDup should fold; near-zero with high
+# degree = hub/noise vectors — complements pagerank and knn_outlier on
+# the SAME edge substrate). Exact arithmetic end to end: triangles are
+# counted once under the a<b<c orientation (two edge joins closing a
+# wedge — candidate volume Σ deg², bounded since the knn graph is
+# ≤k-out-regular per bucket), degrees/wedges are integer counts, and
+# the coefficient is one int/int division. Never corpus²; the edge list
+# is the memoized expansion substrate.
+
+
+def graph_clustering_report(
+    embeddings: DataFrame, k: int = KNN_K, n_planes: int = BUCKET_DIMS
+) -> DataFrame:
+    """Per-node (node_id, degree, wedges, triangles, clustering_coeff)
+    over the symmetrized knn graph; coefficient NULL for degree < 2."""
+    g = knn_graph(embeddings, k, n_planes).select(
+        F.col("vec_id").alias("u"), F.col("neighbor_id").alias("v")
+    )
+    und = (
+        g.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node_id"))
+        .unionAll(und.select(F.col("b").alias("node_id")))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tris = (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])  # closing edge: triangle x<y<z counted once
+        .select("x", "y", "z")
+    )
+    per_node = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node_id"))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node_id", "left")
+        .select(
+            "node_id",
+            "degree",
+            (F.col("degree") * (F.col("degree") - 1) / 2).cast("long").alias("wedges"),
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.coalesce("triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1) / 2),
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+def graph_clustering_report_sql(
+    k: int = KNN_K, n_planes: int = BUCKET_DIMS
+) -> str:
+    return f"""
+WITH knn AS ({knn_graph_sql(k, n_planes)}),
+und AS (
+  SELECT DISTINCT LEAST(vec_id, neighbor_id) AS a,
+                  GREATEST(vec_id, neighbor_id) AS b
+  FROM knn
+),
+deg AS (
+  SELECT node_id, COUNT(*) AS degree FROM (
+    SELECT a AS node_id FROM und UNION ALL SELECT b AS node_id FROM und
+  ) GROUP BY node_id
+),
+tris AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_node AS (
+  SELECT node_id, COUNT(*) AS triangles FROM (
+    SELECT x AS node_id FROM tris
+    UNION ALL SELECT y FROM tris
+    UNION ALL SELECT z FROM tris
+  ) GROUP BY node_id
+)
+SELECT d.node_id, d.degree,
+       CAST(d.degree * (d.degree - 1) / 2 AS BIGINT) AS wedges,
+       CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.degree >= 2
+            THEN COALESCE(p.triangles, 0) / (d.degree * (d.degree - 1) / 2.0)
+       END AS clustering_coeff
+FROM deg d LEFT JOIN per_node p ON p.node_id = d.node_id
+"""

@@ -805,7 +805,7 @@ def test_wave2_entries_survive_empty_corpus(spark, tmp_path):
     for name in ("pagerank_pinned", "rfm_segmentation", "softdedup_weights",
                  "burstiness_report", "pca_power_pinned", "knn_outlier_report",
                  "label_centroid_confusion", "top_event_paths",
-                 "ann_graph_expand"):
+                 "ann_graph_expand", "graph_clustering_report"):
         api.queries()[name](spark, str(tmp_path)).collect()
 
 
@@ -1093,3 +1093,35 @@ def test_ann_graph_expand_recall_dominates_bucket_tier(spark):
         for q, t in truth.items()
     )
     assert gained > 0, "expansion never added a true neighbor"
+
+
+def test_graph_clustering_report_on_known_graph(spark):
+    """A 4-clique in one orthant: every node has degree 3, wedges 3,
+    triangles C(3,2)=3, coefficient 1.0; an isolated pair has degree 1
+    and NULL coefficient."""
+    import math
+
+    dim = 8
+
+    def vec(i, eps):
+        v = [1.0] + [0.0] * (dim - 1)
+        v[1 + i] = eps
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = [(i, vec(i, 0.1), "a") for i in range(4)]  # clique bucket
+    lone = [0.0] * dim
+    lone[1] = -1.0
+    lone2 = list(lone); lone2[2] = 0.1
+    rows += [(10, lone, "b"), (11, lone2, "b")]  # a far 2-node bucket
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    from flink_streaming_etl_spark.operators import similarity as sim
+
+    out = {r["node_id"]: r for r in sim.graph_clustering_report(emb, k=3).collect()}
+    for i in range(4):
+        r = out[i]
+        assert (r["degree"], r["wedges"], r["triangles"]) == (3, 3, 3)
+        assert r["clustering_coeff"] == 1.0
+    for i in (10, 11):
+        assert out[i]["degree"] == 1 and out[i]["triangles"] == 0
+        assert out[i]["clustering_coeff"] is None
