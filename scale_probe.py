@@ -195,6 +195,7 @@ PROBES = [
     "label_centroid_confusion",
     "top_event_paths",
     "ann_graph_expand",
+    "graph_clustering_report",
 ]
 
 
