@@ -1125,3 +1125,64 @@ def test_graph_clustering_report_on_known_graph(spark):
     for i in (10, 11):
         assert out[i]["degree"] == 1 and out[i]["triangles"] == 0
         assert out[i]["clustering_coeff"] is None
+
+
+def test_event_path_accumulator_equals_batch(spark):
+    """EventPathAccumulator over ANY batch-monotone split of the events
+    table equals the batch operator's full path frequencies — including
+    sessions that span batch boundaries (stitching) and the trailing
+    open sessions."""
+    from flink_streaming_etl_spark.operators import analytics as an
+    from flink_streaming_etl_spark.streaming.paths import EventPathAccumulator
+
+    ev = _tables(spark)["events"]
+    # batch operator, un-limited head = ground truth
+    want = sorted(
+        (r["path"], r["n_sessions"])
+        for r in an.top_event_paths(ev, top_n=10**9).collect()
+    )
+
+    # batch-monotone split: thirds by event time
+    ordered = ev.orderBy("ts", "event_id").collect()
+    n = len(ordered)
+    cuts = [ordered[: n // 3], ordered[n // 3 : 2 * n // 3], ordered[2 * n // 3 :]]
+    acc = EventPathAccumulator()
+    for i, rows in enumerate(cuts):
+        batch = spark.createDataFrame(rows, ev.schema)
+        acc.add_batch(batch, batch_id=i)
+    got = sorted(tuple(r) for r in acc.result(spark).collect())
+    assert got == want
+
+    # replay no-op
+    acc.add_batch(spark.createDataFrame(cuts[-1], ev.schema), batch_id=2)
+    assert sorted(tuple(r) for r in acc.result(spark).collect()) == want
+
+
+def test_event_path_accumulator_stitch_and_retention(spark):
+    """A session spanning the batch boundary stitches into one path; an
+    idle user's open session is CLOSED (not dropped) by retention."""
+    from datetime import datetime
+
+    from flink_streaming_etl_spark.streaming.paths import EventPathAccumulator
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    b0 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 12, 0), 1, "view", 0.0, "{}"),
+         (2, datetime(2024, 1, 1, 12, 10), 1, "click", 0.0, "{}")], schema)
+    # 12:25 is within the 30-min gap of 12:10 → same session
+    b1 = spark.createDataFrame(
+        [(3, datetime(2024, 1, 1, 12, 25), 1, "purchase", 0.0, "{}")], schema)
+    acc = EventPathAccumulator(retention_batches=2)
+    acc.add_batch(b0, batch_id=0)
+    acc.add_batch(b1, batch_id=1)
+    got = {r["path"]: r["n_sessions"] for r in acc.result(spark).collect()}
+    assert got == {"view>click>purchase": 1}
+
+    # two idle batches later the open session closes into the counts
+    empty = spark.createDataFrame([], schema)
+    acc.add_batch(empty, batch_id=2)
+    acc.add_batch(empty, batch_id=3)
+    assert acc.open == {}
+    closed = {r["path"]: r["n_sessions"]
+              for r in acc.result(spark, include_open=False).collect()}
+    assert closed == {"view>click>purchase": 1}
