@@ -1157,6 +1157,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(similarity.graph_clustering_report, "embeddings"),
         similarity.graph_clustering_report_sql(),
     ),
+    "data_quality_report": (
+        # Deequ-style declarative constraint battery: completeness, key
+        # uniqueness, domain, range, referential integrity — one scan +
+        # one key anti-join, exact counts
+        _q(analytics.data_quality_report, "orders", "customer"),
+        analytics.DATA_QUALITY_REPORT_SQL,
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -1201,6 +1208,7 @@ _SAMPLE_FRONT = [
     "top_event_paths",
     "ann_graph_expand",
     "graph_clustering_report",
+    "data_quality_report",
     # r9 additions (rows one round old)
     "ann_pq_rerank",
     "kmeans_update_pinned",
@@ -1225,7 +1233,6 @@ _SAMPLE_FRONT = [
     "scalar_battery",
     "minhash_lsh_pairs",
     "simhash_pairs",
-    "neardup_drop_list",
     "neardup_clusters",
     "contamination_check",
     "bloom_incremental_dedup",

@@ -2931,3 +2931,91 @@ FROM paths GROUP BY path
 ORDER BY n_sessions DESC, path
 LIMIT {top_n}
 """
+
+
+# ---------------------------------------------------------------------------
+# Data-quality report — the Deequ/Great-Expectations-style declarative
+# constraint check, the gate every production ingest runs before data
+# reaches training or BI: per-column completeness, key uniqueness,
+# domain membership, range sanity, and cross-table referential
+# integrity, each reported as (check_name, n_checked, n_violations, passed).
+# All counts are exact integers folded map-side; the referential check
+# is one left-anti join on the key (broadcast when the dimension is
+# small, AQE otherwise) — nothing here is corpus²; a 100 TB ingest pays
+# one scan + one key join for the whole battery (the single-pass
+# aggregations share the same scan via one agg projection).
+
+DQ_ALLOWED_STATUS = ("O", "F", "P")
+
+
+def data_quality_report(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Constraint battery over orders (+customer for referential
+    integrity): (check_name, n_checked, n_violations, passed)."""
+    n = F.count(F.lit(1))
+    one_pass = orders.agg(
+        n.alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("v_custkey_null"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("v_price_nonpos"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1992-01-01"))
+                | (F.col("o_orderdate") >= F.lit("2005-01-01")),
+                1,
+            ).otherwise(0)
+        ).alias("v_date_range"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin(*DQ_ALLOWED_STATUS), 1).otherwise(0)
+        ).alias("v_status_domain"),
+        (n - F.count_distinct(F.col("o_orderkey"))).alias("v_key_dup"),
+    ).first()
+    orphans = (
+        # null keys are the completeness check's finding, not an orphan
+        orders.filter(F.col("o_custkey").isNotNull())
+        .join(
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .count()
+    )
+    spark = orders.sparkSession
+    z = lambda v: 0 if v is None else v  # noqa: E731 — empty-corpus SUMs are NULL
+    rows = [
+        ("orderkey_unique", one_pass["n_rows"], z(one_pass["v_key_dup"])),
+        ("custkey_complete", one_pass["n_rows"], z(one_pass["v_custkey_null"])),
+        ("custkey_references_customer", one_pass["n_rows"], orphans),
+        ("totalprice_positive", one_pass["n_rows"], z(one_pass["v_price_nonpos"])),
+        ("orderdate_in_range", one_pass["n_rows"], z(one_pass["v_date_range"])),
+        ("status_in_domain", one_pass["n_rows"], z(one_pass["v_status_domain"])),
+    ]
+    return spark.createDataFrame(
+        [(c, int(nc), int(nv), bool(nv == 0)) for c, nc, nv in rows],
+        "check_name string, n_checked long, n_violations long, passed boolean",
+    )
+
+
+DATA_QUALITY_REPORT_SQL = """
+WITH one_pass AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_custkey_null,
+         CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_price_nonpos,
+         CAST(COALESCE(SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                        OR o_orderdate >= TIMESTAMP '2005-01-01' THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_date_range,
+         CAST(COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_status_domain,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_key_dup
+  FROM orders
+),
+orphans AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT check_name, n_checked, n_violations, n_violations = 0 AS passed FROM (
+  SELECT 'orderkey_unique' AS check_name, n_rows AS n_checked, v_key_dup AS n_violations FROM one_pass
+  UNION ALL SELECT 'custkey_complete', n_rows, v_custkey_null FROM one_pass
+  UNION ALL SELECT 'custkey_references_customer', n_rows, orphans.v FROM one_pass, orphans
+  UNION ALL SELECT 'totalprice_positive', n_rows, v_price_nonpos FROM one_pass
+  UNION ALL SELECT 'orderdate_in_range', n_rows, v_date_range FROM one_pass
+  UNION ALL SELECT 'status_in_domain', n_rows, v_status_domain FROM one_pass
+)
+"""

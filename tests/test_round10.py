@@ -805,7 +805,8 @@ def test_wave2_entries_survive_empty_corpus(spark, tmp_path):
     for name in ("pagerank_pinned", "rfm_segmentation", "softdedup_weights",
                  "burstiness_report", "pca_power_pinned", "knn_outlier_report",
                  "label_centroid_confusion", "top_event_paths",
-                 "ann_graph_expand", "graph_clustering_report"):
+                 "ann_graph_expand", "graph_clustering_report",
+                 "data_quality_report"):
         api.queries()[name](spark, str(tmp_path)).collect()
 
 
@@ -1186,3 +1187,43 @@ def test_event_path_accumulator_stitch_and_retention(spark):
     closed = {r["path"]: r["n_sessions"]
               for r in acc.result(spark, include_open=False).collect()}
     assert closed == {"view>click>purchase": 1}
+
+
+def test_data_quality_report_catches_violations(spark):
+    """Inject one violation of each class and check the counts: a
+    duplicate key, a NULL custkey, an orphan custkey, a non-positive
+    price, an out-of-range date, an unknown status."""
+    from datetime import datetime
+
+    from flink_streaming_etl_spark.operators import analytics as an
+
+    schema = ("o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    ok = (1, 10, "O", 100.0, datetime(1995, 6, 1), "1-URGENT")
+    rows = [
+        ok,
+        (1, 10, "O", 50.0, datetime(1995, 6, 2), "1-URGENT"),      # dup key
+        (3, None, "O", 50.0, datetime(1995, 6, 2), "1-URGENT"),    # null custkey
+        (4, 999, "O", 50.0, datetime(1995, 6, 2), "1-URGENT"),     # orphan
+        (5, 10, "O", 0.0, datetime(1995, 6, 2), "1-URGENT"),       # non-positive
+        (6, 10, "O", 50.0, datetime(2010, 1, 1), "1-URGENT"),      # date range
+        (7, 10, "X", 50.0, datetime(1995, 6, 2), "1-URGENT"),      # bad status
+    ]
+    orders = spark.createDataFrame(rows, schema)
+    customer = spark.createDataFrame(
+        [(10, "a", 1, 0.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string",
+    )
+    got = {r["check_name"]: r for r in an.data_quality_report(orders, customer).collect()}
+    exp = {
+        "orderkey_unique": 1,
+        "custkey_complete": 1,
+        "custkey_references_customer": 1,
+        "totalprice_positive": 1,
+        "orderdate_in_range": 1,
+        "status_in_domain": 1,
+    }
+    for name, v in exp.items():
+        assert got[name]["n_violations"] == v, (name, got[name])
+        assert got[name]["passed"] is False
+        assert got[name]["n_checked"] == 7
