@@ -196,6 +196,7 @@ PROBES = [
     "top_event_paths",
     "ann_graph_expand",
     "graph_clustering_report",
+    "data_quality_report",
 ]
 
 
