@@ -1227,3 +1227,36 @@ def test_data_quality_report_catches_violations(spark):
         assert got[name]["n_violations"] == v, (name, got[name])
         assert got[name]["passed"] is False
         assert got[name]["n_checked"] == 7
+
+
+def test_data_quality_accumulator_equals_batch(spark):
+    """DataQualityAccumulator over any batch split of orders equals the
+    batch operator on the union — including a cross-batch duplicate key
+    (invisible to either batch alone) and replay no-ops."""
+    from flink_streaming_etl_spark.operators import analytics as an
+    from flink_streaming_etl_spark.streaming.data_quality import (
+        DataQualityAccumulator,
+    )
+
+    t = _tables(spark)
+    orders, customer = t["orders"], t["customer"]
+    dim = {r["c_custkey"] for r in customer.select("c_custkey").collect()}
+
+    rows = orders.orderBy("o_orderkey").collect()
+    n = len(rows)
+    # duplicate one key ACROSS the split boundary
+    dup = rows[0]
+    batches = [rows[: n // 2], rows[n // 2 :] + [dup]]
+    acc = DataQualityAccumulator(dim_keys=dim)
+    for i, rs in enumerate(batches):
+        acc.add_batch(spark.createDataFrame(rs, orders.schema), batch_id=i)
+
+    union = spark.createDataFrame(rows + [dup], orders.schema)
+    want = sorted(tuple(r) for r in an.data_quality_report(union, customer).collect())
+    got = sorted(tuple(r) for r in acc.result(spark).collect())
+    assert got == want
+    assert acc.violations["orderkey_unique"] == 1  # the cross-batch dup
+
+    before = got
+    acc.add_batch(spark.createDataFrame(batches[-1], orders.schema), batch_id=1)
+    assert sorted(tuple(r) for r in acc.result(spark).collect()) == before
