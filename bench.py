@@ -263,6 +263,18 @@ HEADLINE = [
     "diverse_sample_report",
     "fuzzy_prefix_pairs",
     "moore_lewis_selection",
+    # round-10 wave-2/3 additions
+    "pagerank_pinned",
+    "rfm_segmentation",
+    "softdedup_weights",
+    "burstiness_report",
+    "pca_power_pinned",
+    "knn_outlier_report",
+    "label_centroid_confusion",
+    "top_event_paths",
+    "ann_graph_expand",
+    "graph_clustering_report",
+    "data_quality_report",
 ]
 
 
