@@ -1260,3 +1260,36 @@ def test_data_quality_accumulator_equals_batch(spark):
     before = got
     acc.add_batch(spark.createDataFrame(batches[-1], orders.schema), batch_id=1)
     assert sorted(tuple(r) for r in acc.result(spark).collect()) == before
+
+
+def test_state_store_crash_mid_save_keeps_previous_version(spark, tmp_path):
+    """The data-then-pointer protocol: relation files for a NEWER
+    version on disk without a meta flip (a crash mid-save) must be
+    invisible — load() returns the last complete version; the next
+    successful save supersedes and prunes."""
+    import os
+
+    from flink_streaming_etl_spark.streaming.state_store import (
+        AccumulatorStateStore,
+    )
+
+    store = AccumulatorStateStore(str(tmp_path / "st"))
+    df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    store.save(1, {"rel": df1}, extra={"tag": "v1"})
+
+    # crash mid-save of v2: relations written, meta NOT flipped
+    df2 = spark.createDataFrame([(2, "b")], "k long, v string")
+    df2.write.mode("overwrite").parquet(
+        os.path.join(store.root, "b2", "rel.parquet")
+    )
+
+    bid, rels, extra = store.load(spark)
+    assert bid == 1 and extra == {"tag": "v1"}
+    assert [tuple(r) for r in rels["rel"].collect()] == [(1, "a")]
+
+    # a SUCCESSFUL v2 save flips the pointer and prunes v1
+    store.save(2, {"rel": df2}, extra={"tag": "v2"})
+    bid, rels, extra = store.load(spark)
+    assert bid == 2 and extra == {"tag": "v2"}
+    assert [tuple(r) for r in rels["rel"].collect()] == [(2, "b")]
+    assert not os.path.exists(os.path.join(store.root, "b1"))
