@@ -3,22 +3,35 @@
 maintained across micro-batches of an append stream — violations are
 found the batch they arrive, not at the next full-table audit.
 
-Per micro-batch the HEAVY work stays distributed: one batch-sized agg
-computes the batch's additive violation counts (completeness, domain,
-range, non-positive — pure sums, exact under any batching), the
-referential check anti-joins the batch against the dimension key set
-(the TtlDimensionCache discipline: a broadcast-sized key relation,
-refreshed by the caller on its own TTL), and cross-batch KEY UNIQUENESS
-— the one check that is NOT additive — uses the two-tier seen-key state
-of the bloom dedup accumulators: the batch job emits the batch's
-distinct keys (collect bounded by batch size), the driver folds them
-into a seen-set (at 100 TB: the bloom bit tier + exact verify join,
-exactly streaming/text_dedup.py's design; the counting rule is
-unchanged by that swap).
+Per micro-batch ALL heavy work stays distributed and the driver receives
+only O(1) rows (scalar aggregates):
 
-Equality pin (tests/test_round10.py): after any batch split of the
-orders table, ``result()`` equals the batch operator on the replayed
-union. Replays are idempotent by batch id.
+- the additive checks (completeness, domain, range, non-positive) fold
+  through one batch-sized agg → a single ``first()`` row of counters;
+- the referential check anti-joins the batch against the dimension key
+  relation (the TtlDimensionCache contract: broadcast-sized, built once
+  from ``dim_keys``) → one ``count()`` scalar;
+- cross-batch KEY UNIQUENESS — the one check that is NOT additive —
+  keeps the seen-key state as a DISTRIBUTED relation
+  (localCheckpoint'd each batch, exactly the ±delta accumulators'
+  state discipline in ``streaming/incremental.py``): the batch's
+  per-key counts left-join the seen relation and one SUM scalar yields
+  the batch's duplicate count; the seen relation then absorbs the
+  batch's keys via union+distinct. Per-batch state-maintenance cost is
+  ∝ state size (the externalized-state trade ``state_store.py``
+  documents); driver memory is O(1) regardless of corpus volume — the
+  round-10 unbounded driver seen-set is gone.
+
+NULL-key semantics match the batch operator exactly (ADVICE r10): the
+batch computes ``n_rows − count_distinct(o_orderkey)`` and
+``count_distinct`` ignores NULL, so EVERY NULL-keyed row is a
+uniqueness violation. Here NULL-keyed rows are counted wholesale from
+the additive agg and never enter the seen relation.
+
+Equality pin (tests/test_round10.py, test_round11.py): after any batch
+split of the orders table, ``result()`` equals the batch operator on
+the replayed union — including NULL keys and cross-batch duplicates.
+Replays are idempotent by batch id.
 """
 
 from __future__ import annotations
@@ -47,9 +60,12 @@ class DataQualityAccumulator:
         #: customer key set for the referential check (broadcast-sized,
         #: the TTL dimension cache contract; None disables the check)
         self.dim_keys = dim_keys
+        self._dim_df: DataFrame | None = None  # built lazily, once
         self.n_rows = 0
         self.violations: dict[str, int] = defaultdict(int)
-        self.seen_keys: set = set()
+        #: distinct non-null o_orderkey values seen so far — a DISTRIBUTED
+        #: relation, never collected to the driver
+        self._seen: DataFrame | None = None
         self.last_batch_id: int | None = None
 
     def add_batch(self, batch_orders: DataFrame, batch_id: int | None = None) -> None:
@@ -72,6 +88,9 @@ class DataQualityAccumulator:
             F.sum(
                 F.when(~F.col("o_orderstatus").isin(*DQ_ALLOWED_STATUS), 1).otherwise(0)
             ).alias("v_status"),
+            # NULL-keyed rows: all of them are uniqueness violations
+            # (count_distinct ignores NULL in the batch operator)
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("v_keynull"),
         ).first()
         z = lambda v: 0 if v is None else int(v)  # noqa: E731
         self.n_rows += z(agg["n"])
@@ -81,29 +100,49 @@ class DataQualityAccumulator:
         self.violations["status_in_domain"] += z(agg["v_status"])
 
         if self.dim_keys is not None:
+            if self._dim_df is None:
+                spark = batch_orders.sparkSession
+                self._dim_df = spark.createDataFrame(
+                    [(k,) for k in sorted(self.dim_keys)], "o_custkey long"
+                ).localCheckpoint(eager=True)
             orphans = (
                 batch_orders.filter(F.col("o_custkey").isNotNull())
-                .select("o_custkey")
-                .groupBy("o_custkey")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()  # batch-bounded distinct keys
+                .join(F.broadcast(self._dim_df), "o_custkey", "left_anti")
+                .count()  # one scalar to the driver
             )
-            self.violations["custkey_references_customer"] += sum(
-                r["n"] for r in orphans if r["o_custkey"] not in self.dim_keys
-            )
+            self.violations["custkey_references_customer"] += int(orphans)
 
-        # cross-batch uniqueness: per-key counts of THIS batch (bounded
-        # collect), folded against the seen-key state
-        keys = (
-            batch_orders.groupBy("o_orderkey")
+        # cross-batch uniqueness: per-key counts of THIS batch left-join
+        # the distributed seen relation; for a key already seen all n
+        # occurrences are duplicates, for a new key n − 1 are. One SUM
+        # scalar crosses to the driver; the key relation never does.
+        bk = (
+            batch_orders.filter(F.col("o_orderkey").isNotNull())
+            .groupBy("o_orderkey")
             .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+            .localCheckpoint(eager=True)  # reused: dup scalar + seen fold
         )
-        for r in keys:
-            k, n = r["o_orderkey"], r["n"]
-            dups = n - 1 if k not in self.seen_keys else n
-            self.violations["orderkey_unique"] += dups
-            self.seen_keys.add(k)
+        if self._seen is None:
+            dup_row = bk.agg(F.sum(F.col("n") - 1).alias("d")).first()
+            new_seen = bk.select("o_orderkey")
+        else:
+            dup_row = (
+                bk.join(
+                    self._seen.withColumn("_seen", F.lit(1)), "o_orderkey", "left"
+                )
+                .agg(
+                    F.sum(
+                        F.col("n")
+                        - 1
+                        + F.when(F.col("_seen").isNotNull(), 1).otherwise(0)
+                    ).alias("d")
+                )
+                .first()
+            )
+            new_seen = self._seen.union(bk.select("o_orderkey")).distinct()
+        self.violations["orderkey_unique"] += z(dup_row["d"]) + z(agg["v_keynull"])
+        # localCheckpoint truncates lineage so state cost stays ∝ |state|
+        self._seen = new_seen.localCheckpoint(eager=True)
 
     def result(self, spark: SparkSession) -> DataFrame:
         rows = [
