@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from flink_streaming_etl_spark.functions import q6, q6_sql
+from flink_streaming_etl_spark.operators._cache import memo_persist
 
 DEC = "decimal(18,2)"
 
@@ -2667,18 +2668,38 @@ CROSS JOIN totals
 # Scale: the per-customer rollup is one map-side-combined groupBy on
 # o_custkey; the segment join broadcasts nothing big (customer dim is
 # key-projected). The rank windows partition by c_mktsegment (5 values)
-# — exact quartiles per segment cost a per-segment sort, fine at bench
-# scale; the 100 TB path swaps the window for approx quartile
-# THRESHOLDS per segment (percentile_approx → 3-row broadcast per
-# segment, map-side CASE assignment) at the cost of boundary-exactness,
-# the same trade doclen_percentile_report documents.
+# — exact quartiles per segment cost a SINGLE-TASK per-segment sort,
+# which is the wrong 100 TB plan, so the operator is two-regime behind a
+# size guard (the _pin_vocab_build discipline, text.py): up to
+# RFM_EXACT_MAX_ROWS customers the rank windows run (exact, the oracle
+# regime); above it the windows are replaced by approx quartile
+# THRESHOLDS per segment — one percentile_approx agg (a |segments|-row
+# relation), broadcast back, map-side CASE assignment, NO window sort
+# anywhere in the plan. Boundary tolerance: the threshold regime puts
+# every customer with the SAME metric value in the same quartile, while
+# rank arithmetic splits ties by custkey across a quartile boundary —
+# so the regimes agree everywhere except rows whose metric value ties a
+# quartile boundary (and exactly when n_seg % 4 == 0 with distinct
+# values, they agree everywhere; pinned in tests/test_round11.py).
+
+#: Above this many per-customer rows the exact rank windows (one task
+#: per market segment — 5 tasks total) would each sort ~n/5 customers;
+#: switch to percentile_approx thresholds + map-side CASE.
+RFM_EXACT_MAX_ROWS = 20_000_000
 
 
-def rfm_segmentation(orders: DataFrame, customer: DataFrame) -> DataFrame:
+def rfm_segmentation(
+    orders: DataFrame, customer: DataFrame, *, approx: bool | None = None
+) -> DataFrame:
     """Per-customer RFM quartile scores within market segment.
 
     Returns (c_custkey, c_mktsegment, recency_days, frequency, monetary,
     r_q, f_q, m_q, rfm_score); rfm_score = 100·r + 10·f + m.
+
+    ``approx=None`` auto-selects: exact rank quartiles while the
+    per-customer relation fits RFM_EXACT_MAX_ROWS (the count rides a
+    memoized base, so the guard action is not a second scan), else the
+    broadcast-threshold regime.
     """
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     per = orders.groupBy("o_custkey").agg(
@@ -2702,33 +2723,71 @@ def rfm_segmentation(orders: DataFrame, customer: DataFrame) -> DataFrame:
             "o_custkey",
         )
     )
-    wseg = Window.partitionBy("c_mktsegment")
-    ranked = base.select(
-        "*",
-        F.row_number()
-        .over(wseg.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
-        .alias("rn_r"),
-        F.row_number()
-        .over(wseg.orderBy(F.asc("frequency"), F.asc("o_custkey")))
-        .alias("rn_f"),
-        F.row_number()
-        .over(wseg.orderBy(F.asc("monetary_c"), F.asc("o_custkey")))
-        .alias("rn_m"),
-        F.count(F.lit(1)).over(wseg).alias("n_seg"),
+    if approx is None:
+        base = memo_persist("rfm_base", base)
+        approx = base.count() > RFM_EXACT_MAX_ROWS
+    if approx:
+        scored = _rfm_approx_scored(base)
+    else:
+        wseg = Window.partitionBy("c_mktsegment")
+        ranked = base.select(
+            "*",
+            F.row_number()
+            .over(wseg.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+            .alias("rn_r"),
+            F.row_number()
+            .over(wseg.orderBy(F.asc("frequency"), F.asc("o_custkey")))
+            .alias("rn_f"),
+            F.row_number()
+            .over(wseg.orderBy(F.asc("monetary_c"), F.asc("o_custkey")))
+            .alias("rn_m"),
+            F.count(F.lit(1)).over(wseg).alias("n_seg"),
+        )
+        scored = ranked.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "c_mktsegment",
+            "recency_days",
+            "frequency",
+            (F.col("monetary_c") / 100.0).alias("monetary"),
+            F.expr("4 - (4 * (rn_r - 1)) DIV n_seg").cast("int").alias("r_q"),
+            F.expr("1 + (4 * (rn_f - 1)) DIV n_seg").cast("int").alias("f_q"),
+            F.expr("1 + (4 * (rn_m - 1)) DIV n_seg").cast("int").alias("m_q"),
+        )
+    return scored.withColumn(
+        "rfm_score",
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).cast("int"),
     )
-    scored = ranked.select(
+
+
+def _rfm_approx_scored(base: DataFrame) -> DataFrame:
+    """The threshold regime: per-segment approx quartile boundaries
+    (one agg over the per-customer relation → |segments| rows),
+    broadcast back, quartile = 1 + number of boundaries exceeded. No
+    window, no per-segment sort — every step is a map-side expression
+    after one broadcast hash join."""
+
+    def _thr(col: str, alias: str):
+        return F.percentile_approx(col, [0.25, 0.5, 0.75] , 10_000).alias(alias)
+
+    thr = base.groupBy("c_mktsegment").agg(
+        _thr("recency_days", "t_r"), _thr("frequency", "t_f"), _thr("monetary_c", "t_m")
+    )
+
+    def _above(col: str, t: str) -> Column:
+        return sum(
+            F.when(F.col(col) > F.col(t)[i], 1).otherwise(0) for i in range(3)
+        )
+
+    return base.join(F.broadcast(thr), "c_mktsegment").select(
         F.col("o_custkey").alias("c_custkey"),
         "c_mktsegment",
         "recency_days",
         "frequency",
         (F.col("monetary_c") / 100.0).alias("monetary"),
-        F.expr("4 - (4 * (rn_r - 1)) DIV n_seg").cast("int").alias("r_q"),
-        F.expr("1 + (4 * (rn_f - 1)) DIV n_seg").cast("int").alias("f_q"),
-        F.expr("1 + (4 * (rn_m - 1)) DIV n_seg").cast("int").alias("m_q"),
-    )
-    return scored.withColumn(
-        "rfm_score",
-        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).cast("int"),
+        # recency: smaller is better -> invert the exceed count
+        (F.lit(4) - _above("recency_days", "t_r")).cast("int").alias("r_q"),
+        (F.lit(1) + _above("frequency", "t_f")).cast("int").alias("f_q"),
+        (F.lit(1) + _above("monetary_c", "t_m")).cast("int").alias("m_q"),
     )
 
 

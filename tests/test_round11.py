@@ -82,3 +82,66 @@ def test_data_quality_accumulator_null_keys_match_batch(spark):
     got = sorted(tuple(r) for r in acc.result(spark).collect())
     assert got == want
     assert acc.violations["orderkey_unique"] == 3  # the three NULL rows
+
+
+# ---------------------------------------------------------------------------
+# rfm_segmentation two-regime scale guard (r10 verdict #2)
+
+
+def _rfm_synth(spark):
+    """Two segments x 8 customers, all three metrics distinct within a
+    segment and n_seg % 4 == 0 — the configuration where rank quartiles
+    and threshold quartiles agree EXACTLY (no boundary ties)."""
+    orders, customers = [], []
+    ok = 0
+    for s, seg in enumerate(["AUTOMOBILE", "BUILDING"]):
+        for i in range(1, 9):
+            ck = s * 100 + i
+            customers.append((ck, seg))
+            # frequency = i orders; last date advances with i (distinct
+            # recency); per-order price grows with i (distinct monetary)
+            for j in range(i):
+                ok += 1
+                orders.append(
+                    (ok, ck, f"1995-0{s + 1}-{i:02d}", float(100 * i + j + 1))
+                )
+    o = spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderdate string, o_totalprice double"
+    ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+    c = spark.createDataFrame(customers, "c_custkey long, c_mktsegment string")
+    return o, c
+
+
+def test_rfm_approx_regime_matches_exact_away_from_boundaries(spark):
+    from flink_streaming_etl_spark.operators import analytics as an
+
+    o, c = _rfm_synth(spark)
+    exact = {r["c_custkey"]: tuple(r) for r in an.rfm_segmentation(o, c, approx=False).collect()}
+    approx = {r["c_custkey"]: tuple(r) for r in an.rfm_segmentation(o, c, approx=True).collect()}
+    assert exact == approx
+    assert len(exact) == 16
+
+
+def test_rfm_approx_plan_has_no_window_sort(spark):
+    """The scale regime's plan must contain NO window operator — the
+    quartile assignment is a broadcast join + map-side CASE."""
+    from flink_streaming_etl_spark.operators import analytics as an
+    from flink_streaming_etl_spark.plans import plan_text
+
+    t = _tables(spark)
+    plan = plan_text(an.rfm_segmentation(t["orders"], t["customer"], approx=True))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_rfm_auto_guard_selects_by_size(spark, monkeypatch):
+    from flink_streaming_etl_spark.operators import analytics as an
+    from flink_streaming_etl_spark.plans import plan_text
+
+    o, c = _rfm_synth(spark)
+    monkeypatch.setattr(an, "RFM_EXACT_MAX_ROWS", 0)
+    big = an.rfm_segmentation(o, c)  # auto -> approx above the cap
+    assert "Window" not in plan_text(big)
+    monkeypatch.setattr(an, "RFM_EXACT_MAX_ROWS", 10**9)
+    small = an.rfm_segmentation(o, c)  # auto -> exact under the cap
+    assert "Window" in plan_text(small)
