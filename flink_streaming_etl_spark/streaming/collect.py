@@ -1,0 +1,157 @@
+"""Incremental LISTAGG / COLLECT maintenance over a changelog — the
+±delta twin of the batch ``listagg_items`` / ``collect_items_flat``
+aggregates (reference: flink-ddl.sql:124-132 — LISTAGG(product_id, ',')
+and COLLECT(ROW(...)) per order), closing the last reference aggregates
+that had no retractable form (SUM/COUNT, COUNT DISTINCT and TopN all
+have accumulators already).
+
+Why it is hard: LISTAGG/COLLECT emit the group's FULL value multiset,
+so retracting a MID-LIST element cannot be folded from the emitted
+string — the operator must keep the multiset. This is exactly Flink's
+retractable-rank trade (streaming/topk.py) with k = ∞ and a concat
+emit, and the state answer is the same:
+
+- **state** is the PK-keyed latest-rows table (apply_changelog —
+  O(live rows), group-partitioned on a cluster);
+- **per-batch WORK is touched-group-bounded**: the batch's signed
+  images name the groups whose list can change; only those groups'
+  state rows re-aggregate (batch-bounded broadcast semi join probes
+  the state), and only their rows are re-emitted into the maintained
+  relation. Untouched groups cost nothing.
+
+Group keys are matched NULL-SAFELY end to end (touched-group discovery
+keeps NULL keys; the semi/anti probes use eqNullSafe) — a changelog row
+with a NULL group key maintains the NULL group like any other (ADVICE
+r10 on topk.py's na.drop shape).
+
+Replays are idempotent by batch id (T6); with ``state_dir`` the state
+survives restart under a persistent checkpoint (state_store.py).
+Equality pin (tests/test_round11.py): result() == recompute() after
+every changelog prefix, including retraction of a mid-list element.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_streaming_etl_spark.sources.cdc import apply_changelog
+from flink_streaming_etl_spark.streaming.incremental import changelog_deltas
+
+
+class IncrementalCollect:
+    """Maintain per-group sorted LISTAGG over a changelog-maintained
+    table: (group_cols..., items, n_items) where ``items`` is the
+    group's values (cast to string, ':'-joined across value_cols when
+    several) sorted and joined by ``sep`` — byte-identical to the batch
+    ``listagg_items`` kernel for value_cols=["l_partkey"], sep=",".
+    """
+
+    def __init__(
+        self,
+        pk: str,
+        group_cols: list[str],
+        value_cols: list[str],
+        sep: str = ",",
+        state_dir: str | None = None,
+    ):
+        self.pk = pk
+        self.group_cols = list(group_cols)
+        self.value_cols = list(value_cols)
+        self.sep = sep
+        self.state: DataFrame | None = None
+        self.agg: DataFrame | None = None
+        self.last_batch_id: int | None = None
+        self._store = None
+        if state_dir is not None:
+            from flink_streaming_etl_spark.streaming.state_store import (
+                AccumulatorStateStore,
+            )
+
+            self._store = AccumulatorStateStore(state_dir)
+
+    def restore(self, spark) -> bool:
+        if self._store is None:
+            return False
+        loaded = self._store.load(spark)
+        if loaded is None:
+            return False
+        self.last_batch_id, rels, _ = loaded
+        self.state = rels.get("state")
+        self.agg = rels.get("agg")
+        return True
+
+    # -- aggregation kernel (shared by the incremental path and the pin)
+
+    def _value(self):
+        cols = [F.col(c).cast("string") for c in self.value_cols]
+        return cols[0] if len(cols) == 1 else F.concat_ws(":", *cols)
+
+    def _aggregate(self, rows: DataFrame) -> DataFrame:
+        return rows.groupBy(*self.group_cols).agg(
+            F.array_join(
+                F.sort_array(F.collect_list(self._value())), self.sep
+            ).alias("items"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+
+    def _touched_groups(self, chunk: DataFrame) -> DataFrame:
+        """Distinct group keys named by either image of the batch —
+        batch-bounded (≤ 2 rows per envelope). NULL group keys are kept:
+        changelog_deltas already dropped the empty envelope sides, so a
+        remaining NULL is a real NULL-keyed group."""
+        img = changelog_deltas(chunk, None).select("img.*")
+        return img.select(*self.group_cols).distinct()
+
+    def _group_match(self, left: DataFrame, right: DataFrame):
+        return reduce(
+            lambda a, b: a & b,
+            [left[c].eqNullSafe(right[c]) for c in self.group_cols],
+        )
+
+    def apply(self, chunk: DataFrame, batch_id: int | None = None) -> DataFrame | None:
+        """Fold one micro-batch; return the refreshed lists of the
+        touched groups (None on replay). A touched group left with no
+        rows vanishes from the maintained relation."""
+        if batch_id is not None:
+            if self.last_batch_id is not None and batch_id <= self.last_batch_id:
+                return None
+            self.last_batch_id = int(batch_id)
+
+        touched = self._touched_groups(chunk).localCheckpoint(eager=True)
+        self.state = apply_changelog(self.state, chunk, self.pk).localCheckpoint(
+            eager=True
+        )
+        slice_ = self.state.join(
+            F.broadcast(touched), self._group_match(self.state, touched), "semi"
+        )
+        refreshed = self._aggregate(slice_).localCheckpoint(eager=True)
+        if self.agg is None:
+            self.agg = refreshed
+        else:
+            kept = self.agg.join(
+                F.broadcast(touched), self._group_match(self.agg, touched), "anti"
+            )
+            self.agg = kept.unionByName(refreshed).localCheckpoint(eager=True)
+        if self._store is not None and batch_id is not None:
+            self._store.save(batch_id, {"state": self.state, "agg": self.agg})
+        return refreshed
+
+    def attach(self, stream: DataFrame, checkpoint_root: str | None = None, **kw):
+        from flink_streaming_etl_spark.streaming.incremental import (
+            attach_changelog_stream,
+        )
+
+        return attach_changelog_stream(self, stream, checkpoint_root, **kw)
+
+    def result(self) -> DataFrame | None:
+        return self.agg
+
+    def recompute(self) -> DataFrame | None:
+        """Full re-aggregation over the latest state — the
+        always-correct twin the equality pin compares against."""
+        if self.state is None:
+            return None
+        return self._aggregate(self.state)

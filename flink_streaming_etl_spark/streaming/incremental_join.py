@@ -333,8 +333,14 @@ class IncrementalJoinAgg:
         self.amount = as_col(amount)
         self.predicate = predicate
         self.state: DataFrame | None = None
-        #: durable AGG state; the composed restart is join.restore() +
-        #: agg.restore() (give the inner join its own state_dir)
+        #: durable COMPOSED state: one save covers the agg state AND the
+        #: inner join's three relations plus the per-side replay guards,
+        #: behind a SINGLE meta flip (ADVICE r10: two separate stores can
+        #: crash between the join's save and the agg's, leaving join state
+        #: at batch N but agg at N−1 — the replayed batch then folds into
+        #: the join, emits no deltas, and the agg silently undercounts
+        #: forever). Give state_dir to the AGG only; the inner join needs
+        #: no store of its own when composed.
         self._store = None
         self._version = 0
         if state_dir is not None:
@@ -345,15 +351,32 @@ class IncrementalJoinAgg:
             self._store = AccumulatorStateStore(state_dir)
 
     def restore(self, spark) -> bool:
-        """Load the last saved agg state (True if restored). Restore the
-        inner join separately via ``self.join.restore(spark)``."""
+        """Load the last saved composed state (True if restored): the agg
+        relation, the inner join's three state tables, its batch-id guard
+        and the per-side replay guards all come back from the ONE store —
+        a separate ``join.restore`` is unnecessary (and harmless)."""
         if self._store is None:
             return False
         loaded = self._store.load(spark)
         if loaded is None:
             return False
-        self._version, rels, _ = loaded
+        self._version, rels, extra = loaded
         self.state = rels.get("state")
+        # a composed save may carry any subset of the join relations
+        # (None relations are skipped by the store) — restore whichever
+        # are present; extra's join_last_batch_id marks a composed save
+        if any(k.startswith("join_") for k in rels) or (
+            extra.get("join_last_batch_id") is not None
+        ):
+            self.join.left_state = rels.get("join_left_state")
+            self.join.right_state = rels.get("join_right_state")
+            self.join.join_state = rels.get("join_join_state")
+        if extra.get("join_last_batch_id") is not None:
+            self.join.last_batch_id = int(extra["join_last_batch_id"])
+        if extra.get("side_seen") is not None:
+            #: restored BEFORE attach(): foreachBatch replays of batches
+            #: folded into this saved state must be no-ops (T6)
+            self._side_seen = {k: int(v) for k, v in extra["side_seen"].items()}
         return True
 
     _DEC = "decimal(18,2)"
@@ -381,32 +404,52 @@ class IncrementalJoinAgg:
     ) -> DataFrame | None:
         """Fold one micro-batch through the join AND the aggregate;
         returns the refreshed aggregate state (None before any data)."""
-        deltas = self.join.apply(left_chunk, right_chunk, batch_id=batch_id)
-        if deltas is None:
-            return self.state
-        names = list(self.group_cols)
-        batch = self._signed_group_deltas(deltas)
-        if self.state is None:
-            merged = batch.select(
-                *names,
-                F.col("d_amount").alias("amount"),
-                F.col("d_cnt").alias("cnt"),
-            )
-        else:
-            zero = F.lit(0).cast(self._DEC)
-            merged = self.state.join(batch, on=names, how="full_outer").select(
-                *names,
-                (F.coalesce(F.col("amount"), zero)
-                 + F.coalesce(F.col("d_amount"), zero)).alias("amount"),
-                (F.coalesce(F.col("cnt"), F.lit(0))
-                 + F.coalesce(F.col("d_cnt"), F.lit(0))).alias("cnt"),
-            )
-        self.state = (
-            merged.filter(F.col("cnt") > 0).localCheckpoint(eager=True)
+        replay = (
+            batch_id is not None
+            and self.join.last_batch_id is not None
+            and batch_id <= self.join.last_batch_id
         )
-        if self._store is not None:
+        deltas = self.join.apply(left_chunk, right_chunk, batch_id=batch_id)
+        if deltas is not None:
+            names = list(self.group_cols)
+            batch = self._signed_group_deltas(deltas)
+            if self.state is None:
+                merged = batch.select(
+                    *names,
+                    F.col("d_amount").alias("amount"),
+                    F.col("d_cnt").alias("cnt"),
+                )
+            else:
+                zero = F.lit(0).cast(self._DEC)
+                merged = self.state.join(batch, on=names, how="full_outer").select(
+                    *names,
+                    (F.coalesce(F.col("amount"), zero)
+                     + F.coalesce(F.col("d_amount"), zero)).alias("amount"),
+                    (F.coalesce(F.col("cnt"), F.lit(0))
+                     + F.coalesce(F.col("d_cnt"), F.lit(0))).alias("cnt"),
+                )
+            self.state = (
+                merged.filter(F.col("cnt") > 0).localCheckpoint(eager=True)
+            )
+        # Save on every genuinely folded batch — INCLUDING one whose join
+        # deltas are empty (the join's latest-state tables still advanced,
+        # so the composed snapshot must too). One save, one meta flip:
+        # there is no window where join state and agg state disagree.
+        if not replay and self._store is not None:
             self._version += 1
-            self._store.save(self._version, {"state": self.state})
+            self._store.save(
+                self._version,
+                {
+                    "state": self.state,
+                    "join_left_state": self.join.left_state,
+                    "join_right_state": self.join.right_state,
+                    "join_join_state": self.join.join_state,
+                },
+                extra={
+                    "join_last_batch_id": self.join.last_batch_id,
+                    "side_seen": getattr(self, "_side_seen", None),
+                },
+            )
         return self.state
 
     def result(self) -> DataFrame | None:
@@ -445,7 +488,12 @@ class IncrementalJoinAgg:
         one Kafka topic per table); micro-batches are serialized by a lock
         (single-writer state discipline) and guarded per-side by batch id
         — foreachBatch is at-least-once, so a restart replay of an
-        already-folded batch must be a no-op (T6)."""
+        already-folded batch must be a no-op (T6). The guards are durable:
+        apply() saves ``_side_seen`` inside the same atomic store version
+        as the state it protects, and restore() brings them back before
+        re-attach (ADVICE r10 — an in-memory-only guard re-folds the last
+        committed batch after a crash between state save and streaming-
+        checkpoint commit)."""
         import threading
 
         lock = getattr(self, "_lock", None) or threading.Lock()

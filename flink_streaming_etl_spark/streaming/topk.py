@@ -101,9 +101,21 @@ class IncrementalTopK:
 
     def _touched_groups(self, chunk: DataFrame) -> DataFrame:
         """Distinct group keys named by either image of the batch —
-        batch-bounded by construction (≤ 2 rows per envelope)."""
+        batch-bounded by construction (≤ 2 rows per envelope). NULL
+        group keys are kept (ADVICE r10): changelog_deltas already
+        dropped the empty envelope sides, so a remaining NULL is a real
+        NULL-keyed group whose rank slice must refresh like any other."""
         img = changelog_deltas(chunk, None).select("img.*")
-        return img.select(*self.group_cols).na.drop().distinct()
+        return img.select(*self.group_cols).distinct()
+
+    def _group_match(self, left: DataFrame, right: DataFrame):
+        """Null-safe group-key equality for the semi/anti state probes —
+        a plain column-list join would never match the NULL group."""
+        cond = None
+        for c in self.group_cols:
+            e = left[c].eqNullSafe(right[c])
+            cond = e if cond is None else cond & e
+        return cond
 
     def apply(self, chunk: DataFrame, batch_id: int | None = None) -> DataFrame | None:
         """Fold one micro-batch; return the refreshed top-k rows of the
@@ -120,18 +132,18 @@ class IncrementalTopK:
         )
         # Probe ONLY the touched groups' state slice. The broadcast is
         # batch-bounded (the micro-batch's own group keys), never state.
-        # (Reselect the state's column order — a list-keyed join moves
-        # the join columns first, and result() must match recompute().)
+        # Expression joins (null-safe) keep the left side's column order,
+        # so result() matches recompute() column-for-column.
         slice_ = self.state.join(
-            F.broadcast(touched), self.group_cols, "semi"
-        ).select(*self.state.columns)
+            F.broadcast(touched), self._group_match(self.state, touched), "semi"
+        )
         refreshed = self._rank(slice_).localCheckpoint(eager=True)
         if self.topk is None:
             self.topk = refreshed
         else:
             kept = self.topk.join(
-                F.broadcast(touched), self.group_cols, "anti"
-            ).select(*refreshed.columns)
+                F.broadcast(touched), self._group_match(self.topk, touched), "anti"
+            )
             self.topk = kept.unionByName(refreshed).localCheckpoint(eager=True)
         if self._store is not None and batch_id is not None:
             self._store.save(batch_id, {"state": self.state, "topk": self.topk})

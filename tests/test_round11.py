@@ -145,3 +145,238 @@ def test_rfm_auto_guard_selects_by_size(spark, monkeypatch):
     monkeypatch.setattr(an, "RFM_EXACT_MAX_ROWS", 10**9)
     small = an.rfm_segmentation(o, c)  # auto -> exact under the cap
     assert "Window" in plan_text(small)
+
+
+# ---------------------------------------------------------------------------
+# IncrementalCollect: retractable LISTAGG/COLLECT (r10 verdict #3)
+
+
+def _collect_rows(df):
+    return sorted(
+        (tuple(r[c] for c in ("status", "items", "n_items")) for r in df.collect()),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+def test_incremental_collect_equals_recompute_after_every_prefix(spark):
+    """±delta LISTAGG: equality-vs-recompute after every changelog
+    prefix, including retraction of a MID-LIST element and a cross-group
+    move."""
+    from flink_streaming_etl_spark.sources.cdc import CdcSource
+    from flink_streaming_etl_spark.streaming.collect import IncrementalCollect
+    from tests.test_cdc import ORDER_SCHEMA, env, order, raw_df
+
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    B = lambda lines: src.parse(raw_df(spark, lines))  # noqa: E731
+    batches = [
+        [env("c", order("o1", "u1", 10.0, "payed"), ts=1),
+         env("c", order("o2", "u2", 20.0, "payed"), ts=2),
+         env("c", order("o3", "u3", 30.0, "payed"), ts=3),
+         env("c", order("o4", "u4", 40.0, "created"), ts=4)],
+        # retract the MID-list element (o2 sorts between o1 and o3)
+        [env("d", before=order("o2", "u2", 20.0, "payed"), ts=5)],
+        # cross-group move: o3 leaves payed, joins created
+        [env("u", order("o3", "u3", 30.0, "created"),
+             before=order("o3", "u3", 30.0, "payed"), ts=6)],
+        # the whole created group drains away
+        [env("d", before=order("o3", "u3", 30.0, "created"), ts=7),
+         env("d", before=order("o4", "u4", 40.0, "created"), ts=8)],
+    ]
+    inc = IncrementalCollect(pk="id", group_cols=["status"], value_cols=["id"])
+    for i, lines in enumerate(batches):
+        inc.apply(B(lines), batch_id=i)
+        assert _collect_rows(inc.result()) == _collect_rows(inc.recompute()), i
+    assert _collect_rows(inc.result()) == [("payed", "o1", 1)]
+    # replay no-op
+    assert inc.apply(B(batches[-1]), batch_id=3) is None
+    assert _collect_rows(inc.result()) == [("payed", "o1", 1)]
+
+
+def test_incremental_collect_matches_batch_listagg_kernel(spark):
+    """On an insert-only changelog the maintained relation is exactly
+    the batch LISTAGG aggregate over the same rows."""
+    from flink_streaming_etl_spark.sources.cdc import CdcSource
+    from flink_streaming_etl_spark.streaming.collect import IncrementalCollect
+    from tests.test_cdc import ORDER_SCHEMA, env, order, raw_df
+
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    lines = [env("c", order(f"o{i}", f"u{i % 3}", float(i), "payed" if i % 2 else "created"), ts=i)
+             for i in range(1, 11)]
+    inc = IncrementalCollect(pk="id", group_cols=["status"], value_cols=["id"])
+    inc.apply(src.parse(raw_df(spark, lines)), batch_id=0)
+    batch = (
+        inc.state.groupBy("status")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list(F.col("id").cast("string"))), ",").alias("items"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    assert _collect_rows(inc.result()) == _collect_rows(batch)
+
+
+def test_incremental_collect_state_survives_restart(spark, tmp_path):
+    """Durable-state round trip under a persistent checkpoint, the
+    streaming/state_store.py contract (same drive as IncrementalTopK's)."""
+    from flink_streaming_etl_spark.sources.cdc import CdcSource
+    from flink_streaming_etl_spark.streaming.collect import IncrementalCollect
+    from tests.test_cdc import ORDER_SCHEMA, env, order
+
+    d = tmp_path / "orders"
+    d.mkdir()
+    (d / "b0.jsonl").write_text(
+        "\n".join([env("c", order("o1", "u1", 10.0, "payed"), ts=1),
+                   env("c", order("o2", "u2", 20.0, "payed"), ts=2)])
+    )
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    ck = str(tmp_path / "ck")
+    c1 = IncrementalCollect(pk="id", group_cols=["status"], value_cols=["id"],
+                            state_dir=str(tmp_path / "st"))
+    c1.attach(src.stream_changelog(spark, str(d)), checkpoint_root=ck).awaitTermination(120)
+    del c1  # the restart
+
+    (d / "b1.jsonl").write_text(
+        "\n".join([env("d", before=order("o1", "u1", 10.0, "payed"), ts=3),
+                   env("c", order("o3", "u3", 30.0, "created"), ts=4)])
+    )
+    c2 = IncrementalCollect(pk="id", group_cols=["status"], value_cols=["id"],
+                            state_dir=str(tmp_path / "st"))
+    assert c2.restore(spark)
+    assert c2.last_batch_id == 0
+    c2.attach(src.stream_changelog(spark, str(d)), checkpoint_root=ck).awaitTermination(120)
+    assert _collect_rows(c2.result()) == _collect_rows(c2.recompute())
+    assert _collect_rows(c2.result()) == [("created", "o3", 1), ("payed", "o2", 1)]
+
+
+def test_incremental_topk_and_collect_null_group(spark):
+    """A NULL group key is a real group (ADVICE r10): its slice
+    refreshes on touch, so result() == recompute() holds with NULLs."""
+    from flink_streaming_etl_spark.sources.cdc import CdcSource
+    from flink_streaming_etl_spark.streaming.collect import IncrementalCollect
+    from flink_streaming_etl_spark.streaming.topk import IncrementalTopK
+    from tests.test_cdc import ORDER_SCHEMA, env, order, raw_df
+
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    B = lambda lines: src.parse(raw_df(spark, lines))  # noqa: E731
+    batches = [
+        [env("c", order("o1", "u1", 10.0, None), ts=1),
+         env("c", order("o2", "u2", 20.0, None), ts=2),
+         env("c", order("o3", "u3", 30.0, "payed"), ts=3)],
+        # retraction INSIDE the NULL group — r10's na.drop shape left
+        # this group's maintained slice stale
+        [env("d", before=order("o2", "u2", 20.0, None), ts=4)],
+    ]
+    tk = IncrementalTopK(pk="id", group_cols=["status"], order_col="amount", k=1)
+    ic = IncrementalCollect(pk="id", group_cols=["status"], value_cols=["id"])
+    for i, lines in enumerate(batches):
+        tk.apply(B(lines), batch_id=i)
+        ic.apply(B(lines), batch_id=i)
+        assert _topk_rows_r11(tk.result()) == _topk_rows_r11(tk.recompute()), i
+        assert _collect_rows(ic.result()) == _collect_rows(ic.recompute()), i
+    assert (None, "o1", 1) in _collect_rows(ic.result())
+
+
+def _topk_rows_r11(df):
+    return sorted(
+        (tuple((r[c] is None, r[c]) for c in ("status",)), r["rank"], r["id"])
+        for r in df.collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# IncrementalJoinAgg composed durable state (ADVICE r10, both mediums)
+
+
+def _mk_join_agg(state_dir=None):
+    from flink_streaming_etl_spark.streaming.incremental_join import (
+        IncrementalJoin,
+        IncrementalJoinAgg,
+    )
+
+    join = IncrementalJoin(
+        left_pk="id", right_pk="id", left_key="user_id", right_key="id"
+    )
+    agg = IncrementalJoinAgg(
+        join,
+        group_cols={"user_id": "user_id", "cday": F.substring("ctime", 1, 10)},
+        amount=F.col("amount"),
+        predicate=F.col("status") != "closed",
+        state_dir=state_dir,
+    )
+    return agg
+
+
+def test_join_agg_single_store_restores_join_and_agg(spark, tmp_path):
+    """ONE store (state_dir on the agg only, no join store) round-trips
+    the whole composition: agg state, the join's three relations, the
+    join batch-id guard — no separate join.restore needed, and no
+    cross-store crash window exists because there is only one meta flip."""
+    from tests.test_round9 import _join_scenario, _rows
+
+    L, R, batches = _join_scenario(spark)
+    agg1 = _mk_join_agg(str(tmp_path / "st"))
+    for i, (ll, rr) in enumerate(batches[:2]):
+        agg1.apply(L(ll), R(rr), batch_id=i)
+    del agg1  # restart
+
+    agg2 = _mk_join_agg(str(tmp_path / "st"))
+    assert agg2.restore(spark)
+    assert agg2.join.last_batch_id == 1  # restored through the agg store
+    for i, (ll, rr) in enumerate(batches[2:], start=2):
+        agg2.apply(L(ll), R(rr), batch_id=i)
+    assert _rows(agg2.result()) == _rows(agg2.recompute())
+
+    agg3 = _mk_join_agg(None)
+    for i, (ll, rr) in enumerate(batches):
+        agg3.apply(L(ll), R(rr), batch_id=i)
+    assert _rows(agg2.result()) == _rows(agg3.result())
+
+
+def test_join_agg_saves_even_when_deltas_empty(spark, tmp_path):
+    """A dimension-only first batch emits NO join deltas but advances the
+    join's right state — the composed save must still run, or a restart
+    would lose that state (the r10 shape saved only on non-empty deltas)."""
+    from tests.test_round9 import _join_scenario
+
+    L, R, batches = _join_scenario(spark)
+    agg1 = _mk_join_agg(str(tmp_path / "st"))
+    agg1.apply(L(batches[0][0]), R(batches[0][1]), batch_id=0)  # dim side only
+    assert agg1.result() is None  # genuinely no aggregate yet
+    del agg1
+
+    agg2 = _mk_join_agg(str(tmp_path / "st"))
+    assert agg2.restore(spark)
+    assert agg2.join.right_state is not None
+    assert agg2.join.right_state.count() == 2
+    assert agg2.join.last_batch_id == 0
+
+
+def test_join_agg_side_seen_guard_is_durable(spark, tmp_path):
+    """ADVICE r10 medium #1: the foreachBatch per-side replay guard must
+    survive a crash between state save and streaming-checkpoint commit —
+    the replayed delivery after restore must be a no-op, not a double
+    fold."""
+    from tests.test_round9 import _join_scenario, _rows
+
+    L, R, batches = _join_scenario(spark)
+    agg1 = _mk_join_agg(str(tmp_path / "st"))
+    # simulate the attach() path: guard bump, then apply without batch_id
+    agg1._side_seen = {"l": -1, "r": -1}
+    agg1._side_seen["r"] = 0
+    agg1.apply(None, R(batches[0][1]))
+    agg1._side_seen["l"] = 0
+    agg1.apply(L(batches[1][0]), None)
+    want = _rows(agg1.result())
+    del agg1  # crash AFTER state save, BEFORE the checkpoint commit
+
+    agg2 = _mk_join_agg(str(tmp_path / "st"))
+    assert agg2.restore(spark)
+    assert agg2._side_seen == {"l": 0, "r": 0}  # guards came back
+    # at-least-once replay of the last delivery: the restored guard skips
+    if not 0 <= agg2._side_seen["l"]:  # the attach() guard, verbatim
+        raise AssertionError("guard should skip")
+    assert _rows(agg2.result()) == want
+    # and a FRESH batch still folds correctly on top
+    agg2._side_seen["l"] = 1
+    agg2._side_seen["r"] = 1
+    agg2.apply(L(batches[2][0]), R(batches[2][1]))
+    assert _rows(agg2.result()) == _rows(agg2.recompute())
