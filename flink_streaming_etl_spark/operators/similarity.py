@@ -3117,10 +3117,14 @@ def hard_negative_mining_sql(
     lo: float = NEG_COS_LO,
     hi: float = NEG_COS_HI,
     n_queries: int = N_QUERIES,
+    n_planes: int = BUCKET_DIMS,
 ) -> str:
+    # n_planes mirrors the Spark signature (ADVICE r10: a hardcoded
+    # plane count would silently compare different candidate sets when
+    # the pair is called with a non-default dial)
     bucket = " || ".join(
         f"(CASE WHEN v[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
-        for i in range(BUCKET_DIMS)
+        for i in range(n_planes)
     )
     cos = _COS_SQL.format(a="q.v", b="t.v")
     return f"""

@@ -153,10 +153,15 @@ class IncrementalDistinctCount:
         value: Callable[[Column], Column],
         predicate: Callable[[Column], Column] | None = None,
         state_dir: str | None = None,
+        state_buckets: int = 16,
     ):
         self.key_exprs = key_exprs
         self.value = value
         self.predicate = predicate
+        #: bucket count for the durable ref_state relation — the one
+        #: state tier that grows with the corpus, saved incrementally
+        #: (files rewritten ∝ buckets the batch touched; state_store.py)
+        self.state_buckets = int(state_buckets)
         #: (k0..kn, v, cnt) reference counts, cnt > 0
         self.ref_state: DataFrame | None = None
         #: (k0..kn, distinct_cnt), distinct_cnt > 0
@@ -206,6 +211,9 @@ class IncrementalDistinctCount:
             .groupBy(*pair_names)
             .agg(F.sum("_d").alias("d_cnt"))
             .filter(F.col("d_cnt") != 0)
+            # batch-bounded; materialized once, reused by the merge, the
+            # crossings AND the touched-bucket save below
+            .localCheckpoint(eager=True)
         )
 
         # merge into reference counts, emitting the 0-crossings
@@ -265,9 +273,24 @@ class IncrementalDistinctCount:
             counts.filter(F.col("distinct_cnt") > 0).localCheckpoint(eager=True)
         )
         if self._store is not None and batch_id is not None:
+            from flink_streaming_etl_spark.streaming.state_store import (
+                BucketedState,
+            )
+
+            # count_state is group-bounded (small) — plain full rewrite;
+            # ref_state grows with the corpus — save only the buckets
+            # this batch's pairs hash into (state_store.py)
             self._store.save(
                 batch_id,
-                {"ref_state": self.ref_state, "count_state": self.count_state},
+                {"count_state": self.count_state},
+                bucketed={
+                    "ref_state": BucketedState(
+                        self.ref_state,
+                        key_cols=pair_names,
+                        n_buckets=self.state_buckets,
+                        touched=batch.select(*pair_names),
+                    )
+                },
             )
         return self.count_state
 

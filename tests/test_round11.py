@@ -380,3 +380,115 @@ def test_join_agg_side_seen_guard_is_durable(spark, tmp_path):
     agg2._side_seen["r"] = 1
     agg2.apply(L(batches[2][0]), R(batches[2][1]))
     assert _rows(agg2.result()) == _rows(agg2.recompute())
+
+
+# ---------------------------------------------------------------------------
+# hard_negative_mining SQL honors n_planes (ADVICE r10 low)
+
+
+def test_hard_negative_mining_sql_n_planes_parity(spark):
+    """Spark and SQL twins called with a NON-default plane count must
+    compare the same candidate sets."""
+    import duckdb
+
+    from flink_streaming_etl_spark.operators import similarity as sim
+    from tests.oracle import compare, duck_connection
+
+    emb = load_tables(spark, SF_SMOKE, register=False)["embeddings"]
+    con = duck_connection(SF_SMOKE)
+    got = sim.hard_negative_mining(emb, n_planes=4)
+    ok, msg = compare(got, con, sim.hard_negative_mining_sql(n_planes=4))
+    assert ok, msg
+    assert "CASE WHEN v[5]" not in sim.hard_negative_mining_sql(n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Touched-bucket state saves (r10 verdict #4)
+
+
+def test_bucketed_state_save_rewrites_only_touched_buckets(spark, tmp_path):
+    """IncrementalDistinctCount's corpus-scale ref_state relation is
+    saved incrementally: a batch's save writes files only for the
+    buckets its pairs hash into; untouched buckets keep pointing at the
+    version directory that last wrote them."""
+    import os
+
+    from flink_streaming_etl_spark.sources.cdc import CdcSource
+    from flink_streaming_etl_spark.streaming.incremental import (
+        IncrementalDistinctCount,
+    )
+    from tests.test_cdc import ORDER_SCHEMA, env, order, raw_df
+
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    B = lambda lines: src.parse(raw_df(spark, lines))  # noqa: E731
+    acc = IncrementalDistinctCount(
+        key_exprs=lambda img: [img["status"]],
+        value=lambda img: img["user_id"],
+        state_dir=str(tmp_path / "st"),
+        state_buckets=8,
+    )
+    b0 = [env("c", order(f"o{i}", f"u{i}", float(i), "payed"), ts=i) for i in range(1, 9)]
+    acc.apply(B(b0), batch_id=0)
+    root = str(tmp_path / "st")
+    v0 = os.path.join(root, "ref_state.buckets", "v0")
+    n_v0 = len([d for d in os.listdir(v0) if d.startswith("_bucket=")])
+    assert n_v0 >= 2  # eight pairs spread over several buckets
+
+    # batch 1 touches ONE pair -> at most one bucket's files rewritten
+    acc.apply(B([env("c", order("o9", "u9", 9.0, "payed"), ts=9)]), batch_id=1)
+    v1 = os.path.join(root, "ref_state.buckets", "v1")
+    n_v1 = len([d for d in os.listdir(v1) if d.startswith("_bucket=")])
+    assert n_v1 == 1
+    assert os.path.isdir(v0)  # untouched buckets still owned by v0
+
+    # restore equals the in-memory state
+    acc2 = IncrementalDistinctCount(
+        key_exprs=lambda img: [img["status"]],
+        value=lambda img: img["user_id"],
+        state_dir=str(tmp_path / "st"),
+        state_buckets=8,
+    )
+    assert acc2.restore(spark)
+    want = sorted(tuple(r) for r in acc.ref_state.collect())
+    got = sorted(tuple(r) for r in acc2.ref_state.collect())
+    assert got == want
+    assert sorted(tuple(r) for r in acc2.result().collect()) == sorted(
+        tuple(r) for r in acc.result().collect()
+    )
+
+
+def test_bucketed_state_crash_mid_save_keeps_previous_version(spark, tmp_path):
+    """Data-then-pointer holds for bucketed relations too: a newer
+    version directory without a meta flip is invisible."""
+    import os
+
+    from flink_streaming_etl_spark.streaming.state_store import (
+        AccumulatorStateStore,
+        BucketedState,
+    )
+
+    store = AccumulatorStateStore(str(tmp_path / "st"))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    store.save(1, {}, bucketed={"rel": BucketedState(df1, ["k"], n_buckets=4)})
+
+    # crash mid-save of v2: bucket files written, meta NOT flipped
+    df2 = spark.createDataFrame([(3, "c")], "k long, v string")
+    from pyspark.sql import functions as SF
+
+    (df2.withColumn("_bucket", SF.pmod(SF.hash("k"), SF.lit(4)))
+        .write.mode("overwrite").partitionBy("_bucket")
+        .parquet(os.path.join(store.root, "rel.buckets", "v2")))
+
+    bid, rels, _ = store.load(spark)
+    assert bid == 1
+    assert sorted(tuple(r) for r in rels["rel"].collect()) == [(1, "a"), (2, "b")]
+
+    # a SUCCESSFUL save supersedes and prunes stale version dirs
+    store.save(
+        2, {},
+        bucketed={"rel": BucketedState(df2, ["k"], n_buckets=4,
+                                        touched=df1.unionByName(df2).select("k"))},
+    )
+    bid, rels, _ = store.load(spark)
+    assert bid == 2
+    assert sorted(tuple(r) for r in rels["rel"].collect()) == [(3, "c")]
