@@ -182,7 +182,7 @@ HEADLINE = [
     "promo_revenue_share",
     "late_order_priority_check",
     "large_volume_customers",
-    "pack_sequences_ffd",
+    "pack_sequences_ffd_stats",
     "containment_pairs",
     "dedup_stats_report",
     "filter_stack",

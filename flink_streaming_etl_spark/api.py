@@ -145,10 +145,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         similarity.ann_lsh_bucketed_sql(),
     ),
     "ann_ivf": (_q(similarity.ann_ivf, "embeddings"), similarity.ann_ivf_sql()),
-    "kmeans_assign": (
-        _q(similarity.kmeans_assign, "embeddings"),
-        None,  # iterative (Lloyd) — not SQL-expressible
-    ),
+    # NOTE: similarity.kmeans_assign (the converging Lloyd loop) is
+    # library API + pytest-covered but no longer registered (r10 verdict
+    # #7, the collect_items precedent): its registry value was a rows-only
+    # row, and the pinned assign+update twins below value-check both
+    # halves of the same kernel exactly.
     "kmeans_assign_pinned": (
         # oracle twin of kmeans_assign: the Lloyd assignment kernel against
         # the deterministic-init centroids — exact cross-engine value check
@@ -617,11 +618,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(analytics.large_volume_customers, "customer", "orders", "lineitem"),
         analytics.large_volume_customers_sql(),
     ),
-    "pack_sequences_ffd": (
-        # first-fit-decreasing packing via applyInPandas over (lang, shard)
-        # groups — stateful greedy loop, not SQL-expressible (rows-only)
-        _q(text.pack_sequences_ffd, "documents"),
-        None,
+    # NOTE: text.pack_sequences_ffd (per-doc bin assignment) stays library
+    # API + property-tested; the registry carries its SQL-checkable scalar
+    # twin instead (r10 verdict #7) — the DuckDB oracle replays the SAME
+    # pinned FFD greedy as a recursive CTE, so bins/waste/max-fill are
+    # exact cross-engine values, not a rows-only row.
+    "pack_sequences_ffd_stats": (
+        _q(text.pack_sequences_ffd_stats, "documents"),
+        text.pack_sequences_ffd_stats_sql(),
     ),
     "containment_pairs": (
         # Broder containment per verified pair — catches short-in-long
@@ -1180,6 +1184,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: rotate to the tail (still re-checked every run by
 #: tests/test_oracle_parity.py).
 _SAMPLE_FRONT = [
+    # round-11: the new oracle-earning twin (first driver row) and the
+    # two entries whose implementation / SQL builder changed this round
+    "pack_sequences_ffd_stats",
     # (a) never sampled / (b) new oracle-backed twins
     "vocab_growth_curve",
     "whitening_identity_report",
@@ -1235,7 +1242,8 @@ _SAMPLE_FRONT = [
     "simhash_pairs",
     "neardup_clusters",
     "contamination_check",
-    "bloom_incremental_dedup",
+    # (bloom_incremental_dedup rotated to the tail for the r11 addition —
+    # multi-round green, still parity-checked locally every run)
 ]
 assert len(_SAMPLE_FRONT) == 50 and len(set(_SAMPLE_FRONT)) == 50
 assert all(name in REGISTRY for name in _SAMPLE_FRONT)

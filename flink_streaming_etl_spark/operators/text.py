@@ -2344,6 +2344,77 @@ def pack_sequences_ffd(
     return base.groupBy("lang", "shard").applyInPandas(pack, out_schema)
 
 
+def pack_sequences_ffd_stats(
+    documents: DataFrame, seq_len: int = PACK_SEQ_LEN, shards: int = PACK_FFD_SHARDS
+) -> DataFrame:
+    """SQL-checkable scalar twin of :func:`pack_sequences_ffd` (r10
+    verdict #7): per (lang, shard) group — ``bins_used``, ``max_fill``
+    and ``total_waste`` = bins·cap − Σtokens (negative exactly when an
+    oversized doc got a bin of its own). The packing itself is the
+    applyInPandas greedy loop; the scalars are deterministic under the
+    pinned FFD order, so the DuckDB oracle replays the SAME greedy as a
+    recursive CTE over the identically ordered doc list (the
+    pca_power_pinned discipline: sequential fold vs recursive CTE,
+    value-equal). ``shards`` is pinned (no auto-dial) so both engines
+    group identically."""
+    packed = pack_sequences_ffd(documents, seq_len=seq_len, shards=shards)
+    per_bin = packed.groupBy("lang", "shard", "bin_id").agg(
+        F.max("bin_fill").alias("fill")
+    )
+    return per_bin.groupBy("lang", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("bins_used"),
+        F.max("fill").cast("long").alias("max_fill"),
+        (F.count(F.lit(1)) * F.lit(int(seq_len)) - F.sum("fill"))
+        .cast("long")
+        .alias("total_waste"),
+    )
+
+
+def pack_sequences_ffd_stats_sql(
+    seq_len: int = PACK_SEQ_LEN, shards: int = PACK_FFD_SHARDS
+) -> str:
+    # The FFD loop replayed as a recursive CTE: state = the bin-fill list,
+    # one recursion step per doc in the pinned (n_tokens DESC, doc_id)
+    # order; first-fit index via an index-lambda min over the fills.
+    return rf"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, lang, doc_id % {shards} AS shard,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents
+),
+docs AS (
+  SELECT lang, shard, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY lang, shard
+                            ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM base
+),
+ffd AS (
+  SELECT lang, shard, 0::BIGINT AS rn, CAST([] AS BIGINT[]) AS fills
+  FROM (SELECT DISTINCT lang, shard FROM docs)
+  UNION ALL
+  SELECT f.lang, f.shard, d.rn,
+    CASE WHEN l.idx IS NULL THEN list_append(f.fills, d.n_tokens)
+         ELSE list_transform(f.fills,
+                (x, i) -> CASE WHEN i = l.idx THEN x + d.n_tokens ELSE x END)
+    END
+  FROM ffd f
+  JOIN docs d ON d.lang = f.lang AND d.shard = f.shard AND d.rn = f.rn + 1,
+  LATERAL (SELECT list_aggregate(
+             list_transform(f.fills,
+               (x, i) -> CASE WHEN x + d.n_tokens <= {seq_len} THEN i ELSE NULL END),
+             'min') AS idx) l
+)
+SELECT lang, shard,
+       CAST(len(fills) AS BIGINT) AS bins_used,
+       CAST(list_aggregate(fills, 'max') AS BIGINT) AS max_fill,
+       CAST(len(fills) * {seq_len} - list_aggregate(fills, 'sum') AS BIGINT)
+         AS total_waste
+FROM (SELECT *, row_number() OVER (PARTITION BY lang, shard
+                                   ORDER BY rn DESC) AS rk FROM ffd)
+WHERE rk = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # The full quality-filter stack as ONE job — the composition every
 # pretraining pipeline actually runs: structural quality (length / word

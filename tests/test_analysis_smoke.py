@@ -24,7 +24,6 @@ ALL_NAMES = sorted(api.queries())
 #: this schema-only pass at the bigger SF.
 _EAGER = {
     "ann_ivf",
-    "kmeans_assign",
     "neardup_clusters",
     "neardup_drop_list",
     "dedup_apply",

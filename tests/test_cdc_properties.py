@@ -309,3 +309,52 @@ def test_compact_changelog_midstream_branches(spark):
     assert sorted(tuple(r) for r in full.collect()) == sorted(
         tuple(r) for r in via.collect()
     )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(events=valid_changelog(), n_chunks=st.integers(min_value=1, max_value=2))
+def test_retractable_collect_equals_recompute(spark, events, n_chunks):
+    """Round 11: IncrementalCollect under arbitrary contract-valid
+    changelogs and chunkings — including NULL group keys (status
+    'closed' is mapped to NULL consistently in both images, so the
+    faithful-before-image contract holds and the NULL group sees real
+    inserts/updates/deletes). The same relabeling stresses the null-safe
+    touched-group probes of IncrementalTopK."""
+    from flink_streaming_etl_spark.streaming.collect import IncrementalCollect
+    from flink_streaming_etl_spark.streaming.topk import IncrementalTopK
+
+    def _nenv(op, key, before, after, ts):
+        def row(v):
+            if v is None:
+                return None
+            status, user, amount = v
+            return {"id": key, "user_id": user, "amount": amount,
+                    "status": None if status == "closed" else status,
+                    "ctime": "2020-07-30 10:00:00"}
+
+        return json.dumps({"before": row(before), "after": row(after),
+                           "source": None, "op": op, "ts_ms": ts})
+
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    lines = [_nenv(op, k, b, a, ts)
+             for ts, (op, k, b, a) in enumerate(events, start=1)]
+    ic = IncrementalCollect(pk="id", group_cols=["status"], value_cols=["id"])
+    tk = IncrementalTopK(pk="id", group_cols=["status"], order_col="amount", k=2)
+    size = max(1, len(lines) // n_chunks)
+    key = lambda rows: sorted(  # noqa: E731 — None-safe sort
+        rows, key=lambda t: tuple(str(x) for x in t)
+    )
+    for bi, i in enumerate(range(0, len(lines), size)):
+        chunk = src.parse(raw_df(spark, lines[i : i + size]))
+        ic.apply(chunk, batch_id=bi)
+        tk.apply(chunk, batch_id=bi)
+        got = key(tuple(r) for r in ic.result().collect())
+        want = key(tuple(r) for r in ic.recompute().collect())
+        assert got == want, f"collect batch {bi}"
+        got_t = key(tuple(r) for r in tk.result().collect())
+        want_t = key(tuple(r) for r in tk.recompute().collect())
+        assert got_t == want_t, f"topk batch {bi}"
