@@ -524,3 +524,195 @@ class IncrementalJoinAgg:
         if right_stream is not None:
             queries.append(start(right_stream, "r"))
         return queries
+
+
+class IncrementalJoinCollect:
+    """Join-feeding-a-LISTAGG in ±delta mode — completes the composition
+    matrix the reference implies (flink-ddl.sql:179-190 joins order⋈user;
+    flink-ddl.sql:124-127 LISTAGGs per group; Flink runs either behind
+    the other transparently, so the Spark twin needs join→COLLECT as well
+    as round 10's join→SUM/COUNT). The join half is exact delta algebra
+    (:class:`IncrementalJoin`); the collect half cannot fold signed
+    deltas into an emitted string (retracting a mid-list element needs
+    the multiset), so it rides the join's OWN multiset state:
+
+    - the batch's signed join deltas name the TOUCHED groups (both signs
+      — an update can move rows across groups);
+    - only those groups' slice of the maintained join multiset
+      (``join_state`` expanded by ``_mult``) re-aggregates, and only
+      their rows are re-emitted into the maintained listagg relation.
+
+    Per-batch cost ∝ join deltas + the touched groups' state slices —
+    the same touched-group bound as streaming/collect.py, with the join
+    multiset replacing the PK-keyed table as the ground truth (exact
+    under ANY projection, the _mult discipline). Group keys match
+    null-safely. Durable state composes through the ONE-store discipline
+    of :class:`IncrementalJoinAgg` (single meta flip; per-side replay
+    guards durable)."""
+
+    def __init__(
+        self,
+        join: IncrementalJoin,
+        group_cols: list[str],
+        value_cols: list[str],
+        sep: str = ",",
+        predicate=None,
+        state_dir: str | None = None,
+    ):
+        self.join = join
+        self.group_cols = list(group_cols)
+        self.value_cols = list(value_cols)
+        self.sep = sep
+        self.predicate = predicate
+        self.agg: DataFrame | None = None
+        self._store = None
+        self._version = 0
+        if state_dir is not None:
+            from flink_streaming_etl_spark.streaming.state_store import (
+                AccumulatorStateStore,
+            )
+
+            self._store = AccumulatorStateStore(state_dir)
+
+    def restore(self, spark) -> bool:
+        """One store restores the whole composition (agg relation, the
+        join's three state tables, batch-id + per-side replay guards)."""
+        if self._store is None:
+            return False
+        loaded = self._store.load(spark)
+        if loaded is None:
+            return False
+        self._version, rels, extra = loaded
+        self.agg = rels.get("agg")
+        if any(k.startswith("join_") for k in rels) or (
+            extra.get("join_last_batch_id") is not None
+        ):
+            self.join.left_state = rels.get("join_left_state")
+            self.join.right_state = rels.get("join_right_state")
+            self.join.join_state = rels.get("join_join_state")
+        if extra.get("join_last_batch_id") is not None:
+            self.join.last_batch_id = int(extra["join_last_batch_id"])
+        if extra.get("side_seen") is not None:
+            self._side_seen = {k: int(v) for k, v in extra["side_seen"].items()}
+        return True
+
+    # -- aggregation kernel (identical to streaming/collect.py's emit)
+
+    def _value(self):
+        cols = [F.col(c).cast("string") for c in self.value_cols]
+        return cols[0] if len(cols) == 1 else F.concat_ws(":", *cols)
+
+    def _aggregate(self, rows: DataFrame) -> DataFrame:
+        if self.predicate is not None:
+            rows = rows.filter(self.predicate)
+        return rows.groupBy(*self.group_cols).agg(
+            F.array_join(
+                F.sort_array(F.collect_list(self._value())), self.sep
+            ).alias("items"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+
+    def _group_match(self, left: DataFrame, right: DataFrame):
+        cond = None
+        for c in self.group_cols:
+            e = left[c].eqNullSafe(right[c])
+            cond = e if cond is None else cond & e
+        return cond
+
+    def apply(
+        self,
+        left_chunk: DataFrame | None = None,
+        right_chunk: DataFrame | None = None,
+        batch_id: int | None = None,
+    ) -> DataFrame | None:
+        """Fold one micro-batch through the join AND the listagg; returns
+        the refreshed maintained relation (None before any data)."""
+        replay = (
+            batch_id is not None
+            and self.join.last_batch_id is not None
+            and batch_id <= self.join.last_batch_id
+        )
+        deltas = self.join.apply(left_chunk, right_chunk, batch_id=batch_id)
+        if deltas is not None:
+            touched = (
+                deltas.select(*self.group_cols).distinct()
+                .localCheckpoint(eager=True)
+            )
+            result = self.join.result()  # multiset-expanded join output
+            slice_ = result.join(
+                F.broadcast(touched), self._group_match(result, touched), "semi"
+            )
+            refreshed = self._aggregate(slice_).localCheckpoint(eager=True)
+            if self.agg is None:
+                self.agg = refreshed
+            else:
+                kept = self.agg.join(
+                    F.broadcast(touched),
+                    self._group_match(self.agg, touched),
+                    "anti",
+                )
+                self.agg = kept.unionByName(refreshed).localCheckpoint(eager=True)
+        if not replay and self._store is not None:
+            self._version += 1
+            self._store.save(
+                self._version,
+                {
+                    "agg": self.agg,
+                    "join_left_state": self.join.left_state,
+                    "join_right_state": self.join.right_state,
+                    "join_join_state": self.join.join_state,
+                },
+                extra={
+                    "join_last_batch_id": self.join.last_batch_id,
+                    "side_seen": getattr(self, "_side_seen", None),
+                },
+            )
+        return self.agg
+
+    def result(self) -> DataFrame | None:
+        return self.agg
+
+    def recompute(self) -> DataFrame | None:
+        """Equality oracle: the same listagg over the join recompute."""
+        j = self.join.recompute()
+        if j is None:
+            return None
+        return self._aggregate(j)
+
+    def attach(
+        self,
+        left_stream: DataFrame | None = None,
+        right_stream: DataFrame | None = None,
+        checkpoint_root: str | None = None,
+        **start_kwargs,
+    ):
+        """Same two-query foreachBatch wiring as IncrementalJoinAgg —
+        durable per-side guards, single-writer lock."""
+        import threading
+
+        lock = getattr(self, "_lock", None) or threading.Lock()
+        self._lock = lock
+        self._side_seen = getattr(self, "_side_seen", {"l": -1, "r": -1})
+        queries = []
+
+        def start(stream, side):
+            def process(batch_df: DataFrame, batch_id: int) -> None:
+                with lock:
+                    if batch_id <= self._side_seen[side]:
+                        return
+                    self._side_seen[side] = int(batch_id)
+                    self.apply(
+                        left_chunk=batch_df if side == "l" else None,
+                        right_chunk=batch_df if side == "r" else None,
+                    )
+
+            w = stream.writeStream.foreachBatch(process)
+            if checkpoint_root is not None:
+                w = w.option("checkpointLocation", f"{checkpoint_root}/{side}")
+            return w.trigger(availableNow=True).start(**start_kwargs)
+
+        if left_stream is not None:
+            queries.append(start(left_stream, "l"))
+        if right_stream is not None:
+            queries.append(start(right_stream, "r"))
+        return queries

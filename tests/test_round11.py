@@ -492,3 +492,77 @@ def test_bucketed_state_crash_mid_save_keeps_previous_version(spark, tmp_path):
     bid, rels, _ = store.load(spark)
     assert bid == 2
     assert sorted(tuple(r) for r in rels["rel"].collect()) == [(3, "c")]
+
+
+# ---------------------------------------------------------------------------
+# IncrementalJoinCollect: join -> LISTAGG in ±delta mode
+
+
+def _jc_rows(df):
+    if df is None:
+        return []
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+def test_join_collect_equals_recompute_after_every_prefix(spark):
+    """The composed join->LISTAGG chain equals its recompute after every
+    changelog prefix of BOTH sides — including dimension-side updates,
+    fact deletes and cross-group moves rippling into per-group lists."""
+    from flink_streaming_etl_spark.streaming.incremental_join import (
+        IncrementalJoin,
+        IncrementalJoinCollect,
+    )
+    from tests.test_round9 import _join_scenario
+
+    L, R, batches = _join_scenario(spark)
+    join = IncrementalJoin(left_pk="id", right_pk="id",
+                           left_key="user_id", right_key="id")
+    jc = IncrementalJoinCollect(
+        join, group_cols=["area"], value_cols=["id"],
+        predicate=F.col("status") != "closed",
+    )
+    for i, (ll, rr) in enumerate(batches):
+        jc.apply(L(ll), R(rr), batch_id=i)
+        assert _jc_rows(jc.result()) == _jc_rows(jc.recompute()), f"batch {i}"
+    # replay no-op
+    before = _jc_rows(jc.result())
+    jc.apply(L(batches[-1][0]), R(batches[-1][1]), batch_id=len(batches) - 1)
+    assert _jc_rows(jc.result()) == before
+
+
+def test_join_collect_state_survives_restart(spark, tmp_path):
+    """ONE store round-trips the join+collect composition."""
+    from flink_streaming_etl_spark.streaming.incremental_join import (
+        IncrementalJoin,
+        IncrementalJoinCollect,
+    )
+    from tests.test_round9 import _join_scenario
+
+    def mk(root=None):
+        join = IncrementalJoin(left_pk="id", right_pk="id",
+                               left_key="user_id", right_key="id")
+        return IncrementalJoinCollect(
+            join, group_cols=["area"], value_cols=["id"], state_dir=root,
+        )
+
+    L, R, batches = _join_scenario(spark)
+    root = str(tmp_path / "st")
+    jc1 = mk(root)
+    for i, (ll, rr) in enumerate(batches[:2]):
+        jc1.apply(L(ll), R(rr), batch_id=i)
+    del jc1
+
+    jc2 = mk(root)
+    assert jc2.restore(spark)
+    assert jc2.join.last_batch_id == 1
+    for i, (ll, rr) in enumerate(batches[2:], start=2):
+        jc2.apply(L(ll), R(rr), batch_id=i)
+    assert _jc_rows(jc2.result()) == _jc_rows(jc2.recompute())
+
+    jc3 = mk(None)
+    for i, (ll, rr) in enumerate(batches):
+        jc3.apply(L(ll), R(rr), batch_id=i)
+    assert _jc_rows(jc2.result()) == _jc_rows(jc3.result())
