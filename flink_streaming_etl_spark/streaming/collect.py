@@ -56,6 +56,7 @@ class IncrementalCollect:
         value_cols: list[str],
         sep: str = ",",
         state_dir: str | None = None,
+        retention_batches: int | None = None,
     ):
         self.pk = pk
         self.group_cols = list(group_cols)
@@ -64,6 +65,14 @@ class IncrementalCollect:
         self.state: DataFrame | None = None
         self.agg: DataFrame | None = None
         self.last_batch_id: int | None = None
+        #: idle-state retention (T5, streaming/retention.py) — see topk.py
+        self._retention = None
+        if retention_batches is not None:
+            from flink_streaming_etl_spark.streaming.retention import (
+                GroupRetention,
+            )
+
+            self._retention = GroupRetention(self.group_cols, retention_batches)
         self._store = None
         if state_dir is not None:
             from flink_streaming_etl_spark.streaming.state_store import (
@@ -78,9 +87,11 @@ class IncrementalCollect:
         loaded = self._store.load(spark)
         if loaded is None:
             return False
-        self.last_batch_id, rels, _ = loaded
+        self.last_batch_id, rels, extra = loaded
         self.state = rels.get("state")
         self.agg = rels.get("agg")
+        if self._retention is not None:
+            self._retention.restore(rels, extra)
         return True
 
     # -- aggregation kernel (shared by the incremental path and the pin)
@@ -135,8 +146,20 @@ class IncrementalCollect:
                 F.broadcast(touched), self._group_match(self.agg, touched), "anti"
             )
             self.agg = kept.unionByName(refreshed).localCheckpoint(eager=True)
+        if self._retention is not None:
+            from flink_streaming_etl_spark.streaming.retention import evict
+
+            idle = self._retention.tick(touched)
+            if idle is not None:
+                self.state = evict(self.state, idle, self.group_cols)
+                self.agg = evict(self.agg, idle, self.group_cols)
         if self._store is not None and batch_id is not None:
-            self._store.save(batch_id, {"state": self.state, "agg": self.agg})
+            rels = {"state": self.state, "agg": self.agg}
+            extra = None
+            if self._retention is not None:
+                rels.update(self._retention.relations())
+                extra = self._retention.extra()
+            self._store.save(batch_id, rels, extra=extra)
         return refreshed
 
     def attach(self, stream: DataFrame, checkpoint_root: str | None = None, **kw):

@@ -154,10 +154,18 @@ class IncrementalDistinctCount:
         predicate: Callable[[Column], Column] | None = None,
         state_dir: str | None = None,
         state_buckets: int = 16,
+        retention_batches: int | None = None,
     ):
         self.key_exprs = key_exprs
         self.value = value
         self.predicate = predicate
+        #: idle-state retention (T5, streaming/retention.py): groups
+        #: untouched for this many batches drop their ref-counts and
+        #: distinct count together (Flink TTL semantics — a reappearing
+        #: group starts fresh). Built lazily (key arity is known at the
+        #: first apply).
+        self.retention_batches = retention_batches
+        self._retention = None
         #: bucket count for the durable ref_state relation — the one
         #: state tier that grows with the corpus, saved incrementally
         #: (files rewritten ∝ buckets the batch touched; state_store.py)
@@ -184,9 +192,18 @@ class IncrementalDistinctCount:
         loaded = self._store.load(spark)
         if loaded is None:
             return False
-        self.last_batch_id, rels, _ = loaded
+        self.last_batch_id, rels, extra = loaded
         self.ref_state = rels.get("ref_state")
         self.count_state = rels.get("count_state")
+        if self.retention_batches is not None and "retention_touch" in rels:
+            from flink_streaming_etl_spark.streaming.retention import (
+                GroupRetention,
+            )
+
+            touch = rels["retention_touch"]
+            key_names = [c for c in touch.columns if c != "_last_batch"]
+            self._retention = GroupRetention(key_names, self.retention_batches)
+            self._retention.restore(rels, extra)
         return True
 
     def apply(self, chunk: DataFrame, batch_id: int | None = None) -> DataFrame | None:
@@ -272,6 +289,18 @@ class IncrementalDistinctCount:
         self.count_state = (
             counts.filter(F.col("distinct_cnt") > 0).localCheckpoint(eager=True)
         )
+        if self.retention_batches is not None:
+            from flink_streaming_etl_spark.streaming.retention import (
+                GroupRetention,
+                evict,
+            )
+
+            if self._retention is None:
+                self._retention = GroupRetention(key_names, self.retention_batches)
+            idle = self._retention.tick(batch.select(*key_names).distinct())
+            if idle is not None:
+                self.ref_state = evict(self.ref_state, idle, key_names)
+                self.count_state = evict(self.count_state, idle, key_names)
         if self._store is not None and batch_id is not None:
             from flink_streaming_etl_spark.streaming.state_store import (
                 BucketedState,
@@ -280,9 +309,15 @@ class IncrementalDistinctCount:
             # count_state is group-bounded (small) — plain full rewrite;
             # ref_state grows with the corpus — save only the buckets
             # this batch's pairs hash into (state_store.py)
+            rels = {"count_state": self.count_state}
+            extra = None
+            if self._retention is not None:
+                rels.update(self._retention.relations())
+                extra = self._retention.extra()
             self._store.save(
                 batch_id,
-                {"count_state": self.count_state},
+                rels,
+                extra=extra,
                 bucketed={
                     "ref_state": BucketedState(
                         self.ref_state,

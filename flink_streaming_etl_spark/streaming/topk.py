@@ -56,6 +56,7 @@ class IncrementalTopK:
         order_col: str,
         k: int = 3,
         state_dir: str | None = None,
+        retention_batches: int | None = None,
     ):
         self.pk = pk
         self.group_cols = list(group_cols)
@@ -64,6 +65,17 @@ class IncrementalTopK:
         self.state: DataFrame | None = None
         self.topk: DataFrame | None = None
         self.last_batch_id: int | None = None
+        #: idle-state retention (T5, streaming/retention.py): a group
+        #: untouched for this many batches is evicted from state AND
+        #: buffer together (result()==recompute() holds on retained
+        #: groups; a reappearing group starts fresh — Flink TTL semantics)
+        self._retention = None
+        if retention_batches is not None:
+            from flink_streaming_etl_spark.streaming.retention import (
+                GroupRetention,
+            )
+
+            self._retention = GroupRetention(self.group_cols, retention_batches)
         #: durable state (see streaming/state_store.py): REQUIRED when
         #: attach() uses a persistent checkpointLocation — a restarted
         #: stream skips committed batches, so the accumulator must come
@@ -83,9 +95,11 @@ class IncrementalTopK:
         loaded = self._store.load(spark)
         if loaded is None:
             return False
-        self.last_batch_id, rels, _ = loaded
+        self.last_batch_id, rels, extra = loaded
         self.state = rels.get("state")
         self.topk = rels.get("topk")
+        if self._retention is not None:
+            self._retention.restore(rels, extra)
         return True
 
     # -- rank kernel (shared by the incremental path and the recompute pin)
@@ -145,8 +159,20 @@ class IncrementalTopK:
                 F.broadcast(touched), self._group_match(self.topk, touched), "anti"
             )
             self.topk = kept.unionByName(refreshed).localCheckpoint(eager=True)
+        if self._retention is not None:
+            from flink_streaming_etl_spark.streaming.retention import evict
+
+            idle = self._retention.tick(touched)
+            if idle is not None:
+                self.state = evict(self.state, idle, self.group_cols)
+                self.topk = evict(self.topk, idle, self.group_cols)
         if self._store is not None and batch_id is not None:
-            self._store.save(batch_id, {"state": self.state, "topk": self.topk})
+            rels = {"state": self.state, "topk": self.topk}
+            extra = None
+            if self._retention is not None:
+                rels.update(self._retention.relations())
+                extra = self._retention.extra()
+            self._store.save(batch_id, rels, extra=extra)
         return refreshed
 
     def attach(self, stream: DataFrame, checkpoint_root: str | None = None, **kw):

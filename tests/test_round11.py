@@ -566,3 +566,95 @@ def test_join_collect_state_survives_restart(spark, tmp_path):
     for i, (ll, rr) in enumerate(batches):
         jc3.apply(L(ll), R(rr), batch_id=i)
     assert _jc_rows(jc2.result()) == _jc_rows(jc3.result())
+
+
+# ---------------------------------------------------------------------------
+# Idle-state retention (T5) for the r10/r11 accumulators
+
+
+def test_idle_retention_evicts_and_restarts_fresh(spark):
+    """Flink TTL semantics on IncrementalTopK / IncrementalCollect /
+    IncrementalDistinctCount: a group untouched for retention_batches is
+    evicted from state AND result together (result()==recompute() still
+    holds on what remains), and a reappearing group starts fresh."""
+    from flink_streaming_etl_spark.sources.cdc import CdcSource
+    from flink_streaming_etl_spark.streaming.collect import IncrementalCollect
+    from flink_streaming_etl_spark.streaming.incremental import (
+        IncrementalDistinctCount,
+    )
+    from flink_streaming_etl_spark.streaming.topk import IncrementalTopK
+    from tests.test_cdc import ORDER_SCHEMA, env, order, raw_df
+
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    B = lambda lines: src.parse(raw_df(spark, lines))  # noqa: E731
+
+    tk = IncrementalTopK(pk="id", group_cols=["status"], order_col="amount",
+                         k=2, retention_batches=2)
+    ic = IncrementalCollect(pk="id", group_cols=["status"], value_cols=["id"],
+                            retention_batches=2)
+    dc = IncrementalDistinctCount(
+        key_exprs=lambda img: [img["status"]], value=lambda img: img["user_id"],
+        retention_batches=2,
+    )
+    batches = [
+        # b0: two groups
+        [env("c", order("o1", "u1", 10.0, "payed"), ts=1),
+         env("c", order("o2", "u2", 20.0, "created"), ts=2)],
+        # b1, b2: only 'payed' is touched -> 'created' goes idle
+        [env("c", order("o3", "u3", 30.0, "payed"), ts=3)],
+        [env("c", order("o4", "u4", 40.0, "payed"), ts=4)],
+    ]
+    for i, lines in enumerate(batches):
+        for acc in (tk, ic, dc):
+            acc.apply(B(lines), batch_id=i)
+
+    # 'created' (idle since b0, horizon 2) is gone from every maintained
+    # relation AND its backing state; equality pins hold on the remainder
+    assert {r["status"] for r in tk.result().collect()} == {"payed"}
+    assert {r["status"] for r in tk.state.collect()} == {"payed"}
+    assert _topk_rows_r11(tk.result()) == _topk_rows_r11(tk.recompute())
+    assert _collect_rows(ic.result()) == [("payed", "o1,o3,o4", 3)]
+    assert _collect_rows(ic.result()) == _collect_rows(ic.recompute())
+    assert [(r["k0"], r["distinct_cnt"]) for r in dc.result().collect()] == [("payed", 3)]
+
+    # the evicted group reappears -> starts FRESH (o2 is forgotten)
+    back = [env("c", order("o5", "u5", 50.0, "created"), ts=5)]
+    for acc in (tk, ic, dc):
+        acc.apply(B(back), batch_id=3)
+    assert _collect_rows(ic.result()) == [
+        ("created", "o5", 1), ("payed", "o1,o3,o4", 3)]
+    got_d = sorted((r["k0"], r["distinct_cnt"]) for r in dc.result().collect())
+    assert got_d == [("created", 1), ("payed", 3)]
+    assert _topk_rows_r11(tk.result()) == _topk_rows_r11(tk.recompute())
+
+
+def test_idle_retention_clock_survives_restart(spark, tmp_path):
+    """The retention bookkeeping (touch stamps + batch clock) is part of
+    the durable state: after a restore, a group idle across the restart
+    boundary is still evicted on schedule."""
+    from flink_streaming_etl_spark.sources.cdc import CdcSource
+    from flink_streaming_etl_spark.streaming.topk import IncrementalTopK
+    from tests.test_cdc import ORDER_SCHEMA, env, order
+
+    d = tmp_path / "orders"
+    d.mkdir()
+    (d / "b0.jsonl").write_text(
+        "\n".join([env("c", order("o1", "u1", 10.0, "payed"), ts=1),
+                   env("c", order("o2", "u2", 20.0, "created"), ts=2)])
+    )
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    ck = str(tmp_path / "ck")
+    t1 = IncrementalTopK(pk="id", group_cols=["status"], order_col="amount",
+                         k=2, state_dir=str(tmp_path / "st"), retention_batches=2)
+    t1.attach(src.stream_changelog(spark, str(d)), checkpoint_root=ck).awaitTermination(120)
+    del t1
+
+    (d / "b1.jsonl").write_text(env("c", order("o3", "u3", 30.0, "payed"), ts=3))
+    (d / "b2.jsonl").write_text(env("c", order("o4", "u4", 40.0, "payed"), ts=4))
+    t2 = IncrementalTopK(pk="id", group_cols=["status"], order_col="amount",
+                         k=2, state_dir=str(tmp_path / "st"), retention_batches=2)
+    assert t2.restore(spark)
+    assert t2._retention.n_batches == 1  # the clock came back
+    t2.attach(src.stream_changelog(spark, str(d)), checkpoint_root=ck).awaitTermination(120)
+    assert {r["status"] for r in t2.result().collect()} == {"payed"}
+    assert _topk_rows_r11(t2.result()) == _topk_rows_r11(t2.recompute())
