@@ -275,6 +275,7 @@ HEADLINE = [
     "ann_graph_expand",
     "graph_clustering_report",
     "data_quality_report",
+    "k_anonymity_report",
 ]
 
 

@@ -1168,6 +1168,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(analytics.data_quality_report, "orders", "customer"),
         analytics.DATA_QUALITY_REPORT_SQL,
     ),
+    "k_anonymity_report": (
+        # Sweeney k-anonymity gate over the (segment, nation) quasi-
+        # identifier: equivalence-class-size histogram with at-risk flag;
+        # two map-side-combined groupBys, exact integer counts
+        _q(analytics.k_anonymity_report, "customer"),
+        analytics.k_anonymity_report_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -1184,9 +1191,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: rotate to the tail (still re-checked every run by
 #: tests/test_oracle_parity.py).
 _SAMPLE_FRONT = [
-    # round-11: the new oracle-earning twin (first driver row) and the
-    # two entries whose implementation / SQL builder changed this round
+    # round-11: the new oracle-earning twin + new operator (first driver
+    # rows) and the entries whose implementation / SQL builder changed
     "pack_sequences_ffd_stats",
+    "k_anonymity_report",
     # (a) never sampled / (b) new oracle-backed twins
     "vocab_growth_curve",
     "whitening_identity_report",
@@ -1241,9 +1249,9 @@ _SAMPLE_FRONT = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "neardup_clusters",
-    "contamination_check",
-    # (bloom_incremental_dedup rotated to the tail for the r11 addition —
-    # multi-round green, still parity-checked locally every run)
+    # (bloom_incremental_dedup + contamination_check rotated to the tail
+    # for the r11 additions — multi-round green, still parity-checked
+    # locally every run)
 ]
 assert len(_SAMPLE_FRONT) == 50 and len(set(_SAMPLE_FRONT)) == 50
 assert all(name in REGISTRY for name in _SAMPLE_FRONT)

@@ -3078,3 +3078,58 @@ SELECT check_name, n_checked, n_violations, n_violations = 0 AS passed FROM (
   UNION ALL SELECT 'status_in_domain', n_rows, v_status_domain FROM one_pass
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity report — the privacy gate a training-data exporter runs
+# before tabular/user-derived data ships (Sweeney 2002: a row is
+# k-anonymous iff at least k rows share its quasi-identifier
+# combination; re-identification risk concentrates in the small
+# equivalence classes). Output: one row per equivalence-class SIZE with
+# how many classes and rows sit at that size, plus the at-risk flag for
+# sizes below k — the histogram auditors actually read (min k, share of
+# rows below threshold) falls out of it by inspection, and every number
+# is an exact integer count.
+#
+# Scale: two map-side-combined groupBys (rows → class sizes → size
+# histogram); the histogram relation is ≤ |distinct class sizes| — tiny.
+# NULL quasi-identifier values form their own classes (SQL GROUP BY
+# semantics in both engines — NULLs group together).
+
+K_ANON_THRESHOLD = 5
+
+
+def k_anonymity_report(
+    customer: DataFrame, k: int = K_ANON_THRESHOLD
+) -> DataFrame:
+    """(class_size, n_classes, n_rows, at_risk) over the quasi-identifier
+    (c_mktsegment, c_nationkey): how exposed is each equivalence class?"""
+    classes = customer.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .select(
+            F.col("class_size").cast("long").alias("class_size"),
+            F.col("n_classes").cast("long").alias("n_classes"),
+            (F.col("class_size") * F.col("n_classes"))
+            .cast("long")
+            .alias("n_rows"),
+            (F.col("class_size") < k).alias("at_risk"),
+        )
+    )
+
+
+def k_anonymity_report_sql(k: int = K_ANON_THRESHOLD) -> str:
+    return f"""
+WITH classes AS (
+  SELECT c_mktsegment, c_nationkey, COUNT(*) AS class_size
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(class_size AS BIGINT) AS class_size,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(class_size * COUNT(*) AS BIGINT) AS n_rows,
+       class_size < {k} AS at_risk
+FROM classes GROUP BY class_size
+"""

@@ -289,6 +289,7 @@ class IncrementalDistinctCount:
         self.count_state = (
             counts.filter(F.col("distinct_cnt") > 0).localCheckpoint(eager=True)
         )
+        evicted_pairs = None
         if self.retention_batches is not None:
             from flink_streaming_etl_spark.streaming.retention import (
                 GroupRetention,
@@ -299,6 +300,24 @@ class IncrementalDistinctCount:
                 self._retention = GroupRetention(key_names, self.retention_batches)
             idle = self._retention.tick(batch.select(*key_names).distinct())
             if idle is not None:
+                # the evicted pairs live in buckets this batch may NOT
+                # have touched — capture them BEFORE eviction so the
+                # durable save below rewrites their buckets too (else a
+                # restore would resurrect evicted state from stale
+                # bucket files)
+                from flink_streaming_etl_spark.streaming.retention import (
+                    group_match,
+                )
+
+                evicted_pairs = (
+                    self.ref_state.join(
+                        F.broadcast(idle),
+                        group_match(self.ref_state, idle, key_names),
+                        "semi",
+                    )
+                    .select(*pair_names)
+                    .localCheckpoint(eager=True)
+                )
                 self.ref_state = evict(self.ref_state, idle, key_names)
                 self.count_state = evict(self.count_state, idle, key_names)
         if self._store is not None and batch_id is not None:
@@ -323,7 +342,13 @@ class IncrementalDistinctCount:
                         self.ref_state,
                         key_cols=pair_names,
                         n_buckets=self.state_buckets,
-                        touched=batch.select(*pair_names),
+                        touched=(
+                            batch.select(*pair_names)
+                            if evicted_pairs is None
+                            else batch.select(*pair_names).unionByName(
+                                evicted_pairs
+                            )
+                        ),
                     )
                 },
             )

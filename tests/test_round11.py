@@ -658,3 +658,65 @@ def test_idle_retention_clock_survives_restart(spark, tmp_path):
     t2.attach(src.stream_changelog(spark, str(d)), checkpoint_root=ck).awaitTermination(120)
     assert {r["status"] for r in t2.result().collect()} == {"payed"}
     assert _topk_rows_r11(t2.result()) == _topk_rows_r11(t2.recompute())
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity_report
+
+
+def test_k_anonymity_report_semantics(spark):
+    """Known micro-corpus: class sizes and at-risk flags are exact."""
+    from flink_streaming_etl_spark.operators import analytics as an
+
+    rows = [
+        (1, "A", 1), (2, "A", 1), (3, "A", 1),   # class (A,1) size 3
+        (4, "A", 2),                              # class (A,2) size 1
+        (5, "B", 1), (6, "B", 1),                 # class (B,1) size 2
+        (7, None, 1), (8, None, 1),               # NULLs group together
+    ]
+    c = spark.createDataFrame(
+        rows, "c_custkey long, c_mktsegment string, c_nationkey int"
+    )
+    got = {r["class_size"]: (r["n_classes"], r["n_rows"], r["at_risk"])
+           for r in an.k_anonymity_report(c, k=3).collect()}
+    assert got == {3: (1, 3, False), 1: (1, 1, True), 2: (2, 4, True)}
+
+
+def test_retention_eviction_reaches_durable_buckets(spark, tmp_path):
+    """Evicted pairs live in buckets the evicting batch may not touch —
+    the save must rewrite those buckets too, or a restore resurrects
+    evicted state from stale bucket files."""
+    from flink_streaming_etl_spark.sources.cdc import CdcSource
+    from flink_streaming_etl_spark.streaming.incremental import (
+        IncrementalDistinctCount,
+    )
+    from tests.test_cdc import ORDER_SCHEMA, env, order, raw_df
+
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    B = lambda lines: src.parse(raw_df(spark, lines))  # noqa: E731
+
+    def mk():
+        return IncrementalDistinctCount(
+            key_exprs=lambda img: [img["status"]],
+            value=lambda img: img["user_id"],
+            state_dir=str(tmp_path / "st"),
+            state_buckets=8,
+            retention_batches=2,
+        )
+
+    acc = mk()
+    acc.apply(B([env("c", order("o1", "u1", 10.0, "payed"), ts=1),
+                 env("c", order("o2", "u2", 20.0, "created"), ts=2)]), batch_id=0)
+    acc.apply(B([env("c", order("o3", "u3", 30.0, "payed"), ts=3)]), batch_id=1)
+    # b2 touches only 'payed' -> 'created' evicts; its refcount rows sat
+    # in buckets this batch's pairs do not hash into
+    acc.apply(B([env("c", order("o4", "u4", 40.0, "payed"), ts=4)]), batch_id=2)
+    want_ref = sorted(tuple(r) for r in acc.ref_state.collect())
+    assert all(r[0] == "payed" for r in want_ref)
+
+    acc2 = mk()
+    assert acc2.restore(spark)
+    got_ref = sorted(tuple(r) for r in acc2.ref_state.collect())
+    assert got_ref == want_ref  # no resurrected 'created' rows
+    got = sorted((r["k0"], r["distinct_cnt"]) for r in acc2.result().collect())
+    assert got == [("payed", 3)]
