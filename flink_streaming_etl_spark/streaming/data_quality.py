@@ -56,7 +56,7 @@ class DataQualityAccumulator:
         "status_in_domain",
     )
 
-    def __init__(self, dim_keys: set | None = None):
+    def __init__(self, dim_keys: set | None = None, state_dir: str | None = None):
         #: customer key set for the referential check (broadcast-sized,
         #: the TTL dimension cache contract; None disables the check)
         self.dim_keys = dim_keys
@@ -67,6 +67,31 @@ class DataQualityAccumulator:
         #: relation, never collected to the driver
         self._seen: DataFrame | None = None
         self.last_batch_id: int | None = None
+        #: durable state (streaming/state_store.py): the seen-key relation
+        #: plus the scalar counters, saved per folded batch — required
+        #: when the gate runs under a persistent streaming checkpoint (T6)
+        self._store = None
+        if state_dir is not None:
+            from flink_streaming_etl_spark.streaming.state_store import (
+                AccumulatorStateStore,
+            )
+
+            self._store = AccumulatorStateStore(state_dir)
+
+    def restore(self, spark: SparkSession) -> bool:
+        """Load the last saved state (True if something was restored)."""
+        if self._store is None:
+            return False
+        loaded = self._store.load(spark)
+        if loaded is None:
+            return False
+        self.last_batch_id, rels, extra = loaded
+        self._seen = rels.get("seen")
+        self.n_rows = int(extra.get("n_rows", 0))
+        self.violations = defaultdict(int, {
+            k: int(v) for k, v in extra.get("violations", {}).items()
+        })
+        return True
 
     def add_batch(self, batch_orders: DataFrame, batch_id: int | None = None) -> None:
         if batch_id is not None:
@@ -143,6 +168,23 @@ class DataQualityAccumulator:
         self.violations["orderkey_unique"] += z(dup_row["d"]) + z(agg["v_keynull"])
         # localCheckpoint truncates lineage so state cost stays ∝ |state|
         self._seen = new_seen.localCheckpoint(eager=True)
+        if self._store is not None and batch_id is not None:
+            self._store.save(
+                batch_id,
+                {"seen": self._seen},
+                extra={"n_rows": self.n_rows,
+                       "violations": dict(self.violations)},
+            )
+
+    def attach(self, stream_orders: DataFrame, checkpoint_root: str | None = None,
+               **start_kwargs):
+        """Wire onto a streaming orders DataFrame via foreachBatch."""
+        w = stream_orders.writeStream.outputMode("append").foreachBatch(
+            lambda batch, bid: self.add_batch(batch, int(bid))
+        )
+        if checkpoint_root is not None:
+            w = w.option("checkpointLocation", checkpoint_root)
+        return w.trigger(availableNow=True).start(**start_kwargs)
 
     def result(self, spark: SparkSession) -> DataFrame:
         rows = [

@@ -720,3 +720,36 @@ def test_retention_eviction_reaches_durable_buckets(spark, tmp_path):
     assert got_ref == want_ref  # no resurrected 'created' rows
     got = sorted((r["k0"], r["distinct_cnt"]) for r in acc2.result().collect())
     assert got == [("payed", 3)]
+
+
+def test_data_quality_accumulator_state_survives_restart(spark, tmp_path):
+    """T6 for the streaming data-quality gate: seen keys + counters are
+    durable, so a cross-restart duplicate key is still caught and the
+    replayed batch is a no-op."""
+    from flink_streaming_etl_spark.operators import analytics as an
+    from flink_streaming_etl_spark.streaming.data_quality import (
+        DataQualityAccumulator,
+    )
+
+    t = _tables(spark)
+    orders, customer = t["orders"], t["customer"]
+    dim = {r["c_custkey"] for r in customer.select("c_custkey").collect()}
+    rows = orders.orderBy("o_orderkey").limit(20).collect()
+    b0, b1 = rows[:10], rows[10:] + [rows[0]]  # dup crosses the restart
+
+    a1 = DataQualityAccumulator(dim_keys=dim, state_dir=str(tmp_path / "st"))
+    a1.add_batch(spark.createDataFrame(b0, orders.schema), batch_id=0)
+    del a1  # restart
+
+    a2 = DataQualityAccumulator(dim_keys=dim, state_dir=str(tmp_path / "st"))
+    assert a2.restore(spark)
+    assert a2.last_batch_id == 0 and a2.n_rows == 10
+    a2.add_batch(spark.createDataFrame(b0, orders.schema), batch_id=0)  # replay
+    assert a2.n_rows == 10
+    a2.add_batch(spark.createDataFrame(b1, orders.schema), batch_id=1)
+
+    union = spark.createDataFrame(b0 + b1, orders.schema)
+    want = sorted(tuple(r) for r in an.data_quality_report(union, customer).collect())
+    got = sorted(tuple(r) for r in a2.result(spark).collect())
+    assert got == want
+    assert a2.violations["orderkey_unique"] == 1  # caught across restart
