@@ -358,3 +358,129 @@ def test_retractable_collect_equals_recompute(spark, events, n_chunks):
         got_t = key(tuple(r) for r in tk.result().collect())
         want_t = key(tuple(r) for r in tk.recompute().collect())
         assert got_t == want_t, f"topk batch {bi}"
+
+
+# ---------------------------------------------------------------------------
+# Round 11: the join COMPOSITIONS under arbitrary TWO-SIDED contract-
+# valid changelogs — fact (orders) and dimension (customers) streams
+# interleave freely; every transition (insert/update/delete on either
+# side, fk to a not-yet-existing or already-deleted customer, multiple
+# ops on one key inside one batch) exercises the signed delta algebra
+# ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR and both downstream folds (SUM/COUNT, LISTAGG).
+
+CUST_KEYS = ["u1", "u2", "u3"]
+AREAS = ["EU", "US"]
+
+
+@st.composite
+def valid_two_sided_changelog(draw):
+    n = draw(st.integers(min_value=2, max_value=12))
+    orders, custs = {}, {}
+    events = []  # (side, op, key, before, after)
+    for _ in range(n):
+        if draw(st.booleans()):  # customer side
+            state, keys, side = custs, CUST_KEYS, "R"
+            mk = lambda: (draw(st.sampled_from(["ann", "bob", "eve"])),  # noqa: E731
+                          draw(st.sampled_from(AREAS)))
+        else:
+            state, keys, side = orders, VKEYS, "L"
+            mk = lambda: (draw(st.sampled_from(STATUSES)),  # noqa: E731
+                          draw(st.sampled_from(CUST_KEYS)),
+                          draw(st.floats(min_value=1.0, max_value=9.0,
+                                         allow_nan=False)))
+        live = sorted(state)
+        if live and draw(st.booleans()):
+            key = draw(st.sampled_from(live))
+            if draw(st.booleans()):
+                events.append((side, "d", key, state.pop(key), None))
+            else:
+                new = mk()
+                events.append((side, "u", key, state[key], new))
+                state[key] = new
+        else:
+            dead = [k for k in keys if k not in state]
+            if not dead:
+                continue
+            key = draw(st.sampled_from(dead))
+            new = mk()
+            events.append((side, "c", key, None, new))
+            state[key] = new
+    return events
+
+
+def _order_row(key, v):
+    if v is None:
+        return None
+    status, user, amount = v
+    return {"id": key, "user_id": user, "amount": amount, "status": status,
+            "ctime": "2020-07-30 10:00:00"}
+
+
+def _cust_row(key, v):
+    if v is None:
+        return None
+    name, area = v
+    return {"id": key, "name": name, "area": area}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(events=valid_two_sided_changelog(), n_chunks=st.integers(min_value=1, max_value=2))
+def test_join_compositions_equal_recompute_two_sided(spark, events, n_chunks):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from flink_streaming_etl_spark.streaming.incremental_join import (
+        IncrementalJoin,
+        IncrementalJoinAgg,
+        IncrementalJoinCollect,
+    )
+
+    cust_schema = StructType([StructField("id", StringType()),
+                              StructField("name", StringType()),
+                              StructField("area", StringType())])
+    lsrc = CdcSource("orders", ORDER_SCHEMA, "id")
+    rsrc = CdcSource("customers", cust_schema, "id")
+
+    def mk():
+        join = IncrementalJoin(left_pk="id", right_pk="id",
+                               left_key="user_id", right_key="id")
+        return join
+
+    agg = IncrementalJoinAgg(
+        mk(), group_cols={"user_id": "user_id"},
+        amount=F.col("amount"), predicate=F.col("status") != "closed",
+    )
+    jc = IncrementalJoinCollect(
+        mk(), group_cols=["area"], value_cols=["id"],
+    )
+    plain = mk()
+
+    def norm(df):
+        if df is None:
+            return []
+        return sorted((tuple(r) for r in df.collect()),
+                      key=lambda t: tuple(str(x) for x in t))
+
+    size = max(1, len(events) // n_chunks)
+    for bi, i in enumerate(range(0, len(events), size)):
+        batch = events[i : i + size]
+        llines = [json.dumps({"before": _order_row(k, b), "after": _order_row(k, a),
+                              "source": None, "op": op, "ts_ms": i + j})
+                  for j, (s, op, k, b, a) in enumerate(batch) if s == "L"]
+        rlines = [json.dumps({"before": _cust_row(k, b), "after": _cust_row(k, a),
+                              "source": None, "op": op, "ts_ms": i + j})
+                  for j, (s, op, k, b, a) in enumerate(batch) if s == "R"]
+        lc = lsrc.parse(raw_df(spark, llines)) if llines else None
+        rc = rsrc.parse(raw_df(spark, rlines)) if rlines else None
+        if lc is None and rc is None:
+            continue
+        plain.apply(lc, rc, batch_id=bi)
+        agg.apply(lc, rc, batch_id=bi)
+        jc.apply(lc, rc, batch_id=bi)
+        assert norm(plain.result()) == norm(plain.recompute()), f"join b{bi}"
+        assert norm(agg.result()) == norm(agg.recompute()), f"agg b{bi}"
+        assert norm(jc.result()) == norm(jc.recompute()), f"collect b{bi}"
