@@ -151,20 +151,23 @@ class DataQualityAccumulator:
             dup_row = bk.agg(F.sum(F.col("n") - 1).alias("d")).first()
             new_seen = bk.select("o_orderkey")
         else:
-            dup_row = (
-                bk.join(
-                    self._seen.withColumn("_seen", F.lit(1)), "o_orderkey", "left"
-                )
-                .agg(
-                    F.sum(
-                        F.col("n")
-                        - 1
-                        + F.when(F.col("_seen").isNotNull(), 1).otherwise(0)
-                    ).alias("d")
-                )
-                .first()
-            )
-            new_seen = self._seen.union(bk.select("o_orderkey")).distinct()
+            marked = bk.join(
+                self._seen.withColumn("_seen", F.lit(1)), "o_orderkey", "left"
+            ).localCheckpoint(eager=True)  # batch-bounded; reused twice
+            dup_row = marked.agg(
+                F.sum(
+                    F.col("n")
+                    - 1
+                    + F.when(F.col("_seen").isNotNull(), 1).otherwise(0)
+                ).alias("d")
+            ).first()
+            # the SAME marked relation names the batch's genuinely new
+            # keys, so the seen state grows by a shuffle-free append —
+            # never a union().distinct() re-shuffle of the whole state
+            # (the r11 first cut paid that; at 100 TB the per-batch cost
+            # must be the join probe, not a state-wide repartition)
+            new_keys = marked.filter(F.col("_seen").isNull()).select("o_orderkey")
+            new_seen = self._seen.union(new_keys)
         self.violations["orderkey_unique"] += z(dup_row["d"]) + z(agg["v_keynull"])
         # localCheckpoint truncates lineage so state cost stays ∝ |state|
         self._seen = new_seen.localCheckpoint(eager=True)
