@@ -276,6 +276,9 @@ HEADLINE = [
     "graph_clustering_report",
     "data_quality_report",
     "k_anonymity_report",
+    "cep_funnel_matches",
+    "cep_greedy_matches",
+    "cep_timeout_report",
 ]
 
 

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_streaming_etl_spark.catalog import load_tables
 from flink_streaming_etl_spark.operators import dedup, relational, similarity, text
-from flink_streaming_etl_spark.operators import analytics, multimodal, windows
+from flink_streaming_etl_spark.operators import analytics, cep, multimodal, windows
 from flink_streaming_etl_spark.session import tune_session
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1175,6 +1175,28 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(analytics.k_anonymity_report, "customer"),
         analytics.k_anonymity_report_sql(),
     ),
+    # --- CEP / MATCH_RECOGNIZE (Flink's flagship streaming-SQL feature) ---
+    "cep_funnel_matches": (
+        # MATCH_RECOGNIZE PATTERN (view click purchase) WITHIN 24h,
+        # AFTER MATCH SKIP TO NEXT ROW — pure window algebra, one
+        # exchange on the key (plan-pinned in tests/test_cep.py)
+        _q(cep.cep_pattern_matches, "events"),
+        cep.cep_pattern_matches_sql(),
+    ),
+    "cep_greedy_matches": (
+        # AFTER MATCH SKIP PAST LAST ROW (the SQL:2016 default) on a
+        # self-overlapping pattern — greedy selection via pointer
+        # doubling over the candidate nxt-chain; oracle replays the
+        # same greedy as an aggregate-free recursive CTE
+        _q(cep.cep_greedy_matches, "events"),
+        cep.cep_greedy_matches_sql(),
+    ),
+    "cep_timeout_report": (
+        # FlinkCEP timed-out/broken partial matches as a side output
+        # (end_of_stream / wrong_next / late), deterministic reasons
+        _q(cep.cep_timeout_report, "events"),
+        cep.cep_timeout_report_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -1191,8 +1213,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: rotate to the tail (still re-checked every run by
 #: tests/test_oracle_parity.py).
 _SAMPLE_FRONT = [
-    # round-11: the new oracle-earning twin + new operator (first driver
-    # rows) and the entries whose implementation / SQL builder changed
+    # round-11: the CEP family (first driver rows), the new oracle-earning
+    # twin + new operator, and the entries whose implementation / SQL
+    # builder changed
+    "cep_funnel_matches",
+    "cep_greedy_matches",
+    "cep_timeout_report",
     "pack_sequences_ffd_stats",
     "k_anonymity_report",
     # (a) never sampled / (b) new oracle-backed twins
@@ -1246,12 +1272,10 @@ _SAMPLE_FRONT = [
     "pricing_summary",
     "sql_pricing_summary",
     "scalar_battery",
-    "minhash_lsh_pairs",
-    "simhash_pairs",
-    "neardup_clusters",
-    # (bloom_incremental_dedup + contamination_check rotated to the tail
-    # for the r11 additions — multi-round green, still parity-checked
-    # locally every run)
+    # (minhash_lsh_pairs, simhash_pairs, neardup_clusters join
+    # bloom_incremental_dedup + contamination_check in the tail rotation
+    # for the r11 CEP additions — all multi-round green, still
+    # parity-checked locally every run)
 ]
 assert len(_SAMPLE_FRONT) == 50 and len(set(_SAMPLE_FRONT)) == 50
 assert all(name in REGISTRY for name in _SAMPLE_FRONT)

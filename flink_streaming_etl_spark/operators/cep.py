@@ -1,0 +1,385 @@
+"""Complex event processing — MATCH_RECOGNIZE-style contiguous pattern
+matching over the per-key event stream.
+
+The reference engine is Flink 1.11, whose flagship streaming-SQL feature
+is ``MATCH_RECOGNIZE`` (SQL:2016 row-pattern recognition; Flink docs
+"Detecting Patterns in Tables") backed by FlinkCEP's keyed NFA. This
+module re-expresses its core, Spark-first:
+
+* PARTITION BY key, ORDER BY (ts, event_id) — a deterministic total
+  order per key (the tie-break makes every result reproducible).
+* ``PATTERN (A B C)`` with STRICT CONTIGUITY — pattern steps match
+  adjacent rows of the partition.
+* ``WITHIN`` — the whole match spans at most ``within_hours`` of event
+  time (FlinkCEP ``Pattern.within``).
+* AFTER MATCH SKIP TO NEXT ROW  → :func:`cep_pattern_matches` (every
+  candidate is a match; overlaps allowed).
+* AFTER MATCH SKIP PAST LAST ROW (the SQL:2016 default) →
+  :func:`cep_greedy_matches` (left-to-right greedy, non-overlapping:
+  each row belongs to at most one match).
+* FlinkCEP's timed-out-partial-match side output →
+  :func:`cep_timeout_report`.
+
+How this is Spark-shaped rather than a sequential NFA scan:
+
+* Candidates are pure window algebra — ``L-1`` ``lead()`` columns over
+  the per-key order, so candidate generation is ONE hash exchange on the
+  key plus a per-partition sort (whole-stage codegen, no Python).
+* Greedy selection is the only genuinely sequential part. Because the
+  pattern is contiguous, a candidate starting at row ``rn`` consumes
+  rows ``[rn, rn+L)``, so the greedy successor of a taken candidate is
+  the first candidate with ``rn' >= rn+L`` — and since at most ``L-1``
+  later candidates can start inside the consumed span, that successor
+  is always among the next ``L`` candidates: ``nxt`` is computable with
+  ``L`` more leads, no join. Greedy selection is then the chain of
+  ``nxt`` pointers from each key's first candidate — a functional-graph
+  closure we compute with POINTER DOUBLING (the same discipline as
+  dedup.py's connected-components loop): round k holds the first 2^k
+  chain nodes and a 2^k-step pointer table, so a chain of M matches
+  needs ~log2(M) rounds of candidate-sized shuffles instead of an O(M)
+  per-key scan. At 100 TB the iterated relation is the CANDIDATE set
+  (pattern hits), orders of magnitude smaller than the event corpus,
+  and every round is key-partitioned joins — no driver data path.
+
+The DuckDB oracles replay the same semantics: candidates via the same
+window algebra; greedy selection as an aggregate-free recursive CTE
+following the precomputed ``nxt`` pointer from each key's first
+candidate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: default SKIP TO NEXT ROW pattern — the classic conversion funnel
+CEP_FUNNEL_STEPS = ("view", "click", "purchase")
+#: default SKIP PAST LAST ROW pattern — self-overlapping on click runs,
+#: so greedy selection is exercised for real (distinct-type patterns can
+#: never overlap and would make the two skip modes trivially equal)
+CEP_GREEDY_STEPS = ("click", "click")
+CEP_WITHIN_HOURS = 24
+
+_US_PER_HOUR = 3_600 * 1_000_000
+
+
+def _ordered(events: DataFrame) -> DataFrame:
+    """Per-key row order: (user_id, rn, us, event_id, event_type)."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    return events.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        "event_type",
+    )
+
+
+def _candidates(
+    events: DataFrame, steps: tuple[str, ...], within_hours: int
+) -> DataFrame:
+    """All contiguous pattern hits (SKIP TO NEXT ROW semantics):
+    (user_id, rn, start_event_id, end_event_id, start_us, end_us)."""
+    L = len(steps)
+    within_us = within_hours * _US_PER_HOUR
+    evs = _ordered(events)
+    w = Window.partitionBy("user_id").orderBy("rn")
+    cond = F.col("event_type") == steps[0]
+    for j in range(1, L):
+        cond = cond & (F.lead("event_type", j).over(w) == steps[j])
+    end_us = F.lead("us", L - 1).over(w) if L > 1 else F.col("us")
+    end_eid = F.lead("event_id", L - 1).over(w) if L > 1 else F.col("event_id")
+    return (
+        evs.select(
+            "user_id",
+            "rn",
+            F.col("event_id").alias("start_event_id"),
+            end_eid.alias("end_event_id"),
+            F.col("us").alias("start_us"),
+            end_us.alias("end_us"),
+            cond.alias("_hit"),
+        )
+        .filter(F.col("_hit") & ((F.col("end_us") - F.col("start_us")) <= within_us))
+        .drop("_hit")
+    )
+
+
+def cep_pattern_matches(
+    events: DataFrame,
+    steps: tuple[str, ...] = CEP_FUNNEL_STEPS,
+    within_hours: int = CEP_WITHIN_HOURS,
+) -> DataFrame:
+    """MATCH_RECOGNIZE, AFTER MATCH SKIP TO NEXT ROW: every contiguous
+    occurrence of ``steps`` within the time bound. Pure window algebra —
+    one exchange on user_id, codegen throughout."""
+    return _candidates(events, steps, within_hours).drop("rn")
+
+
+def _nxt_pointers(cand: DataFrame, L: int) -> DataFrame:
+    """Attach the greedy-successor pointer: the first candidate of the
+    same key with rn >= rn+L. Later candidates' rns are strictly
+    increasing, so the successor is the FIRST of the next L leads that
+    clears the consumed span — no join needed."""
+    cw = Window.partitionBy("user_id").orderBy("rn")
+    # ordered WHEN chain: the first (smallest-j) lead clearing the consumed
+    # span wins, and leads are strictly increasing in j, so that IS the min
+    nxt = None
+    for j in range(1, L + 1):
+        lead_j = F.lead("rn", j).over(cw)
+        cond = lead_j >= F.col("rn") + F.lit(L)
+        nxt = F.when(cond, lead_j) if nxt is None else nxt.when(cond, lead_j)
+    return cand.withColumn("nxt", nxt.otherwise(F.lit(None).cast("int")))
+
+
+def _greedy_select(cand: DataFrame, L: int, max_iter: int = 40) -> DataFrame:
+    """AFTER MATCH SKIP PAST LAST ROW selection via pointer doubling.
+
+    Round k: ``sel`` holds the first 2^k chain nodes per key, ``ptr``
+    maps each candidate to the node 2^k hops down its nxt-chain.
+    Fixpoint when a round adds no rows (monotone row count, exact)."""
+    # invariant after round k: sel = the first 2^k chain nodes per key,
+    # ptr = the 2^k-hop pointer table over all candidates
+    ptr = _nxt_pointers(cand, L).select("user_id", "rn", "nxt").localCheckpoint(
+        eager=True
+    )
+    sel = cand.groupBy("user_id").agg(F.min("rn").alias("rn")).localCheckpoint(
+        eager=True
+    )
+    n = sel.count()
+    for _ in range(max_iter):
+        hop = (
+            sel.join(ptr, ["user_id", "rn"])
+            .filter(F.col("nxt").isNotNull())
+            .select("user_id", F.col("nxt").alias("rn"))
+        )
+        sel = sel.unionByName(hop).distinct().localCheckpoint(eager=True)
+        n2 = sel.count()
+        if n2 == n:
+            break
+        n = n2
+        # double the pointer: 2^k -> 2^(k+1) hops
+        p2 = ptr.select(
+            F.col("user_id").alias("u2"),
+            F.col("rn").alias("r2"),
+            F.col("nxt").alias("nxt2"),
+        )
+        ptr = (
+            ptr.join(
+                p2,
+                (F.col("user_id") == F.col("u2")) & (F.col("nxt") == F.col("r2")),
+                "left",
+            )
+            .select("user_id", "rn", F.col("nxt2").alias("nxt"))
+            .localCheckpoint(eager=True)
+        )
+    return sel.select("user_id", "rn")
+
+
+def cep_greedy_matches(
+    events: DataFrame,
+    steps: tuple[str, ...] = CEP_GREEDY_STEPS,
+    within_hours: int = CEP_WITHIN_HOURS,
+) -> DataFrame:
+    """MATCH_RECOGNIZE, AFTER MATCH SKIP PAST LAST ROW (the SQL:2016
+    default): left-to-right greedy, non-overlapping matches."""
+    L = len(steps)
+    cand = _candidates(events, steps, within_hours)
+    sel = _greedy_select(cand, L)
+    return sel.join(cand, ["user_id", "rn"]).drop("rn")
+
+
+def cep_greedy_with_tails(
+    events: DataFrame,
+    steps: tuple[str, ...] = CEP_GREEDY_STEPS,
+    within_hours: int = CEP_WITHIN_HOURS,
+) -> tuple[DataFrame, DataFrame]:
+    """Greedy matches PLUS the per-key pending tail — the streaming
+    accumulator's batch kernel (streaming/cep.py).
+
+    The tail is every row that can still participate in a FUTURE match
+    once later rows arrive: rows after the key's last consumed row,
+    capped to the last L-1 rows (strict contiguity — only the trailing
+    L-1 rows can sit inside a candidate that also contains unseen rows),
+    and aged by the WITHIN bound (every row of a match lies within
+    ``within`` of the match's first row, so a pending row older than
+    ``within`` relative to its key's latest row can never co-occur with
+    any future row — dropping it is exact, the same argument FlinkCEP
+    uses to prune partial matches on watermark advance)."""
+    L = len(steps)
+    within_us = within_hours * _US_PER_HOUR
+    evs = _ordered(events).localCheckpoint(eager=True)
+    cand = _candidates(events, steps, within_hours)
+    sel = _greedy_select(cand, L)
+    matches = sel.join(cand, ["user_id", "rn"])
+    consumed = matches.groupBy("user_id").agg(
+        (F.max("rn") + F.lit(L - 1)).alias("last_rn")
+    )
+    latest = evs.groupBy("user_id").agg(F.max("us").alias("max_us"))
+    w = Window.partitionBy("user_id").orderBy(F.col("rn").desc())
+    tails = (
+        evs.join(consumed, "user_id", "left")
+        .filter(F.col("last_rn").isNull() | (F.col("rn") > F.col("last_rn")))
+        .withColumn("_back", F.row_number().over(w))
+        .filter(F.col("_back") <= L - 1)
+        .join(latest, "user_id")
+        .filter(F.col("us") > F.col("max_us") - within_us)
+        .select("user_id", "us", "event_id", "event_type")
+    )
+    return matches.drop("rn"), tails
+
+
+def cep_timeout_report(
+    events: DataFrame,
+    steps: tuple[str, ...] = CEP_FUNNEL_STEPS,
+    within_hours: int = CEP_WITHIN_HOURS,
+) -> DataFrame:
+    """FlinkCEP timed-out / broken partial matches as a side output:
+    rows where the first L-1 steps match contiguously but the pattern
+    does not complete. ``reason`` (priority-ordered, deterministic):
+    'end_of_stream' (no next row), 'wrong_next' (next row's type breaks
+    the pattern), 'late' (right type, outside WITHIN). SKIP TO NEXT ROW
+    discipline over prefixes — pure window algebra."""
+    L = len(steps)
+    within_us = within_hours * _US_PER_HOUR
+    evs = _ordered(events)
+    w = Window.partitionBy("user_id").orderBy("rn")
+    prefix_ok = F.col("event_type") == steps[0]
+    for j in range(1, L - 1):
+        prefix_ok = prefix_ok & (F.lead("event_type", j).over(w) == steps[j])
+    last_type = F.lead("event_type", L - 1).over(w)
+    last_us = F.lead("us", L - 1).over(w)
+    prefix_end_eid = (
+        F.lead("event_id", L - 2).over(w) if L > 2 else F.col("event_id")
+    )
+    complete = (
+        last_type.isNotNull()
+        & (last_type == steps[L - 1])
+        & ((last_us - F.col("us")) <= within_us)
+    )
+    reason = (
+        F.when(last_type.isNull(), F.lit("end_of_stream"))
+        .when(last_type != steps[L - 1], F.lit("wrong_next"))
+        .otherwise(F.lit("late"))
+    )
+    return (
+        evs.select(
+            "user_id",
+            F.col("event_id").alias("start_event_id"),
+            prefix_end_eid.alias("prefix_end_event_id"),
+            prefix_ok.alias("_p"),
+            complete.alias("_c"),
+            reason.alias("reason"),
+        )
+        .filter(F.col("_p") & ~F.col("_c"))
+        .drop("_p", "_c")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+
+
+def _steps_sql(steps: tuple[str, ...]) -> tuple[str, str]:
+    """(lead columns clause, candidate WHERE clause) for the oracle."""
+    L = len(steps)
+    leads = ",\n         ".join(
+        f"LEAD(event_type,{j}) OVER w AS t{j}" for j in range(1, L)
+    )
+    conds = [f"event_type = '{steps[0]}'"] + [
+        f"t{j} = '{steps[j]}'" for j in range(1, L)
+    ]
+    return leads, " AND ".join(conds)
+
+
+def _evs_sql() -> str:
+    return """evs AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)"""
+
+
+def cep_pattern_matches_sql(
+    steps: tuple[str, ...] = CEP_FUNNEL_STEPS,
+    within_hours: int = CEP_WITHIN_HOURS,
+) -> str:
+    L = len(steps)
+    leads, where = _steps_sql(steps)
+    within_us = within_hours * _US_PER_HOUR
+    return f"""
+WITH {_evs_sql()}, led AS (
+  SELECT user_id, rn, event_id, event_type, us,
+         {leads},
+         LEAD(event_id,{L - 1}) OVER w AS end_eid,
+         LEAD(us,{L - 1}) OVER w AS end_us
+  FROM evs WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+)
+SELECT user_id, event_id AS start_event_id, end_eid AS end_event_id,
+       us AS start_us, end_us
+FROM led WHERE {where} AND end_us - us <= {within_us}
+"""
+
+
+def cep_greedy_matches_sql(
+    steps: tuple[str, ...] = CEP_GREEDY_STEPS,
+    within_hours: int = CEP_WITHIN_HOURS,
+) -> str:
+    L = len(steps)
+    leads, where = _steps_sql(steps)
+    within_us = within_hours * _US_PER_HOUR
+    return f"""
+WITH RECURSIVE {_evs_sql()}, led AS (
+  SELECT user_id, rn, event_id, event_type, us,
+         {leads},
+         LEAD(event_id,{L - 1}) OVER w AS end_eid,
+         LEAD(us,{L - 1}) OVER w AS end_us
+  FROM evs WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+), cand AS (
+  SELECT user_id, rn, event_id AS start_event_id, end_eid AS end_event_id,
+         us AS start_us, end_us
+  FROM led WHERE {where} AND end_us - us <= {within_us}
+), nxt AS (
+  SELECT c.*, (SELECT MIN(b.rn) FROM cand b
+               WHERE b.user_id = c.user_id AND b.rn >= c.rn + {L}) AS nxt_rn
+  FROM cand c
+), firsts AS (
+  SELECT user_id, MIN(rn) AS rn FROM cand GROUP BY user_id
+), sel AS (
+  SELECT n.user_id, n.rn, n.start_event_id, n.end_event_id,
+         n.start_us, n.end_us, n.nxt_rn
+  FROM nxt n JOIN firsts f ON n.user_id = f.user_id AND n.rn = f.rn
+  UNION ALL
+  SELECT n.user_id, n.rn, n.start_event_id, n.end_event_id,
+         n.start_us, n.end_us, n.nxt_rn
+  FROM sel s JOIN nxt n ON n.user_id = s.user_id AND n.rn = s.nxt_rn
+)
+SELECT user_id, start_event_id, end_event_id, start_us, end_us FROM sel
+"""
+
+
+def cep_timeout_report_sql(
+    steps: tuple[str, ...] = CEP_FUNNEL_STEPS,
+    within_hours: int = CEP_WITHIN_HOURS,
+) -> str:
+    L = len(steps)
+    prefix_leads, prefix_where = _steps_sql(steps[: L - 1])
+    within_us = within_hours * _US_PER_HOUR
+    prefix_end = f"LEAD(event_id,{L - 2}) OVER w" if L > 2 else "event_id"
+    lead_cols = prefix_leads + ",\n         " if L > 2 else ""
+    return f"""
+WITH {_evs_sql()}, led AS (
+  SELECT user_id, rn, event_id, event_type, us,
+         {lead_cols}LEAD(event_type,{L - 1}) OVER w AS lt,
+         LEAD(us,{L - 1}) OVER w AS lus,
+         {prefix_end} AS prefix_end_event_id
+  FROM evs WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+)
+SELECT user_id, event_id AS start_event_id, prefix_end_event_id,
+       CASE WHEN lt IS NULL THEN 'end_of_stream'
+            WHEN lt <> '{steps[L - 1]}' THEN 'wrong_next'
+            ELSE 'late' END AS reason
+FROM led
+WHERE {prefix_where}
+  AND NOT (lt IS NOT NULL AND lt = '{steps[L - 1]}' AND lus - us <= {within_us})
+"""

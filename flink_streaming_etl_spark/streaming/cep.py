@@ -1,0 +1,199 @@
+"""Streaming MATCH_RECOGNIZE — the CEP greedy matcher maintained across
+micro-batches (FlinkCEP's keyed NFA as an accumulator; batch twin:
+operators/cep.py).
+
+Per batch the HEAVY work stays distributed: the stored pending tails of
+the batch's users (≤ L-1 rows each) are unioned with the batch and the
+batch kernel :func:`~flink_streaming_etl_spark.operators.cep.
+cep_greedy_with_tails` runs the same window-algebra candidate pass +
+pointer-doubling greedy selection as the batch operator. Finalized
+matches are RETURNED from ``add_batch`` (the FlinkCEP emission model —
+matches flow downstream, they are not accumulator state).
+
+Why emitted matches are final and the stitching is exact:
+
+* greedy (AFTER MATCH SKIP PAST LAST ROW) is left-to-right — rows that
+  arrive later can never create an earlier candidate, so any match found
+  over (pending ∪ batch) is the match the full-stream greedy would find;
+* strict contiguity + batch-monotone delivery mean only the trailing
+  unconsumed ≤ L-1 rows of a key can sit inside a candidate that also
+  contains unseen rows — everything older is decided;
+* the WITHIN bound makes event-time aging exact: every row of a match
+  lies within ``within`` of the match's first row, so a pending row
+  older than ``within`` relative to its key's newest row can never
+  co-occur with any future row (FlinkCEP prunes partial matches on
+  watermark advance by the same argument).
+
+State: O(active keys · (L-1)) pending rows — bounded, and self-evicting
+by the WITHIN bound. No corpus-lifetime driver structure; the per-batch
+driver transfer is the batch's matches + the batch's keys' tails, both
+batch-bounded (the paths.py discipline). Replays are idempotent by
+batch id (T6); ``store_root`` makes the state durable through
+:class:`~flink_streaming_etl_spark.streaming.state_store.
+AccumulatorStateStore` (save after every folded batch, restore on
+construction) so a restart under a persistent streaming checkpoint
+resumes exactly.
+
+Ordering contract: per-key batch-monotone delivery (the PK-keyed Kafka
+guarantee, S6) — every event in batch N sorts after the same key's
+events in batches < N under (ts, event_id); within a batch any order.
+
+Equality pin (tests/test_cep.py): over ANY batch-monotone chunking, the
+concatenated ``add_batch`` outputs equal the batch operator's matches
+on the full table (no flush step needed — a pending tail can never
+contain a full match, or greedy would have taken it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from flink_streaming_etl_spark.operators.cep import (
+    CEP_GREEDY_STEPS,
+    CEP_WITHIN_HOURS,
+    cep_greedy_with_tails,
+)
+from flink_streaming_etl_spark.streaming.state_store import AccumulatorStateStore
+
+_TAIL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("us", LongType()),
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+
+class CepAccumulator:
+    """Incremental greedy pattern matching with bounded pending state."""
+
+    def __init__(
+        self,
+        steps: tuple[str, ...] = CEP_GREEDY_STEPS,
+        within_hours: int = CEP_WITHIN_HOURS,
+        store_root: str | None = None,
+        spark: SparkSession | None = None,
+    ):
+        self.steps = tuple(steps)
+        self.within_hours = int(within_hours)
+        #: user_id -> list of pending (us, event_id, event_type), ≤ L-1 rows
+        self.tails: dict[int, list[tuple]] = {}
+        self.last_batch_id: int | None = None
+        self.store = AccumulatorStateStore(store_root) if store_root else None
+        if self.store is not None and spark is not None:
+            self._restore(spark)
+
+    # -- durability -----------------------------------------------------
+
+    def _restore(self, spark: SparkSession) -> None:
+        loaded = self.store.load(spark)
+        if loaded is None:
+            return
+        bid, rels, extra = loaded
+        self.last_batch_id = extra.get("last_batch_id", bid)
+        self.tails = {}
+        if "tails" in rels:
+            for r in rels["tails"].collect():  # bounded: ≤ (L-1)·active keys
+                self.tails.setdefault(r["user_id"], []).append(
+                    (r["us"], r["event_id"], r["event_type"])
+                )
+            for rows in self.tails.values():
+                rows.sort()
+
+    def _persist(self, spark: SparkSession, batch_id: int) -> None:
+        if self.store is None:
+            return
+        rows = [
+            (uid, us, eid, t)
+            for uid, pend in self.tails.items()
+            for (us, eid, t) in pend
+        ]
+        df = spark.createDataFrame(rows, _TAIL_SCHEMA)
+        self.store.save(
+            batch_id, {"tails": df}, extra={"last_batch_id": int(batch_id)}
+        )
+
+    # -- streaming side --------------------------------------------------
+
+    def add_batch(
+        self, batch_events: DataFrame, batch_id: int | None = None
+    ) -> list[tuple]:
+        """Fold one micro-batch; return its finalized matches as tuples
+        (user_id, start_event_id, end_event_id, start_us, end_us)."""
+        if batch_id is not None:
+            if self.last_batch_id is not None and batch_id <= self.last_batch_id:
+                return []  # replay — already folded and emitted
+            self.last_batch_id = int(batch_id)
+        spark = batch_events.sparkSession
+        batch = batch_events.select("user_id", "ts", "event_id", "event_type")
+        # pending tails of THIS batch's keys only — per-batch work scales
+        # with the batch, not with lifetime key count
+        users = {
+            r["user_id"] for r in batch.select("user_id").distinct().collect()
+        }
+        pend_rows = [
+            (uid, us, eid, t)
+            for uid in users
+            for (us, eid, t) in self.tails.get(uid, [])
+        ]
+        if pend_rows:
+            pend = spark.createDataFrame(pend_rows, _TAIL_SCHEMA).select(
+                "user_id",
+                F.timestamp_micros(F.col("us")).alias("ts"),
+                "event_id",
+                "event_type",
+            )
+            batch = batch.unionByName(pend)
+        matches_df, tails_df = cep_greedy_with_tails(
+            batch, self.steps, self.within_hours
+        )
+        matches = [
+            (
+                r["user_id"],
+                r["start_event_id"],
+                r["end_event_id"],
+                r["start_us"],
+                r["end_us"],
+            )
+            for r in matches_df.collect()
+        ]
+        for uid in users:
+            self.tails.pop(uid, None)
+        for r in tails_df.collect():  # ≤ (L-1)·batch keys
+            self.tails.setdefault(r["user_id"], []).append(
+                (r["us"], r["event_id"], r["event_type"])
+            )
+        for uid in users:
+            if uid in self.tails:
+                self.tails[uid].sort()
+        if batch_id is not None:
+            self._persist(spark, batch_id)
+        return matches
+
+    def attach(self, stream_events: DataFrame, on_matches=None, **start_kwargs):
+        """foreachBatch driver: fold each micro-batch, hand its finalized
+        matches to ``on_matches`` (the downstream sink)."""
+
+        def _fold(batch: DataFrame, bid: int) -> None:
+            out = self.add_batch(batch, bid)
+            if on_matches is not None:
+                on_matches(out)
+
+        return (
+            stream_events.writeStream.outputMode("append")
+            .foreachBatch(_fold)
+            .start(**start_kwargs)
+        )
+
+    # -- query side --------------------------------------------------------
+
+    def pending_count(self) -> int:
+        return sum(len(v) for v in self.tails.values())

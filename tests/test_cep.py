@@ -1,0 +1,204 @@
+"""CEP / MATCH_RECOGNIZE battery — batch semantics vs a brute-force
+greedy model, oracle parity (also re-checked by test_oracle_parity), the
+streaming accumulator's chunking-invariance pin, replay idempotence,
+restart round-trip, and the plan shape of the candidate pass."""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_streaming_etl_spark.operators import cep
+from flink_streaming_etl_spark.streaming.cep import CepAccumulator
+from tests.conftest import SF_SMOKE
+
+_US = 1_000_000
+_WITHIN_US = cep.CEP_WITHIN_HOURS * 3600 * _US
+
+
+def _events(spark, sf_dir=SF_SMOKE):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _brute_greedy(rows, steps, within_us):
+    """Reference model: per-key left-to-right scan (the NFA semantics)."""
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for r in rows:
+        by[r["user_id"]].append((r["us"], r["event_id"], r["event_type"]))
+    L = len(steps)
+    out = []
+    for uid, evl in sorted(by.items()):
+        evl.sort()
+        i = 0
+        while i + L - 1 < len(evl):
+            ok = all(evl[i + j][2] == steps[j] for j in range(L)) and (
+                evl[i + L - 1][0] - evl[i][0] <= within_us
+            )
+            if ok:
+                out.append(
+                    (uid, evl[i][1], evl[i + L - 1][1], evl[i][0], evl[i + L - 1][0])
+                )
+                i += L
+            else:
+                i += 1
+    return sorted(out)
+
+
+def _rows_with_us(events):
+    return (
+        events.select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+            "event_type",
+        )
+        .collect()
+    )
+
+
+def test_greedy_equals_bruteforce(spark):
+    ev = _events(spark)
+    got = sorted(tuple(r) for r in cep.cep_greedy_matches(ev).collect())
+    want = _brute_greedy(_rows_with_us(ev), cep.CEP_GREEDY_STEPS, _WITHIN_US)
+    assert got == want
+    # non-overlap: every event id consumed at most once
+    used = [x for m in got for x in (m[1], m[2])]
+    assert len(used) == len(set(used))
+
+
+def test_all_matches_superset_of_greedy(spark):
+    ev = _events(spark)
+    allm = {
+        tuple(r)
+        for r in cep.cep_pattern_matches(
+            ev, cep.CEP_GREEDY_STEPS, cep.CEP_WITHIN_HOURS
+        ).collect()
+    }
+    greedy = {tuple(r) for r in cep.cep_greedy_matches(ev).collect()}
+    assert greedy <= allm
+
+
+def test_timeout_report_reasons(spark):
+    base = datetime(2024, 1, 1)
+    rows = [
+        # complete funnel — not in the report
+        (1, base, 10, "view"),
+        (1, base + timedelta(hours=1), 11, "click"),
+        (1, base + timedelta(hours=2), 12, "purchase"),
+        # wrong next: view, click, then error
+        (1, base + timedelta(days=2), 13, "view"),
+        (1, base + timedelta(days=2, hours=1), 14, "click"),
+        (1, base + timedelta(days=2, hours=2), 15, "error"),
+        # late: purchase arrives past the 24 h bound
+        (2, base, 20, "view"),
+        (2, base + timedelta(hours=1), 21, "click"),
+        (2, base + timedelta(hours=30), 22, "purchase"),
+        # end of stream: prefix with nothing after
+        (3, base, 30, "view"),
+        (3, base + timedelta(hours=1), 31, "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(eid, ts, uid, t, 0.0, None) for uid, ts, eid, t in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        (r["user_id"], r["start_event_id"], r["reason"])
+        for r in cep.cep_timeout_report(ev).collect()
+    }
+    assert got == {(1, 13, "wrong_next"), (2, 20, "late"), (3, 30, "end_of_stream")}
+
+
+def test_candidate_pass_plan_shape(spark):
+    """The SKIP TO NEXT ROW matcher is pure window algebra: no Python
+    eval anywhere, and a single exchange (the per-key hash partition)."""
+    plan = cep.cep_pattern_matches(_events(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def _synth_stream(spark, seed: int, n_users: int = 3, n_per_user: int = 60):
+    """Click-heavy synthetic stream — long click runs stress the greedy
+    overlap resolution; occasional >24 h gaps stress the WITHIN bound."""
+    rng = random.Random(seed)
+    rows = []
+    eid = 0
+    for uid in range(n_users):
+        t = 1_700_000_000 * _US
+        for _ in range(n_per_user):
+            t += rng.choice([60, 3600, 90_000, 30 * 3600]) * _US
+            rows.append(
+                (eid, t, uid, rng.choice(["click", "click", "click", "view", "purchase"]))
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        [(e, u, t, ty) for (e, t, u, ty) in rows],
+        "event_id long, user_id long, us long, event_type string",
+    ).select(
+        "event_id", F.timestamp_micros(F.col("us")).alias("ts"), "user_id", "event_type"
+    )
+    return df, rows
+
+
+@pytest.mark.parametrize("seed,n_chunks", [(1, 4), (2, 7), (3, 3)])
+def test_accumulator_chunking_invariance(spark, seed, n_chunks):
+    """Over any batch-monotone chunking, concatenated add_batch emissions
+    equal the batch operator on the full table — including the WITHIN
+    aging of pending tails."""
+    df, rows = _synth_stream(spark, seed)
+    want = sorted(tuple(r) for r in cep.cep_greedy_matches(df).collect())
+
+    ordered = df.orderBy("ts", "event_id").collect()
+    rng = random.Random(seed + 100)
+    cuts = sorted(rng.sample(range(1, len(ordered)), n_chunks - 1))
+    chunks, prev = [], 0
+    for c in cuts + [len(ordered)]:
+        chunks.append(ordered[prev:c])
+        prev = c
+
+    acc = CepAccumulator()
+    got = []
+    for i, chunk in enumerate(chunks):
+        batch = spark.createDataFrame(chunk, df.schema)
+        got.extend(acc.add_batch(batch, batch_id=i))
+    assert sorted(got) == want
+    # bounded state: ≤ L-1 pending rows per key
+    assert all(len(v) <= len(cep.CEP_GREEDY_STEPS) - 1 for v in acc.tails.values())
+
+
+def test_accumulator_replay_is_noop(spark):
+    df, _ = _synth_stream(spark, 7, n_users=2, n_per_user=20)
+    acc = CepAccumulator()
+    first = acc.add_batch(df, batch_id=0)
+    assert acc.add_batch(df, batch_id=0) == []
+    assert sorted(first) == sorted(
+        tuple(r) for r in cep.cep_greedy_matches(df).collect()
+    )
+
+
+def test_accumulator_restart_roundtrip(spark, tmp_path):
+    """Durable state: a new accumulator restored from the store resumes
+    mid-stream and the combined emissions equal the batch operator."""
+    df, _ = _synth_stream(spark, 11, n_users=2, n_per_user=40)
+    want = sorted(tuple(r) for r in cep.cep_greedy_matches(df).collect())
+    ordered = df.orderBy("ts", "event_id").collect()
+    third = len(ordered) // 3
+    batches = [ordered[:third], ordered[third : 2 * third], ordered[2 * third :]]
+
+    root = str(tmp_path / "cep_state")
+    acc = CepAccumulator(store_root=root)
+    got = []
+    got.extend(acc.add_batch(spark.createDataFrame(batches[0], df.schema), 0))
+    got.extend(acc.add_batch(spark.createDataFrame(batches[1], df.schema), 1))
+    # crash + restart: fresh accumulator, state restored from the store
+    acc2 = CepAccumulator(store_root=root, spark=spark)
+    assert acc2.last_batch_id == 1
+    assert acc2.tails == acc.tails
+    # at-least-once replay of batch 1 is a no-op
+    assert acc2.add_batch(spark.createDataFrame(batches[1], df.schema), 1) == []
+    got.extend(acc2.add_batch(spark.createDataFrame(batches[2], df.schema), 2))
+    assert sorted(got) == want
