@@ -279,6 +279,7 @@ HEADLINE = [
     "cep_funnel_matches",
     "cep_greedy_matches",
     "cep_timeout_report",
+    "cep_relaxed_matches",
 ]
 
 

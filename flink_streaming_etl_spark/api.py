@@ -1197,6 +1197,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(cep.cep_timeout_report, "events"),
         cep.cep_timeout_report_sql(),
     ),
+    "cep_relaxed_matches": (
+        # FlinkCEP followedBy (relaxed contiguity) with SKIP PAST LAST
+        # ROW: next-of-type window maps + L-2 co-partitioned binding
+        # joins + as-of nxt pass + pointer-doubling closure
+        _q(cep.cep_relaxed_matches, "events"),
+        cep.cep_relaxed_matches_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -1219,6 +1226,7 @@ _SAMPLE_FRONT = [
     "cep_funnel_matches",
     "cep_greedy_matches",
     "cep_timeout_report",
+    "cep_relaxed_matches",
     "pack_sequences_ffd_stats",
     "k_anonymity_report",
     # (a) never sampled / (b) new oracle-backed twins
@@ -1271,8 +1279,7 @@ _SAMPLE_FRONT = [
     # reference-parity + dedup/ANN/text core anchors
     "pricing_summary",
     "sql_pricing_summary",
-    "scalar_battery",
-    # (minhash_lsh_pairs, simhash_pairs, neardup_clusters join
+    # (scalar_battery, minhash_lsh_pairs, simhash_pairs, neardup_clusters join
     # bloom_incremental_dedup + contamination_check in the tail rotation
     # for the r11 CEP additions — all multi-round green, still
     # parity-checked locally every run)

@@ -133,19 +133,22 @@ def _nxt_pointers(cand: DataFrame, L: int) -> DataFrame:
 
 
 def _greedy_select(cand: DataFrame, L: int, max_iter: int = 40) -> DataFrame:
-    """AFTER MATCH SKIP PAST LAST ROW selection via pointer doubling.
+    """AFTER MATCH SKIP PAST LAST ROW selection via pointer doubling."""
+    ptr = _nxt_pointers(cand, L).select("user_id", "rn", "nxt")
+    firsts = cand.groupBy("user_id").agg(F.min("rn").alias("rn"))
+    return _chain_closure(ptr, firsts, max_iter)
 
-    Round k: ``sel`` holds the first 2^k chain nodes per key, ``ptr``
-    maps each candidate to the node 2^k hops down its nxt-chain.
-    Fixpoint when a round adds no rows (monotone row count, exact)."""
-    # invariant after round k: sel = the first 2^k chain nodes per key,
-    # ptr = the 2^k-hop pointer table over all candidates
-    ptr = _nxt_pointers(cand, L).select("user_id", "rn", "nxt").localCheckpoint(
-        eager=True
-    )
-    sel = cand.groupBy("user_id").agg(F.min("rn").alias("rn")).localCheckpoint(
-        eager=True
-    )
+
+def _chain_closure(
+    ptr: DataFrame, firsts: DataFrame, max_iter: int = 40
+) -> DataFrame:
+    """Nodes on the nxt-chain from each key's first node, via pointer
+    doubling: round k holds the first 2^k chain nodes per key and a
+    2^k-hop pointer table, so an M-node chain closes in ~log2(M) rounds
+    of chain-sized shuffles. Fixpoint when a round adds no rows
+    (monotone row count, exact). ``ptr``: (user_id, rn, nxt)."""
+    ptr = ptr.localCheckpoint(eager=True)
+    sel = firsts.localCheckpoint(eager=True)
     n = sel.count()
     for _ in range(max_iter):
         hop = (
@@ -382,4 +385,184 @@ SELECT user_id, event_id AS start_event_id, prefix_end_event_id,
 FROM led
 WHERE {prefix_where}
   AND NOT (lt IS NOT NULL AND lt = '{steps[L - 1]}' AND lus - us <= {within_us})
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relaxed contiguity (FlinkCEP ``followedBy``): pattern steps may skip
+# over irrelevant rows. Each step binds to the FIRST row of its type
+# after the previous step's row (FlinkCEP's earliest-match/NO_SKIP head
+# semantics), the whole match must span <= WITHIN, and AFTER MATCH SKIP
+# PAST LAST ROW resumes after the match's last bound row.
+#
+# Spark shape: ONE window pass computes, for every row, the next row
+# position of each step type (min-over-following-frame — no join); the
+# per-start binding chain is then L-2 co-partitioned equi-joins; the
+# greedy nxt pointer over valid starts is one union+window as-of pass
+# (the latest_order_asof recipe); selection reuses the pointer-doubling
+# chain closure. Everything is key-partitioned; no per-key scan.
+
+
+def _relaxed_bindings(
+    events: DataFrame, steps: tuple[str, ...], within_hours: int
+) -> DataFrame:
+    """All relaxed matches, one per pattern-start row (SKIP TO NEXT ROW):
+    (user_id, start_rn, end_rn, start_event_id, end_event_id,
+    start_us, end_us)."""
+    L = len(steps)
+    within_us = within_hours * _US_PER_HOUR
+    evs = _ordered(events)
+    fw = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    base = evs.select(
+        "user_id",
+        "rn",
+        "us",
+        "event_id",
+        "event_type",
+        *[
+            F.min(F.when(F.col("event_type") == steps[j], F.col("rn")))
+            .over(fw)
+            .alias(f"n{j}")
+            for j in range(1, L)
+        ],
+    ).localCheckpoint(eager=True)
+    m = base.filter(F.col("event_type") == steps[0]).select(
+        "user_id",
+        F.col("rn").alias("start_rn"),
+        F.col("us").alias("start_us"),
+        F.col("event_id").alias("start_event_id"),
+        F.col("n1").alias("_cur"),
+    )
+    # bind steps 2..L-1: look up n_{j} at the row the previous step bound
+    for j in range(2, L):
+        step_rows = base.select(
+            "user_id", F.col("rn").alias("_cur"), F.col(f"n{j}").alias("_nxt")
+        )
+        m = (
+            m.join(step_rows, ["user_id", "_cur"])
+            .drop("_cur")
+            .withColumnRenamed("_nxt", "_cur")
+        )
+    last = evs.select(
+        "user_id",
+        F.col("rn").alias("_cur"),
+        F.col("us").alias("end_us"),
+        F.col("event_id").alias("end_event_id"),
+    )
+    return (
+        m.join(last, ["user_id", "_cur"])
+        .filter((F.col("end_us") - F.col("start_us")) <= within_us)
+        .select(
+            "user_id",
+            "start_rn",
+            F.col("_cur").alias("end_rn"),
+            "start_event_id",
+            "end_event_id",
+            "start_us",
+            "end_us",
+        )
+    )
+
+
+def cep_relaxed_matches(
+    events: DataFrame,
+    steps: tuple[str, ...] = CEP_FUNNEL_STEPS,
+    within_hours: int = CEP_WITHIN_HOURS,
+) -> DataFrame:
+    """FlinkCEP followedBy (relaxed contiguity), AFTER MATCH SKIP PAST
+    LAST ROW: earliest valid start wins, matching resumes after its last
+    bound row. Binding chains are monotone in the start position, so
+    earliest start == earliest completion — the greedy scan is exactly
+    the nxt-chain from each key's first valid start."""
+    valid = _relaxed_bindings(events, steps, within_hours).localCheckpoint(
+        eager=True
+    )
+    # as-of pass: nxt(p) = first valid start strictly after p's end row.
+    # Anchors sort before probes at equal pos, so 'strictly after' holds.
+    anchors = valid.select(
+        "user_id",
+        F.col("start_rn").alias("pos"),
+        F.lit(0).alias("tag"),
+        F.col("start_rn").alias("arn"),
+        F.lit(None).cast("int").alias("rn"),
+    )
+    probes = valid.select(
+        "user_id",
+        F.col("end_rn").alias("pos"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("int").alias("arn"),
+        F.col("start_rn").alias("rn"),
+    )
+    aw = (
+        Window.partitionBy("user_id")
+        .orderBy("pos", "tag")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ptr = (
+        anchors.unionByName(probes)
+        .withColumn("nxt", F.min("arn").over(aw))
+        .filter(F.col("tag") == 1)
+        .select("user_id", "rn", "nxt")
+    )
+    firsts = valid.groupBy("user_id").agg(F.min("start_rn").alias("rn"))
+    sel = _chain_closure(ptr, firsts).withColumnRenamed("rn", "start_rn")
+    return sel.join(valid, ["user_id", "start_rn"]).select(
+        "user_id", "start_event_id", "end_event_id", "start_us", "end_us"
+    )
+
+
+def cep_relaxed_matches_sql(
+    steps: tuple[str, ...] = CEP_FUNNEL_STEPS,
+    within_hours: int = CEP_WITHIN_HOURS,
+) -> str:
+    L = len(steps)
+    within_us = within_hours * _US_PER_HOUR
+    ncols = ",\n         ".join(
+        f"MIN(CASE WHEN event_type = '{steps[j]}' THEN rn END) OVER w AS n{j}"
+        for j in range(1, L)
+    )
+    joins = []
+    prev = "s"
+    for j in range(2, L):
+        joins.append(
+            f"JOIN base b{j} ON b{j}.user_id = s.user_id AND b{j}.rn = {prev}.n{j - 1}"
+        )
+        prev = f"b{j}"
+    final_rn = f"{prev}.n{L - 1}" if L > 1 else "s.rn"
+    join_sql = "\n  ".join(joins)
+    return f"""
+WITH RECURSIVE evs AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), base AS (
+  SELECT *, {ncols}
+  FROM evs WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+), m AS (
+  SELECT s.user_id, s.rn AS start_rn, e.rn AS end_rn,
+         s.event_id AS start_event_id, e.event_id AS end_event_id,
+         s.us AS start_us, e.us AS end_us
+  FROM base s
+  {join_sql}
+  JOIN evs e ON e.user_id = s.user_id AND e.rn = {final_rn}
+  WHERE s.event_type = '{steps[0]}' AND e.us - s.us <= {within_us}
+), nxt AS (
+  SELECT m.*, (SELECT MIN(q.start_rn) FROM m q
+               WHERE q.user_id = m.user_id AND q.start_rn > m.end_rn) AS nxt_rn
+  FROM m
+), firsts AS (
+  SELECT user_id, MIN(start_rn) AS start_rn FROM m GROUP BY user_id
+), sel AS (
+  SELECT n.* FROM nxt n JOIN firsts f
+    ON n.user_id = f.user_id AND n.start_rn = f.start_rn
+  UNION ALL
+  SELECT n.* FROM sel s JOIN nxt n
+    ON n.user_id = s.user_id AND n.start_rn = s.nxt_rn
+)
+SELECT user_id, start_event_id, end_event_id, start_us, end_us FROM sel
 """

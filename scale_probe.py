@@ -197,6 +197,12 @@ PROBES = [
     "ann_graph_expand",
     "graph_clustering_report",
     "data_quality_report",
+    # round-11 additions
+    "k_anonymity_report",
+    "cep_funnel_matches",
+    "cep_greedy_matches",
+    "cep_timeout_report",
+    "cep_relaxed_matches",
 ]
 
 

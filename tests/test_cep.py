@@ -202,3 +202,72 @@ def test_accumulator_restart_roundtrip(spark, tmp_path):
     assert acc2.add_batch(spark.createDataFrame(batches[1], df.schema), 1) == []
     got.extend(acc2.add_batch(spark.createDataFrame(batches[2], df.schema), 2))
     assert sorted(got) == want
+
+
+def _brute_relaxed(rows, steps, within_us):
+    """Reference model for relaxed contiguity (followedBy) with SKIP
+    PAST LAST ROW: earliest valid start, each step binds to the first
+    row of its type after the previous binding."""
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for r in rows:
+        by[r["user_id"]].append((r["us"], r["event_id"], r["event_type"]))
+    L = len(steps)
+    out = []
+    for uid, evl in sorted(by.items()):
+        evl.sort()
+        pos = 0
+        while pos < len(evl):
+            emitted = False
+            for p in range(pos, len(evl)):
+                if evl[p][2] != steps[0]:
+                    continue
+                cur, ok = p, True
+                for j in range(1, L):
+                    nxt = next(
+                        (i for i in range(cur + 1, len(evl)) if evl[i][2] == steps[j]),
+                        None,
+                    )
+                    if nxt is None:
+                        ok = False
+                        break
+                    cur = nxt
+                if ok and evl[cur][0] - evl[p][0] <= within_us:
+                    out.append(
+                        (uid, evl[p][1], evl[cur][1], evl[p][0], evl[cur][0])
+                    )
+                    pos = cur + 1
+                    emitted = True
+                    break
+            if not emitted:
+                break
+    return sorted(out)
+
+
+def test_relaxed_equals_bruteforce(spark):
+    ev = _events(spark)
+    got = sorted(tuple(r) for r in cep.cep_relaxed_matches(ev).collect())
+    want = _brute_relaxed(_rows_with_us(ev), cep.CEP_FUNNEL_STEPS, _WITHIN_US)
+    assert got == want
+
+
+def test_relaxed_bruteforce_on_synthetic(spark):
+    """Click-heavy streams stress overlapping relaxed bindings and the
+    WITHIN pruning of otherwise-valid chains."""
+    for seed in (21, 22):
+        df, _ = _synth_stream(spark, seed, n_users=2, n_per_user=50)
+        got = sorted(tuple(r) for r in cep.cep_relaxed_matches(df).collect())
+        rows = _rows_with_us(df)
+        want = _brute_relaxed(rows, cep.CEP_FUNNEL_STEPS, _WITHIN_US)
+        assert got == want
+
+
+def test_relaxed_superset_of_contiguous_greedy_counts(spark):
+    """Relaxed matching can only find matches where contiguous matching
+    found none or more-constrained ones; on the funnel pattern the
+    relaxed match count dominates the strict-contiguity count."""
+    ev = _events(spark)
+    strict = cep.cep_greedy_matches(ev, cep.CEP_FUNNEL_STEPS, cep.CEP_WITHIN_HOURS).count()
+    relaxed = cep.cep_relaxed_matches(ev).count()
+    assert relaxed >= strict
