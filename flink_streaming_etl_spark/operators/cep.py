@@ -404,13 +404,21 @@ WHERE {prefix_where}
 
 
 def _relaxed_bindings(
-    events: DataFrame, steps: tuple[str, ...], within_hours: int
+    events: DataFrame,
+    steps: tuple[str, ...],
+    within_hours: int,
+    keep_incomplete: bool = False,
 ) -> DataFrame:
-    """All relaxed matches, one per pattern-start row (SKIP TO NEXT ROW):
-    (user_id, start_rn, end_rn, start_event_id, end_event_id,
-    start_us, end_us)."""
+    """Relaxed binding chains, one per pattern-start row (SKIP TO NEXT
+    ROW): (user_id, start_rn, end_rn, start_event_id, end_event_id,
+    start_us, end_us). With ``keep_incomplete`` the binding joins go
+    left and the WITHIN filter is skipped, so every start row appears —
+    end columns NULL where the chain has no binding yet (the streaming
+    kernel's pending-start detection; bindings are monotone, so a NULL
+    here means 'only future rows can complete this chain')."""
     L = len(steps)
     within_us = within_hours * _US_PER_HOUR
+    how = "left" if keep_incomplete else "inner"
     evs = _ordered(events)
     fw = (
         Window.partitionBy("user_id")
@@ -443,7 +451,7 @@ def _relaxed_bindings(
             "user_id", F.col("rn").alias("_cur"), F.col(f"n{j}").alias("_nxt")
         )
         m = (
-            m.join(step_rows, ["user_id", "_cur"])
+            m.join(step_rows, ["user_id", "_cur"], how)
             .drop("_cur")
             .withColumnRenamed("_nxt", "_cur")
         )
@@ -453,18 +461,17 @@ def _relaxed_bindings(
         F.col("us").alias("end_us"),
         F.col("event_id").alias("end_event_id"),
     )
-    return (
-        m.join(last, ["user_id", "_cur"])
-        .filter((F.col("end_us") - F.col("start_us")) <= within_us)
-        .select(
-            "user_id",
-            "start_rn",
-            F.col("_cur").alias("end_rn"),
-            "start_event_id",
-            "end_event_id",
-            "start_us",
-            "end_us",
-        )
+    out = m.join(last, ["user_id", "_cur"], how)
+    if not keep_incomplete:
+        out = out.filter((F.col("end_us") - F.col("start_us")) <= within_us)
+    return out.select(
+        "user_id",
+        "start_rn",
+        F.col("_cur").alias("end_rn"),
+        "start_event_id",
+        "end_event_id",
+        "start_us",
+        "end_us",
     )
 
 
@@ -481,16 +488,30 @@ def cep_relaxed_matches(
     valid = _relaxed_bindings(events, steps, within_hours).localCheckpoint(
         eager=True
     )
-    # as-of pass: nxt(p) = first valid start strictly after p's end row.
-    # Anchors sort before probes at equal pos, so 'strictly after' holds.
-    anchors = valid.select(
+    sel = _relaxed_greedy_chain(valid)
+    return sel.join(valid, ["user_id", "start_rn"]).select(
+        "user_id", "start_event_id", "end_event_id", "start_us", "end_us"
+    )
+
+
+def _relaxed_greedy_chain(nodes: DataFrame) -> DataFrame:
+    """Greedy-scan node chain: (user_id, start_rn) of the nodes the
+    sequential scan visits. ``nodes`` needs (user_id, start_rn, end_rn);
+    a node with NULL end_rn is a TERMINAL (a pending start in the
+    streaming kernel) — it has no successor, so the chain stops there.
+
+    nxt(p) = first node strictly after p's end row, found with ONE
+    union+window as-of pass (the latest_order_asof recipe: anchors sort
+    before probes at equal pos, so 'strictly after' holds), then the
+    pointer-doubling closure from each key's first node."""
+    anchors = nodes.select(
         "user_id",
         F.col("start_rn").alias("pos"),
         F.lit(0).alias("tag"),
         F.col("start_rn").alias("arn"),
         F.lit(None).cast("int").alias("rn"),
     )
-    probes = valid.select(
+    probes = nodes.filter(F.col("end_rn").isNotNull()).select(
         "user_id",
         F.col("end_rn").alias("pos"),
         F.lit(1).alias("tag"),
@@ -508,11 +529,74 @@ def cep_relaxed_matches(
         .filter(F.col("tag") == 1)
         .select("user_id", "rn", "nxt")
     )
-    firsts = valid.groupBy("user_id").agg(F.min("start_rn").alias("rn"))
-    sel = _chain_closure(ptr, firsts).withColumnRenamed("rn", "start_rn")
-    return sel.join(valid, ["user_id", "start_rn"]).select(
+    firsts = nodes.groupBy("user_id").agg(F.min("start_rn").alias("rn"))
+    return _chain_closure(ptr, firsts).withColumnRenamed("rn", "start_rn")
+
+
+def cep_relaxed_with_state(
+    events: DataFrame,
+    steps: tuple[str, ...] = CEP_FUNNEL_STEPS,
+    within_hours: int = CEP_WITHIN_HOURS,
+) -> tuple[DataFrame, DataFrame]:
+    """Relaxed greedy matches that are FINAL given the rows seen so far,
+    plus the per-key carry-over rows — the streaming kernel behind
+    :class:`~flink_streaming_etl_spark.streaming.cep.
+    RelaxedCepAccumulator`.
+
+    Start-row statuses (bindings are monotone — a bound step never
+    rebinds, so these are definitive):
+
+    * VALID — chain complete, span ≤ WITHIN;
+    * PENDING — chain incomplete and the key's newest row is still
+      within WITHIN of the start: only future rows can complete it;
+    * DEAD — complete but over WITHIN (bindings final), or incomplete
+      and expired (any future binding would push the span past WITHIN).
+
+    The sequential scan then IS the node chain over VALID ∪ PENDING
+    nodes where a pending node is terminal: valid chain nodes are
+    emitted, a pending node blocks everything after it (FlinkCEP holds
+    the partial match open), and pending starts strictly inside an
+    emitted span are consumed — the as-of nxt jumps past them.
+
+    Carry-over = all rows from the terminal pending node onward. Every
+    such row is within WITHIN of the key's newest row (the pending start
+    is unexpired and later rows are later), so the state is the WITHIN
+    horizon per key — exactly FlinkCEP's partial-match state bound.
+    With no pending node on the chain the carry-over is EMPTY: resolved
+    starts can't revive, and a non-start row can never be bound by a
+    start that arrives after it."""
+    within_us = within_hours * _US_PER_HOUR
+    evs = _ordered(events).localCheckpoint(eager=True)
+    binds = _relaxed_bindings(events, steps, within_hours, keep_incomplete=True)
+    keymax = evs.groupBy("user_id").agg(F.max("us").alias("_kmax"))
+    b = binds.join(keymax, "user_id")
+    is_valid = F.col("end_rn").isNotNull() & (
+        (F.col("end_us") - F.col("start_us")) <= within_us
+    )
+    is_pending = F.col("end_rn").isNull() & (
+        (F.col("_kmax") - F.col("start_us")) <= within_us
+    )
+    nodes = (
+        b.filter(is_valid | is_pending)
+        .withColumn("_valid", is_valid)
+        .localCheckpoint(eager=True)
+    )
+    chain = _relaxed_greedy_chain(nodes.select("user_id", "start_rn", "end_rn"))
+    on_chain = chain.join(nodes, ["user_id", "start_rn"])
+    matches = on_chain.filter(F.col("_valid")).select(
         "user_id", "start_event_id", "end_event_id", "start_us", "end_us"
     )
+    cut = (
+        on_chain.filter(~F.col("_valid"))
+        .groupBy("user_id")
+        .agg(F.min("start_rn").alias("_cut"))
+    )
+    tails = (
+        evs.join(cut, "user_id")
+        .filter(F.col("rn") >= F.col("_cut"))
+        .select("user_id", "us", "event_id", "event_type")
+    )
+    return matches, tails
 
 
 def cep_relaxed_matches_sql(

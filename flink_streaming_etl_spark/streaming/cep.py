@@ -56,9 +56,11 @@ from pyspark.sql.types import (
 )
 
 from flink_streaming_etl_spark.operators.cep import (
+    CEP_FUNNEL_STEPS,
     CEP_GREEDY_STEPS,
     CEP_WITHIN_HOURS,
     cep_greedy_with_tails,
+    cep_relaxed_with_state,
 )
 from flink_streaming_etl_spark.streaming.state_store import AccumulatorStateStore
 
@@ -194,6 +196,144 @@ class CepAccumulator:
         )
 
     # -- query side --------------------------------------------------------
+
+    def pending_count(self) -> int:
+        return sum(len(v) for v in self.tails.values())
+
+
+class RelaxedCepAccumulator:
+    """Streaming FlinkCEP followedBy (relaxed contiguity, SKIP PAST LAST
+    ROW) — the within-horizon partial-match state model.
+
+    Unlike the strict-contiguity :class:`CepAccumulator` (whose pending
+    state is ≤ L-1 rows per key), relaxed matching must hold every row
+    from the first unresolved start onward: a blocked scan can still
+    bind any of them once the pattern completes. The WITHIN bound makes
+    that state the per-key event-time horizon — an unresolved start
+    older than WITHIN relative to the key's newest row is dead, and all
+    carried rows are newer than the first unresolved start. This is
+    EXACTLY FlinkCEP's partial-match state (pruned on watermark
+    advance); the batch kernel
+    :func:`~flink_streaming_etl_spark.operators.cep.
+    cep_relaxed_with_state` derives matches-final-so-far + carry-over
+    in one distributed pass.
+
+    Emission timing is event-driven, not watermark-driven: a pending
+    start resolves in the batch that completes it, expires it, or
+    consumes it inside an earlier match's span. For a single linear
+    pattern the bindings are MONOTONE (an earlier start's step bindings
+    never sort after a later start's), so a complete chain can never
+    sit blocked behind a pending one — which means ``flush()`` provably
+    returns []; it exists to make end-of-stream explicit in the
+    equality pin, and to stay correct for future non-monotone pattern
+    extensions (alternation, quantifiers) where blocked-valid chains
+    become possible.
+
+    Equality pin (tests/test_cep.py): over ANY batch-monotone chunking,
+    add_batch emissions + flush() equal the batch
+    ``cep_relaxed_matches`` on the full table."""
+
+    def __init__(
+        self,
+        steps: tuple[str, ...] = CEP_FUNNEL_STEPS,
+        within_hours: int = CEP_WITHIN_HOURS,
+        store_root: str | None = None,
+        spark: SparkSession | None = None,
+    ):
+        self.steps = tuple(steps)
+        self.within_hours = int(within_hours)
+        #: user_id -> list of carried (us, event_id, event_type), within-horizon
+        self.tails: dict[int, list[tuple]] = {}
+        self.last_batch_id: int | None = None
+        self.store = AccumulatorStateStore(store_root) if store_root else None
+        if self.store is not None and spark is not None:
+            self._restore(spark)
+
+    _restore = CepAccumulator._restore
+    _persist = CepAccumulator._persist
+
+    def add_batch(
+        self, batch_events: DataFrame, batch_id: int | None = None
+    ) -> list[tuple]:
+        if batch_id is not None:
+            if self.last_batch_id is not None and batch_id <= self.last_batch_id:
+                return []
+            self.last_batch_id = int(batch_id)
+        spark = batch_events.sparkSession
+        batch = batch_events.select("user_id", "ts", "event_id", "event_type")
+        users = {
+            r["user_id"] for r in batch.select("user_id").distinct().collect()
+        }
+        pend_rows = [
+            (uid, us, eid, t)
+            for uid in users
+            for (us, eid, t) in self.tails.get(uid, [])
+        ]
+        if pend_rows:
+            pend = spark.createDataFrame(pend_rows, _TAIL_SCHEMA).select(
+                "user_id",
+                F.timestamp_micros(F.col("us")).alias("ts"),
+                "event_id",
+                "event_type",
+            )
+            batch = batch.unionByName(pend)
+        matches_df, tails_df = cep_relaxed_with_state(
+            batch, self.steps, self.within_hours
+        )
+        matches = [
+            (
+                r["user_id"],
+                r["start_event_id"],
+                r["end_event_id"],
+                r["start_us"],
+                r["end_us"],
+            )
+            for r in matches_df.collect()
+        ]
+        for uid in users:
+            self.tails.pop(uid, None)
+        for r in tails_df.collect():  # within-horizon rows of the batch's keys
+            self.tails.setdefault(r["user_id"], []).append(
+                (r["us"], r["event_id"], r["event_type"])
+            )
+        for uid in users:
+            if uid in self.tails:
+                self.tails[uid].sort()
+        if batch_id is not None:
+            self._persist(spark, batch_id)
+        return matches
+
+    def flush(self, spark: SparkSession) -> list[tuple]:
+        """End-of-stream: resolve every pending chain (no future rows →
+        all dead) and return the remaining matches. State is cleared."""
+        rows = [
+            (uid, us, eid, t)
+            for uid, pend in self.tails.items()
+            for (us, eid, t) in pend
+        ]
+        self.tails = {}
+        if not rows:
+            return []
+        from flink_streaming_etl_spark.operators.cep import cep_relaxed_matches
+
+        rem = spark.createDataFrame(rows, _TAIL_SCHEMA).select(
+            "user_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "event_id",
+            "event_type",
+        )
+        return [
+            (
+                r["user_id"],
+                r["start_event_id"],
+                r["end_event_id"],
+                r["start_us"],
+                r["end_us"],
+            )
+            for r in cep_relaxed_matches(rem, self.steps, self.within_hours).collect()
+        ]
+
+    attach = CepAccumulator.attach
 
     def pending_count(self) -> int:
         return sum(len(v) for v in self.tails.values())

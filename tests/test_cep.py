@@ -271,3 +271,109 @@ def test_relaxed_superset_of_contiguous_greedy_counts(spark):
     strict = cep.cep_greedy_matches(ev, cep.CEP_FUNNEL_STEPS, cep.CEP_WITHIN_HOURS).count()
     relaxed = cep.cep_relaxed_matches(ev).count()
     assert relaxed >= strict
+
+
+def _funnel_stream(spark, seed: int, n_users: int = 3, n_per_user: int = 60):
+    """Funnel-heavy stream for the relaxed accumulator: short gaps keep
+    chains inside WITHIN; the occasional 26 h gap expires some."""
+    rng = random.Random(seed)
+    rows = []
+    eid = 0
+    for uid in range(n_users):
+        t = 1_700_000_000 * _US
+        for _ in range(n_per_user):
+            t += rng.choice([600, 3600, 7200, 26 * 3600]) * _US
+            rows.append(
+                (
+                    eid,
+                    uid,
+                    t,
+                    rng.choice(
+                        ["view", "click", "purchase", "view", "click", "error"]
+                    ),
+                )
+            )
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, event_type string"
+    ).select(
+        "event_id", F.timestamp_micros(F.col("us")).alias("ts"), "user_id", "event_type"
+    )
+
+
+@pytest.mark.parametrize("seed,n_chunks", [(5, 5), (6, 8), (9, 6)])
+def test_relaxed_accumulator_chunking_invariance(spark, seed, n_chunks):
+    """Emissions + flush over any batch-monotone chunking equal the
+    batch relaxed matcher; carried state stays inside the per-key
+    WITHIN horizon."""
+    from flink_streaming_etl_spark.streaming.cep import RelaxedCepAccumulator
+
+    df = _funnel_stream(spark, seed)
+    want = sorted(tuple(r) for r in cep.cep_relaxed_matches(df).collect())
+    ordered = df.orderBy("ts", "event_id").collect()
+    rng = random.Random(seed + 50)
+    cuts = sorted(rng.sample(range(1, len(ordered)), n_chunks - 1))
+    chunks, prev = [], 0
+    for c in cuts + [len(ordered)]:
+        chunks.append(ordered[prev:c])
+        prev = c
+
+    acc = RelaxedCepAccumulator()
+    got = []
+    for i, ch in enumerate(chunks):
+        got.extend(acc.add_batch(spark.createDataFrame(ch, df.schema), i))
+        # within-horizon state bound: every carried row is within WITHIN
+        # of its key's newest carried row
+        for pend in acc.tails.values():
+            assert pend[-1][0] - pend[0][0] <= _WITHIN_US
+    got.extend(acc.flush(spark))
+    assert sorted(got) == want
+    assert acc.pending_count() == 0  # flush clears state
+
+
+def test_relaxed_accumulator_replay_and_restart(spark, tmp_path):
+    from flink_streaming_etl_spark.streaming.cep import RelaxedCepAccumulator
+
+    df = _funnel_stream(spark, 12, n_users=2, n_per_user=40)
+    want = sorted(tuple(r) for r in cep.cep_relaxed_matches(df).collect())
+    ordered = df.orderBy("ts", "event_id").collect()
+    half = len(ordered) // 2
+    root = str(tmp_path / "relaxed_state")
+
+    acc = RelaxedCepAccumulator(store_root=root)
+    got = list(acc.add_batch(spark.createDataFrame(ordered[:half], df.schema), 0))
+    # restart from the durable store
+    acc2 = RelaxedCepAccumulator(store_root=root, spark=spark)
+    assert acc2.last_batch_id == 0
+    assert acc2.tails == acc.tails
+    # at-least-once replay is a no-op
+    assert acc2.add_batch(spark.createDataFrame(ordered[:half], df.schema), 0) == []
+    got.extend(acc2.add_batch(spark.createDataFrame(ordered[half:], df.schema), 1))
+    got.extend(acc2.flush(spark))
+    assert sorted(got) == want
+
+
+def test_relaxed_pending_start_consumed_inside_span(spark):
+    """A pending start strictly inside an emitted match's span is
+    consumed (the scan never revisits it) — the as-of nxt jumps past
+    it, and the carried state drops it."""
+    from flink_streaming_etl_spark.streaming.cep import RelaxedCepAccumulator
+
+    base = 1_700_000_000 * _US
+    h = 3600 * _US
+    rows = [
+        (1, 1, base + 0 * h, "view"),       # match start
+        (2, 1, base + 1 * h, "click"),
+        (3, 1, base + 2 * h, "view"),       # pending start inside the span
+        (4, 1, base + 3 * h, "purchase"),   # completes the first view
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, event_type string"
+    ).select(
+        "event_id", F.timestamp_micros(F.col("us")).alias("ts"), "user_id", "event_type"
+    )
+    acc = RelaxedCepAccumulator()
+    got = acc.add_batch(df, 0)
+    assert [(m[1], m[2]) for m in got] == [(1, 4)]
+    # view@2h sits inside the emitted span -> consumed, no carried state
+    assert acc.pending_count() == 0
