@@ -280,6 +280,7 @@ HEADLINE = [
     "cep_greedy_matches",
     "cep_timeout_report",
     "cep_relaxed_matches",
+    "cep_quantified_matches",
 ]
 
 

@@ -1204,6 +1204,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(cep.cep_relaxed_matches, "events"),
         cep.cep_relaxed_matches_sql(),
     ),
+    "cep_quantified_matches": (
+        # MATCH_RECOGNIZE PATTERN (A B+ C) + MEASURES via run-length
+        # algebra: run ids in one window pass, MEASURES in the run fold,
+        # flanking rows via two co-partitioned equi-joins
+        _q(cep.cep_quantified_matches, "events"),
+        cep.cep_quantified_matches_sql(),
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -1227,6 +1234,7 @@ _SAMPLE_FRONT = [
     "cep_greedy_matches",
     "cep_timeout_report",
     "cep_relaxed_matches",
+    "cep_quantified_matches",
     "pack_sequences_ffd_stats",
     "k_anonymity_report",
     # (a) never sampled / (b) new oracle-backed twins
@@ -1278,8 +1286,7 @@ _SAMPLE_FRONT = [
     "substring_dup_rate_report",
     # reference-parity + dedup/ANN/text core anchors
     "pricing_summary",
-    "sql_pricing_summary",
-    # (scalar_battery, minhash_lsh_pairs, simhash_pairs, neardup_clusters join
+    # (sql_pricing_summary, scalar_battery, minhash_lsh_pairs, simhash_pairs, neardup_clusters join
     # bloom_incremental_dedup + contamination_check in the tail rotation
     # for the r11 CEP additions — all multi-round green, still
     # parity-checked locally every run)

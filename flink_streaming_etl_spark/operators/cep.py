@@ -650,3 +650,121 @@ WITH RECURSIVE evs AS (
 )
 SELECT user_id, start_event_id, end_event_id, start_us, end_us FROM sel
 """
+
+
+# ---------------------------------------------------------------------------
+# Quantifiers + MEASURES: ``PATTERN (A B+ C)`` — MATCH_RECOGNIZE's
+# looping quantifier with per-match aggregates (the MEASURES clause).
+#
+# Strict contiguity turns the loop into RUN-LENGTH ALGEBRA: a match is a
+# maximal run of B rows whose immediate left neighbor is an A row and
+# immediate right neighbor is a C row. Greedy B+ takes the whole run
+# (backtracking to a shorter B+ can't help — the next row would be
+# another B, not C), and with distinct step types matches can never
+# overlap, so SKIP PAST LAST ROW and SKIP TO NEXT ROW coincide. The
+# Spark shape: one window pass builds run ids (the rn-minus-rank trick),
+# one groupBy folds runs and their MEASURES, two co-partitioned
+# equi-joins fetch the flanking A and C rows. No iteration, no Python.
+
+
+def cep_quantified_matches(
+    events: DataFrame,
+    pre: str = "view",
+    loop: str = "click",
+    post: str = "purchase",
+    within_hours: int = CEP_WITHIN_HOURS,
+) -> DataFrame:
+    """MATCH_RECOGNIZE ``PATTERN (A B+ C) WITHIN w`` with MEASURES
+    ``COUNT(B.*), SUM(B.value)``: (user_id, start_event_id,
+    end_event_id, n_loop, loop_value_sum, start_us, end_us)."""
+    from flink_streaming_etl_spark.functions import q6
+
+    within_us = within_hours * _US_PER_HOUR
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    tw = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts"), F.col("event_id")
+    )
+    evs = events.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        "event_type",
+        "value",
+        (F.row_number().over(w) - F.row_number().over(tw)).alias("grp"),
+    ).localCheckpoint(eager=True)
+    runs = (
+        evs.filter(F.col("event_type") == loop)
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min("rn").alias("srn"),
+            F.max("rn").alias("ern"),
+            F.count(F.lit(1)).alias("n_loop"),
+            F.sum("value").alias("_vsum"),
+        )
+    )
+    a_rows = evs.select(
+        "user_id",
+        (F.col("rn") + 1).alias("srn"),
+        F.col("event_id").alias("start_event_id"),
+        F.col("us").alias("start_us"),
+        F.col("event_type").alias("_at"),
+    )
+    c_rows = evs.select(
+        "user_id",
+        (F.col("rn") - 1).alias("ern"),
+        F.col("event_id").alias("end_event_id"),
+        F.col("us").alias("end_us"),
+        F.col("event_type").alias("_ct"),
+    )
+    return (
+        runs.join(a_rows, ["user_id", "srn"])
+        .join(c_rows, ["user_id", "ern"])
+        .filter(
+            (F.col("_at") == pre)
+            & (F.col("_ct") == post)
+            & ((F.col("end_us") - F.col("start_us")) <= within_us)
+        )
+        .select(
+            "user_id",
+            "start_event_id",
+            "end_event_id",
+            F.col("n_loop").cast("long").alias("n_loop"),
+            q6(F.col("_vsum")).alias("loop_value_sum"),
+            "start_us",
+            "end_us",
+        )
+    )
+
+
+def cep_quantified_matches_sql(
+    pre: str = "view",
+    loop: str = "click",
+    post: str = "purchase",
+    within_hours: int = CEP_WITHIN_HOURS,
+) -> str:
+    from flink_streaming_etl_spark.functions import q6_sql
+
+    within_us = within_hours * _US_PER_HOUR
+    return f"""
+WITH evs AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS grp
+  FROM events
+), runs AS (
+  SELECT user_id, grp, MIN(rn) AS srn, MAX(rn) AS ern,
+         COUNT(*) AS n_loop, SUM(value) AS vsum
+  FROM evs WHERE event_type = '{loop}'
+  GROUP BY user_id, grp
+)
+SELECT r.user_id, a.event_id AS start_event_id, c.event_id AS end_event_id,
+       r.n_loop, {q6_sql("r.vsum")} AS loop_value_sum,
+       a.us AS start_us, c.us AS end_us
+FROM runs r
+JOIN evs a ON a.user_id = r.user_id AND a.rn = r.srn - 1
+JOIN evs c ON c.user_id = r.user_id AND c.rn = r.ern + 1
+WHERE a.event_type = '{pre}' AND c.event_type = '{post}'
+  AND c.us - a.us <= {within_us}
+"""

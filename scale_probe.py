@@ -203,6 +203,7 @@ PROBES = [
     "cep_greedy_matches",
     "cep_timeout_report",
     "cep_relaxed_matches",
+    "cep_quantified_matches",
 ]
 
 

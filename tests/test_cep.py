@@ -377,3 +377,53 @@ def test_relaxed_pending_start_consumed_inside_span(spark):
     assert [(m[1], m[2]) for m in got] == [(1, 4)]
     # view@2h sits inside the emitted span -> consumed, no carried state
     assert acc.pending_count() == 0
+
+
+def test_quantified_matches_semantics(spark):
+    """PATTERN (view click+ purchase) with MEASURES: hand-built stream
+    exercising multi-row loops, a broken run, and the WITHIN bound."""
+    base = 1_700_000_000 * _US
+    h = 3600 * _US
+    rows = [
+        # 3-click loop, inside WITHIN
+        (1, 1, base + 0 * h, "view", 1.0),
+        (2, 1, base + 1 * h, "click", 2.0),
+        (3, 1, base + 2 * h, "click", 3.0),
+        (4, 1, base + 3 * h, "click", 4.0),
+        (5, 1, base + 4 * h, "purchase", 0.0),
+        # run broken by an error row — no match
+        (6, 1, base + 10 * h, "view", 0.0),
+        (7, 1, base + 11 * h, "click", 1.0),
+        (8, 1, base + 12 * h, "error", 0.0),
+        (9, 1, base + 13 * h, "purchase", 0.0),
+        # valid shape but spans 26 h — killed by WITHIN
+        (10, 2, base + 0 * h, "view", 0.0),
+        (11, 2, base + 1 * h, "click", 1.0),
+        (12, 2, base + 26 * h, "purchase", 0.0),
+        # single-click loop (B+ lower bound)
+        (13, 2, base + 30 * h, "view", 0.0),
+        (14, 2, base + 31 * h, "click", 5.0),
+        (15, 2, base + 32 * h, "purchase", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    got = {
+        (r["user_id"], r["start_event_id"], r["end_event_id"], r["n_loop"], r["loop_value_sum"])
+        for r in cep.cep_quantified_matches(df).collect()
+    }
+    assert got == {(1, 1, 5, 3, 9.0), (2, 13, 15, 1, 5.0)}
+
+
+def test_quantified_plan_no_python_no_iteration(spark):
+    """Quantifier matching is run-length algebra: no Python eval and no
+    driver-side loop — a single executed plan."""
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    plan = cep.cep_quantified_matches(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
