@@ -281,6 +281,7 @@ HEADLINE = [
     "cep_timeout_report",
     "cep_relaxed_matches",
     "cep_quantified_matches",
+    "cep_vshape_matches",
 ]
 
 

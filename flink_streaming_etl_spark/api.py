@@ -1211,6 +1211,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(cep.cep_quantified_matches, "events"),
         cep.cep_quantified_matches_sql(),
     ),
+    "cep_vshape_matches": (
+        # the canonical SQL:2016 example: PATTERN (STRT DOWN+ UP+) with
+        # DEFINE over PREV(value) — direction-run algebra, declarative
+        _q(cep.cep_vshape_matches, "events"),
+        cep.CEP_VSHAPE_SQL,
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -1235,6 +1241,7 @@ _SAMPLE_FRONT = [
     "cep_timeout_report",
     "cep_relaxed_matches",
     "cep_quantified_matches",
+    "cep_vshape_matches",
     "pack_sequences_ffd_stats",
     "k_anonymity_report",
     # (a) never sampled / (b) new oracle-backed twins
@@ -1283,8 +1290,8 @@ _SAMPLE_FRONT = [
     "media_dedup_apply",
     "substring_dup_spans",
     "substring_dedup_cut",
-    "substring_dup_rate_report",
     # reference-parity + dedup/ANN/text core anchors
+    # (substring_dup_rate_report rotated to the tail for r11 wave 2)
     "pricing_summary",
     # (sql_pricing_summary, scalar_battery, minhash_lsh_pairs, simhash_pairs, neardup_clusters join
     # bloom_incremental_dedup + contamination_check in the tail rotation

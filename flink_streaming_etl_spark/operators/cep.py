@@ -768,3 +768,150 @@ JOIN evs c ON c.user_id = r.user_id AND c.rn = r.ern + 1
 WHERE a.event_type = '{pre}' AND c.event_type = '{post}'
   AND c.us - a.us <= {within_us}
 """
+
+
+# ---------------------------------------------------------------------------
+# DEFINE conditions: the canonical SQL:2016 / Flink MATCH_RECOGNIZE
+# example — the V-shape ``PATTERN (STRT DOWN+ UP+)`` with
+# ``DEFINE DOWN AS value < PREV(value), UP AS value > PREV(value)``
+# (Flink docs "Detecting Patterns in Tables", Oracle's MATCH_RECOGNIZE
+# introduction — both open with exactly this query). AFTER MATCH SKIP
+# TO LAST UP: the peak row both ends one V and can start the next.
+#
+# DEFINE conditions over PREV() reduce to run-length algebra on the
+# DIRECTION series: classify every row against its predecessor (one lag
+# window pass), build maximal down/up runs (rn-minus-rank), and a V is
+# a down-run whose immediate successor row starts an up-run. Greedy
+# DOWN+/UP+ take whole runs (a shorter take would face another row of
+# the same direction, which the next step's DEFINE rejects), so no
+# backtracking and no overlap beyond the shared peak/start rows —
+# declarative end to end, no iteration, no Python.
+
+
+def cep_vshape_matches(events: DataFrame) -> DataFrame:
+    """MATCH_RECOGNIZE ``PATTERN (STRT DOWN+ UP+)`` over each user's
+    value series with MEASURES: (user_id, start_event_id,
+    bottom_event_id, end_event_id, start_value, bottom_value, end_value,
+    n_down, n_up, start_us, end_us). Flat steps (value equal to the
+    previous row) satisfy neither DEFINE and break both runs."""
+    from flink_streaming_etl_spark.functions import q6
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    prev_v = F.lag("value").over(w)
+    direction = (
+        F.when(F.col("value") < prev_v, F.lit("D"))
+        .when(F.col("value") > prev_v, F.lit("U"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    dw = Window.partitionBy("user_id", "dir").orderBy("rn")
+    evs = (
+        events.select(
+            "user_id",
+            F.row_number().over(w).alias("rn"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+            "value",
+            direction.alias("dir"),
+        )
+        .withColumn(
+            "grp",
+            F.when(
+                F.col("dir").isNotNull(),
+                F.col("rn") - F.row_number().over(dw),
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    runs = (
+        evs.filter(F.col("dir").isNotNull())
+        .groupBy("user_id", "dir", "grp")
+        .agg(
+            F.min("rn").alias("srn"),
+            F.max("rn").alias("ern"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    downs = runs.filter(F.col("dir") == "D").select(
+        "user_id",
+        F.col("srn").alias("d_srn"),
+        F.col("ern").alias("d_ern"),
+        F.col("n").alias("n_down"),
+    )
+    ups = runs.filter(F.col("dir") == "U").select(
+        "user_id",
+        F.col("srn").alias("u_srn"),
+        F.col("ern").alias("u_ern"),
+        F.col("n").alias("n_up"),
+    )
+    v = downs.join(
+        ups.withColumn("d_ern", F.col("u_srn") - 1), ["user_id", "d_ern"]
+    )
+    strt = evs.select(
+        "user_id",
+        (F.col("rn") + 1).alias("d_srn"),
+        F.col("event_id").alias("start_event_id"),
+        q6(F.col("value")).alias("start_value"),
+        F.col("us").alias("start_us"),
+    )
+    bottom = evs.select(
+        "user_id",
+        F.col("rn").alias("d_ern"),
+        F.col("event_id").alias("bottom_event_id"),
+        q6(F.col("value")).alias("bottom_value"),
+    )
+    peak = evs.select(
+        "user_id",
+        F.col("rn").alias("u_ern"),
+        F.col("event_id").alias("end_event_id"),
+        q6(F.col("value")).alias("end_value"),
+        F.col("us").alias("end_us"),
+    )
+    return (
+        v.join(strt, ["user_id", "d_srn"])
+        .join(bottom, ["user_id", "d_ern"])
+        .join(peak, ["user_id", "u_ern"])
+        .select(
+            "user_id",
+            "start_event_id",
+            "bottom_event_id",
+            "end_event_id",
+            "start_value",
+            "bottom_value",
+            "end_value",
+            F.col("n_down").cast("long").alias("n_down"),
+            F.col("n_up").cast("long").alias("n_up"),
+            "start_us",
+            "end_us",
+        )
+    )
+
+
+CEP_VSHAPE_SQL = """
+WITH evs AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         ROW_NUMBER() OVER w AS rn,
+         CASE WHEN value < LAG(value) OVER w THEN 'D'
+              WHEN value > LAG(value) OVER w THEN 'U' END AS dir
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), grps AS (
+  SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id, dir ORDER BY rn) AS grp
+  FROM evs WHERE dir IS NOT NULL
+), runs AS (
+  SELECT user_id, dir, grp, MIN(rn) AS srn, MAX(rn) AS ern, COUNT(*) AS n
+  FROM grps GROUP BY user_id, dir, grp
+)
+SELECT d.user_id,
+       s.event_id AS start_event_id, b.event_id AS bottom_event_id,
+       p.event_id AS end_event_id,
+       floor(s.value * 1000000.0) / 1000000.0 AS start_value,
+       floor(b.value * 1000000.0) / 1000000.0 AS bottom_value,
+       floor(p.value * 1000000.0) / 1000000.0 AS end_value,
+       d.n AS n_down, u.n AS n_up,
+       s.us AS start_us, p.us AS end_us
+FROM runs d
+JOIN runs u ON u.user_id = d.user_id AND u.dir = 'U' AND u.srn = d.ern + 1
+JOIN evs s ON s.user_id = d.user_id AND s.rn = d.srn - 1
+JOIN evs b ON b.user_id = d.user_id AND b.rn = d.ern
+JOIN evs p ON p.user_id = d.user_id AND p.rn = u.ern
+WHERE d.dir = 'D'
+"""

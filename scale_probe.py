@@ -204,6 +204,7 @@ PROBES = [
     "cep_timeout_report",
     "cep_relaxed_matches",
     "cep_quantified_matches",
+    "cep_vshape_matches",
 ]
 
 

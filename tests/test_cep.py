@@ -427,3 +427,39 @@ def test_quantified_plan_no_python_no_iteration(spark):
     ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     plan = cep.cep_quantified_matches(ev)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_vshape_semantics(spark):
+    """Hand-built value series: one multi-step V, a shared peak that
+    starts the next V (SKIP TO LAST UP), and a flat step breaking a
+    run."""
+    base = 1_700_000_000 * _US
+    h = 3600 * _US
+    # user 1 values: 10, 8, 5, 7, 9, 6, 6, 4, 8
+    #   V1: 10->8->5 (down x2) then 5->7->9 (up x2); peak 9 starts
+    #   the next descent 9->6, but 6->6 is flat and BREAKS the down
+    #   run before 6->4; 4->8 rises: V2 = 6,4,8 (start at the second 6)
+    vals = [10.0, 8.0, 5.0, 7.0, 9.0, 6.0, 6.0, 4.0, 8.0]
+    rows = [
+        (i + 1, 1, base + i * h, "view", v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    got = sorted(
+        (
+            r["start_event_id"],
+            r["bottom_event_id"],
+            r["end_event_id"],
+            r["n_down"],
+            r["n_up"],
+        )
+        for r in cep.cep_vshape_matches(df).collect()
+    )
+    assert got == [(1, 3, 5, 2, 2), (7, 8, 9, 1, 1)]
