@@ -146,9 +146,28 @@ def _chain_closure(
     doubling: round k holds the first 2^k chain nodes per key and a
     2^k-hop pointer table, so an M-node chain closes in ~log2(M) rounds
     of chain-sized shuffles. Fixpoint when a round adds no rows
-    (monotone row count, exact). ``ptr``: (user_id, rn, nxt)."""
+    (monotone row count, exact). ``ptr``: (user_id, rn, nxt).
+
+    The iterated relation is the candidate/pointer set — orders of
+    magnitude smaller than the event corpus — so the loop's shuffles
+    are sized to it (the neardup_clusters discipline): iterating at the
+    session's corpus width would just buy per-stage task overhead
+    across the ~log rounds; the conf is restored on exit."""
+    spark = ptr.sparkSession
     ptr = ptr.localCheckpoint(eager=True)
     sel = firsts.localCheckpoint(eager=True)
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    width = max(8, min(int(prev_width), ptr.count() // 50_000))
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        return _chain_closure_loop(ptr, sel, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+
+
+def _chain_closure_loop(
+    ptr: DataFrame, sel: DataFrame, max_iter: int
+) -> DataFrame:
     n = sel.count()
     for _ in range(max_iter):
         hop = (
