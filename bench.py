@@ -282,6 +282,8 @@ HEADLINE = [
     "cep_relaxed_matches",
     "cep_quantified_matches",
     "cep_vshape_matches",
+    "cusum_changepoints",
+    "l_diversity_report",
 ]
 
 

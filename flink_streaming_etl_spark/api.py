@@ -1217,6 +1217,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(cep.cep_vshape_matches, "events"),
         cep.CEP_VSHAPE_SQL,
     ),
+    "l_diversity_report": (
+        # distinct l-diversity over the k-anonymity QI with the acctbal
+        # band as sensitive attribute (Machanavajjhala et al. 2007)
+        _q(analytics.l_diversity_report, "customer"),
+        analytics.l_diversity_report_sql(),
+    ),
+    "cusum_changepoints": (
+        # Page's CUSUM via the prefix-minus-running-min identity: pure
+        # window algebra over the post-aggregation day series, exact
+        # decimal internals, double ratios only at the boundary
+        _q(analytics.cusum_changepoints, "orders"),
+        analytics.CUSUM_CHANGEPOINTS_SQL,
+    ),
 }
 
 #: The driver's CORRECTNESS gate samples the FIRST 50 registry entries, so
@@ -1242,6 +1255,8 @@ _SAMPLE_FRONT = [
     "cep_relaxed_matches",
     "cep_quantified_matches",
     "cep_vshape_matches",
+    "cusum_changepoints",
+    "l_diversity_report",
     "pack_sequences_ffd_stats",
     "k_anonymity_report",
     # (a) never sampled / (b) new oracle-backed twins
@@ -1285,12 +1300,11 @@ _SAMPLE_FRONT = [
     "quality_calibration_report",
     "heldout_perplexity_report",
     # r8 block
-    "winnow_containment_pairs",
     "media_neardup_drop",
     "media_dedup_apply",
     "substring_dup_spans",
-    "substring_dedup_cut",
     # reference-parity + dedup/ANN/text core anchors
+    # (substring_dedup_cut rotated to the tail for r11 wave 3)
     # (substring_dup_rate_report rotated to the tail for r11 wave 2)
     "pricing_summary",
     # (sql_pricing_summary, scalar_battery, minhash_lsh_pairs, simhash_pairs, neardup_clusters join

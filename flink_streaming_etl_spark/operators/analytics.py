@@ -3133,3 +3133,171 @@ SELECT CAST(class_size AS BIGINT) AS class_size,
        class_size < {k} AS at_risk
 FROM classes GROUP BY class_size
 """
+
+
+L_DIVERSITY_THRESHOLD = 3
+
+
+def l_diversity_report(
+    customer: DataFrame, l_threshold: int = L_DIVERSITY_THRESHOLD
+) -> DataFrame:
+    """Distinct l-diversity (Machanavajjhala et al. 2007) over the same
+    quasi-identifier as k_anonymity_report, with the account-balance
+    thousand-band as the sensitive attribute: a class whose members
+    share too few distinct sensitive values leaks the attribute even
+    when k-anonymous. (l_distinct, n_classes, n_rows, at_risk) — two
+    map-side-combined groupBys, exact integer counts."""
+    classes = (
+        customer.select(
+            "c_mktsegment",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("_band"),
+        )
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(
+            F.countDistinct("_band").alias("l_distinct"),
+            F.count(F.lit(1)).alias("class_size"),
+        )
+    )
+    return (
+        classes.groupBy("l_distinct")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("class_size").alias("n_rows"),
+        )
+        .select(
+            F.col("l_distinct").cast("long").alias("l_distinct"),
+            F.col("n_classes").cast("long").alias("n_classes"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            (F.col("l_distinct") < l_threshold).alias("at_risk"),
+        )
+    )
+
+
+def l_diversity_report_sql(l_threshold: int = L_DIVERSITY_THRESHOLD) -> str:
+    return f"""
+WITH classes AS (
+  SELECT c_mktsegment, c_nationkey,
+         COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l_distinct,
+         COUNT(*) AS class_size
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(l_distinct AS BIGINT) AS l_distinct,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(class_size) AS BIGINT) AS n_rows,
+       l_distinct < {l_threshold} AS at_risk
+FROM classes GROUP BY l_distinct
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (Page 1954) over the daily revenue series
+# per order priority — the monitoring-side complement of
+# anomaly_zscore_daily (which scores single days; CUSUM accumulates
+# small persistent shifts). The sequential recursion
+# S_t = max(0, S_{t-1} + (x_t - mean)) has the classic closed form
+# S_t = P_t - min_{j<=t} P_j over the deviation prefix P — which makes
+# CUSUM pure window algebra: one running sum + one running min/max, no
+# fold, no Python. All internal arithmetic is EXACT (decimal(38,0)
+# scaled prefixes: P_t = n*prefix_t - t*total is n times the deviation
+# prefix, integer-exact and wrap-safe at any corpus size); doubles
+# appear only in the final ratio (correctly-rounded conversions of
+# exact values are bit-identical cross-engine, the q6 discipline).
+#
+# Scale: the window runs over the POST-AGGREGATION day series (#days
+# rows per key, thousands), not over raw orders — the heavy daily
+# rollup beneath it is an ordinary map-side-combined groupBy. The
+# 5-value partition key is fine HERE precisely because the partitioned
+# relation is day-grain tiny (contrast rfm_segmentation's guard, which
+# exists because its windows ran over the full customer relation).
+
+
+def cusum_changepoints(orders: DataFrame) -> DataFrame:
+    """Two-sided CUSUM per (o_orderpriority) daily-revenue series:
+    (o_orderpriority, day, x_cents, excess_up, excess_down, alarm_up,
+    alarm_down). ``excess_*`` is the CUSUM statistic in units of the
+    series' average day (S_t / mean_day = n-scaled S / total, exact
+    ints → one double division, q6-floored); the alarm threshold is
+    half an average day: 2*S > total, an integer comparison."""
+    from flink_streaming_etl_spark.functions import q6
+
+    daily = (
+        orders.select(
+            "o_orderpriority",
+            F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("_c"),
+        )
+        .groupBy("o_orderpriority", "day")
+        .agg(F.sum("_c").alias("x_cents"))
+    )
+    totals = daily.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("x_cents").cast("decimal(38,0)").alias("_total"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("day")
+    run = (
+        daily.join(totals, "o_orderpriority")
+        .withColumn("_t", F.row_number().over(w))
+        .withColumn(
+            "_prefix",
+            F.sum(F.col("x_cents").cast("decimal(38,0)")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "_p",
+            F.col("_n").cast("decimal(38,0)") * F.col("_prefix")
+            - F.col("_t").cast("decimal(38,0)") * F.col("_total"),
+        )
+    )
+    pw = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # _p is the n-scaled deviation prefix, so S_unscaled = s/_n and the
+    # average day is _total/_n: S_unscaled / avg_day = s / _total — the
+    # n-scaling cancels against _total alone
+    s_up = F.col("_p") - F.min("_p").over(pw)
+    s_dn = F.max("_p").over(pw) - F.col("_p")
+    return run.select(
+        "o_orderpriority",
+        F.col("day").cast("string").alias("day"),
+        "x_cents",
+        q6(s_up.cast("double") / F.col("_total").cast("double")).alias("excess_up"),
+        q6(s_dn.cast("double") / F.col("_total").cast("double")).alias("excess_down"),
+        (s_up * 2 > F.col("_total")).alias("alarm_up"),
+        (s_dn * 2 > F.col("_total")).alias("alarm_down"),
+    )
+
+
+CUSUM_CHANGEPOINTS_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x_cents
+  FROM orders GROUP BY 1, 2
+), totals AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         CAST(SUM(x_cents) AS HUGEINT) AS total
+  FROM daily GROUP BY 1
+), run AS (
+  SELECT d.o_orderpriority, d.day, d.x_cents, t.n, t.total,
+         ROW_NUMBER() OVER w AS tt,
+         SUM(CAST(d.x_cents AS HUGEINT)) OVER (PARTITION BY d.o_orderpriority
+              ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS prefix
+  FROM daily d JOIN totals t USING (o_orderpriority)
+  WINDOW w AS (PARTITION BY d.o_orderpriority ORDER BY d.day)
+), p AS (
+  SELECT *, CAST(n AS HUGEINT) * prefix - CAST(tt AS HUGEINT) * total AS pp
+  FROM run
+), s AS (
+  SELECT *,
+         pp - MIN(pp) OVER pw AS s_up,
+         MAX(pp) OVER pw - pp AS s_dn,
+         total AS st
+  FROM p
+  WINDOW pw AS (PARTITION BY o_orderpriority ORDER BY day ROWS UNBOUNDED PRECEDING)
+)
+SELECT o_orderpriority, CAST(day AS VARCHAR) AS day, x_cents,
+       floor((CAST(s_up AS DOUBLE) / CAST(st AS DOUBLE)) * 1000000.0) / 1000000.0 AS excess_up,
+       floor((CAST(s_dn AS DOUBLE) / CAST(st AS DOUBLE)) * 1000000.0) / 1000000.0 AS excess_down,
+       s_up * 2 > st AS alarm_up,
+       s_dn * 2 > st AS alarm_down
+FROM s
+"""

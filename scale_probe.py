@@ -205,6 +205,8 @@ PROBES = [
     "cep_relaxed_matches",
     "cep_quantified_matches",
     "cep_vshape_matches",
+    "cusum_changepoints",
+    "l_diversity_report",
 ]
 
 

@@ -291,3 +291,36 @@ def test_cheapest_supplier_argmin_tiebreak(spark):
     assert len(out) == 1
     assert out[0]["s_suppkey"] == 3 and out[0]["s_name"] == "S3"
     assert out[0]["unit_price"] == 10.0
+
+
+def test_cusum_detects_level_shift(spark):
+    """Hand-built series: 10 flat days at 100, then 10 at 200 — the
+    upward CUSUM must alarm shortly after the shift and the downward
+    side must stay quiet; before the shift both stay under threshold."""
+    from datetime import date, timedelta
+
+    from flink_streaming_etl_spark.operators.analytics import cusum_changepoints
+
+    d0 = date(2024, 1, 1)
+    rows = []
+    for i in range(20):
+        price = 100.0 if i < 10 else 200.0
+        rows.append((i + 1, 7, "P", price, d0 + timedelta(days=i)))
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderpriority string, "
+        "o_totalprice double, o_orderdate date",
+    )
+    out = {
+        r["day"]: (r["alarm_up"], r["alarm_down"])
+        for r in cusum_changepoints(orders).collect()
+    }
+    assert len(out) == 20
+    # mean day = 150: days 1-10 accumulate downward drift of 50/day ->
+    # the DOWNWARD cusum crosses half-a-mean-day (75) by day 2; after
+    # the shift the upward side accumulates +50/day from the running min
+    # and crosses by day 12
+    assert out["2024-01-01"] == (False, False)
+    assert out["2024-01-03"][1] is True       # persistent low regime
+    assert out["2024-01-12"][0] is True       # upward shift detected
+    assert out["2024-01-20"][0] is True       # and it stays alarmed
