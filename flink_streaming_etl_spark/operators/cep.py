@@ -76,6 +76,38 @@ def _ordered(events: DataFrame) -> DataFrame:
     )
 
 
+def _nsj(
+    left: DataFrame,
+    right: DataFrame,
+    ns_cols: list[str],
+    eq_cols: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join with NULL-SAFE equality on ``ns_cols`` (a NULL key is a real
+    key — the r10 null-group discipline: plain `=` silently drops the
+    NULL partition) and ordinary equality on ``eq_cols`` (where a NULL
+    means 'no binding' and must NOT match). Right-side duplicates of the
+    join columns are dropped."""
+    eq_cols = list(eq_cols or [])
+    # alias both sides: the null-safe predicate needs explicit column
+    # references, and without fresh qualifiers a self-derived right side
+    # (same attribute ids) makes them ambiguous
+    left_alias, right_alias = left.alias("_nsl"), right.alias("_nsr")
+    cond = None
+    for c in ns_cols:
+        e = F.col(f"_nsl.{c}").eqNullSafe(F.col(f"_nsr.{c}"))
+        cond = e if cond is None else cond & e
+    for c in eq_cols:
+        e = F.col(f"_nsl.{c}") == F.col(f"_nsr.{c}")
+        cond = e if cond is None else cond & e
+    joined = left_alias.join(right_alias, cond, how)
+    drop = set(ns_cols + eq_cols)
+    return joined.select(
+        *[F.col(f"_nsl.{c}") for c in left.columns],
+        *[F.col(f"_nsr.{c}") for c in right.columns if c not in drop],
+    )
+
+
 def _candidates(
     events: DataFrame, steps: tuple[str, ...], within_hours: int
 ) -> DataFrame:
@@ -171,7 +203,7 @@ def _chain_closure_loop(
     n = sel.count()
     for _ in range(max_iter):
         hop = (
-            sel.join(ptr, ["user_id", "rn"])
+            _nsj(sel, ptr, ["user_id"], ["rn"])
             .filter(F.col("nxt").isNotNull())
             .select("user_id", F.col("nxt").alias("rn"))
         )
@@ -189,7 +221,8 @@ def _chain_closure_loop(
         ptr = (
             ptr.join(
                 p2,
-                (F.col("user_id") == F.col("u2")) & (F.col("nxt") == F.col("r2")),
+                F.col("user_id").eqNullSafe(F.col("u2"))
+                & (F.col("nxt") == F.col("r2")),
                 "left",
             )
             .select("user_id", "rn", F.col("nxt2").alias("nxt"))
@@ -208,7 +241,7 @@ def cep_greedy_matches(
     L = len(steps)
     cand = _candidates(events, steps, within_hours)
     sel = _greedy_select(cand, L)
-    return sel.join(cand, ["user_id", "rn"]).drop("rn")
+    return _nsj(sel, cand, ["user_id"], ["rn"]).drop("rn")
 
 
 def cep_greedy_with_tails(
@@ -233,18 +266,20 @@ def cep_greedy_with_tails(
     evs = _ordered(events).localCheckpoint(eager=True)
     cand = _candidates(events, steps, within_hours)
     sel = _greedy_select(cand, L)
-    matches = sel.join(cand, ["user_id", "rn"])
+    matches = _nsj(sel, cand, ["user_id"], ["rn"])
     consumed = matches.groupBy("user_id").agg(
         (F.max("rn") + F.lit(L - 1)).alias("last_rn")
     )
     latest = evs.groupBy("user_id").agg(F.max("us").alias("max_us"))
     w = Window.partitionBy("user_id").orderBy(F.col("rn").desc())
-    tails = (
-        evs.join(consumed, "user_id", "left")
+    unconsumed = (
+        _nsj(evs, consumed, ["user_id"], how="left")
         .filter(F.col("last_rn").isNull() | (F.col("rn") > F.col("last_rn")))
         .withColumn("_back", F.row_number().over(w))
         .filter(F.col("_back") <= L - 1)
-        .join(latest, "user_id")
+    )
+    tails = (
+        _nsj(unconsumed, latest, ["user_id"])
         .filter(F.col("us") > F.col("max_us") - within_us)
         .select("user_id", "us", "event_id", "event_type")
     )
@@ -470,7 +505,7 @@ def _relaxed_bindings(
             "user_id", F.col("rn").alias("_cur"), F.col(f"n{j}").alias("_nxt")
         )
         m = (
-            m.join(step_rows, ["user_id", "_cur"], how)
+            _nsj(m, step_rows, ["user_id"], ["_cur"], how)
             .drop("_cur")
             .withColumnRenamed("_nxt", "_cur")
         )
@@ -480,7 +515,7 @@ def _relaxed_bindings(
         F.col("us").alias("end_us"),
         F.col("event_id").alias("end_event_id"),
     )
-    out = m.join(last, ["user_id", "_cur"], how)
+    out = _nsj(m, last, ["user_id"], ["_cur"], how)
     if not keep_incomplete:
         out = out.filter((F.col("end_us") - F.col("start_us")) <= within_us)
     return out.select(
@@ -508,7 +543,7 @@ def cep_relaxed_matches(
         eager=True
     )
     sel = _relaxed_greedy_chain(valid)
-    return sel.join(valid, ["user_id", "start_rn"]).select(
+    return _nsj(sel, valid, ["user_id"], ["start_rn"]).select(
         "user_id", "start_event_id", "end_event_id", "start_us", "end_us"
     )
 
@@ -588,7 +623,7 @@ def cep_relaxed_with_state(
     evs = _ordered(events).localCheckpoint(eager=True)
     binds = _relaxed_bindings(events, steps, within_hours, keep_incomplete=True)
     keymax = evs.groupBy("user_id").agg(F.max("us").alias("_kmax"))
-    b = binds.join(keymax, "user_id")
+    b = _nsj(binds, keymax, ["user_id"])
     is_valid = F.col("end_rn").isNotNull() & (
         (F.col("end_us") - F.col("start_us")) <= within_us
     )
@@ -601,7 +636,7 @@ def cep_relaxed_with_state(
         .localCheckpoint(eager=True)
     )
     chain = _relaxed_greedy_chain(nodes.select("user_id", "start_rn", "end_rn"))
-    on_chain = chain.join(nodes, ["user_id", "start_rn"])
+    on_chain = _nsj(chain, nodes, ["user_id"], ["start_rn"])
     matches = on_chain.filter(F.col("_valid")).select(
         "user_id", "start_event_id", "end_event_id", "start_us", "end_us"
     )
@@ -611,7 +646,7 @@ def cep_relaxed_with_state(
         .agg(F.min("start_rn").alias("_cut"))
     )
     tails = (
-        evs.join(cut, "user_id")
+        _nsj(evs, cut, ["user_id"])
         .filter(F.col("rn") >= F.col("_cut"))
         .select("user_id", "us", "event_id", "event_type")
     )
@@ -737,8 +772,7 @@ def cep_quantified_matches(
         F.col("event_type").alias("_ct"),
     )
     return (
-        runs.join(a_rows, ["user_id", "srn"])
-        .join(c_rows, ["user_id", "ern"])
+        _nsj(_nsj(runs, a_rows, ["user_id"], ["srn"]), c_rows, ["user_id"], ["ern"])
         .filter(
             (F.col("_at") == pre)
             & (F.col("_ct") == post)
@@ -862,8 +896,8 @@ def cep_vshape_matches(events: DataFrame) -> DataFrame:
         F.col("ern").alias("u_ern"),
         F.col("n").alias("n_up"),
     )
-    v = downs.join(
-        ups.withColumn("d_ern", F.col("u_srn") - 1), ["user_id", "d_ern"]
+    v = _nsj(
+        downs, ups.withColumn("d_ern", F.col("u_srn") - 1), ["user_id"], ["d_ern"]
     )
     strt = evs.select(
         "user_id",
@@ -886,9 +920,12 @@ def cep_vshape_matches(events: DataFrame) -> DataFrame:
         F.col("us").alias("end_us"),
     )
     return (
-        v.join(strt, ["user_id", "d_srn"])
-        .join(bottom, ["user_id", "d_ern"])
-        .join(peak, ["user_id", "u_ern"])
+        _nsj(
+            _nsj(_nsj(v, strt, ["user_id"], ["d_srn"]), bottom, ["user_id"], ["d_ern"]),
+            peak,
+            ["user_id"],
+            ["u_ern"],
+        )
         .select(
             "user_id",
             "start_event_id",

@@ -463,3 +463,53 @@ def test_vshape_semantics(spark):
         for r in cep.cep_vshape_matches(df).collect()
     )
     assert got == [(1, 3, 5, 2, 2), (7, 8, 9, 1, 1)]
+
+
+def test_cep_null_key_and_null_type_rows(spark):
+    """NULL user_id is a real partition (the r10/r11 null-group
+    discipline) and NULL event_type rows are inert filler: they match
+    no step, break strict-contiguity runs, and are skipped by relaxed
+    bindings."""
+    base = 1_700_000_000 * _US
+    h = 3600 * _US
+    rows = [
+        # null-key user: a clean click,click pair
+        (1, None, base + 0 * h, "click"),
+        (2, None, base + 1 * h, "click"),
+        # user 5: click, NULL-type row, click — contiguity broken
+        (3, 5, base + 0 * h, "click"),
+        (4, 5, base + 1 * h, None),
+        (5, 5, base + 2 * h, "click"),
+        # user 6: relaxed funnel with a NULL-type row inside — skipped
+        (6, 6, base + 0 * h, "view"),
+        (7, 6, base + 1 * h, None),
+        (8, 6, base + 2 * h, "click"),
+        (9, 6, base + 3 * h, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long, event_type string"
+    ).select(
+        "event_id", F.timestamp_micros(F.col("us")).alias("ts"), "user_id", "event_type"
+    )
+    greedy = [
+        (r["user_id"], r["start_event_id"], r["end_event_id"])
+        for r in cep.cep_greedy_matches(df).collect()
+    ]
+    assert greedy == [(None, 1, 2)]  # null key matched; user 5 broken run
+    relaxed = [
+        (r["user_id"], r["start_event_id"], r["end_event_id"])
+        for r in cep.cep_relaxed_matches(df).collect()
+    ]
+    assert relaxed == [(6, 6, 9)]  # null-type row skipped, chain intact
+
+    # accumulator: null-key state round-trips across batches
+    acc = CepAccumulator()
+    ordered = df.orderBy("ts", "event_id").collect()
+    got = []
+    for i in range(0, len(ordered), 3):
+        got.extend(
+            acc.add_batch(spark.createDataFrame(ordered[i : i + 3], df.schema), i)
+        )
+    assert [(m[0], m[1], m[2]) for m in sorted(got, key=lambda m: (m[3]))] == [
+        (None, 1, 2)
+    ]
