@@ -721,19 +721,9 @@ SELECT user_id, start_event_id, end_event_id, start_us, end_us FROM sel
 # equi-joins fetch the flanking A and C rows. No iteration, no Python.
 
 
-def cep_quantified_matches(
-    events: DataFrame,
-    pre: str = "view",
-    loop: str = "click",
-    post: str = "purchase",
-    within_hours: int = CEP_WITHIN_HOURS,
-) -> DataFrame:
-    """MATCH_RECOGNIZE ``PATTERN (A B+ C) WITHIN w`` with MEASURES
-    ``COUNT(B.*), SUM(B.value)``: (user_id, start_event_id,
-    end_event_id, n_loop, loop_value_sum, start_us, end_us)."""
-    from flink_streaming_etl_spark.functions import q6
-
-    within_us = within_hours * _US_PER_HOUR
+def _quantified_prep(events: DataFrame, loop: str) -> tuple[DataFrame, DataFrame]:
+    """(evs with run ids, folded loop-runs) shared by the batch matcher
+    and the streaming kernel."""
     w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
     tw = Window.partitionBy("user_id", "event_type").orderBy(
         F.col("ts"), F.col("event_id")
@@ -757,6 +747,23 @@ def cep_quantified_matches(
             F.sum("value").alias("_vsum"),
         )
     )
+    return evs, runs
+
+
+def cep_quantified_matches(
+    events: DataFrame,
+    pre: str = "view",
+    loop: str = "click",
+    post: str = "purchase",
+    within_hours: int = CEP_WITHIN_HOURS,
+) -> DataFrame:
+    """MATCH_RECOGNIZE ``PATTERN (A B+ C) WITHIN w`` with MEASURES
+    ``COUNT(B.*), SUM(B.value)``: (user_id, start_event_id,
+    end_event_id, n_loop, loop_value_sum, start_us, end_us)."""
+    from flink_streaming_etl_spark.functions import q6
+
+    within_us = within_hours * _US_PER_HOUR
+    evs, runs = _quantified_prep(events, loop)
     a_rows = evs.select(
         "user_id",
         (F.col("rn") + 1).alias("srn"),
@@ -971,3 +978,70 @@ JOIN evs b ON b.user_id = d.user_id AND b.rn = d.ern
 JOIN evs p ON p.user_id = d.user_id AND p.rn = u.ern
 WHERE d.dir = 'D'
 """
+
+
+def cep_quantified_with_tails(
+    events: DataFrame,
+    pre: str = "view",
+    loop: str = "click",
+    post: str = "purchase",
+    within_hours: int = CEP_WITHIN_HOURS,
+) -> tuple[DataFrame, DataFrame]:
+    """Quantified matches plus the per-key pending carry-over — the
+    streaming kernel behind :class:`~flink_streaming_etl_spark.
+    streaming.cep.QuantifiedCepAccumulator`.
+
+    A future match's existing rows form a contiguous SUFFIX of the
+    key's timeline, and the pattern forces that suffix to start at its
+    A row — so the only carry-over shapes are:
+
+    * the key's last row, when it is A-typed (a loop run + C may
+      follow), or
+    * the trailing loop-run together with its immediately preceding
+      A row (more loop rows may extend the run, or a C may close it).
+
+    Everything else is decided: a completed A B+ C is closed by its C
+    (future rows cannot extend a closed run), and a trailing run not
+    preceded by A can never acquire one. WITHIN aging is exact and
+    keyed on the pending A row: a future closing row arrives at or
+    after the key's newest timestamp, so an A older than WITHIN can
+    never head a valid match. State is therefore ≤ the WITHIN horizon
+    per key."""
+    within_us = within_hours * _US_PER_HOUR
+    evs, runs = _quantified_prep(events, loop)
+    matches = cep_quantified_matches(events, pre, loop, post, within_hours)
+    keylast = evs.groupBy("user_id").agg(
+        F.max("rn").alias("_maxrn"), F.max("us").alias("_kmax")
+    )
+    e = _nsj(evs, keylast, ["user_id"])
+    # case 1: last row is the A of a future match
+    pend_a = (
+        e.filter((F.col("rn") == F.col("_maxrn")) & (F.col("event_type") == pre))
+        .select("user_id", F.col("rn").alias("_from"))
+    )
+    # case 2: trailing loop-run preceded by an unexpired A row
+    trailing = _nsj(
+        runs, keylast.select("user_id", "_maxrn", "_kmax"), ["user_id"]
+    ).filter(F.col("ern") == F.col("_maxrn"))
+    a_prev = evs.select(
+        "user_id",
+        (F.col("rn") + 1).alias("srn"),
+        F.col("event_type").alias("_at"),
+        F.col("us").alias("_aus"),
+        F.col("rn").alias("_arn"),
+    )
+    pend_run = (
+        _nsj(trailing, a_prev, ["user_id"], ["srn"])
+        .filter(
+            (F.col("_at") == pre)
+            & (F.col("_aus") > F.col("_kmax") - within_us)
+        )
+        .select("user_id", F.col("_arn").alias("_from"))
+    )
+    pend = pend_a.unionByName(pend_run)
+    tails = (
+        _nsj(evs, pend, ["user_id"])
+        .filter(F.col("rn") >= F.col("_from"))
+        .select("user_id", "us", "event_id", "event_type", "value")
+    )
+    return matches, tails

@@ -49,6 +49,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -60,6 +61,7 @@ from flink_streaming_etl_spark.operators.cep import (
     CEP_GREEDY_STEPS,
     CEP_WITHIN_HOURS,
     cep_greedy_with_tails,
+    cep_quantified_with_tails,
     cep_relaxed_with_state,
 )
 from flink_streaming_etl_spark.streaming.state_store import AccumulatorStateStore
@@ -332,6 +334,141 @@ class RelaxedCepAccumulator:
             )
             for r in cep_relaxed_matches(rem, self.steps, self.within_hours).collect()
         ]
+
+    attach = CepAccumulator.attach
+
+    def pending_count(self) -> int:
+        return sum(len(v) for v in self.tails.values())
+
+
+_QTAIL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("us", LongType()),
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+class QuantifiedCepAccumulator:
+    """Streaming ``PATTERN (A B+ C)`` with MEASURES — completes the
+    streaming CEP trio (strict / relaxed / quantified).
+
+    Pending state per key is the only suffix a future match can use:
+    the last row if A-typed, or the trailing loop-run plus its
+    preceding A (see :func:`~flink_streaming_etl_spark.operators.cep.
+    cep_quantified_with_tails` for the proof) — WITHIN-horizon bounded,
+    aged on the pending A row (exact). Completed matches are closed by
+    their C row, so every emission is final and no flush step exists.
+    Replays are idempotent by batch id; ``store_root`` makes the state
+    durable (same contract as the sibling accumulators)."""
+
+    def __init__(
+        self,
+        pre: str = "view",
+        loop: str = "click",
+        post: str = "purchase",
+        within_hours: int = CEP_WITHIN_HOURS,
+        store_root: str | None = None,
+        spark: SparkSession | None = None,
+    ):
+        self.pre, self.loop, self.post = pre, loop, post
+        self.within_hours = int(within_hours)
+        #: user_id -> list of pending (us, event_id, event_type, value)
+        self.tails: dict[int, list[tuple]] = {}
+        self.last_batch_id: int | None = None
+        self.store = AccumulatorStateStore(store_root) if store_root else None
+        if self.store is not None and spark is not None:
+            self._restore(spark)
+
+    def _restore(self, spark: SparkSession) -> None:
+        loaded = self.store.load(spark)
+        if loaded is None:
+            return
+        bid, rels, extra = loaded
+        self.last_batch_id = extra.get("last_batch_id", bid)
+        self.tails = {}
+        if "tails" in rels:
+            for r in rels["tails"].collect():
+                self.tails.setdefault(r["user_id"], []).append(
+                    (r["us"], r["event_id"], r["event_type"], r["value"])
+                )
+            for rows in self.tails.values():
+                rows.sort(key=lambda t: (t[0], t[1]))
+
+    def _persist(self, spark: SparkSession, batch_id: int) -> None:
+        if self.store is None:
+            return
+        rows = [
+            (uid, us, eid, t, v)
+            for uid, pend in self.tails.items()
+            for (us, eid, t, v) in pend
+        ]
+        df = spark.createDataFrame(rows, _QTAIL_SCHEMA)
+        self.store.save(
+            batch_id, {"tails": df}, extra={"last_batch_id": int(batch_id)}
+        )
+
+    def add_batch(
+        self, batch_events: DataFrame, batch_id: int | None = None
+    ) -> list[tuple]:
+        """Fold one micro-batch; return its finalized matches as tuples
+        (user_id, start_event_id, end_event_id, n_loop, loop_value_sum,
+        start_us, end_us)."""
+        if batch_id is not None:
+            if self.last_batch_id is not None and batch_id <= self.last_batch_id:
+                return []
+            self.last_batch_id = int(batch_id)
+        spark = batch_events.sparkSession
+        batch = batch_events.select(
+            "user_id", "ts", "event_id", "event_type", "value"
+        )
+        users = {
+            r["user_id"] for r in batch.select("user_id").distinct().collect()
+        }
+        pend_rows = [
+            (uid, us, eid, t, v)
+            for uid in users
+            for (us, eid, t, v) in self.tails.get(uid, [])
+        ]
+        if pend_rows:
+            pend = spark.createDataFrame(pend_rows, _QTAIL_SCHEMA).select(
+                "user_id",
+                F.timestamp_micros(F.col("us")).alias("ts"),
+                "event_id",
+                "event_type",
+                "value",
+            )
+            batch = batch.unionByName(pend)
+        matches_df, tails_df = cep_quantified_with_tails(
+            batch, self.pre, self.loop, self.post, self.within_hours
+        )
+        matches = [
+            (
+                r["user_id"],
+                r["start_event_id"],
+                r["end_event_id"],
+                r["n_loop"],
+                r["loop_value_sum"],
+                r["start_us"],
+                r["end_us"],
+            )
+            for r in matches_df.collect()
+        ]
+        for uid in users:
+            self.tails.pop(uid, None)
+        for r in tails_df.collect():  # WITHIN-horizon rows of the batch's keys
+            self.tails.setdefault(r["user_id"], []).append(
+                (r["us"], r["event_id"], r["event_type"], r["value"])
+            )
+        for uid in users:
+            if uid in self.tails:
+                self.tails[uid].sort(key=lambda t: (t[0], t[1]))
+        if batch_id is not None:
+            self._persist(spark, batch_id)
+        return matches
 
     attach = CepAccumulator.attach
 

@@ -513,3 +513,90 @@ def test_cep_null_key_and_null_type_rows(spark):
     assert [(m[0], m[1], m[2]) for m in sorted(got, key=lambda m: (m[3]))] == [
         (None, 1, 2)
     ]
+
+
+def _value_stream(spark, seed: int, n_users: int = 2, n_per_user: int = 50):
+    rng = random.Random(seed)
+    rows, eid = [], 0
+    for uid in range(n_users):
+        t = 1_700_000_000 * _US
+        for _ in range(n_per_user):
+            t += rng.choice([600, 3600, 7200, 26 * 3600]) * _US
+            rows.append(
+                (
+                    eid,
+                    uid,
+                    t,
+                    rng.choice(["view", "click", "click", "purchase", "error"]),
+                    float(rng.randint(1, 9)),
+                )
+            )
+            eid += 1
+    return spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, us long, event_type string, value double",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+@pytest.mark.parametrize("seed,n_chunks", [(31, 5), (32, 7), (33, 3)])
+def test_quantified_accumulator_chunking_invariance(spark, seed, n_chunks):
+    """Streaming A B+ C: emissions over any batch-monotone chunking
+    equal the batch operator — including loop runs that straddle batch
+    boundaries and the WITHIN aging of the pending A."""
+    from flink_streaming_etl_spark.streaming.cep import QuantifiedCepAccumulator
+
+    df = _value_stream(spark, seed)
+    want = sorted(tuple(r) for r in cep.cep_quantified_matches(df).collect())
+    ordered = df.orderBy("ts", "event_id").collect()
+    rng = random.Random(seed + 70)
+    cuts = sorted(rng.sample(range(1, len(ordered)), n_chunks - 1))
+    chunks, prev = [], 0
+    for c in cuts + [len(ordered)]:
+        chunks.append(ordered[prev:c])
+        prev = c
+    acc = QuantifiedCepAccumulator()
+    got = []
+    for i, ch in enumerate(chunks):
+        got.extend(acc.add_batch(spark.createDataFrame(ch, df.schema), i))
+        for pend in acc.tails.values():
+            assert pend[-1][0] - pend[0][0] <= _WITHIN_US
+    assert sorted(got) == want
+
+
+def test_quantified_accumulator_run_straddles_batches(spark):
+    """A loop run split across three batches still folds into ONE match
+    with the full MEASURES."""
+    from flink_streaming_etl_spark.streaming.cep import QuantifiedCepAccumulator
+
+    base = 1_700_000_000 * _US
+    h = 3600 * _US
+    rows = [
+        (1, 1, base + 0 * h, "view", 0.0),
+        (2, 1, base + 1 * h, "click", 1.0),
+        (3, 1, base + 2 * h, "click", 2.0),
+        (4, 1, base + 3 * h, "click", 4.0),
+        (5, 1, base + 4 * h, "purchase", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, us long, event_type string, value double",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    ordered = df.orderBy("ts", "event_id").collect()
+    acc = QuantifiedCepAccumulator()
+    got = []
+    for i, ch in enumerate([ordered[:2], ordered[2:4], ordered[4:]]):
+        got.extend(acc.add_batch(spark.createDataFrame(ch, df.schema), i))
+    assert [(m[1], m[2], m[3], m[4]) for m in got] == [(1, 5, 3, 7.0)]
+    assert acc.pending_count() == 0
