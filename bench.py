@@ -284,6 +284,7 @@ HEADLINE = [
     "cep_vshape_matches",
     "cusum_changepoints",
     "l_diversity_report",
+    "cep_alternation_matches",
 ]
 
 

@@ -1217,6 +1217,17 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(cep.cep_vshape_matches, "events"),
         cep.CEP_VSHAPE_SQL,
     ),
+    "cep_alternation_matches": (
+        # SQL:2016 alternation PATTERN (A (B|C) D): step predicates
+        # become isin over the lead columns — same single window pass
+        _q(
+            lambda events: cep.cep_pattern_matches(
+                events, ("view", ("click", "signup"), "purchase")
+            ),
+            "events",
+        ),
+        cep.cep_pattern_matches_sql(("view", ("click", "signup"), "purchase")),
+    ),
     "l_diversity_report": (
         # distinct l-diversity over the k-anonymity QI with the acctbal
         # band as sensitive attribute (Machanavajjhala et al. 2007)
@@ -1257,6 +1268,7 @@ _SAMPLE_FRONT = [
     "cep_vshape_matches",
     "cusum_changepoints",
     "l_diversity_report",
+    "cep_alternation_matches",
     "pack_sequences_ffd_stats",
     "k_anonymity_report",
     # (a) never sampled / (b) new oracle-backed twins
@@ -1300,7 +1312,6 @@ _SAMPLE_FRONT = [
     "quality_calibration_report",
     "heldout_perplexity_report",
     # r8 block
-    "media_neardup_drop",
     "media_dedup_apply",
     "substring_dup_spans",
     # reference-parity + dedup/ANN/text core anchors

@@ -108,8 +108,16 @@ def _nsj(
     )
 
 
+def _step_pred(col, step):
+    """A pattern step is a type literal or an ALTERNATION (a tuple/set
+    of type literals — SQL:2016 ``(B | C)``)."""
+    if isinstance(step, str):
+        return col == step
+    return col.isin(*sorted(step))
+
+
 def _candidates(
-    events: DataFrame, steps: tuple[str, ...], within_hours: int
+    events: DataFrame, steps: tuple, within_hours: int
 ) -> DataFrame:
     """All contiguous pattern hits (SKIP TO NEXT ROW semantics):
     (user_id, rn, start_event_id, end_event_id, start_us, end_us)."""
@@ -117,9 +125,9 @@ def _candidates(
     within_us = within_hours * _US_PER_HOUR
     evs = _ordered(events)
     w = Window.partitionBy("user_id").orderBy("rn")
-    cond = F.col("event_type") == steps[0]
+    cond = _step_pred(F.col("event_type"), steps[0])
     for j in range(1, L):
-        cond = cond & (F.lead("event_type", j).over(w) == steps[j])
+        cond = cond & _step_pred(F.lead("event_type", j).over(w), steps[j])
     end_us = F.lead("us", L - 1).over(w) if L > 1 else F.col("us")
     end_eid = F.lead("event_id", L - 1).over(w) if L > 1 else F.col("event_id")
     return (
@@ -337,14 +345,21 @@ def cep_timeout_report(
 # DuckDB oracles
 
 
-def _steps_sql(steps: tuple[str, ...]) -> tuple[str, str]:
+def _step_pred_sql(expr: str, step) -> str:
+    if isinstance(step, str):
+        return f"{expr} = '{step}'"
+    alts = ", ".join(f"'{t}'" for t in sorted(step))
+    return f"{expr} IN ({alts})"
+
+
+def _steps_sql(steps: tuple) -> tuple[str, str]:
     """(lead columns clause, candidate WHERE clause) for the oracle."""
     L = len(steps)
     leads = ",\n         ".join(
         f"LEAD(event_type,{j}) OVER w AS t{j}" for j in range(1, L)
     )
-    conds = [f"event_type = '{steps[0]}'"] + [
-        f"t{j} = '{steps[j]}'" for j in range(1, L)
+    conds = [_step_pred_sql("event_type", steps[0])] + [
+        _step_pred_sql(f"t{j}", steps[j]) for j in range(1, L)
     ]
     return leads, " AND ".join(conds)
 

@@ -207,6 +207,7 @@ PROBES = [
     "cep_vshape_matches",
     "cusum_changepoints",
     "l_diversity_report",
+    "cep_alternation_matches",
 ]
 
 

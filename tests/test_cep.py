@@ -600,3 +600,28 @@ def test_quantified_accumulator_run_straddles_batches(spark):
         got.extend(acc.add_batch(spark.createDataFrame(ch, df.schema), i))
     assert [(m[1], m[2], m[3], m[4]) for m in got] == [(1, 5, 3, 7.0)]
     assert acc.pending_count() == 0
+
+
+def test_alternation_supersets_both_literals(spark):
+    """PATTERN (A (B|C) D) matches exactly the union of the two literal
+    patterns (alternation on one step, distinct surrounding types)."""
+    ev = _events(spark)
+    alt = {
+        tuple(r)
+        for r in cep.cep_pattern_matches(
+            ev, ("view", ("click", "signup"), "purchase")
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in cep.cep_pattern_matches(
+            ev, ("view", "click", "purchase")
+        ).collect()
+    }
+    c = {
+        tuple(r)
+        for r in cep.cep_pattern_matches(
+            ev, ("view", "signup", "purchase")
+        ).collect()
+    }
+    assert alt == b | c and b and c
