@@ -1,0 +1,184 @@
+"""The Broadcast State Pattern — Flink's canonical two-stream shape
+(Flink docs "The Broadcast State Pattern"; the fraud-detection
+dynamic-rules example): a LOW-VOLUME rules changelog updates state that
+is broadcast to every parallel instance, and the HIGH-VOLUME event
+stream is evaluated against the CURRENT rules without restarting the
+job.
+
+Spark-first shape:
+
+* rule state is a latest-state relation maintained per rules
+  micro-batch with the same upsert/delete merge discipline as the CDC
+  core (new chunk wins per rule_id, deletes drop the rule) —
+  localCheckpoint'd, and durable through
+  :class:`~flink_streaming_etl_spark.streaming.state_store.
+  AccumulatorStateStore`;
+* evaluation is ONE broadcast hash join per event micro-batch
+  (plan-pinned): Flink's broadcast state literally means "the whole
+  rule set on every instance", which is exactly Spark's broadcast-join
+  contract, so the rule relation must stay broadcast-sized — the same
+  contract the TTL dimension cache (S3) documents;
+* semantics are processing-time, as in Flink: an event batch sees every
+  rule batch folded BEFORE it, nothing after — deterministic for any
+  given interleaving (pinned by a scripted test and a random-interleaving
+  model test).
+
+Replays are idempotent per stream (independent batch-id guards for the
+rules and events sides — T6); a replayed event batch returns no hits
+rather than double-emitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+from flink_streaming_etl_spark.streaming.state_store import AccumulatorStateStore
+
+RULE_SCHEMA = StructType(
+    [
+        StructField("op", StringType()),  # 'u' upsert | 'd' delete
+        StructField("rule_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("min_value", DoubleType()),
+    ]
+)
+
+_STATE_COLS = ["rule_id", "event_type", "min_value"]
+
+
+class BroadcastRuleEngine:
+    """Dynamic-rule evaluation with broadcast rule state."""
+
+    def __init__(
+        self,
+        store_root: str | None = None,
+        spark: SparkSession | None = None,
+    ):
+        self.rules: DataFrame | None = None
+        self.last_rules_batch_id: int | None = None
+        self.last_events_batch_id: int | None = None
+        self.store = AccumulatorStateStore(store_root) if store_root else None
+        if self.store is not None and spark is not None:
+            self._restore(spark)
+
+    # -- durability ------------------------------------------------------
+
+    def _restore(self, spark: SparkSession) -> None:
+        loaded = self.store.load(spark)
+        if loaded is None:
+            return
+        _bid, rels, extra = loaded
+        self.rules = rels.get("rules")
+        self.last_rules_batch_id = extra.get("rules_bid")
+        self.last_events_batch_id = extra.get("events_bid")
+
+    def _persist(self, spark: SparkSession) -> None:
+        if self.store is None:
+            return
+        bid = max(
+            x for x in (self.last_rules_batch_id, self.last_events_batch_id, 0)
+            if x is not None
+        )
+        self.store.save(
+            bid,
+            {"rules": self.rules},
+            extra={
+                "rules_bid": self.last_rules_batch_id,
+                "events_bid": self.last_events_batch_id,
+            },
+        )
+
+    # -- rules side ------------------------------------------------------
+
+    def add_rules_batch(
+        self, rules_changelog: DataFrame, batch_id: int | None = None
+    ) -> None:
+        """Fold one rules micro-batch: last op per rule_id wins within
+        the batch ('u' upserts, 'd' deletes), then the chunk merges over
+        the current state."""
+        if batch_id is not None:
+            if (
+                self.last_rules_batch_id is not None
+                and batch_id <= self.last_rules_batch_id
+            ):
+                return
+            self.last_rules_batch_id = int(batch_id)
+        spark = rules_changelog.sparkSession
+        chunk = rules_changelog.withColumn(
+            "_seq", F.monotonically_increasing_id()
+        )
+        w = Window.partitionBy("rule_id").orderBy(F.col("_seq").desc())
+        last = (
+            chunk.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("op", *_STATE_COLS)
+        )
+        if self.rules is not None:
+            keep = self.rules.join(
+                last.select("rule_id"), "rule_id", "left_anti"
+            )
+            merged = keep.unionByName(
+                last.filter(F.col("op") == "u").select(*_STATE_COLS)
+            )
+        else:
+            merged = last.filter(F.col("op") == "u").select(*_STATE_COLS)
+        self.rules = merged.localCheckpoint(eager=True)
+        if batch_id is not None:
+            self._persist(spark)
+
+    # -- events side -----------------------------------------------------
+
+    def evaluate(self, events: DataFrame) -> DataFrame:
+        """Hits of the CURRENT rules against an event relation: ONE
+        broadcast hash join on event_type + the value threshold."""
+        spark = events.sparkSession
+        rules = self.rules
+        if rules is None:
+            rules = spark.createDataFrame([], RULE_SCHEMA).select(*_STATE_COLS)
+        return (
+            events.join(
+                F.broadcast(rules),
+                (events["event_type"] == rules["event_type"])
+                & (events["value"] >= rules["min_value"]),
+            )
+            .select(
+                "rule_id",
+                "event_id",
+                "user_id",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+                "value",
+            )
+        )
+
+    def add_events_batch(
+        self, batch_events: DataFrame, batch_id: int | None = None
+    ) -> list[tuple]:
+        """Evaluate one event micro-batch against the current rules;
+        returns the batch's hits (rule_id, event_id, user_id, us,
+        value). Emission, not state — replays return []."""
+        if batch_id is not None:
+            if (
+                self.last_events_batch_id is not None
+                and batch_id <= self.last_events_batch_id
+            ):
+                return []
+            self.last_events_batch_id = int(batch_id)
+        hits = [
+            (r["rule_id"], r["event_id"], r["user_id"], r["us"], r["value"])
+            for r in self.evaluate(batch_events).collect()
+        ]
+        if batch_id is not None:
+            self._persist(batch_events.sparkSession)
+        return hits
+
+    def rule_count(self) -> int:
+        return 0 if self.rules is None else self.rules.count()
