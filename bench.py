@@ -285,6 +285,7 @@ HEADLINE = [
     "cusum_changepoints",
     "l_diversity_report",
     "cep_alternation_matches",
+    "dynamic_rule_hits",
 ]
 
 

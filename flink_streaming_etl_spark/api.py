@@ -1228,6 +1228,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         ),
         cep.cep_pattern_matches_sql(("view", ("click", "signup"), "purchase")),
     ),
+    "dynamic_rule_hits": (
+        # oracle-backed witness for the Broadcast State Pattern's
+        # evaluation kernel (streaming/rules.py): one rule per event
+        # type at its exact average value, broadcast-join evaluated
+        _q(analytics.dynamic_rule_hits, "events"),
+        analytics.DYNAMIC_RULE_HITS_SQL,
+    ),
     "l_diversity_report": (
         # distinct l-diversity over the k-anonymity QI with the acctbal
         # band as sensitive attribute (Machanavajjhala et al. 2007)
@@ -1269,6 +1276,7 @@ _SAMPLE_FRONT = [
     "cusum_changepoints",
     "l_diversity_report",
     "cep_alternation_matches",
+    "dynamic_rule_hits",
     "pack_sequences_ffd_stats",
     "k_anonymity_report",
     # (a) never sampled / (b) new oracle-backed twins
@@ -1312,7 +1320,6 @@ _SAMPLE_FRONT = [
     "quality_calibration_report",
     "heldout_perplexity_report",
     # r8 block
-    "media_dedup_apply",
     "substring_dup_spans",
     # reference-parity + dedup/ANN/text core anchors
     # (substring_dedup_cut rotated to the tail for r11 wave 3)

@@ -3301,3 +3301,51 @@ SELECT o_orderpriority, CAST(day AS VARCHAR) AS day, x_cents,
        s_dn * 2 > st AS alarm_down
 FROM s
 """
+
+
+def dynamic_rule_hits(events: DataFrame) -> DataFrame:
+    """Oracle-backed witness for the broadcast-rule evaluation kernel
+    (streaming/rules.py): one deterministic rule per event type —
+    threshold = the type's average value in cents (exact int sums, one
+    correctly-rounded division) — evaluated with the same broadcast
+    join the engine uses. Output: (rule_id, event_id, user_id, us,
+    value) for every event at or above its type's average."""
+    from flink_streaming_etl_spark.streaming.rules import evaluate_rules
+
+    agg = (
+        events.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("_c"),
+        )
+        .groupBy("event_type")
+        .agg(
+            (F.sum("_c").cast("double") / F.count(F.lit(1)).cast("double") / 100.0)
+            .alias("min_value"),
+        )
+    )
+    rules = agg.select(
+        F.row_number()
+        .over(Window.orderBy("event_type"))
+        .cast("long")
+        .alias("rule_id"),
+        "event_type",
+        "min_value",
+    )
+    return evaluate_rules(events, rules)
+
+
+DYNAMIC_RULE_HITS_SQL = """
+WITH agg AS (
+  SELECT event_type,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) / 100.0 AS min_value
+  FROM events GROUP BY event_type
+), rules AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY event_type) AS BIGINT) AS rule_id,
+         event_type, min_value
+  FROM agg
+)
+SELECT r.rule_id, e.event_id, e.user_id, epoch_us(e.ts) AS us, e.value
+FROM events e JOIN rules r
+  ON e.event_type = r.event_type AND e.value >= r.min_value
+"""

@@ -55,6 +55,26 @@ RULE_SCHEMA = StructType(
 _STATE_COLS = ["rule_id", "event_type", "min_value"]
 
 
+def evaluate_rules(events: DataFrame, rules: DataFrame) -> DataFrame:
+    """Hits of a rule relation against events: ONE broadcast hash join
+    on event_type + the value threshold (the evaluation kernel shared
+    by :class:`BroadcastRuleEngine` and the batch registry entry)."""
+    return (
+        events.join(
+            F.broadcast(rules),
+            (events["event_type"] == rules["event_type"])
+            & (events["value"] >= rules["min_value"]),
+        )
+        .select(
+            "rule_id",
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "value",
+        )
+    )
+
+
 class BroadcastRuleEngine:
     """Dynamic-rule evaluation with broadcast rule state."""
 
@@ -138,26 +158,12 @@ class BroadcastRuleEngine:
     # -- events side -----------------------------------------------------
 
     def evaluate(self, events: DataFrame) -> DataFrame:
-        """Hits of the CURRENT rules against an event relation: ONE
-        broadcast hash join on event_type + the value threshold."""
+        """Hits of the CURRENT rules against an event relation."""
         spark = events.sparkSession
         rules = self.rules
         if rules is None:
             rules = spark.createDataFrame([], RULE_SCHEMA).select(*_STATE_COLS)
-        return (
-            events.join(
-                F.broadcast(rules),
-                (events["event_type"] == rules["event_type"])
-                & (events["value"] >= rules["min_value"]),
-            )
-            .select(
-                "rule_id",
-                "event_id",
-                "user_id",
-                F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-                "value",
-            )
-        )
+        return evaluate_rules(events, rules)
 
     def add_events_batch(
         self, batch_events: DataFrame, batch_id: int | None = None

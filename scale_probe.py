@@ -208,6 +208,7 @@ PROBES = [
     "cusum_changepoints",
     "l_diversity_report",
     "cep_alternation_matches",
+    "dynamic_rule_hits",
 ]
 
 
