@@ -101,6 +101,8 @@ def _nsj(
         e = F.col(f"_nsl.{c}") == F.col(f"_nsr.{c}")
         cond = e if cond is None else cond & e
     joined = left_alias.join(right_alias, cond, how)
+    if "semi" in how or "anti" in how:
+        return joined  # only left columns exist
     drop = set(ns_cols + eq_cols)
     return joined.select(
         *[F.col(f"_nsl.{c}") for c in left.columns],
@@ -117,13 +119,18 @@ def _step_pred(col, step):
 
 
 def _candidates(
-    events: DataFrame, steps: tuple, within_hours: int
+    events: DataFrame,
+    steps: tuple,
+    within_hours: int,
+    evs: DataFrame | None = None,
 ) -> DataFrame:
     """All contiguous pattern hits (SKIP TO NEXT ROW semantics):
-    (user_id, rn, start_event_id, end_event_id, start_us, end_us)."""
+    (user_id, rn, start_event_id, end_event_id, start_us, end_us).
+    Pass ``evs`` to reuse an already-materialized _ordered relation
+    (the streaming kernels — avoids a second window pass per batch)."""
     L = len(steps)
     within_us = within_hours * _US_PER_HOUR
-    evs = _ordered(events)
+    evs = _ordered(events) if evs is None else evs
     w = Window.partitionBy("user_id").orderBy("rn")
     cond = _step_pred(F.col("event_type"), steps[0])
     for j in range(1, L):
@@ -272,7 +279,7 @@ def cep_greedy_with_tails(
     L = len(steps)
     within_us = within_hours * _US_PER_HOUR
     evs = _ordered(events).localCheckpoint(eager=True)
-    cand = _candidates(events, steps, within_hours)
+    cand = _candidates(events, steps, within_hours, evs=evs)
     sel = _greedy_select(cand, L)
     matches = _nsj(sel, cand, ["user_id"], ["rn"])
     consumed = matches.groupBy("user_id").agg(
@@ -288,7 +295,10 @@ def cep_greedy_with_tails(
     )
     tails = (
         _nsj(unconsumed, latest, ["user_id"])
-        .filter(F.col("us") > F.col("max_us") - within_us)
+        # >= : a row EXACTLY within_us old can still head a match of span
+        # exactly within_us (the candidate filter is <=); > would break
+        # the streaming-equals-batch pin on the boundary
+        .filter(F.col("us") >= F.col("max_us") - within_us)
         .select("user_id", "us", "event_id", "event_type")
     )
     return matches.drop("rn"), tails
@@ -477,6 +487,7 @@ def _relaxed_bindings(
     steps: tuple[str, ...],
     within_hours: int,
     keep_incomplete: bool = False,
+    evs: DataFrame | None = None,
 ) -> DataFrame:
     """Relaxed binding chains, one per pattern-start row (SKIP TO NEXT
     ROW): (user_id, start_rn, end_rn, start_event_id, end_event_id,
@@ -488,7 +499,7 @@ def _relaxed_bindings(
     L = len(steps)
     within_us = within_hours * _US_PER_HOUR
     how = "left" if keep_incomplete else "inner"
-    evs = _ordered(events)
+    evs = _ordered(events) if evs is None else evs
     fw = (
         Window.partitionBy("user_id")
         .orderBy("rn")
@@ -636,7 +647,9 @@ def cep_relaxed_with_state(
     start that arrives after it."""
     within_us = within_hours * _US_PER_HOUR
     evs = _ordered(events).localCheckpoint(eager=True)
-    binds = _relaxed_bindings(events, steps, within_hours, keep_incomplete=True)
+    binds = _relaxed_bindings(
+        events, steps, within_hours, keep_incomplete=True, evs=evs
+    )
     keymax = evs.groupBy("user_id").agg(F.max("us").alias("_kmax"))
     b = _nsj(binds, keymax, ["user_id"])
     is_valid = F.col("end_rn").isNotNull() & (
@@ -771,6 +784,7 @@ def cep_quantified_matches(
     loop: str = "click",
     post: str = "purchase",
     within_hours: int = CEP_WITHIN_HOURS,
+    _prep: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """MATCH_RECOGNIZE ``PATTERN (A B+ C) WITHIN w`` with MEASURES
     ``COUNT(B.*), SUM(B.value)``: (user_id, start_event_id,
@@ -778,7 +792,7 @@ def cep_quantified_matches(
     from flink_streaming_etl_spark.functions import q6
 
     within_us = within_hours * _US_PER_HOUR
-    evs, runs = _quantified_prep(events, loop)
+    evs, runs = _prep if _prep is not None else _quantified_prep(events, loop)
     a_rows = evs.select(
         "user_id",
         (F.col("rn") + 1).alias("srn"),
@@ -1024,7 +1038,9 @@ def cep_quantified_with_tails(
     per key."""
     within_us = within_hours * _US_PER_HOUR
     evs, runs = _quantified_prep(events, loop)
-    matches = cep_quantified_matches(events, pre, loop, post, within_hours)
+    matches = cep_quantified_matches(
+        events, pre, loop, post, within_hours, _prep=(evs, runs)
+    )
     keylast = evs.groupBy("user_id").agg(
         F.max("rn").alias("_maxrn"), F.max("us").alias("_kmax")
     )
@@ -1049,11 +1065,20 @@ def cep_quantified_with_tails(
         _nsj(trailing, a_prev, ["user_id"], ["srn"])
         .filter(
             (F.col("_at") == pre)
-            & (F.col("_aus") > F.col("_kmax") - within_us)
+            # >= : an A exactly within_us old is still closable by a C
+            # arriving at _kmax (span == within_us passes the <= filter)
+            & (F.col("_aus") >= F.col("_kmax") - within_us)
         )
         .select("user_id", F.col("_arn").alias("_from"))
     )
-    pend = pend_a.unionByName(pend_run)
+    # one carry-over range per key (with pre == loop both cases fire for
+    # the same key; the earliest start covers the union and contains no
+    # completed match, so no re-emission)
+    pend = (
+        pend_a.unionByName(pend_run)
+        .groupBy("user_id")
+        .agg(F.min("_from").alias("_from"))
+    )
     tails = (
         _nsj(evs, pend, ["user_id"])
         .filter(F.col("rn") >= F.col("_from"))

@@ -86,6 +86,11 @@ class BroadcastRuleEngine:
         self.rules: DataFrame | None = None
         self.last_rules_batch_id: int | None = None
         self.last_events_batch_id: int | None = None
+        #: monotone save sequence — the store's version id must STRICTLY
+        #: increase per save (its write protocol never overwrites a live
+        #: b<id> directory), so the two streams' batch ids cannot serve
+        #: as version ids (they interleave and repeat across streams)
+        self._save_seq = 0
         self.store = AccumulatorStateStore(store_root) if store_root else None
         if self.store is not None and spark is not None:
             self._restore(spark)
@@ -96,25 +101,29 @@ class BroadcastRuleEngine:
         loaded = self.store.load(spark)
         if loaded is None:
             return
-        _bid, rels, extra = loaded
+        bid, rels, extra = loaded
         self.rules = rels.get("rules")
         self.last_rules_batch_id = extra.get("rules_bid")
         self.last_events_batch_id = extra.get("events_bid")
+        self._save_seq = bid
 
-    def _persist(self, spark: SparkSession) -> None:
+    def _persist(
+        self,
+        spark: SparkSession,
+        rules: DataFrame | None,
+        rules_bid: int | None,
+        events_bid: int | None,
+    ) -> None:
+        """Save a CANDIDATE state (not yet committed to self) under a
+        fresh version id — the caller commits in-memory state only after
+        this returns (fold → save → commit, the T6 retry contract)."""
         if self.store is None:
             return
-        bid = max(
-            x for x in (self.last_rules_batch_id, self.last_events_batch_id, 0)
-            if x is not None
-        )
+        self._save_seq += 1
         self.store.save(
-            bid,
-            {"rules": self.rules},
-            extra={
-                "rules_bid": self.last_rules_batch_id,
-                "events_bid": self.last_events_batch_id,
-            },
+            self._save_seq,
+            {"rules": rules},
+            extra={"rules_bid": rules_bid, "events_bid": events_bid},
         )
 
     # -- rules side ------------------------------------------------------
@@ -125,13 +134,12 @@ class BroadcastRuleEngine:
         """Fold one rules micro-batch: last op per rule_id wins within
         the batch ('u' upserts, 'd' deletes), then the chunk merges over
         the current state."""
-        if batch_id is not None:
-            if (
-                self.last_rules_batch_id is not None
-                and batch_id <= self.last_rules_batch_id
-            ):
-                return
-            self.last_rules_batch_id = int(batch_id)
+        if (
+            batch_id is not None
+            and self.last_rules_batch_id is not None
+            and batch_id <= self.last_rules_batch_id
+        ):
+            return
         spark = rules_changelog.sparkSession
         chunk = rules_changelog.withColumn(
             "_seq", F.monotonically_increasing_id()
@@ -143,17 +151,27 @@ class BroadcastRuleEngine:
             .select("op", *_STATE_COLS)
         )
         if self.rules is not None:
-            keep = self.rules.join(
-                last.select("rule_id"), "rule_id", "left_anti"
+            # null-safe anti join: a NULL rule_id is a real key and must
+            # be replaceable/deletable like any other (the _nsj
+            # discipline from operators/cep.py)
+            from flink_streaming_etl_spark.operators.cep import _nsj
+
+            keep = _nsj(
+                self.rules, last.select("rule_id"), ["rule_id"], how="left_anti"
             )
             merged = keep.unionByName(
                 last.filter(F.col("op") == "u").select(*_STATE_COLS)
             )
         else:
             merged = last.filter(F.col("op") == "u").select(*_STATE_COLS)
-        self.rules = merged.localCheckpoint(eager=True)
+        merged = merged.localCheckpoint(eager=True)
+        bid = int(batch_id) if batch_id is not None else self.last_rules_batch_id
         if batch_id is not None:
-            self._persist(spark)
+            self._persist(spark, merged, bid, self.last_events_batch_id)
+        # commit only after the durable save succeeded
+        self.rules = merged
+        if batch_id is not None:
+            self.last_rules_batch_id = bid
 
     # -- events side -----------------------------------------------------
 
@@ -171,19 +189,24 @@ class BroadcastRuleEngine:
         """Evaluate one event micro-batch against the current rules;
         returns the batch's hits (rule_id, event_id, user_id, us,
         value). Emission, not state — replays return []."""
-        if batch_id is not None:
-            if (
-                self.last_events_batch_id is not None
-                and batch_id <= self.last_events_batch_id
-            ):
-                return []
-            self.last_events_batch_id = int(batch_id)
+        if (
+            batch_id is not None
+            and self.last_events_batch_id is not None
+            and batch_id <= self.last_events_batch_id
+        ):
+            return []
         hits = [
             (r["rule_id"], r["event_id"], r["user_id"], r["us"], r["value"])
             for r in self.evaluate(batch_events).collect()
         ]
         if batch_id is not None:
-            self._persist(batch_events.sparkSession)
+            self._persist(
+                batch_events.sparkSession,
+                self.rules,
+                self.last_rules_batch_id,
+                int(batch_id),
+            )
+            self.last_events_batch_id = int(batch_id)
         return hits
 
     def rule_count(self) -> int:

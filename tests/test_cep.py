@@ -625,3 +625,113 @@ def test_alternation_supersets_both_literals(spark):
         ).collect()
     }
     assert alt == b | c and b and c
+
+
+def test_within_boundary_row_survives_tail_aging(spark):
+    """A pending row EXACTLY within_us old must stay in state: it can
+    still head a match of span exactly within_us (the candidate filter
+    is <=). Regression for the > vs >= aging off-by-one."""
+    base = 1_700_000_000 * _US
+    steps = ("click", "click", "purchase")
+    # batch 1 leaves TWO pending tail rows whose older one is exactly
+    # within_us behind the key's newest row; batch 2 completes the
+    # span-exactly-within match (ts tie, higher event_id sorts after)
+    rows1 = [(1, 1, base, "click"), (2, 1, base + _WITHIN_US, "click")]
+    rows2 = [(3, 1, base + _WITHIN_US, "purchase")]
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, us long, event_type string"
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "user_id",
+            "event_type",
+        )
+
+    full = df(rows1 + rows2)
+    want = sorted(
+        tuple(r) for r in cep.cep_greedy_matches(full, steps).collect()
+    )
+    acc = CepAccumulator(steps=steps)
+    got = list(acc.add_batch(df(rows1), 0))
+    got.extend(acc.add_batch(df(rows2), 1))
+    assert sorted(got) == want and len(want) == 1
+
+
+def test_quantified_within_boundary_pending_a_survives(spark):
+    """An A exactly within_us old is still closable by a C arriving at
+    the key's newest timestamp. Regression for the pending-A aging."""
+    from flink_streaming_etl_spark.streaming.cep import QuantifiedCepAccumulator
+
+    base = 1_700_000_000 * _US
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, us long, event_type string, value double",
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+
+    rows1 = [(1, 1, base, "view", 0.0), (2, 1, base + _WITHIN_US, "click", 3.0)]
+    rows2 = [(3, 1, base + _WITHIN_US, "purchase", 0.0)]
+    full = df(rows1 + rows2)
+    want = sorted(tuple(r) for r in cep.cep_quantified_matches(full).collect())
+    acc = QuantifiedCepAccumulator()
+    got = list(acc.add_batch(df(rows1), 0))
+    got.extend(acc.add_batch(df(rows2), 1))
+    assert sorted(got) == want and len(want) == 1
+
+
+def test_failed_fold_retry_is_not_a_replay(spark):
+    """A batch that fails mid-fold and is retried under the SAME epoch
+    id must re-fold (at-least-once), not be skipped as a replay — the
+    batch id commits only after fold+save succeed."""
+    df, _ = _synth_stream(spark, 41, n_users=2, n_per_user=20)
+    want = sorted(tuple(r) for r in cep.cep_greedy_matches(df).collect())
+    acc = CepAccumulator()
+    boom = {"armed": True}
+    orig = acc._kernel
+
+    def flaky(batch):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("transient executor loss")
+        return orig(batch)
+
+    acc._kernel = flaky
+    with pytest.raises(RuntimeError):
+        acc.add_batch(df, 0)
+    assert acc.last_batch_id is None and acc.tails == {}
+    # retry under the same epoch id succeeds and emits everything
+    assert sorted(acc.add_batch(df, 0)) == want
+
+
+def test_quantified_pre_equals_loop_no_duplicate_tail_rows(spark):
+    """With pre == loop both carry-over cases fire for the same key;
+    the tail must still hold each row ONCE."""
+    base = 1_700_000_000 * _US
+    h = 3600 * _US
+    rows = [
+        (1, 1, base + 0 * h, "click", 1.0),
+        (2, 1, base + 1 * h, "click", 2.0),
+        (3, 1, base + 2 * h, "click", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, us long, event_type string, value double",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    _m, tails = cep.cep_quantified_with_tails(df, "click", "click", "purchase")
+    got = [r["event_id"] for r in tails.collect()]
+    assert len(got) == len(set(got))

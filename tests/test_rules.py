@@ -137,3 +137,60 @@ def test_evaluation_plan_broadcasts_rules(spark):
     ev = _events(spark, [(1, 1, 1_700_000_000 * _US, "click", 5.0)])
     plan = eng.evaluate(ev)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_null_rule_id_replace_and_delete(spark):
+    """A NULL rule_id is a real key: upserts replace it (no duplicate
+    accumulation) and deletes remove it."""
+    base = 1_700_000_000 * _US
+    eng = BroadcastRuleEngine()
+    eng.add_rules_batch(_rules(spark, [("u", None, "click", 5.0)]), 0)
+    eng.add_rules_batch(_rules(spark, [("u", None, "click", 7.0)]), 1)
+    assert eng.rule_count() == 1
+    hits = eng.add_events_batch(_events(spark, [(1, 1, base, "click", 8.0)]), 0)
+    assert len(hits) == 1  # one rule, one hit — not two
+    eng.add_rules_batch(_rules(spark, [("d", None, None, None)]), 2)
+    assert eng.rule_count() == 0
+
+
+def test_interleaved_saves_keep_restorable_state(spark, tmp_path):
+    """Rules and events batch ids interleave and repeat across the two
+    streams; every save must land in a FRESH store version (never
+    rewriting the live one) and the state must restore after any
+    prefix."""
+    base = 1_700_000_000 * _US
+    root = str(tmp_path / "rules_inter")
+    eng = BroadcastRuleEngine(store_root=root)
+    eng.add_rules_batch(_rules(spark, [("u", 1, "click", 3.0)]), 0)
+    eng.add_events_batch(_events(spark, [(1, 1, base, "click", 5.0)]), 0)
+    eng.add_rules_batch(_rules(spark, [("u", 2, "view", 1.0)]), 1)
+    eng.add_events_batch(_events(spark, [(2, 1, base + 1, "view", 2.0)]), 1)
+    eng2 = BroadcastRuleEngine(store_root=root, spark=spark)
+    assert eng2.rule_count() == 2
+    assert eng2.last_rules_batch_id == 1 and eng2.last_events_batch_id == 1
+    hits = eng2.add_events_batch(_events(spark, [(3, 1, base + 2, "view", 2.0)]), 2)
+    assert [(h[0], h[1]) for h in hits] == [(2, 3)]
+
+
+def test_failed_rules_fold_retry_applies(spark):
+    """A rules batch whose fold fails and is retried under the same id
+    must apply (commit-after-success), not vanish forever."""
+    from pyspark.sql.functions import udf
+
+    eng = BroadcastRuleEngine()
+
+    @udf("string")
+    def boom(x):
+        raise RuntimeError("transient fold failure")
+
+    bad = spark.range(1).select(
+        boom("id").alias("op"),
+        F.lit(1).alias("rule_id").cast("long"),
+        F.lit("click").alias("event_type"),
+        F.lit(3.0).alias("min_value"),
+    )
+    with pytest.raises(Exception):
+        eng.add_rules_batch(bad, 0)
+    assert eng.last_rules_batch_id is None and eng.rule_count() == 0
+    eng.add_rules_batch(_rules(spark, [("u", 1, "click", 3.0)]), 0)
+    assert eng.rule_count() == 1
