@@ -617,7 +617,8 @@ def cep_relaxed_with_state(
     events: DataFrame,
     steps: tuple[str, ...] = CEP_FUNNEL_STEPS,
     within_hours: int = CEP_WITHIN_HOURS,
-) -> tuple[DataFrame, DataFrame]:
+    with_timeouts: bool = False,
+) -> tuple:
     """Relaxed greedy matches that are FINAL given the rows seen so far,
     plus the per-key carry-over rows — the streaming kernel behind
     :class:`~flink_streaming_etl_spark.streaming.cep.
@@ -678,7 +679,29 @@ def cep_relaxed_with_state(
         .filter(F.col("rn") >= F.col("_cut"))
         .select("user_id", "us", "event_id", "event_type")
     )
-    return matches, tails
+    if not with_timeouts:
+        return matches, tails
+    # FlinkCEP's timed-out-partial side output, streaming flavor: a DEAD
+    # start (expired incomplete chain, or complete-but-over-WITHIN) is
+    # reported exactly once — in the batch where it leaves the carried
+    # region (start_rn < cut, or the key has no pending cut at all).
+    # Dead starts at/after the cut stay in state and report when the
+    # cut finally advances past them.
+    dead = b.filter(~is_valid & ~is_pending).select(
+        "user_id",
+        "start_rn",
+        "start_event_id",
+        "start_us",
+        F.when(F.col("end_rn").isNull(), F.lit("expired"))
+        .otherwise(F.lit("over_within"))
+        .alias("reason"),
+    )
+    timeouts = (
+        _nsj(dead, cut, ["user_id"], how="left")
+        .filter(F.col("_cut").isNull() | (F.col("start_rn") < F.col("_cut")))
+        .select("user_id", "start_event_id", "start_us", "reason")
+    )
+    return matches, tails, timeouts
 
 
 def cep_relaxed_matches_sql(

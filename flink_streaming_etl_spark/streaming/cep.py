@@ -286,10 +286,22 @@ class RelaxedCepAccumulator(_BaseCepAccumulator):
     ):
         self.steps = tuple(steps)
         self.within_hours = int(within_hours)
+        #: the most recent batch's timed-out partial starts
+        self.last_timeouts: list[tuple] = []
         super().__init__(store_root, spark)
 
     def _kernel(self, batch: DataFrame):
-        return cep_relaxed_with_state(batch, self.steps, self.within_hours)
+        matches, tails, timeouts = cep_relaxed_with_state(
+            batch, self.steps, self.within_hours, with_timeouts=True
+        )
+        # FlinkCEP's timed-out-partial side output: stash the batch's
+        # timeouts (each dead start reports exactly once — see kernel);
+        # read via last_timeouts after add_batch, or wire on_timeouts
+        self.last_timeouts = [
+            (r["user_id"], r["start_event_id"], r["start_us"], r["reason"])
+            for r in timeouts.collect()
+        ]
+        return matches, tails
 
     def flush(self, spark: SparkSession) -> list[tuple]:
         """End-of-stream: resolve every pending chain (no future rows →

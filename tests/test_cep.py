@@ -735,3 +735,85 @@ def test_quantified_pre_equals_loop_no_duplicate_tail_rows(spark):
     _m, tails = cep.cep_quantified_with_tails(df, "click", "click", "purchase")
     got = [r["event_id"] for r in tails.collect()]
     assert len(got) == len(set(got))
+
+
+def test_relaxed_timeout_side_output_exactly_once(spark):
+    """A pending start that expires reports on the timeout side output
+    exactly once — in the batch where it leaves the carried state."""
+    from flink_streaming_etl_spark.streaming.cep import RelaxedCepAccumulator
+
+    base = 1_700_000_000 * _US
+    h = 3600 * _US
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, us long, event_type string"
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "user_id",
+            "event_type",
+        )
+
+    acc = RelaxedCepAccumulator()
+    # batch 0: a view with no completion — pending
+    acc.add_batch(df([(1, 1, base, "view"), (2, 1, base + h, "click")]), 0)
+    assert acc.last_timeouts == []
+    assert acc.pending_count() > 0
+    # batch 1: 30 h later — the start expired, reported once, state clear
+    acc.add_batch(df([(3, 1, base + 30 * h, "error")]), 1)
+    assert [(t[0], t[1], t[3]) for t in acc.last_timeouts] == [(1, 1, "expired")]
+    # batch 2: nothing new about the old start — no re-report
+    acc.add_batch(df([(4, 1, base + 31 * h, "error")]), 2)
+    assert acc.last_timeouts == []
+
+
+def test_attach_end_to_end_file_stream(spark, tmp_path):
+    """Drive CepAccumulator.attach through a REAL Structured Streaming
+    file-replay source (maxFilesPerTrigger=1 → one micro-batch per
+    file); collected emissions equal the batch operator."""
+    import json as _json
+    import os
+
+    df, _ = _synth_stream(spark, 55, n_users=2, n_per_user=30)
+    want = sorted(tuple(r) for r in cep.cep_greedy_matches(df).collect())
+    ordered = df.orderBy("ts", "event_id").collect()
+    src = tmp_path / "cep_src"
+    src.mkdir()
+    third = len(ordered) // 3
+    chunks = [ordered[:third], ordered[third : 2 * third], ordered[2 * third :]]
+    for i, ch in enumerate(chunks):
+        path = src / f"{i:03d}.json"
+        with open(path, "w") as f:
+            for r in ch:
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": r["event_id"],
+                            "ts": r["ts"].strftime("%Y-%m-%d %H:%M:%S.%f"),
+                            "user_id": r["user_id"],
+                            "event_type": r["event_type"],
+                        }
+                    )
+                    + "\n"
+                )
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))  # stable file order
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts string, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    )
+    acc = CepAccumulator()
+    got = []
+    q = acc.attach(
+        stream,
+        on_matches=got.extend,
+        checkpointLocation=str(tmp_path / "cep_ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(got) == want
