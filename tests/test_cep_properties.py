@@ -109,3 +109,37 @@ def test_relaxed_accumulator_matches_nfa_model(spark, raw, cuts):
             assert pend[-1][0] - pend[0][0] <= _WITHIN_US
     got.extend(acc.flush(spark))
     assert sorted(got) == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(raw=stream_st, cuts=cuts_st)
+def test_quantified_accumulator_matches_batch(spark, raw, cuts):
+    from flink_streaming_etl_spark.streaming.cep import QuantifiedCepAccumulator
+
+    rows, t, eid = [], {}, 0
+    for uid, gap, typ in raw:
+        t[uid] = t.get(uid, 1_700_000_000 * _US) + gap * _US
+        rows.append((eid, uid, t[uid], typ, float((eid % 9) + 1)))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, us long, event_type string, value double",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    want = sorted(
+        tuple(r) for r in cep.cep_quantified_matches(df).collect()
+    )
+    acc = QuantifiedCepAccumulator()
+    got = []
+    for i, ch in enumerate(_chunks(df.orderBy("ts", "event_id").collect(), cuts)):
+        got.extend(acc.add_batch(spark.createDataFrame(ch, df.schema), i))
+    assert sorted(got) == want
