@@ -3219,8 +3219,6 @@ def cusum_changepoints(orders: DataFrame) -> DataFrame:
     series' average day (S_t / mean_day = n-scaled S / total, exact
     ints → one double division, q6-floored); the alarm threshold is
     half an average day: 2*S > total, an integer comparison."""
-    from flink_streaming_etl_spark.functions import q6
-
     daily = (
         orders.select(
             "o_orderpriority",
@@ -3232,7 +3230,9 @@ def cusum_changepoints(orders: DataFrame) -> DataFrame:
     )
     totals = daily.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum("x_cents").cast("decimal(38,0)").alias("_total"),
+        # sum in decimal, not long: a long SUM can wrap before the cast
+        # (the SQL twin sums in HUGEINT for the same reason)
+        F.sum(F.col("x_cents").cast("decimal(38,0)")).alias("_total"),
     )
     w = Window.partitionBy("o_orderpriority").orderBy("day")
     run = (

@@ -618,6 +618,7 @@ def cep_relaxed_with_state(
     steps: tuple[str, ...] = CEP_FUNNEL_STEPS,
     within_hours: int = CEP_WITHIN_HOURS,
     with_timeouts: bool = False,
+    force_expire: bool = False,
 ) -> tuple:
     """Relaxed greedy matches that are FINAL given the rows seen so far,
     plus the per-key carry-over rows — the streaming kernel behind
@@ -656,8 +657,13 @@ def cep_relaxed_with_state(
     is_valid = F.col("end_rn").isNotNull() & (
         (F.col("end_us") - F.col("start_us")) <= within_us
     )
-    is_pending = F.col("end_rn").isNull() & (
-        (F.col("_kmax") - F.col("start_us")) <= within_us
+    # force_expire models end-of-stream: no future rows can arrive, so
+    # every incomplete chain is dead (flush reports them as timeouts)
+    is_pending = (
+        F.lit(False)
+        if force_expire
+        else F.col("end_rn").isNull()
+        & ((F.col("_kmax") - F.col("start_us")) <= within_us)
     )
     nodes = (
         b.filter(is_valid | is_pending)

@@ -68,7 +68,10 @@ from flink_streaming_etl_spark.operators.cep import (
     cep_quantified_with_tails,
     cep_relaxed_with_state,
 )
-from flink_streaming_etl_spark.streaming.state_store import AccumulatorStateStore
+from flink_streaming_etl_spark.streaming.state_store import (
+    AccumulatorStateStore,
+    BucketedState,
+)
 
 _TAIL_SCHEMA = StructType(
     [
@@ -108,7 +111,12 @@ class _BaseCepAccumulator:
         #: user_id -> sorted list of pending row tuples (schema fields 1..)
         self.tails: dict = {}
         self.last_batch_id: int | None = None
+        #: monotone store-version counter — decoupled from batch ids so a
+        #: flush (or any extra save) gets a FRESH version directory
+        #: instead of rewriting the live one
+        self._save_seq = 0
         self.store = AccumulatorStateStore(store_root) if store_root else None
+        self._restored = self.store is None
         if self.store is not None and spark is not None:
             self._restore(spark)
 
@@ -118,10 +126,12 @@ class _BaseCepAccumulator:
         return [f.name for f in self._schema.fields[1:]]
 
     def _restore(self, spark: SparkSession) -> None:
+        self._restored = True
         loaded = self.store.load(spark)
         if loaded is None:
             return
         bid, rels, extra = loaded
+        self._save_seq = bid
         self.last_batch_id = extra.get("last_batch_id", bid)
         self.tails = {}
         fields = self._tail_fields()
@@ -133,13 +143,40 @@ class _BaseCepAccumulator:
             for rows in self.tails.values():
                 rows.sort(key=lambda t: (t[0], t[1]))
 
-    def _save(self, spark: SparkSession, batch_id: int, tails: dict) -> None:
+    def _save(
+        self,
+        spark: SparkSession,
+        last_bid: int | None,
+        tails: dict,
+        touched_users: set | None = None,
+    ) -> None:
+        """Durable save under a fresh store version. The tails relation
+        is hash-bucketed on the key and only the TOUCHED buckets are
+        rewritten (state_store's incremental-checkpoint trade: write
+        volume ∝ changed buckets, not lifetime key count; the driver
+        still serializes the full dict — bounded by the accumulator's
+        own state bound). ``touched_users=None`` → full snapshot."""
         if self.store is None:
             return
         rows = [(uid, *t) for uid, pend in tails.items() for t in pend]
         df = spark.createDataFrame(rows, self._schema)
+        key_type = self._schema.fields[0].dataType
+        touched = None
+        if touched_users is not None:
+            touched = spark.createDataFrame(
+                [(u,) for u in touched_users],
+                StructType([StructField("user_id", key_type)]),
+            )
+        self._save_seq += 1
         self.store.save(
-            batch_id, {"tails": df}, extra={"last_batch_id": int(batch_id)}
+            self._save_seq,
+            {},
+            extra={"last_batch_id": last_bid},
+            bucketed={
+                "tails": BucketedState(
+                    df, ["user_id"], n_buckets=64, touched=touched
+                )
+            },
         )
 
     # -- streaming side --------------------------------------------------
@@ -147,18 +184,33 @@ class _BaseCepAccumulator:
     def _kernel(self, batch: DataFrame):  # pragma: no cover - abstract
         raise NotImplementedError
 
+    def _reset_side_outputs(self) -> None:
+        """Clear per-batch side channels (overridden where they exist) —
+        a replayed batch must not leave the previous fold's side output
+        visible as if it were its own."""
+
     def add_batch(
-        self, batch_events: DataFrame, batch_id: int | None = None
+        self,
+        batch_events: DataFrame,
+        batch_id: int | None = None,
+        on_matches=None,
     ) -> list[tuple]:
         """Fold one micro-batch; return its finalized matches (tuples in
-        ``_match_fields`` order). Commit ordering per the module doc."""
+        ``_match_fields`` order). ``on_matches`` (the downstream sink)
+        is invoked BEFORE the durable commit: a sink failure fails the
+        batch pre-commit, so Spark's retry re-folds and re-delivers
+        (at-least-once) instead of losing the emissions behind an
+        already-committed replay guard."""
+        spark = batch_events.sparkSession
+        if not self._restored:
+            self._restore(spark)
         if (
             batch_id is not None
             and self.last_batch_id is not None
             and batch_id <= self.last_batch_id
         ):
+            self._reset_side_outputs()
             return []  # replay of a COMMITTED batch — already emitted
-        spark = batch_events.sparkSession
         cols = ["user_id", "ts", *self._tail_fields()[1:]]
         batch = batch_events.select(*cols)
         # pending tails of THIS batch's keys only — per-batch work scales
@@ -189,6 +241,9 @@ class _BaseCepAccumulator:
             )
         for rows in fresh.values():
             rows.sort(key=lambda t: (t[0], t[1]))
+        # deliver BEFORE the durable commit (see docstring)
+        if on_matches is not None:
+            on_matches(matches)
         # durable save from the NEW state, then commit memory + batch id
         if batch_id is not None:
             new_tails = {
@@ -197,7 +252,7 @@ class _BaseCepAccumulator:
                 if uid not in users
             }
             new_tails.update(fresh)
-            self._save(spark, batch_id, new_tails)
+            self._save(spark, batch_id, new_tails, touched_users=users)
         for uid in users:
             self.tails.pop(uid, None)
         self.tails.update(fresh)
@@ -210,9 +265,9 @@ class _BaseCepAccumulator:
         matches to ``on_matches`` (the downstream sink)."""
 
         def _fold(batch: DataFrame, bid: int) -> None:
-            out = self.add_batch(batch, bid)
-            if on_matches is not None:
-                on_matches(out)
+            # delivery happens INSIDE add_batch, before the durable
+            # commit — a sink failure fails the epoch pre-commit
+            self.add_batch(batch, bid, on_matches=on_matches)
 
         return (
             stream_events.writeStream.outputMode("append")
@@ -290,13 +345,16 @@ class RelaxedCepAccumulator(_BaseCepAccumulator):
         self.last_timeouts: list[tuple] = []
         super().__init__(store_root, spark)
 
+    def _reset_side_outputs(self) -> None:
+        self.last_timeouts = []
+
     def _kernel(self, batch: DataFrame):
         matches, tails, timeouts = cep_relaxed_with_state(
             batch, self.steps, self.within_hours, with_timeouts=True
         )
         # FlinkCEP's timed-out-partial side output: stash the batch's
         # timeouts (each dead start reports exactly once — see kernel);
-        # read via last_timeouts after add_batch, or wire on_timeouts
+        # read via last_timeouts after add_batch
         self.last_timeouts = [
             (r["user_id"], r["start_event_id"], r["start_us"], r["reason"])
             for r in timeouts.collect()
@@ -304,26 +362,52 @@ class RelaxedCepAccumulator(_BaseCepAccumulator):
         return matches, tails
 
     def flush(self, spark: SparkSession) -> list[tuple]:
-        """End-of-stream: resolve every pending chain (no future rows →
-        all dead) and return the remaining matches. State is cleared."""
+        """End-of-stream: every incomplete pending chain is dead (no
+        future rows), so the remaining matches are returned and the
+        unresolved starts land on the timeout side output with reason
+        'end_of_stream' (the batch twin cep_timeout_report's label;
+        over-WITHIN completions keep 'over_within', and starts consumed
+        inside a flush-emitted match report like any other dropped dead
+        start). The cleared state is saved durably under a fresh store
+        version so a post-flush restart does not resurrect resolved
+        state."""
         rows = [(uid, *t) for uid, pend in self.tails.items() for t in pend]
-        self.tails = {}
         if not rows:
+            self.last_timeouts = []
             return []
-        from flink_streaming_etl_spark.operators.cep import cep_relaxed_matches
-
+        # compute FIRST, clear and save after (the same fold-then-commit
+        # ordering as add_batch — a failure here leaves state intact)
         rem = spark.createDataFrame(rows, self._schema).select(
             "user_id",
             F.timestamp_micros(F.col("us")).alias("ts"),
             "event_id",
             "event_type",
         )
-        return [
+        matches_df, _tails, timeouts = cep_relaxed_with_state(
+            rem,
+            self.steps,
+            self.within_hours,
+            with_timeouts=True,
+            force_expire=True,
+        )
+        out = [
             tuple(r[f] for f in self._match_fields)
-            for r in cep_relaxed_matches(
-                rem, self.steps, self.within_hours
-            ).collect()
+            for r in matches_df.collect()
         ]
+        reported = [
+            (
+                r["user_id"],
+                r["start_event_id"],
+                r["start_us"],
+                "end_of_stream" if r["reason"] == "expired" else r["reason"],
+            )
+            for r in timeouts.collect()
+        ]
+        if self.store is not None:
+            self._save(spark, self.last_batch_id, {}, touched_users=None)
+        self.tails = {}
+        self.last_timeouts = reported
+        return out
 
 
 class QuantifiedCepAccumulator(_BaseCepAccumulator):

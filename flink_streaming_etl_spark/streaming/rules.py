@@ -92,12 +92,14 @@ class BroadcastRuleEngine:
         #: as version ids (they interleave and repeat across streams)
         self._save_seq = 0
         self.store = AccumulatorStateStore(store_root) if store_root else None
+        self._restored = self.store is None
         if self.store is not None and spark is not None:
             self._restore(spark)
 
     # -- durability ------------------------------------------------------
 
     def _restore(self, spark: SparkSession) -> None:
+        self._restored = True
         loaded = self.store.load(spark)
         if loaded is None:
             return
@@ -134,13 +136,15 @@ class BroadcastRuleEngine:
         """Fold one rules micro-batch: last op per rule_id wins within
         the batch ('u' upserts, 'd' deletes), then the chunk merges over
         the current state."""
+        spark = rules_changelog.sparkSession
+        if not self._restored:
+            self._restore(spark)
         if (
             batch_id is not None
             and self.last_rules_batch_id is not None
             and batch_id <= self.last_rules_batch_id
         ):
             return
-        spark = rules_changelog.sparkSession
         chunk = rules_changelog.withColumn(
             "_seq", F.monotonically_increasing_id()
         )
@@ -184,11 +188,20 @@ class BroadcastRuleEngine:
         return evaluate_rules(events, rules)
 
     def add_events_batch(
-        self, batch_events: DataFrame, batch_id: int | None = None
+        self,
+        batch_events: DataFrame,
+        batch_id: int | None = None,
+        on_hits=None,
     ) -> list[tuple]:
         """Evaluate one event micro-batch against the current rules;
         returns the batch's hits (rule_id, event_id, user_id, us,
-        value). Emission, not state — replays return []."""
+        value). ``on_hits`` (the downstream sink) is invoked BEFORE the
+        durable guard commit — a sink failure fails the batch
+        pre-commit so a retry re-delivers (at-least-once) instead of
+        hitting the replay guard. Replays of committed batches return
+        []."""
+        if not self._restored:
+            self._restore(batch_events.sparkSession)
         if (
             batch_id is not None
             and self.last_events_batch_id is not None
@@ -199,6 +212,8 @@ class BroadcastRuleEngine:
             (r["rule_id"], r["event_id"], r["user_id"], r["us"], r["value"])
             for r in self.evaluate(batch_events).collect()
         ]
+        if on_hits is not None:
+            on_hits(hits)
         if batch_id is not None:
             self._persist(
                 batch_events.sparkSession,

@@ -817,3 +817,97 @@ def test_attach_end_to_end_file_stream(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert sorted(got) == want
+
+
+def test_sink_failure_before_commit_redelivers(spark):
+    """on_matches runs BEFORE the durable commit: a sink failure fails
+    the batch pre-commit, and the retry under the same epoch id
+    re-folds and re-delivers (at-least-once, never silent loss)."""
+    df, _ = _synth_stream(spark, 61, n_users=2, n_per_user=20)
+    want = sorted(tuple(r) for r in cep.cep_greedy_matches(df).collect())
+    acc = CepAccumulator()
+    sunk, boom = [], {"armed": True}
+
+    def sink(ms):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("sink outage")
+        sunk.extend(ms)
+
+    with pytest.raises(RuntimeError):
+        acc.add_batch(df, 0, on_matches=sink)
+    assert acc.last_batch_id is None and sunk == []
+    acc.add_batch(df, 0, on_matches=sink)
+    assert sorted(sunk) == want
+
+
+def test_replay_clears_stale_timeout_side_output(spark):
+    """A replayed batch must not leave the previous fold's timeouts
+    visible as its own."""
+    from flink_streaming_etl_spark.streaming.cep import RelaxedCepAccumulator
+
+    base = 1_700_000_000 * _US
+    h = 3600 * _US
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, us long, event_type string"
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "user_id",
+            "event_type",
+        )
+
+    acc = RelaxedCepAccumulator()
+    acc.add_batch(df([(1, 1, base, "view")]), 0)
+    acc.add_batch(df([(2, 1, base + 30 * h, "error")]), 1)
+    assert len(acc.last_timeouts) == 1
+    acc.add_batch(df([(2, 1, base + 30 * h, "error")]), 1)  # replay
+    assert acc.last_timeouts == []
+
+
+def test_flush_reports_end_of_stream_timeouts(spark, tmp_path):
+    """flush() lands unresolved pending starts on the timeout side
+    output with reason end_of_stream, and durably saves the cleared
+    state so a post-flush restart does not resurrect it."""
+    from flink_streaming_etl_spark.streaming.cep import RelaxedCepAccumulator
+
+    base = 1_700_000_000 * _US
+    h = 3600 * _US
+    df = spark.createDataFrame(
+        [(1, 1, base, "view"), (2, 1, base + h, "click")],
+        "event_id long, user_id long, us long, event_type string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    root = str(tmp_path / "flush_state")
+    acc = RelaxedCepAccumulator(store_root=root)
+    acc.add_batch(df, 0)
+    assert acc.pending_count() > 0
+    assert acc.flush(spark) == []
+    assert [(t[0], t[1], t[3]) for t in acc.last_timeouts] == [
+        (1, 1, "end_of_stream")
+    ]
+    acc2 = RelaxedCepAccumulator(store_root=root, spark=spark)
+    assert acc2.pending_count() == 0 and acc2.last_batch_id == 0
+
+
+def test_deferred_restore_on_first_fold(spark, tmp_path):
+    """Constructing with store_root but without spark must NOT silently
+    start from empty state: the restore happens on the first fold."""
+    df, _ = _synth_stream(spark, 67, n_users=2, n_per_user=30)
+    want = sorted(tuple(r) for r in cep.cep_greedy_matches(df).collect())
+    ordered = df.orderBy("ts", "event_id").collect()
+    half = len(ordered) // 2
+    root = str(tmp_path / "deferred_state")
+    acc = CepAccumulator(store_root=root)
+    got = list(acc.add_batch(spark.createDataFrame(ordered[:half], df.schema), 0))
+    # restart WITHOUT passing spark — the old foot-gun
+    acc2 = CepAccumulator(store_root=root)
+    assert acc2.add_batch(spark.createDataFrame(ordered[:half], df.schema), 0) == []
+    got.extend(acc2.add_batch(spark.createDataFrame(ordered[half:], df.schema), 1))
+    assert sorted(got) == want
