@@ -107,9 +107,20 @@ class _BaseCepAccumulator:
         self,
         store_root: str | None = None,
         spark: SparkSession | None = None,
+        retention_batches: int | None = None,
     ):
         #: user_id -> sorted list of pending row tuples (schema fields 1..)
         self.tails: dict = {}
+        #: idle-state retention (T5, the Flink state-TTL discipline):
+        #: keys idle for ``retention_batches`` folds have their pending
+        #: tails evicted. Per-key state is already WITHIN-aged, so this
+        #: bounds the OTHER axis — lifetime key count. The trade is the
+        #: same as paths.py documents: a key that resumes after idling
+        #: past the horizon (and still within the event-time WITHIN of
+        #: its pending rows) loses the cross-gap match.
+        self.retention_batches = retention_batches
+        self._last_active: dict = {}
+        self._n_folds = 0
         self.last_batch_id: int | None = None
         #: monotone store-version counter — decoupled from batch ids so a
         #: flush (or any extra save) gets a FRESH version directory
@@ -244,21 +255,49 @@ class _BaseCepAccumulator:
         # deliver BEFORE the durable commit (see docstring)
         if on_matches is not None:
             on_matches(matches)
+        # retention (T5): decide evictions BEFORE the save so the
+        # evicted keys' buckets are rewritten in this version (a restart
+        # must not resurrect idle state the fold just dropped)
+        evicted = self._idle_keys(users)
         # durable save from the NEW state, then commit memory + batch id
         if batch_id is not None:
             new_tails = {
                 uid: pend
                 for uid, pend in self.tails.items()
-                if uid not in users
+                if uid not in users and uid not in evicted
             }
             new_tails.update(fresh)
-            self._save(spark, batch_id, new_tails, touched_users=users)
+            self._save(
+                spark, batch_id, new_tails, touched_users=users | evicted
+            )
         for uid in users:
             self.tails.pop(uid, None)
         self.tails.update(fresh)
+        self._n_folds += 1
+        for uid in users:
+            self._last_active[uid] = self._n_folds
+        for uid in evicted:
+            self._last_active.pop(uid, None)
+            self.tails.pop(uid, None)
         if batch_id is not None:
             self.last_batch_id = int(batch_id)
         return matches
+
+    def _idle_keys(self, active_now: set) -> set:
+        """Keys idle past the retention horizon, excluding this batch's
+        active keys (T5 eviction; best-effort clock — a retried batch
+        may tick the fold counter twice, which only shortens an idle
+        key's grace by one fold)."""
+        if self.retention_batches is None:
+            return set()
+        horizon = (self._n_folds + 1) - self.retention_batches
+        if horizon <= 0:
+            return set()
+        return {
+            u
+            for u, b in self._last_active.items()
+            if b <= horizon and u not in active_now
+        }
 
     def attach(self, stream_events: DataFrame, on_matches=None, **start_kwargs):
         """foreachBatch driver: fold each micro-batch, hand its finalized
@@ -300,10 +339,11 @@ class CepAccumulator(_BaseCepAccumulator):
         within_hours: int = CEP_WITHIN_HOURS,
         store_root: str | None = None,
         spark: SparkSession | None = None,
+        retention_batches: int | None = None,
     ):
         self.steps = tuple(steps)
         self.within_hours = int(within_hours)
-        super().__init__(store_root, spark)
+        super().__init__(store_root, spark, retention_batches)
 
     def _kernel(self, batch: DataFrame):
         return cep_greedy_with_tails(batch, self.steps, self.within_hours)
@@ -338,12 +378,13 @@ class RelaxedCepAccumulator(_BaseCepAccumulator):
         within_hours: int = CEP_WITHIN_HOURS,
         store_root: str | None = None,
         spark: SparkSession | None = None,
+        retention_batches: int | None = None,
     ):
         self.steps = tuple(steps)
         self.within_hours = int(within_hours)
         #: the most recent batch's timed-out partial starts
         self.last_timeouts: list[tuple] = []
-        super().__init__(store_root, spark)
+        super().__init__(store_root, spark, retention_batches)
 
     def _reset_side_outputs(self) -> None:
         self.last_timeouts = []
@@ -434,10 +475,11 @@ class QuantifiedCepAccumulator(_BaseCepAccumulator):
         within_hours: int = CEP_WITHIN_HOURS,
         store_root: str | None = None,
         spark: SparkSession | None = None,
+        retention_batches: int | None = None,
     ):
         self.pre, self.loop, self.post = pre, loop, post
         self.within_hours = int(within_hours)
-        super().__init__(store_root, spark)
+        super().__init__(store_root, spark, retention_batches)
 
     def _kernel(self, batch: DataFrame):
         return cep_quantified_with_tails(

@@ -911,3 +911,56 @@ def test_deferred_restore_on_first_fold(spark, tmp_path):
     assert acc2.add_batch(spark.createDataFrame(ordered[:half], df.schema), 0) == []
     got.extend(acc2.add_batch(spark.createDataFrame(ordered[half:], df.schema), 1))
     assert sorted(got) == want
+
+
+def test_idle_key_retention_evicts_and_survives_restart(spark, tmp_path):
+    """T5: a key idle past retention_batches loses its pending tail —
+    in memory AND in the durable state (a restart must not resurrect
+    it); active keys are untouched."""
+    base = 1_700_000_000 * _US
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, us long, event_type string"
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "user_id",
+            "event_type",
+        )
+
+    root = str(tmp_path / "ret_state")
+    acc = CepAccumulator(store_root=root, retention_batches=2)
+    # key 1 leaves a pending click, then goes idle; key 2 stays active
+    acc.add_batch(df([(1, 1, base, "click"), (2, 2, base, "click")]), 0)
+    assert 1 in acc.tails and 2 in acc.tails
+    acc.add_batch(df([(3, 2, base + 1, "view")]), 1)
+    acc.add_batch(df([(4, 2, base + 2, "view")]), 2)
+    acc.add_batch(df([(5, 2, base + 3, "view")]), 3)
+    assert 1 not in acc.tails and 2 in acc.tails
+    # the durable state agrees after restart
+    acc2 = CepAccumulator(store_root=root, spark=spark, retention_batches=2)
+    assert 1 not in acc2.tails and 2 in acc2.tails
+
+
+def test_accumulator_handles_alternation_steps(spark):
+    """Alternation steps flow through the strict accumulator unchanged
+    (the candidate pass and nxt pointers are type-agnostic)."""
+    steps = ("view", ("click", "signup"), "purchase")
+    df, _ = _synth_stream(spark, 71, n_users=2, n_per_user=40)
+    # inject some signups so the alternation arm fires
+    df = df.withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit("signup")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    want = sorted(
+        tuple(r) for r in cep.cep_greedy_matches(df, steps).collect()
+    )
+    ordered = df.orderBy("ts", "event_id").collect()
+    half = len(ordered) // 2
+    acc = CepAccumulator(steps=steps)
+    got = list(acc.add_batch(spark.createDataFrame(ordered[:half], df.schema), 0))
+    got.extend(acc.add_batch(spark.createDataFrame(ordered[half:], df.schema), 1))
+    assert sorted(got) == want
