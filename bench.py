@@ -286,6 +286,7 @@ HEADLINE = [
     "l_diversity_report",
     "cep_alternation_matches",
     "dynamic_rule_hits",
+    "cep_relaxed_timeout_report",
 ]
 
 

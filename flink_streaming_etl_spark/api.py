@@ -1217,6 +1217,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(cep.cep_vshape_matches, "events"),
         cep.CEP_VSHAPE_SQL,
     ),
+    "cep_relaxed_timeout_report": (
+        # relaxed-contiguity timeout companion: starts whose followedBy
+        # chain never completes or completes past WITHIN — the batch
+        # twin of RelaxedCepAccumulator's streaming side output
+        _q(cep.cep_relaxed_timeout_report, "events"),
+        cep.cep_relaxed_timeout_report_sql(),
+    ),
     "cep_alternation_matches": (
         # SQL:2016 alternation PATTERN (A (B|C) D): step predicates
         # become isin over the lead columns — same single window pass
@@ -1276,6 +1283,7 @@ _SAMPLE_FRONT = [
     "cusum_changepoints",
     "l_diversity_report",
     "cep_alternation_matches",
+    "cep_relaxed_timeout_report",
     "dynamic_rule_hits",
     "pack_sequences_ffd_stats",
     "k_anonymity_report",
@@ -1319,9 +1327,8 @@ _SAMPLE_FRONT = [
     "kmv_distinct_report",
     "quality_calibration_report",
     "heldout_perplexity_report",
-    # r8 block
-    "substring_dup_spans",
     # reference-parity + dedup/ANN/text core anchors
+    # (r8 block: substring_dup_spans rotated to the tail for r11 wave 8)
     # (substring_dedup_cut rotated to the tail for r11 wave 3)
     # (substring_dup_rate_report rotated to the tail for r11 wave 2)
     "pricing_summary",

@@ -1114,3 +1114,76 @@ def cep_quantified_with_tails(
         .select("user_id", "us", "event_id", "event_type", "value")
     )
     return matches, tails
+
+
+def cep_relaxed_timeout_report(
+    events: DataFrame,
+    steps: tuple[str, ...] = CEP_FUNNEL_STEPS,
+    within_hours: int = CEP_WITHIN_HOURS,
+) -> DataFrame:
+    """Relaxed-contiguity companion of :func:`cep_timeout_report`:
+    every pattern-start row whose followedBy binding chain does not
+    produce a valid match — 'end_of_stream' (some step never binds) or
+    'over_within' (chain completes past the bound). SKIP TO NEXT ROW
+    discipline over starts (declarative, no greedy consumption), the
+    batch twin of the streaming side output in
+    streaming/cep.py (RelaxedCepAccumulator.last_timeouts)."""
+    within_us = within_hours * _US_PER_HOUR
+    binds = _relaxed_bindings(events, steps, within_hours, keep_incomplete=True)
+    return (
+        binds.filter(
+            F.col("end_rn").isNull()
+            | ((F.col("end_us") - F.col("start_us")) > within_us)
+        )
+        .select(
+            "user_id",
+            "start_event_id",
+            F.when(F.col("end_rn").isNull(), F.lit("end_of_stream"))
+            .otherwise(F.lit("over_within"))
+            .alias("reason"),
+        )
+    )
+
+
+def cep_relaxed_timeout_report_sql(
+    steps: tuple[str, ...] = CEP_FUNNEL_STEPS,
+    within_hours: int = CEP_WITHIN_HOURS,
+) -> str:
+    L = len(steps)
+    within_us = within_hours * _US_PER_HOUR
+    ncols = ",\n         ".join(
+        f"MIN(CASE WHEN event_type = '{steps[j]}' THEN rn END) OVER w AS n{j}"
+        for j in range(1, L)
+    )
+    joins = []
+    prev = "s"
+    for j in range(2, L):
+        joins.append(
+            f"LEFT JOIN base b{j} ON b{j}.user_id = s.user_id AND b{j}.rn = {prev}.n{j - 1}"
+        )
+        prev = f"b{j}"
+    final_rn = f"{prev}.n{L - 1}" if L > 1 else "s.rn"
+    join_sql = "\n  ".join(joins)
+    return f"""
+WITH evs AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), base AS (
+  SELECT *, {ncols}
+  FROM evs WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+), m AS (
+  SELECT s.user_id, s.event_id AS start_event_id, s.us AS start_us,
+         e.rn AS end_rn, e.us AS end_us
+  FROM base s
+  {join_sql}
+  LEFT JOIN evs e ON e.user_id = s.user_id AND e.rn = {final_rn}
+  WHERE s.event_type = '{steps[0]}'
+)
+SELECT user_id, start_event_id,
+       CASE WHEN end_rn IS NULL THEN 'end_of_stream'
+            ELSE 'over_within' END AS reason
+FROM m
+WHERE end_rn IS NULL OR end_us - start_us > {within_us}
+"""

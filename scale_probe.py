@@ -209,6 +209,7 @@ PROBES = [
     "l_diversity_report",
     "cep_alternation_matches",
     "dynamic_rule_hits",
+    "cep_relaxed_timeout_report",
 ]
 
 
