@@ -120,6 +120,9 @@ class _BaseCepAccumulator:
         #: its pending rows) loses the cross-gap match.
         self.retention_batches = retention_batches
         self._last_active: dict = {}
+        #: user_id -> stable store bucket (Spark-side pmod(hash, N) —
+        #: cached so a save only serializes the touched buckets' keys)
+        self._bucket: dict = {}
         self._n_folds = 0
         self.last_batch_id: int | None = None
         #: monotone store-version counter — decoupled from batch ids so a
@@ -153,6 +156,31 @@ class _BaseCepAccumulator:
                 )
             for rows in self.tails.values():
                 rows.sort(key=lambda t: (t[0], t[1]))
+            # restored keys count as active NOW so idle-state retention
+            # can still reach them (otherwise a restart would immortalize
+            # pre-crash idle state)
+            for uid in self.tails:
+                self._last_active.setdefault(uid, self._n_folds)
+
+    _N_BUCKETS = 64
+
+    def _buckets_for(self, spark: SparkSession, keys: set) -> set:
+        """Store bucket ids for ``keys``, computing unknown ones with
+        the SAME JVM-side hash the store's bucket map uses (a Python
+        hash would disagree)."""
+        unknown = [u for u in keys if u not in self._bucket]
+        if unknown:
+            key_type = self._schema.fields[0].dataType
+            kdf = spark.createDataFrame(
+                [(u,) for u in unknown],
+                StructType([StructField("user_id", key_type)]),
+            )
+            for r in kdf.select(
+                "user_id",
+                F.pmod(F.hash("user_id"), F.lit(self._N_BUCKETS)).alias("b"),
+            ).collect():
+                self._bucket[r["user_id"]] = r["b"]
+        return {self._bucket[u] for u in keys}
 
     def _save(
         self,
@@ -169,15 +197,26 @@ class _BaseCepAccumulator:
         own state bound). ``touched_users=None`` → full snapshot."""
         if self.store is None:
             return
-        rows = [(uid, *t) for uid, pend in tails.items() for t in pend]
-        df = spark.createDataFrame(rows, self._schema)
         key_type = self._schema.fields[0].dataType
         touched = None
         if touched_users is not None:
+            # serialize ONLY the touched buckets' keys — the save cost is
+            # ∝ the batch's bucket footprint, not lifetime key count
+            tb = self._buckets_for(spark, set(touched_users))
+            self._buckets_for(spark, set(tails))
+            rows = [
+                (uid, *t)
+                for uid, pend in tails.items()
+                if self._bucket[uid] in tb
+                for t in pend
+            ]
             touched = spark.createDataFrame(
                 [(u,) for u in touched_users],
                 StructType([StructField("user_id", key_type)]),
             )
+        else:
+            rows = [(uid, *t) for uid, pend in tails.items() for t in pend]
+        df = spark.createDataFrame(rows, self._schema)
         self._save_seq += 1
         self.store.save(
             self._save_seq,
@@ -185,7 +224,7 @@ class _BaseCepAccumulator:
             extra={"last_batch_id": last_bid},
             bucketed={
                 "tails": BucketedState(
-                    df, ["user_id"], n_buckets=64, touched=touched
+                    df, ["user_id"], n_buckets=self._N_BUCKETS, touched=touched
                 )
             },
         )

@@ -964,3 +964,33 @@ def test_accumulator_handles_alternation_steps(spark):
     got = list(acc.add_batch(spark.createDataFrame(ordered[:half], df.schema), 0))
     got.extend(acc.add_batch(spark.createDataFrame(ordered[half:], df.schema), 1))
     assert sorted(got) == want
+
+
+def test_bucketed_saves_restore_union_across_versions(spark, tmp_path):
+    """Saves slice to the touched buckets, so different batches write
+    different store versions; a restore must stitch the latest bytes of
+    EVERY bucket (disjoint keys per batch stress this)."""
+    base = 1_700_000_000 * _US
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, us long, event_type string"
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "user_id",
+            "event_type",
+        )
+
+    root = str(tmp_path / "bucketed_state")
+    acc = CepAccumulator(store_root=root)
+    # three batches, disjoint keys — each save touches different buckets
+    acc.add_batch(df([(1, 101, base, "click")]), 0)
+    acc.add_batch(df([(2, 202, base + 1, "click")]), 1)
+    acc.add_batch(df([(3, 303, base + 2, "click")]), 2)
+    assert set(acc.tails) == {101, 202, 303}
+    acc2 = CepAccumulator(store_root=root, spark=spark)
+    assert acc2.tails == acc.tails and acc2.last_batch_id == 2
+    # and the stitched state still completes matches
+    got = acc2.add_batch(df([(4, 202, base + 3, "click")]), 3)
+    assert [(m[0], m[1], m[2]) for m in got] == [(202, 2, 4)]
