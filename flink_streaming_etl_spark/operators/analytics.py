@@ -3253,9 +3253,16 @@ def cusum_changepoints(orders: DataFrame) -> DataFrame:
     pw = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # _p is the n-scaled deviation prefix, so S_unscaled = s/_n and the
     # average day is _total/_n: S_unscaled / avg_day = s / _total — the
-    # n-scaling cancels against _total alone
-    s_up = F.col("_p") - F.min("_p").over(pw)
-    s_dn = F.max("_p").over(pw) - F.col("_p")
+    # n-scaling cancels against _total alone. Page's recursion
+    # S_t = max(0, S_{t-1} + d_t) has closed form
+    # S_t = P_t - min_{0<=j<=t} P_j with the VIRTUAL ZERO PREFIX P_0=0
+    # included in the extremum — so the running min is clamped at 0
+    # (and the max at 0 for the downward side); without the clamp a
+    # series that starts above the overall mean understates the
+    # statistic and alarms late.
+    zero = F.lit(0).cast("decimal(38,0)")
+    s_up = F.col("_p") - F.least(F.min("_p").over(pw), zero)
+    s_dn = F.greatest(F.max("_p").over(pw), zero) - F.col("_p")
     return run.select(
         "o_orderpriority",
         F.col("day").cast("string").alias("day"),
@@ -3288,8 +3295,8 @@ WITH daily AS (
   FROM run
 ), s AS (
   SELECT *,
-         pp - MIN(pp) OVER pw AS s_up,
-         MAX(pp) OVER pw - pp AS s_dn,
+         pp - LEAST(MIN(pp) OVER pw, 0) AS s_up,
+         GREATEST(MAX(pp) OVER pw, 0) - pp AS s_dn,
          total AS st
   FROM p
   WINDOW pw AS (PARTITION BY o_orderpriority ORDER BY day ROWS UNBOUNDED PRECEDING)

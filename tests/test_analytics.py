@@ -317,10 +317,12 @@ def test_cusum_detects_level_shift(spark):
     }
     assert len(out) == 20
     # mean day = 150: days 1-10 accumulate downward drift of 50/day ->
-    # the DOWNWARD cusum crosses half-a-mean-day (75) by day 2; after
-    # the shift the upward side accumulates +50/day from the running min
-    # and crosses by day 12
+    # with the virtual zero prefix P_0=0 in the extremum the DOWNWARD
+    # cusum is 50/150=0.33 mean-days after day 1 and crosses
+    # half-a-mean-day (0.5) by day 2; after the shift the upward side
+    # accumulates +50/day from the clamped running min and crosses by
+    # day 12
     assert out["2024-01-01"] == (False, False)
-    assert out["2024-01-03"][1] is True       # persistent low regime
+    assert out["2024-01-02"][1] is True       # persistent low regime
     assert out["2024-01-12"][0] is True       # upward shift detected
     assert out["2024-01-20"][0] is True       # and it stays alarmed
