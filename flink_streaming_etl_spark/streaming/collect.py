@@ -126,40 +126,50 @@ class IncrementalCollect:
         """Fold one micro-batch; return the refreshed lists of the
         touched groups (None on replay). A touched group left with no
         rows vanishes from the maintained relation."""
+        # Transactional fold ordering (T6, the streaming/cep.py
+        # discipline): replay guard CHECKED here, batch id and state
+        # references COMMITTED only after fold + durable save succeed —
+        # a mid-fold failure retried under the same epoch id re-folds
+        # cleanly. The retention clock is the one best-effort exception
+        # (a retried batch may tick it twice).
         if batch_id is not None:
             if self.last_batch_id is not None and batch_id <= self.last_batch_id:
                 return None
-            self.last_batch_id = int(batch_id)
 
         touched = self._touched_groups(chunk).localCheckpoint(eager=True)
-        self.state = apply_changelog(self.state, chunk, self.pk).localCheckpoint(
+        new_state = apply_changelog(self.state, chunk, self.pk).localCheckpoint(
             eager=True
         )
-        slice_ = self.state.join(
-            F.broadcast(touched), self._group_match(self.state, touched), "semi"
+        slice_ = new_state.join(
+            F.broadcast(touched), self._group_match(new_state, touched), "semi"
         )
         refreshed = self._aggregate(slice_).localCheckpoint(eager=True)
         if self.agg is None:
-            self.agg = refreshed
+            new_agg = refreshed
         else:
             kept = self.agg.join(
                 F.broadcast(touched), self._group_match(self.agg, touched), "anti"
             )
-            self.agg = kept.unionByName(refreshed).localCheckpoint(eager=True)
+            new_agg = kept.unionByName(refreshed).localCheckpoint(eager=True)
         if self._retention is not None:
             from flink_streaming_etl_spark.streaming.retention import evict
 
             idle = self._retention.tick(touched)
             if idle is not None:
-                self.state = evict(self.state, idle, self.group_cols)
-                self.agg = evict(self.agg, idle, self.group_cols)
+                new_state = evict(new_state, idle, self.group_cols)
+                new_agg = evict(new_agg, idle, self.group_cols)
         if self._store is not None and batch_id is not None:
-            rels = {"state": self.state, "agg": self.agg}
+            rels = {"state": new_state, "agg": new_agg}
             extra = None
             if self._retention is not None:
                 rels.update(self._retention.relations())
                 extra = self._retention.extra()
             self._store.save(batch_id, rels, extra=extra)
+        # durable save succeeded — commit memory + batch id
+        self.state = new_state
+        self.agg = new_agg
+        if batch_id is not None:
+            self.last_batch_id = int(batch_id)
         return refreshed
 
     def attach(self, stream: DataFrame, checkpoint_root: str | None = None, **kw):

@@ -94,10 +94,14 @@ class DataQualityAccumulator:
         return True
 
     def add_batch(self, batch_orders: DataFrame, batch_id: int | None = None) -> None:
+        # Transactional fold ordering (T6, the streaming/cep.py
+        # discipline): replay guard CHECKED here, counters/state/batch id
+        # COMMITTED only after the fold and the durable save succeed — a
+        # mid-fold failure retried under the same epoch id re-folds
+        # cleanly instead of being misclassified as a replay.
         if batch_id is not None:
             if self.last_batch_id is not None and batch_id <= self.last_batch_id:
-                return  # replay — already folded
-            self.last_batch_id = int(batch_id)
+                return  # replay of a COMMITTED batch — already folded
 
         agg = batch_orders.agg(
             F.count(F.lit(1)).alias("n"),
@@ -118,11 +122,13 @@ class DataQualityAccumulator:
             F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("v_keynull"),
         ).first()
         z = lambda v: 0 if v is None else int(v)  # noqa: E731
-        self.n_rows += z(agg["n"])
-        self.violations["custkey_complete"] += z(agg["v_null"])
-        self.violations["totalprice_positive"] += z(agg["v_pos"])
-        self.violations["orderdate_in_range"] += z(agg["v_date"])
-        self.violations["status_in_domain"] += z(agg["v_status"])
+        # fold into LOCALS; self.* commits only after the durable save
+        new_n_rows = self.n_rows + z(agg["n"])
+        viol = defaultdict(int, self.violations)
+        viol["custkey_complete"] += z(agg["v_null"])
+        viol["totalprice_positive"] += z(agg["v_pos"])
+        viol["orderdate_in_range"] += z(agg["v_date"])
+        viol["status_in_domain"] += z(agg["v_status"])
 
         if self.dim_keys is not None:
             if self._dim_df is None:
@@ -135,7 +141,7 @@ class DataQualityAccumulator:
                 .join(F.broadcast(self._dim_df), "o_custkey", "left_anti")
                 .count()  # one scalar to the driver
             )
-            self.violations["custkey_references_customer"] += int(orphans)
+            viol["custkey_references_customer"] += int(orphans)
 
         # cross-batch uniqueness: per-key counts of THIS batch left-join
         # the distributed seen relation; for a key already seen all n
@@ -168,16 +174,22 @@ class DataQualityAccumulator:
             # must be the join probe, not a state-wide repartition)
             new_keys = marked.filter(F.col("_seen").isNull()).select("o_orderkey")
             new_seen = self._seen.union(new_keys)
-        self.violations["orderkey_unique"] += z(dup_row["d"]) + z(agg["v_keynull"])
+        viol["orderkey_unique"] += z(dup_row["d"]) + z(agg["v_keynull"])
         # localCheckpoint truncates lineage so state cost stays ∝ |state|
-        self._seen = new_seen.localCheckpoint(eager=True)
+        new_seen = new_seen.localCheckpoint(eager=True)
         if self._store is not None and batch_id is not None:
             self._store.save(
                 batch_id,
-                {"seen": self._seen},
-                extra={"n_rows": self.n_rows,
-                       "violations": dict(self.violations)},
+                {"seen": new_seen},
+                extra={"n_rows": new_n_rows,
+                       "violations": dict(viol)},
             )
+        # durable save succeeded — commit memory + batch id
+        self.n_rows = new_n_rows
+        self.violations = viol
+        self._seen = new_seen
+        if batch_id is not None:
+            self.last_batch_id = int(batch_id)
 
     def attach(self, stream_orders: DataFrame, checkpoint_root: str | None = None,
                **start_kwargs):

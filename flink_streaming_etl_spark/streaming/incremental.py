@@ -207,10 +207,17 @@ class IncrementalDistinctCount:
         return True
 
     def apply(self, chunk: DataFrame, batch_id: int | None = None) -> DataFrame | None:
+        # Transactional fold ordering (T6, the streaming/cep.py
+        # discipline): the replay guard is CHECKED here, but the batch id
+        # and the state references are COMMITTED only after the fold and
+        # the durable save succeed — a batch that fails mid-fold and is
+        # retried under the same epoch id re-folds cleanly instead of
+        # being misclassified as an already-seen replay. The retention
+        # clock is the one best-effort exception (a retried batch may
+        # tick it twice, shortening an idle key's grace by one fold).
         if batch_id is not None:
             if self.last_batch_id is not None and batch_id <= self.last_batch_id:
                 return None
-            self.last_batch_id = int(batch_id)
 
         img = F.col("img")
         deltas = changelog_deltas(chunk, self.predicate)
@@ -264,7 +271,7 @@ class IncrementalDistinctCount:
             .agg(F.sum("_x").alias("d_distinct"))
             .filter(F.col("d_distinct") != 0)
         )
-        self.ref_state = (
+        new_ref = (
             merged.filter(F.col("cnt") > 0)
             .select(*pair_names, "cnt")
             .localCheckpoint(eager=True)
@@ -286,7 +293,7 @@ class IncrementalDistinctCount:
                     ).alias("distinct_cnt"),
                 )
             )
-        self.count_state = (
+        new_count = (
             counts.filter(F.col("distinct_cnt") > 0).localCheckpoint(eager=True)
         )
         evicted_pairs = None
@@ -310,16 +317,16 @@ class IncrementalDistinctCount:
                 )
 
                 evicted_pairs = (
-                    self.ref_state.join(
+                    new_ref.join(
                         F.broadcast(idle),
-                        group_match(self.ref_state, idle, key_names),
+                        group_match(new_ref, idle, key_names),
                         "semi",
                     )
                     .select(*pair_names)
                     .localCheckpoint(eager=True)
                 )
-                self.ref_state = evict(self.ref_state, idle, key_names)
-                self.count_state = evict(self.count_state, idle, key_names)
+                new_ref = evict(new_ref, idle, key_names)
+                new_count = evict(new_count, idle, key_names)
         if self._store is not None and batch_id is not None:
             from flink_streaming_etl_spark.streaming.state_store import (
                 BucketedState,
@@ -328,7 +335,7 @@ class IncrementalDistinctCount:
             # count_state is group-bounded (small) — plain full rewrite;
             # ref_state grows with the corpus — save only the buckets
             # this batch's pairs hash into (state_store.py)
-            rels = {"count_state": self.count_state}
+            rels = {"count_state": new_count}
             extra = None
             if self._retention is not None:
                 rels.update(self._retention.relations())
@@ -339,7 +346,7 @@ class IncrementalDistinctCount:
                 extra=extra,
                 bucketed={
                     "ref_state": BucketedState(
-                        self.ref_state,
+                        new_ref,
                         key_cols=pair_names,
                         n_buckets=self.state_buckets,
                         touched=(
@@ -352,7 +359,12 @@ class IncrementalDistinctCount:
                     )
                 },
             )
-        return self.count_state
+        # durable save succeeded — commit memory + batch id (fold-then-commit)
+        self.ref_state = new_ref
+        self.count_state = new_count
+        if batch_id is not None:
+            self.last_batch_id = int(batch_id)
+        return new_count
 
     def attach(self, stream: DataFrame, checkpoint_root: str | None = None, **kw):
         """Run this accumulator over a changelog stream (see

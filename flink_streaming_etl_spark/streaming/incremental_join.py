@@ -101,23 +101,34 @@ class IncrementalJoin:
 
             self._store = AccumulatorStateStore(state_dir)
 
-    def _persist(self) -> None:
+    def _persist(
+        self,
+        left_state: DataFrame | None,
+        right_state: DataFrame | None,
+        join_state: DataFrame | None,
+        last_batch_id: int | None,
+    ) -> None:
+        """Durable save from the (not-yet-committed) new state — part of
+        the fold-then-commit ordering: the version counter advances only
+        after the save succeeds, so a failed save retries under the same
+        version."""
         if self._store is None:
             return
-        self._version += 1
+        version = self._version + 1
         self._store.save(
-            self._version,
+            version,
             {
-                "left_state": self.left_state,
-                "right_state": self.right_state,
-                "join_state": self.join_state,
+                "left_state": left_state,
+                "right_state": right_state,
+                "join_state": join_state,
             },
             extra={
-                "last_batch_id": self.last_batch_id,
+                "last_batch_id": last_batch_id,
                 "side_seen": getattr(self, "_side_seen", None),
-                "version": self._version,
+                "version": version,
             },
         )
+        self._version = version
 
     def restore(self, spark) -> bool:
         """Load the last saved state (True if something was restored)."""
@@ -203,34 +214,70 @@ class IncrementalJoin:
         """Fold one micro-batch (either or both sides) into state and
         return this batch's SIGNED join deltas (output columns + _sign;
         None when the batch produces no join change). Replays by batch id
-        are no-ops (effectively-once, T6)."""
+        are no-ops (effectively-once, T6). Transactional fold ordering
+        (the streaming/cep.py discipline): the fold computes into locals,
+        the durable save runs from them, and only then do the state
+        references and the batch id commit — a mid-fold failure retried
+        under the same epoch id re-folds cleanly instead of being
+        misclassified as a replay."""
         if batch_id is not None:
             if self.last_batch_id is not None and batch_id <= self.last_batch_id:
                 return None
-            self.last_batch_id = int(batch_id)
 
+        deltas, new_left, new_right, new_join = self._fold(left_chunk, right_chunk)
+        new_bid = int(batch_id) if batch_id is not None else self.last_batch_id
+        self._persist(new_left, new_right, new_join, new_bid)
+        self._commit(new_left, new_right, new_join, new_bid)
+        return deltas
+
+    def _fold(
+        self,
+        left_chunk: DataFrame | None,
+        right_chunk: DataFrame | None,
+    ) -> tuple[DataFrame | None, DataFrame | None, DataFrame | None, DataFrame | None]:
+        """Pure fold: compute (deltas, new_left, new_right, new_join)
+        from the CURRENT states without mutating anything — the composed
+        accumulators (JoinAgg/JoinCollect) call this directly so their
+        own fold can fail without half-committing the join."""
         dl = _signed_images(left_chunk) if left_chunk is not None else None
         dr = _signed_images(right_chunk) if right_chunk is not None else None
         deltas = self._join_delta(dl, dr)
 
         # advance the two latest-state tables AFTER the delta join (the
         # algebra needs the OLD states on the mixed terms)
+        new_left = self.left_state
+        new_right = self.right_state
         if left_chunk is not None:
-            self.left_state = apply_changelog(
+            new_left = apply_changelog(
                 self.left_state, left_chunk, self.left_pk
             ).localCheckpoint(eager=True)
         if right_chunk is not None:
-            self.right_state = apply_changelog(
+            new_right = apply_changelog(
                 self.right_state, right_chunk, self.right_pk
             ).localCheckpoint(eager=True)
 
+        new_join = self.join_state
         if deltas is not None:
             deltas = deltas.localCheckpoint(eager=True)
-            self._fold_result(deltas)
-        self._persist()
-        return deltas
+            new_join = self._net_fold(self.join_state, deltas)
+        return deltas, new_left, new_right, new_join
 
-    def _fold_result(self, deltas: DataFrame) -> None:
+    def _commit(
+        self,
+        new_left: DataFrame | None,
+        new_right: DataFrame | None,
+        new_join: DataFrame | None,
+        new_batch_id: int | None,
+    ) -> None:
+        """Commit a completed fold: state references + replay guard."""
+        self.left_state = new_left
+        self.right_state = new_right
+        self.join_state = new_join
+        if new_batch_id is not None:
+            self.last_batch_id = int(new_batch_id)
+
+    @staticmethod
+    def _net_fold(join_state: DataFrame | None, deltas: DataFrame) -> DataFrame:
         """Net-accumulate signed deltas into the maintained join result.
 
         The stored relation carries an explicit ``_mult`` multiplicity
@@ -246,14 +293,14 @@ class IncrementalJoin:
         deltas = deltas.withColumn("_sign", F.col("_sign").cast("long"))
         state_signed = (
             None
-            if self.join_state is None
-            else self.join_state.withColumnRenamed("_mult", "_sign")
+            if join_state is None
+            else join_state.withColumnRenamed("_mult", "_sign")
         )
         signed = (
             deltas if state_signed is None else state_signed.unionByName(deltas)
         )
         cols = [c for c in signed.columns if c != "_sign"]
-        self.join_state = (
+        return (
             signed.groupBy(*cols)
             .agg(F.sum("_sign").alias("_mult"))
             .filter(F.col("_mult") > 0)
@@ -262,22 +309,27 @@ class IncrementalJoin:
 
     # -- query side ---------------------------------------------------------
 
-    def result(self) -> DataFrame | None:
-        """The maintained join table (must equal, AS A MULTISET, the
-        batch inner join of the two latest states after any changelog
-        prefix) — stored multiplicities are expanded back into rows, so
-        the caller sees plain join output."""
-        if self.join_state is None:
+    @staticmethod
+    def _expand(join_state: DataFrame | None) -> DataFrame | None:
+        """Expand stored multiplicities back into plain join rows."""
+        if join_state is None:
             return None
-        cols = [c for c in self.join_state.columns if c != "_mult"]
+        cols = [c for c in join_state.columns if c != "_mult"]
         return (
-            self.join_state.select(
+            join_state.select(
                 *cols,
                 F.explode(
                     F.sequence(F.lit(1), F.col("_mult").cast("int"))
                 ).alias("_i"),
             ).drop("_i")
         )
+
+    def result(self) -> DataFrame | None:
+        """The maintained join table (must equal, AS A MULTISET, the
+        batch inner join of the two latest states after any changelog
+        prefix) — stored multiplicities are expanded back into rows, so
+        the caller sees plain join output."""
+        return self._expand(self.join_state)
 
     def recompute(self) -> DataFrame | None:
         """The recompute twin: batch inner join of the current latest
@@ -403,13 +455,27 @@ class IncrementalJoinAgg:
         batch_id: int | None = None,
     ) -> DataFrame | None:
         """Fold one micro-batch through the join AND the aggregate;
-        returns the refreshed aggregate state (None before any data)."""
-        replay = (
+        returns the refreshed aggregate state (None before any data).
+
+        Transactional fold ordering across the WHOLE composition (the
+        streaming/cep.py discipline): the join folds into locals via
+        ``_fold`` (no self-commit), the aggregate folds into a local,
+        ONE composed save runs from the locals, and only then do the
+        join's state + batch id and the aggregate state commit together
+        — a failure anywhere mid-fold (including inside the agg merge,
+        AFTER the join fold succeeded) leaves both layers untouched, so
+        a same-epoch retry re-folds the batch instead of hitting the
+        join's replay guard and silently dropping the aggregate deltas."""
+        if (
             batch_id is not None
             and self.join.last_batch_id is not None
             and batch_id <= self.join.last_batch_id
+        ):
+            return self.state  # replay of a COMMITTED batch
+        deltas, new_left, new_right, new_join = self.join._fold(
+            left_chunk, right_chunk
         )
-        deltas = self.join.apply(left_chunk, right_chunk, batch_id=batch_id)
+        new_state = self.state
         if deltas is not None:
             names = list(self.group_cols)
             batch = self._signed_group_deltas(deltas)
@@ -428,29 +494,38 @@ class IncrementalJoinAgg:
                     (F.coalesce(F.col("cnt"), F.lit(0))
                      + F.coalesce(F.col("d_cnt"), F.lit(0))).alias("cnt"),
                 )
-            self.state = (
+            new_state = (
                 merged.filter(F.col("cnt") > 0).localCheckpoint(eager=True)
             )
         # Save on every genuinely folded batch — INCLUDING one whose join
         # deltas are empty (the join's latest-state tables still advanced,
         # so the composed snapshot must too). One save, one meta flip:
         # there is no window where join state and agg state disagree.
-        if not replay and self._store is not None:
-            self._version += 1
+        new_bid = (
+            int(batch_id) if batch_id is not None else self.join.last_batch_id
+        )
+        if self._store is not None:
+            version = self._version + 1
             self._store.save(
-                self._version,
+                version,
                 {
-                    "state": self.state,
-                    "join_left_state": self.join.left_state,
-                    "join_right_state": self.join.right_state,
-                    "join_join_state": self.join.join_state,
+                    "state": new_state,
+                    "join_left_state": new_left,
+                    "join_right_state": new_right,
+                    "join_join_state": new_join,
                 },
                 extra={
-                    "join_last_batch_id": self.join.last_batch_id,
+                    "join_last_batch_id": new_bid,
                     "side_seen": getattr(self, "_side_seen", None),
                 },
             )
-        return self.state
+            self._version = version
+        # a join that carries its OWN store (standalone use composed
+        # later) persists too — still before the joint commit
+        self.join._persist(new_left, new_right, new_join, new_bid)
+        self.join._commit(new_left, new_right, new_join, new_bid)
+        self.state = new_state
+        return new_state
 
     def result(self) -> DataFrame | None:
         return self.state
@@ -506,11 +581,20 @@ class IncrementalJoinAgg:
                 with lock:
                     if batch_id <= self._side_seen[side]:
                         return
+                    # stage the new guard so apply()'s composed durable
+                    # save carries it, but roll it back if the fold
+                    # fails — a same-epoch foreachBatch retry must
+                    # re-fold, not be skipped (fold-then-commit, T6)
+                    prev = int(self._side_seen[side])
                     self._side_seen[side] = int(batch_id)
-                    self.apply(
-                        left_chunk=batch_df if side == "l" else None,
-                        right_chunk=batch_df if side == "r" else None,
-                    )
+                    try:
+                        self.apply(
+                            left_chunk=batch_df if side == "l" else None,
+                            right_chunk=batch_df if side == "r" else None,
+                        )
+                    except BaseException:
+                        self._side_seen[side] = prev
+                        raise
 
             w = stream.writeStream.foreachBatch(process)
             if checkpoint_root is not None:
@@ -626,48 +710,68 @@ class IncrementalJoinCollect:
         batch_id: int | None = None,
     ) -> DataFrame | None:
         """Fold one micro-batch through the join AND the listagg; returns
-        the refreshed maintained relation (None before any data)."""
-        replay = (
+        the refreshed maintained relation (None before any data).
+
+        Same whole-composition transactional ordering as
+        :meth:`IncrementalJoinAgg.apply`: join folds into locals, the
+        listagg folds into a local over the NEW join multiset, ONE
+        composed save, then a joint commit — a same-epoch retry after
+        any mid-fold failure re-folds instead of being replay-skipped."""
+        if (
             batch_id is not None
             and self.join.last_batch_id is not None
             and batch_id <= self.join.last_batch_id
+        ):
+            return self.agg  # replay of a COMMITTED batch
+        deltas, new_left, new_right, new_join = self.join._fold(
+            left_chunk, right_chunk
         )
-        deltas = self.join.apply(left_chunk, right_chunk, batch_id=batch_id)
+        new_agg = self.agg
         if deltas is not None:
             touched = (
                 deltas.select(*self.group_cols).distinct()
                 .localCheckpoint(eager=True)
             )
-            result = self.join.result()  # multiset-expanded join output
+            # multiset-expanded output of the NEW (uncommitted) join state
+            result = self.join._expand(new_join)
             slice_ = result.join(
                 F.broadcast(touched), self._group_match(result, touched), "semi"
             )
             refreshed = self._aggregate(slice_).localCheckpoint(eager=True)
             if self.agg is None:
-                self.agg = refreshed
+                new_agg = refreshed
             else:
                 kept = self.agg.join(
                     F.broadcast(touched),
                     self._group_match(self.agg, touched),
                     "anti",
                 )
-                self.agg = kept.unionByName(refreshed).localCheckpoint(eager=True)
-        if not replay and self._store is not None:
-            self._version += 1
+                new_agg = kept.unionByName(refreshed).localCheckpoint(eager=True)
+        new_bid = (
+            int(batch_id) if batch_id is not None else self.join.last_batch_id
+        )
+        if self._store is not None:
+            version = self._version + 1
             self._store.save(
-                self._version,
+                version,
                 {
-                    "agg": self.agg,
-                    "join_left_state": self.join.left_state,
-                    "join_right_state": self.join.right_state,
-                    "join_join_state": self.join.join_state,
+                    "agg": new_agg,
+                    "join_left_state": new_left,
+                    "join_right_state": new_right,
+                    "join_join_state": new_join,
                 },
                 extra={
-                    "join_last_batch_id": self.join.last_batch_id,
+                    "join_last_batch_id": new_bid,
                     "side_seen": getattr(self, "_side_seen", None),
                 },
             )
-        return self.agg
+            self._version = version
+        # a join that carries its OWN store (standalone use composed
+        # later) persists too — still before the joint commit
+        self.join._persist(new_left, new_right, new_join, new_bid)
+        self.join._commit(new_left, new_right, new_join, new_bid)
+        self.agg = new_agg
+        return new_agg
 
     def result(self) -> DataFrame | None:
         return self.agg
@@ -700,11 +804,20 @@ class IncrementalJoinCollect:
                 with lock:
                     if batch_id <= self._side_seen[side]:
                         return
+                    # stage the new guard so apply()'s composed durable
+                    # save carries it, but roll it back if the fold
+                    # fails — a same-epoch foreachBatch retry must
+                    # re-fold, not be skipped (fold-then-commit, T6)
+                    prev = int(self._side_seen[side])
                     self._side_seen[side] = int(batch_id)
-                    self.apply(
-                        left_chunk=batch_df if side == "l" else None,
-                        right_chunk=batch_df if side == "r" else None,
-                    )
+                    try:
+                        self.apply(
+                            left_chunk=batch_df if side == "l" else None,
+                            right_chunk=batch_df if side == "r" else None,
+                        )
+                    except BaseException:
+                        self._side_seen[side] = prev
+                        raise
 
             w = stream.writeStream.foreachBatch(process)
             if checkpoint_root is not None:

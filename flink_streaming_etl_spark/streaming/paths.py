@@ -65,11 +65,15 @@ class EventPathAccumulator:
     # -- streaming side -----------------------------------------------------
 
     def add_batch(self, batch_events: DataFrame, batch_id: int | None = None) -> None:
+        # Transactional fold ordering (T6, the streaming/cep.py
+        # discipline): replay guard CHECKED here, all state and the batch
+        # id COMMITTED only after the whole fold succeeds — a mid-fold
+        # failure (e.g. in the sessionize job) retried under the same
+        # epoch id re-folds cleanly instead of being skipped as a replay.
         if batch_id is not None:
             if self.last_batch_id is not None and batch_id <= self.last_batch_id:
-                return  # replay — already folded
-            self.last_batch_id = int(batch_id)
-        self.n_batches += 1
+                return  # replay of a COMMITTED batch — already folded
+        n_batches = self.n_batches + 1
 
         us = F.unix_micros(F.col("ts").cast("timestamp"))
         w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
@@ -104,12 +108,16 @@ class EventPathAccumulator:
             .collect()  # bounded by the batch's session count
         )
 
+        # fold into LOCAL copies; self.* commits only at the end
+        open_ = dict(self.open)
+        counts = defaultdict(int, self.counts)
+        last_active = dict(self.last_active)
         by_user: dict = defaultdict(list)
         for r in sessions:
             by_user[r["user_id"]].append(r)
         for uid, sess in by_user.items():
             sess.sort(key=lambda r: r["session_idx"])
-            prev = self.open.pop(uid, None)
+            prev = open_.pop(uid, None)
             if prev is not None:
                 types, last_us = prev
                 first = sess[0]
@@ -121,29 +129,36 @@ class EventPathAccumulator:
                         "last_us": first["last_us"],
                     }
                 else:
-                    self.counts[">".join(types)] += 1
+                    counts[">".join(types)] += 1
             # every non-final batch session is closed by construction
             for r in sess[:-1]:
-                self.counts[">".join(list(r["types"])[: self.max_steps])] += 1
+                counts[">".join(list(r["types"])[: self.max_steps])] += 1
             last = sess[-1]
-            self.open[uid] = (
+            open_[uid] = (
                 tuple(list(last["types"])[: self.max_steps]),
                 last["last_us"],
             )
-            self.last_active[uid] = self.n_batches
-        self._evict()
+            last_active[uid] = n_batches
+        self._evict(open_, counts, last_active, n_batches)
+        # fold succeeded — commit memory + batch id
+        self.open = open_
+        self.counts = counts
+        self.last_active = last_active
+        self.n_batches = n_batches
+        if batch_id is not None:
+            self.last_batch_id = int(batch_id)
 
-    def _evict(self) -> None:
+    def _evict(self, open_: dict, counts: dict, last_active: dict, n_batches: int) -> None:
         if self.retention_batches is None:
             return
-        horizon = self.n_batches - self.retention_batches
+        horizon = n_batches - self.retention_batches
         if horizon <= 0:
             return
-        for uid in [u for u, b in self.last_active.items() if b <= horizon]:
-            del self.last_active[uid]
-            types, _ = self.open.pop(uid)
+        for uid in [u for u, b in last_active.items() if b <= horizon]:
+            del last_active[uid]
+            types, _ = open_.pop(uid)
             # a session timeout CLOSES the session — semantics, not loss
-            self.counts[">".join(types)] += 1
+            counts[">".join(types)] += 1
 
     # -- query side -----------------------------------------------------------
 

@@ -135,44 +135,54 @@ class IncrementalTopK:
         """Fold one micro-batch; return the refreshed top-k rows of the
         touched groups (None on replay). A touched group that ends with
         no rows simply vanishes from the maintained relation."""
+        # Transactional fold ordering (T6, the streaming/cep.py
+        # discipline): replay guard CHECKED here, batch id and state
+        # references COMMITTED only after fold + durable save succeed —
+        # a mid-fold failure retried under the same epoch id re-folds
+        # cleanly. The retention clock is the one best-effort exception
+        # (a retried batch may tick it twice).
         if batch_id is not None:
             if self.last_batch_id is not None and batch_id <= self.last_batch_id:
                 return None
-            self.last_batch_id = int(batch_id)
 
         touched = self._touched_groups(chunk).localCheckpoint(eager=True)
-        self.state = apply_changelog(self.state, chunk, self.pk).localCheckpoint(
+        new_state = apply_changelog(self.state, chunk, self.pk).localCheckpoint(
             eager=True
         )
         # Probe ONLY the touched groups' state slice. The broadcast is
         # batch-bounded (the micro-batch's own group keys), never state.
         # Expression joins (null-safe) keep the left side's column order,
         # so result() matches recompute() column-for-column.
-        slice_ = self.state.join(
-            F.broadcast(touched), self._group_match(self.state, touched), "semi"
+        slice_ = new_state.join(
+            F.broadcast(touched), self._group_match(new_state, touched), "semi"
         )
         refreshed = self._rank(slice_).localCheckpoint(eager=True)
         if self.topk is None:
-            self.topk = refreshed
+            new_topk = refreshed
         else:
             kept = self.topk.join(
                 F.broadcast(touched), self._group_match(self.topk, touched), "anti"
             )
-            self.topk = kept.unionByName(refreshed).localCheckpoint(eager=True)
+            new_topk = kept.unionByName(refreshed).localCheckpoint(eager=True)
         if self._retention is not None:
             from flink_streaming_etl_spark.streaming.retention import evict
 
             idle = self._retention.tick(touched)
             if idle is not None:
-                self.state = evict(self.state, idle, self.group_cols)
-                self.topk = evict(self.topk, idle, self.group_cols)
+                new_state = evict(new_state, idle, self.group_cols)
+                new_topk = evict(new_topk, idle, self.group_cols)
         if self._store is not None and batch_id is not None:
-            rels = {"state": self.state, "topk": self.topk}
+            rels = {"state": new_state, "topk": new_topk}
             extra = None
             if self._retention is not None:
                 rels.update(self._retention.relations())
                 extra = self._retention.extra()
             self._store.save(batch_id, rels, extra=extra)
+        # durable save succeeded — commit memory + batch id
+        self.state = new_state
+        self.topk = new_topk
+        if batch_id is not None:
+            self.last_batch_id = int(batch_id)
         return refreshed
 
     def attach(self, stream: DataFrame, checkpoint_root: str | None = None, **kw):
