@@ -11,7 +11,15 @@ module re-expresses its core, Spark-first:
 * ``PATTERN (A B C)`` with STRICT CONTIGUITY — pattern steps match
   adjacent rows of the partition.
 * ``WITHIN`` — the whole match spans at most ``within_hours`` of event
-  time (FlinkCEP ``Pattern.within``).
+  time. Deliberate boundary deviation from FlinkCEP: this family pins
+  the INCLUSIVE boundary (span <= within is a match) everywhere —
+  batch operators, streaming accumulators, and the DuckDB oracles —
+  whereas FlinkCEP's ``Pattern.within`` prunes a partial match once
+  elapsed >= windowTime, i.e. a match spanning exactly ``within`` is
+  rejected by the reference engine. The inclusive pin is internally
+  consistent and asserted by tests/test_cep.py (exact-boundary test);
+  callers needing FlinkCEP's strict boundary can pass
+  ``within_hours`` one microsecond-equivalent tighter.
 * AFTER MATCH SKIP TO NEXT ROW  → :func:`cep_pattern_matches` (every
   candidate is a match; overlaps allowed).
 * AFTER MATCH SKIP PAST LAST ROW (the SQL:2016 default) →
@@ -197,24 +205,36 @@ def _chain_closure(
 
     The iterated relation is the candidate/pointer set — orders of
     magnitude smaller than the event corpus — so the loop's shuffles
-    are sized to it (the neardup_clusters discipline): iterating at the
-    session's corpus width would just buy per-stage task overhead
-    across the ~log rounds; the conf is restored on exit."""
+    are sized to it (the neardup_clusters discipline). Width control is
+    an EXPLICIT ``repartition(width, user_id)`` on the iterated
+    relations — never a session-conf flip (r11 verdict: a concurrently
+    running query in the same session could observe a narrowed
+    ``spark.sql.shuffle.partitions``); the materialized per-round
+    relations are pinned at ``width`` partitions keyed on user_id, so
+    the loop's joins co-partition on the key and the dedup after the
+    union is the one width-sized exchange per round."""
+    from flink_streaming_etl_spark.ckpt import eager_checkpoint
+
     spark = ptr.sparkSession
     ptr = ptr.localCheckpoint(eager=True)
-    sel = firsts.localCheckpoint(eager=True)
-    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
-    width = max(8, min(int(prev_width), ptr.count() // 50_000))
-    spark.conf.set("spark.sql.shuffle.partitions", str(width))
-    try:
-        return _chain_closure_loop(ptr, sel, max_iter)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    width = max(8, min(session_width, ptr.count() // 50_000))
+    # ptr gets eager_checkpoint (NOT plain localCheckpoint): the loop
+    # SELF-joins it, and inherited origin stats would double its
+    # sizeInBytes digit count every round (ckpt.py) — the driver would
+    # drown in BigInteger stats arithmetic after ~10 rounds. sel only
+    # unions (stats ADD, bounded once ptr's are real), so it keeps the
+    # cheaper plain checkpoint.
+    ptr = eager_checkpoint(ptr.repartition(width, "user_id"))
+    sel = firsts.repartition(width, "user_id").localCheckpoint(eager=True)
+    return _chain_closure_loop(ptr, sel, max_iter, width)
 
 
 def _chain_closure_loop(
-    ptr: DataFrame, sel: DataFrame, max_iter: int
+    ptr: DataFrame, sel: DataFrame, max_iter: int, width: int
 ) -> DataFrame:
+    from flink_streaming_etl_spark.ckpt import eager_checkpoint
+
     n = sel.count()
     for _ in range(max_iter):
         hop = (
@@ -222,18 +242,27 @@ def _chain_closure_loop(
             .filter(F.col("nxt").isNotNull())
             .select("user_id", F.col("nxt").alias("rn"))
         )
-        sel = sel.unionByName(hop).distinct().localCheckpoint(eager=True)
+        # ONE explicit width-sized exchange; the dedup's clustering
+        # requirement is satisfied by the repartition's hash on user_id
+        sel = (
+            sel.unionByName(hop)
+            .repartition(width, "user_id")
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
         n2 = sel.count()
         if n2 == n:
             break
         n = n2
-        # double the pointer: 2^k -> 2^(k+1) hops
+        # double the pointer: 2^k -> 2^(k+1) hops. eager_checkpoint
+        # keeps ptr's stats REAL — the self-join would otherwise double
+        # the inherited sizeInBytes digits every round (ckpt.py).
         p2 = ptr.select(
             F.col("user_id").alias("u2"),
             F.col("rn").alias("r2"),
             F.col("nxt").alias("nxt2"),
         )
-        ptr = (
+        ptr = eager_checkpoint(
             ptr.join(
                 p2,
                 F.col("user_id").eqNullSafe(F.col("u2"))
@@ -241,7 +270,7 @@ def _chain_closure_loop(
                 "left",
             )
             .select("user_id", "rn", F.col("nxt2").alias("nxt"))
-            .localCheckpoint(eager=True)
+            .repartition(width, "user_id")
         )
     return sel.select("user_id", "rn")
 

@@ -109,20 +109,27 @@ class _BaseCepAccumulator:
         spark: SparkSession | None = None,
         retention_batches: int | None = None,
     ):
-        #: user_id -> sorted list of pending row tuples (schema fields 1..)
-        self.tails: dict = {}
+        #: pending tails as a DISTRIBUTED, localCheckpoint'd relation in
+        #: ``_schema`` (user_id, us, fields...) — NEVER a driver dict
+        #: (r11 verdict #2: per-key state is bounded, but the TOTAL is
+        #: ∝ active-key count; at billions of keys a driver-resident
+        #: dict is the bottleneck). The fold re-injects the batch's
+        #: keys' pending rows via a batch-keyed broadcast semi join
+        #: (the data_quality.py seen-relation discipline); driver
+        #: transfer per batch is the finalized matches only.
+        self.tails_rel: DataFrame | None = None
         #: idle-state retention (T5, the Flink state-TTL discipline):
         #: keys idle for ``retention_batches`` folds have their pending
         #: tails evicted. Per-key state is already WITHIN-aged, so this
         #: bounds the OTHER axis — lifetime key count. The trade is the
         #: same as paths.py documents: a key that resumes after idling
         #: past the horizon (and still within the event-time WITHIN of
-        #: its pending rows) loses the cross-gap match.
+        #: its pending rows) loses the cross-gap match. The bookkeeping
+        #: is itself a relation (user_id, _last_fold) — one row per
+        #: live key, evicted WITH the key (the r11 `_bucket` dict
+        #: leaked precisely because it had no eviction path).
         self.retention_batches = retention_batches
-        self._last_active: dict = {}
-        #: user_id -> stable store bucket (Spark-side pmod(hash, N) —
-        #: cached so a save only serializes the touched buckets' keys)
-        self._bucket: dict = {}
+        self.active_rel: DataFrame | None = None
         self._n_folds = 0
         self.last_batch_id: int | None = None
         #: monotone store-version counter — decoupled from batch ids so a
@@ -133,6 +140,24 @@ class _BaseCepAccumulator:
         self._restored = self.store is None
         if self.store is not None and spark is not None:
             self._restore(spark)
+
+    @property
+    def tails(self) -> dict:
+        """Diagnostic/test accessor: the pending tails materialized as
+        {user_id: sorted [row tuples]}. COLLECTS the state relation —
+        driver transfer ∝ total pending state — so it must never appear
+        in the fold path; the operational state is :attr:`tails_rel`."""
+        out: dict = {}
+        if self.tails_rel is None:
+            return out
+        fields = self._tail_fields()
+        for r in self.tails_rel.collect():
+            out.setdefault(r["user_id"], []).append(
+                tuple(r[f] for f in fields)
+            )
+        for rows in out.values():
+            rows.sort(key=lambda t: (t[0], t[1]))
+        return out
 
     # -- durability ------------------------------------------------------
 
@@ -147,87 +172,56 @@ class _BaseCepAccumulator:
         bid, rels, extra = loaded
         self._save_seq = bid
         self.last_batch_id = extra.get("last_batch_id", bid)
-        self.tails = {}
-        fields = self._tail_fields()
         if "tails" in rels:
-            for r in rels["tails"].collect():  # state-bounded (see class doc)
-                self.tails.setdefault(r["user_id"], []).append(
-                    tuple(r[f] for f in fields)
-                )
-            for rows in self.tails.values():
-                rows.sort(key=lambda t: (t[0], t[1]))
+            # the relation stays DISTRIBUTED — no collect on restore
+            self.tails_rel = rels["tails"].localCheckpoint(eager=True)
             # restored keys count as active NOW so idle-state retention
             # can still reach them (otherwise a restart would immortalize
             # pre-crash idle state)
-            for uid in self.tails:
-                self._last_active.setdefault(uid, self._n_folds)
+            self.active_rel = (
+                self.tails_rel.select("user_id")
+                .distinct()
+                .withColumn("_last_fold", F.lit(self._n_folds))
+                .localCheckpoint(eager=True)
+            )
 
     _N_BUCKETS = 64
-
-    def _buckets_for(self, spark: SparkSession, keys: set) -> set:
-        """Store bucket ids for ``keys``, computing unknown ones with
-        the SAME JVM-side hash the store's bucket map uses (a Python
-        hash would disagree)."""
-        unknown = [u for u in keys if u not in self._bucket]
-        if unknown:
-            key_type = self._schema.fields[0].dataType
-            kdf = spark.createDataFrame(
-                [(u,) for u in unknown],
-                StructType([StructField("user_id", key_type)]),
-            )
-            for r in kdf.select(
-                "user_id",
-                F.pmod(F.hash("user_id"), F.lit(self._N_BUCKETS)).alias("b"),
-            ).collect():
-                self._bucket[r["user_id"]] = r["b"]
-        return {self._bucket[u] for u in keys}
 
     def _save(
         self,
         spark: SparkSession,
         last_bid: int | None,
-        tails: dict,
-        touched_users: set | None = None,
+        tails_rel: DataFrame | None,
+        touched_df: DataFrame | None = None,
     ) -> None:
         """Durable save under a fresh store version. The tails relation
-        is hash-bucketed on the key and only the TOUCHED buckets are
-        rewritten (state_store's incremental-checkpoint trade: write
-        volume ∝ changed buckets, not lifetime key count; the driver
-        still serializes the full dict — bounded by the accumulator's
-        own state bound). ``touched_users=None`` → full snapshot."""
+        is hash-bucketed on the key and only the buckets hit by
+        ``touched_df`` (a batch-bounded key relation) are rewritten
+        (state_store's incremental-checkpoint trade: write volume ∝
+        changed buckets, not lifetime key count; only bucket IDS cross
+        to the driver, never keys). ``touched_df=None`` → full
+        snapshot. The version counter advances only after the save
+        succeeds (fold-then-commit)."""
         if self.store is None:
             return
-        key_type = self._schema.fields[0].dataType
-        touched = None
-        if touched_users is not None:
-            # serialize ONLY the touched buckets' keys — the save cost is
-            # ∝ the batch's bucket footprint, not lifetime key count
-            tb = self._buckets_for(spark, set(touched_users))
-            self._buckets_for(spark, set(tails))
-            rows = [
-                (uid, *t)
-                for uid, pend in tails.items()
-                if self._bucket[uid] in tb
-                for t in pend
-            ]
-            touched = spark.createDataFrame(
-                [(u,) for u in touched_users],
-                StructType([StructField("user_id", key_type)]),
-            )
-        else:
-            rows = [(uid, *t) for uid, pend in tails.items() for t in pend]
-        df = spark.createDataFrame(rows, self._schema)
-        self._save_seq += 1
+        df = (
+            tails_rel
+            if tails_rel is not None
+            else spark.createDataFrame([], self._schema)
+        )
+        seq = self._save_seq + 1
         self.store.save(
-            self._save_seq,
+            seq,
             {},
             extra={"last_batch_id": last_bid},
             bucketed={
                 "tails": BucketedState(
-                    df, ["user_id"], n_buckets=self._N_BUCKETS, touched=touched
+                    df, ["user_id"], n_buckets=self._N_BUCKETS,
+                    touched=touched_df,
                 )
             },
         )
+        self._save_seq = seq
 
     # -- streaming side --------------------------------------------------
 
@@ -244,13 +238,25 @@ class _BaseCepAccumulator:
         batch_events: DataFrame,
         batch_id: int | None = None,
         on_matches=None,
+        on_matches_df=None,
     ) -> list[tuple]:
         """Fold one micro-batch; return its finalized matches (tuples in
         ``_match_fields`` order). ``on_matches`` (the downstream sink)
         is invoked BEFORE the durable commit: a sink failure fails the
         batch pre-commit, so Spark's retry re-folds and re-delivers
         (at-least-once) instead of losing the emissions behind an
-        already-committed replay guard."""
+        already-committed replay guard.
+
+        ``on_matches_df`` is the DISTRIBUTED delivery path for
+        high-match-rate patterns: it receives the batch's matches as a
+        DataFrame (columns = ``_match_fields``) and is expected to hand
+        it to a distributed sink (the upsert_sink discipline) — the
+        matches are then NEVER materialized on the driver (add_batch
+        returns []; per-batch driver transfer is O(1) scalars). Same
+        pre-commit ordering and at-least-once contract as
+        ``on_matches``; passing both is an error."""
+        if on_matches is not None and on_matches_df is not None:
+            raise ValueError("pass on_matches OR on_matches_df, not both")
         spark = batch_events.sparkSession
         if not self._restored:
             self._restore(spark)
@@ -263,89 +269,151 @@ class _BaseCepAccumulator:
             return []  # replay of a COMMITTED batch — already emitted
         cols = ["user_id", "ts", *self._tail_fields()[1:]]
         batch = batch_events.select(*cols)
-        # pending tails of THIS batch's keys only — per-batch work scales
-        # with the batch, not with lifetime key count
-        users = {
-            r["user_id"] for r in batch.select("user_id").distinct().collect()
-        }
-        pend_rows = [
-            (uid, *t) for uid in users for t in self.tails.get(uid, [])
-        ]
-        if pend_rows:
-            pend = spark.createDataFrame(pend_rows, self._schema).select(
+        # distinct keys of THIS batch — a batch-bounded relation, reused
+        # by the re-injection probe, the state fold and the save
+        users_df = batch.select("user_id").distinct().localCheckpoint(
+            eager=True
+        )
+        # pending tails of THIS batch's keys only, via a batch-keyed
+        # broadcast SEMI join (null-safe: a NULL key is a real key) —
+        # per-batch work scales with the batch, not lifetime key count,
+        # and the tails never visit the driver
+        if self.tails_rel is not None:
+            pend = self.tails_rel.join(
+                F.broadcast(users_df),
+                self.tails_rel["user_id"].eqNullSafe(users_df["user_id"]),
+                "semi",
+            ).select(
                 "user_id",
                 F.timestamp_micros(F.col("us")).alias("ts"),
                 *self._tail_fields()[1:],
             )
             batch = batch.unionByName(pend)
         matches_df, tails_df = self._kernel(batch)
-        matches = [
-            tuple(r[f] for f in self._match_fields)
-            for r in matches_df.collect()
-        ]
-        fields = self._tail_fields()
-        fresh: dict = {}
-        for r in tails_df.collect():  # state-bounded (see class doc)
-            fresh.setdefault(r["user_id"], []).append(
-                tuple(r[f] for f in fields)
+        if on_matches_df is not None:
+            # distributed delivery: materialize once (the sink may
+            # re-scan), never collect — driver transfer stays O(1)
+            matches = []
+            out_df = matches_df.select(*self._match_fields).localCheckpoint(
+                eager=True
             )
-        for rows in fresh.values():
-            rows.sort(key=lambda t: (t[0], t[1]))
+        else:
+            # the ONLY per-batch driver transfer: the finalized matches
+            # (alert-shaped; high-match-rate patterns → on_matches_df)
+            matches = [
+                tuple(r[f] for f in self._match_fields)
+                for r in matches_df.collect()
+            ]
+        from flink_streaming_etl_spark.ckpt import eager_checkpoint
+
+        # eager_checkpoint: on the first fold fresh_rel IS the cross-fold
+        # carrier (becomes tails_rel), so its stats must be real (ckpt.py)
+        fresh_rel = eager_checkpoint(
+            tails_df.select("user_id", *self._tail_fields())
+        )
         # deliver BEFORE the durable commit (see docstring)
-        if on_matches is not None:
+        if on_matches_df is not None:
+            on_matches_df(out_df)
+        elif on_matches is not None:
             on_matches(matches)
         # retention (T5): decide evictions BEFORE the save so the
         # evicted keys' buckets are rewritten in this version (a restart
         # must not resurrect idle state the fold just dropped)
-        evicted = self._idle_keys(users)
+        idle_df = self._idle_keys_df(users_df)
+        # fold the state relations into LOCALS (fold-then-commit). The
+        # coalesce bounds the materialized partition count: anti∪union
+        # sums both inputs' partitions, so WITHOUT it the state relation
+        # gains a batch's worth of partitions every fold (linear task
+        # count growth); coalesce is narrow — no shuffle, data stays put.
+        # eager_checkpoint (NOT plain localCheckpoint) for the CROSS-FOLD
+        # carriers: the next fold joins them again, and inherited origin
+        # stats would compound the sizeInBytes BigInt fold over fold
+        # until driver plan walks drown in its arithmetic (ckpt.py).
+        from flink_streaming_etl_spark.ckpt import eager_checkpoint
+
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        new_tails = fresh_rel
+        if self.tails_rel is not None:
+            kept = self._anti_key(self.tails_rel, users_df)
+            if idle_df is not None:
+                kept = self._anti_key(kept, idle_df)
+            new_tails = eager_checkpoint(
+                kept.unionByName(fresh_rel).coalesce(width)
+            )
+        n_folds = self._n_folds + 1
+        stamped = users_df.withColumn("_last_fold", F.lit(n_folds))
+        if self.active_rel is None:
+            new_active = stamped.localCheckpoint(eager=True)
+        else:
+            kept = self._anti_key(self.active_rel, users_df)
+            if idle_df is not None:
+                kept = self._anti_key(kept, idle_df)
+            new_active = eager_checkpoint(
+                kept.unionByName(stamped).coalesce(width)
+            )
         # durable save from the NEW state, then commit memory + batch id
         if batch_id is not None:
-            new_tails = {
-                uid: pend
-                for uid, pend in self.tails.items()
-                if uid not in users and uid not in evicted
-            }
-            new_tails.update(fresh)
-            self._save(
-                spark, batch_id, new_tails, touched_users=users | evicted
+            touched = (
+                users_df
+                if idle_df is None
+                else users_df.unionByName(idle_df)
             )
-        for uid in users:
-            self.tails.pop(uid, None)
-        self.tails.update(fresh)
-        self._n_folds += 1
-        for uid in users:
-            self._last_active[uid] = self._n_folds
-        for uid in evicted:
-            self._last_active.pop(uid, None)
-            self.tails.pop(uid, None)
+            self._save(spark, batch_id, new_tails, touched_df=touched)
+        self.tails_rel = new_tails
+        self.active_rel = new_active
+        self._n_folds = n_folds
         if batch_id is not None:
             self.last_batch_id = int(batch_id)
         return matches
 
-    def _idle_keys(self, active_now: set) -> set:
+    @staticmethod
+    def _anti_key(state: DataFrame, keys: DataFrame) -> DataFrame:
+        """Null-safe broadcast anti join on user_id (keys batch-bounded)."""
+        return state.join(
+            F.broadcast(keys),
+            state["user_id"].eqNullSafe(keys["user_id"]),
+            "anti",
+        )
+
+    def _idle_keys_df(self, users_df: DataFrame) -> DataFrame | None:
         """Keys idle past the retention horizon, excluding this batch's
-        active keys (T5 eviction; best-effort clock — a retried batch
-        may tick the fold counter twice, which only shortens an idle
-        key's grace by one fold)."""
-        if self.retention_batches is None:
-            return set()
+        active keys, as a relation (T5 eviction; best-effort clock — a
+        retried batch may tick the fold counter twice, which only
+        shortens an idle key's grace by one fold)."""
+        if self.retention_batches is None or self.active_rel is None:
+            return None
         horizon = (self._n_folds + 1) - self.retention_batches
         if horizon <= 0:
-            return set()
-        return {
-            u
-            for u, b in self._last_active.items()
-            if b <= horizon and u not in active_now
-        }
+            return None
+        idle = self._anti_key(
+            self.active_rel.filter(F.col("_last_fold") <= horizon).select(
+                "user_id"
+            ),
+            users_df,
+        )
+        if not idle.take(1):  # key-bounded relation, cheap action
+            return None
+        return idle.localCheckpoint(eager=True)
 
-    def attach(self, stream_events: DataFrame, on_matches=None, **start_kwargs):
+    def attach(
+        self,
+        stream_events: DataFrame,
+        on_matches=None,
+        on_matches_df=None,
+        **start_kwargs,
+    ):
         """foreachBatch driver: fold each micro-batch, hand its finalized
-        matches to ``on_matches`` (the downstream sink)."""
+        matches to ``on_matches`` (tuples on the driver — alert-shaped
+        volumes) or ``on_matches_df`` (the matches DataFrame to a
+        distributed sink — high-match-rate patterns, O(1) driver
+        transfer)."""
 
         def _fold(batch: DataFrame, bid: int) -> None:
             # delivery happens INSIDE add_batch, before the durable
             # commit — a sink failure fails the epoch pre-commit
-            self.add_batch(batch, bid, on_matches=on_matches)
+            self.add_batch(
+                batch, bid, on_matches=on_matches, on_matches_df=on_matches_df
+            )
 
         return (
             stream_events.writeStream.outputMode("append")
@@ -356,7 +424,8 @@ class _BaseCepAccumulator:
     # -- query side ------------------------------------------------------
 
     def pending_count(self) -> int:
-        return sum(len(v) for v in self.tails.values())
+        """Total pending rows — a distributed count, one scalar back."""
+        return 0 if self.tails_rel is None else self.tails_rel.count()
 
 
 class CepAccumulator(_BaseCepAccumulator):
@@ -451,13 +520,12 @@ class RelaxedCepAccumulator(_BaseCepAccumulator):
         start). The cleared state is saved durably under a fresh store
         version so a post-flush restart does not resurrect resolved
         state."""
-        rows = [(uid, *t) for uid, pend in self.tails.items() for t in pend]
-        if not rows:
+        if self.tails_rel is None or not self.tails_rel.take(1):
             self.last_timeouts = []
             return []
         # compute FIRST, clear and save after (the same fold-then-commit
         # ordering as add_batch — a failure here leaves state intact)
-        rem = spark.createDataFrame(rows, self._schema).select(
+        rem = self.tails_rel.select(
             "user_id",
             F.timestamp_micros(F.col("us")).alias("ts"),
             "event_id",
@@ -484,8 +552,9 @@ class RelaxedCepAccumulator(_BaseCepAccumulator):
             for r in timeouts.collect()
         ]
         if self.store is not None:
-            self._save(spark, self.last_batch_id, {}, touched_users=None)
-        self.tails = {}
+            self._save(spark, self.last_batch_id, None, touched_df=None)
+        self.tails_rel = None
+        self.active_rel = None
         self.last_timeouts = reported
         return out
 

@@ -175,8 +175,14 @@ class DataQualityAccumulator:
             new_keys = marked.filter(F.col("_seen").isNull()).select("o_orderkey")
             new_seen = self._seen.union(new_keys)
         viol["orderkey_unique"] += z(dup_row["d"]) + z(agg["v_keynull"])
-        # localCheckpoint truncates lineage so state cost stays ∝ |state|
-        new_seen = new_seen.localCheckpoint(eager=True)
+        # localCheckpoint truncates lineage so state cost stays ∝ |state|;
+        # coalesce bounds the partition count (the shuffle-free append
+        # adds the batch's partitions every fold — without a narrow
+        # coalesce the task count grows linearly with folds)
+        width = int(
+            batch_orders.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        new_seen = new_seen.coalesce(width).localCheckpoint(eager=True)
         if self._store is not None and batch_id is not None:
             self._store.save(
                 batch_id,

@@ -135,7 +135,19 @@ class BroadcastRuleEngine:
     ) -> None:
         """Fold one rules micro-batch: last op per rule_id wins within
         the batch ('u' upserts, 'd' deletes), then the chunk merges over
-        the current state."""
+        the current state.
+
+        Ordering caveat (the sources/cdc.py ``_seq`` trade, not a
+        guarantee): "last op wins" is ordered by
+        ``monotonically_increasing_id``, which is PARTITION-LOCAL. A
+        single-partition rules changelog (file fixtures, or one Kafka
+        partition — the reference keys control topics by rule id, so
+        per-key order holds) resolves in arrival order; a
+        multi-partition batch where the same rule_id lands in different
+        partitions resolves in partition-layout order instead. Sources
+        that carry a real sequence (Kafka offset, Debezium ts_ms+pos)
+        should pre-sort or pre-dedupe the batch on it before handing it
+        here."""
         spark = rules_changelog.sparkSession
         if not self._restored:
             self._restore(spark)

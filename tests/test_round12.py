@@ -318,3 +318,189 @@ def test_event_path_failed_fold_retry_is_not_a_replay(spark):
     acc.add_batch(spark.createDataFrame(cuts[1], ev.schema), batch_id=1)
     got = sorted(tuple(r) for r in acc.result(spark).collect())
     assert got == want
+
+
+# -- CEP accumulators: externalized state, O(matches) driver transfer ----
+
+
+def test_cep_tail_state_is_distributed_and_driver_transfer_is_matches_only(
+    spark, monkeypatch
+):
+    """r11 verdict #2: the pending tails live as a DISTRIBUTED relation
+    (tails_rel), never a driver dict, and the only rows that cross to
+    the driver during a fold are the batch's finalized matches. The
+    never-evicted `_bucket` cache is gone entirely; retention eviction
+    removes a key's row from BOTH state relations."""
+    from pyspark.sql import DataFrame
+    # patch the CLASSIC subclass — sessions hand out classic DataFrames,
+    # whose collect overrides the base class's
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDataFrame
+
+    from flink_streaming_etl_spark.operators import cep
+    from flink_streaming_etl_spark.streaming.cep import CepAccumulator
+    from tests.test_cep import _synth_stream
+
+    df, _ = _synth_stream(spark, 12, n_users=3, n_per_user=30)
+    want = sorted(tuple(r) for r in cep.cep_greedy_matches(df).collect())
+
+    ordered = df.orderBy("ts", "event_id").collect()
+    n = len(ordered)
+    cuts = [ordered[: n // 2], ordered[n // 2 :]]
+    acc = CepAccumulator(retention_batches=2)
+    got = []
+    orig_collect = ClassicDataFrame.collect
+    for i, rows in enumerate(cuts):
+        batch = spark.createDataFrame(rows, df.schema)
+        transferred = []
+
+        def spy(self):
+            out = orig_collect(self)
+            transferred.append(len(out))
+            return out
+
+        monkeypatch.setattr(ClassicDataFrame, "collect", spy)
+        try:
+            matches = acc.add_batch(batch, batch_id=i)
+        finally:
+            monkeypatch.setattr(ClassicDataFrame, "collect", orig_collect)
+        # driver transfer this fold == the finalized matches, nothing else
+        assert sum(transferred) == len(matches), (transferred, len(matches))
+        got.extend(matches)
+    assert sorted(got) == want
+    # state shape: distributed relations, no driver dict caches
+    assert acc.tails_rel is None or isinstance(acc.tails_rel, DataFrame)
+    assert not hasattr(acc, "_bucket") and not hasattr(acc, "_last_active")
+    # retention bookkeeping is a relation too, one row per live key
+    keys = {r["user_id"] for r in acc.active_rel.collect()}
+    assert keys <= {0, 1, 2}
+
+
+def test_cep_retention_evicts_from_both_state_relations(spark):
+    """A key idle past the horizon disappears from tails_rel AND
+    active_rel (the r11 leak was exactly a per-key structure surviving
+    eviction)."""
+    from pyspark.sql import functions as SF
+
+    from flink_streaming_etl_spark.streaming.cep import CepAccumulator
+
+    _US = 1_000_000
+    base = 1_800_000_000 * _US
+
+    def batch(uid, t0):
+        # ONE click: the greedy pattern is (click, click), so a lone
+        # click stays PENDING (a pair would complete and consume)
+        rows = [(uid * 100, t0, uid, "click")]
+        return spark.createDataFrame(
+            rows, "event_id long, us long, user_id long, event_type string"
+        ).select("event_id", SF.timestamp_micros(SF.col("us")).alias("ts"),
+                 "user_id", "event_type")
+
+    acc = CepAccumulator(retention_batches=2)
+    acc.add_batch(batch(1, base), batch_id=0)       # key 1 has pending tails
+    assert 1 in acc.tails
+    acc.add_batch(batch(2, base + 10**9), batch_id=1)
+    acc.add_batch(batch(3, base + 2 * 10**9), batch_id=2)
+    acc.add_batch(batch(4, base + 3 * 10**9), batch_id=3)  # key 1 now idle
+    assert 1 not in acc.tails
+    assert 1 not in {r["user_id"] for r in acc.active_rel.collect()}
+
+
+def test_cep_on_matches_df_delivers_distributed(spark):
+    """The on_matches_df delivery path: the sink receives the batch's
+    matches as a DataFrame (no driver materialization inside add_batch,
+    which returns []); concatenated sink deliveries equal the batch
+    operator; a sink failure before commit redelivers on the same-epoch
+    retry."""
+    import pytest as _pytest
+
+    from flink_streaming_etl_spark.operators import cep
+    from flink_streaming_etl_spark.streaming.cep import CepAccumulator
+    from tests.test_cep import _synth_stream
+
+    df, _ = _synth_stream(spark, 13, n_users=2, n_per_user=30)
+    want = sorted(tuple(r) for r in cep.cep_greedy_matches(df).collect())
+    ordered = df.orderBy("ts", "event_id").collect()
+    n = len(ordered)
+    cuts = [ordered[: n // 2], ordered[n // 2 :]]
+
+    sunk = []
+    boom = {"armed": True}
+
+    def sink_df(mdf):
+        if boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("sink outage")
+        sunk.extend(tuple(r) for r in mdf.collect())
+
+    acc = CepAccumulator()
+    with _pytest.raises(RuntimeError):
+        acc.add_batch(spark.createDataFrame(cuts[0], df.schema), 0,
+                      on_matches_df=sink_df)
+    assert acc.last_batch_id is None and sunk == []
+    for i, rows in enumerate(cuts):
+        out = acc.add_batch(spark.createDataFrame(rows, df.schema), i,
+                            on_matches_df=sink_df)
+        assert out == []  # distributed path never returns driver tuples
+    assert sorted(sunk) == want
+    with _pytest.raises(ValueError):
+        acc.add_batch(spark.createDataFrame(cuts[0], df.schema), 5,
+                      on_matches=lambda m: None, on_matches_df=sink_df)
+
+
+def test_cep_attach_on_matches_df_file_stream(spark, tmp_path):
+    """The file-replay attach path rewired through the DISTRIBUTED
+    delivery channel (r11 verdict next-step #6): matches flow to the
+    sink as DataFrames, never through a driver tuple list."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from flink_streaming_etl_spark.operators import cep
+    from flink_streaming_etl_spark.streaming.cep import CepAccumulator
+    from tests.test_cep import _synth_stream
+
+    df, _ = _synth_stream(spark, 55, n_users=2, n_per_user=30)
+    want = sorted(tuple(r) for r in cep.cep_greedy_matches(df).collect())
+    ordered = df.orderBy("ts", "event_id").collect()
+    src = tmp_path / "cep_src"
+    src.mkdir()
+    third = len(ordered) // 3
+    chunks = [ordered[:third], ordered[third: 2 * third], ordered[2 * third:]]
+    for i, ch in enumerate(chunks):
+        path = src / f"{i:03d}.json"
+        with open(path, "w") as f:
+            for r in ch:
+                f.write(_json.dumps({
+                    "event_id": r["event_id"],
+                    "ts": r["ts"].strftime("%Y-%m-%d %H:%M:%S.%f"),
+                    "user_id": r["user_id"],
+                    "event_type": r["event_type"],
+                }) + "\n")
+        os.utime(path, (1_000_000 + i, 1_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts string, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", SF.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    )
+    # parquet-appending sink: the distributed discipline — the matches
+    # DataFrame lands in storage without driver materialization
+    out_dir = str(tmp_path / "matches_out")
+
+    def sink_df(mdf):
+        mdf.write.mode("append").parquet(out_dir)
+
+    acc = CepAccumulator()
+    q = acc.attach(
+        stream,
+        on_matches_df=sink_df,
+        checkpointLocation=str(tmp_path / "cep_ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
+    assert got == want
