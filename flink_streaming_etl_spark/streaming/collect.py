@@ -57,11 +57,16 @@ class IncrementalCollect:
         sep: str = ",",
         state_dir: str | None = None,
         retention_batches: int | None = None,
+        state_buckets: int = 64,
     ):
         self.pk = pk
         self.group_cols = list(group_cols)
         self.value_cols = list(value_cols)
         self.sep = sep
+        #: bucket count for the durable state/agg relations — both grow
+        #: with the corpus, so saves rewrite only the buckets the batch
+        #: touched (state: the chunk's PKs; agg: the touched groups)
+        self.state_buckets = int(state_buckets)
         self.state: DataFrame | None = None
         self.agg: DataFrame | None = None
         self.last_batch_id: int | None = None
@@ -151,20 +156,76 @@ class IncrementalCollect:
                 F.broadcast(touched), self._group_match(self.agg, touched), "anti"
             )
             new_agg = kept.unionByName(refreshed).localCheckpoint(eager=True)
+        idle_groups = None
+        evicted_pks = None
         if self._retention is not None:
             from flink_streaming_etl_spark.streaming.retention import evict
 
             idle = self._retention.tick(touched)
             if idle is not None:
+                # capture the evicted rows' PKs BEFORE eviction: their
+                # buckets must be rewritten in this save, else a restore
+                # resurrects evicted state from stale bucket files
+                idle_groups = idle
+                evicted_pks = (
+                    new_state.join(
+                        F.broadcast(idle),
+                        self._group_match(new_state, idle),
+                        "semi",
+                    )
+                    .select(self.pk)
+                    .localCheckpoint(eager=True)
+                )
                 new_state = evict(new_state, idle, self.group_cols)
                 new_agg = evict(new_agg, idle, self.group_cols)
         if self._store is not None and batch_id is not None:
-            rels = {"state": new_state, "agg": new_agg}
+            from flink_streaming_etl_spark.streaming.state_store import (
+                BucketedState,
+            )
+
             extra = None
+            rels = {}
             if self._retention is not None:
                 rels.update(self._retention.relations())
                 extra = self._retention.extra()
-            self._store.save(batch_id, rels, extra=extra)
+            # both relations grow with the corpus — incremental saves:
+            # state is PK-keyed (touched = the chunk's image PKs plus any
+            # evicted rows' PKs), agg is group-keyed (touched = the
+            # batch's groups plus any idle groups)
+            img_pks = (
+                changelog_deltas(chunk, None)
+                .select(F.col(f"img.{self.pk}").alias(self.pk))
+                .distinct()
+            )
+            touched_pks = (
+                img_pks
+                if evicted_pks is None
+                else img_pks.unionByName(evicted_pks)
+            )
+            touched_groups = (
+                touched
+                if idle_groups is None
+                else touched.unionByName(idle_groups)
+            )
+            self._store.save(
+                batch_id,
+                rels,
+                extra=extra,
+                bucketed={
+                    "state": BucketedState(
+                        new_state,
+                        key_cols=[self.pk],
+                        n_buckets=self.state_buckets,
+                        touched=touched_pks,
+                    ),
+                    "agg": BucketedState(
+                        new_agg,
+                        key_cols=self.group_cols,
+                        n_buckets=self.state_buckets,
+                        touched=touched_groups,
+                    ),
+                },
+            )
         # durable save succeeded — commit memory + batch id
         self.state = new_state
         self.agg = new_agg

@@ -56,7 +56,16 @@ class DataQualityAccumulator:
         "status_in_domain",
     )
 
-    def __init__(self, dim_keys: set | None = None, state_dir: str | None = None):
+    def __init__(
+        self,
+        dim_keys: set | None = None,
+        state_dir: str | None = None,
+        state_buckets: int = 64,
+    ):
+        #: bucket count for the durable seen-key relation — corpus-scale,
+        #: saved incrementally (files rewritten ∝ buckets the batch's NEW
+        #: keys hash into; state_store.py)
+        self.state_buckets = int(state_buckets)
         #: customer key set for the referential check (broadcast-sized,
         #: the TTL dimension cache contract; None disables the check)
         self.dim_keys = dim_keys
@@ -156,6 +165,7 @@ class DataQualityAccumulator:
         if self._seen is None:
             dup_row = bk.agg(F.sum(F.col("n") - 1).alias("d")).first()
             new_seen = bk.select("o_orderkey")
+            touched_keys = new_seen
         else:
             marked = bk.join(
                 self._seen.withColumn("_seen", F.lit(1)), "o_orderkey", "left"
@@ -174,6 +184,7 @@ class DataQualityAccumulator:
             # must be the join probe, not a state-wide repartition)
             new_keys = marked.filter(F.col("_seen").isNull()).select("o_orderkey")
             new_seen = self._seen.union(new_keys)
+            touched_keys = new_keys
         viol["orderkey_unique"] += z(dup_row["d"]) + z(agg["v_keynull"])
         # localCheckpoint truncates lineage so state cost stays ∝ |state|;
         # coalesce bounds the partition count (the shuffle-free append
@@ -184,11 +195,26 @@ class DataQualityAccumulator:
         )
         new_seen = new_seen.coalesce(width).localCheckpoint(eager=True)
         if self._store is not None and batch_id is not None:
+            from flink_streaming_etl_spark.streaming.state_store import (
+                BucketedState,
+            )
+
+            # corpus-scale relation, incremental save: a batch rewrites
+            # only the buckets its NEW keys hash into (existing keys
+            # don't change the relation, so their buckets are untouched)
             self._store.save(
                 batch_id,
-                {"seen": new_seen},
+                {},
                 extra={"n_rows": new_n_rows,
                        "violations": dict(viol)},
+                bucketed={
+                    "seen": BucketedState(
+                        new_seen,
+                        key_cols=["o_orderkey"],
+                        n_buckets=self.state_buckets,
+                        touched=touched_keys,
+                    )
+                },
             )
         # durable save succeeded — commit memory + batch id
         self.n_rows = new_n_rows

@@ -64,7 +64,12 @@ class IncrementalJoin:
         left_project: dict[str, str] | None = None,
         right_project: dict[str, str] | None = None,
         state_dir: str | None = None,
+        state_buckets: int = 64,
     ):
+        #: bucket count for the three durable state relations — all grow
+        #: with the corpus, so saves rewrite only the touched buckets
+        #: (left/right: the batch's image PKs; join: the delta rows)
+        self.state_buckets = int(state_buckets)
         self.left_pk = left_pk
         self.right_pk = right_pk
         self.left_key = left_key
@@ -101,32 +106,99 @@ class IncrementalJoin:
 
             self._store = AccumulatorStateStore(state_dir)
 
+    @staticmethod
+    def _touched_pks(chunk, state, pk):
+        """Touched-key relation for a PK-keyed state save: the chunk's
+        image PKs (both sides of every envelope — the rows apply_changelog
+        can upsert or delete); an untouched side contributes an EMPTY
+        relation (zero buckets rewritten); None (= full snapshot) only
+        when there is no state at all."""
+        if chunk is not None:
+            return (
+                changelog_deltas(chunk, None)
+                .select(F.col(f"img.{pk}").alias(pk))
+                .distinct()
+            )
+        if state is not None:
+            return state.limit(0).select(pk)
+        return None
+
+    def _bucketed_states(
+        self,
+        left_chunk: DataFrame | None,
+        right_chunk: DataFrame | None,
+        deltas: DataFrame | None,
+        new_left: DataFrame | None,
+        new_right: DataFrame | None,
+        new_join: DataFrame | None,
+        prefix: str = "",
+    ) -> dict:
+        """BucketedState specs for the three state relations — shared by
+        the standalone save and the composed JoinAgg/JoinCollect saves
+        (which store them under 'join_'-prefixed names)."""
+        from flink_streaming_etl_spark.streaming.state_store import (
+            BucketedState,
+        )
+
+        join_cols = (
+            [c for c in new_join.columns if c != "_mult"]
+            if new_join is not None
+            else None
+        )
+        touched_join = (
+            deltas.select(*join_cols).distinct()
+            if deltas is not None
+            else (new_join.limit(0).select(*join_cols)
+                  if new_join is not None else None)
+        )
+        n = self.state_buckets
+        return {
+            f"{prefix}left_state": BucketedState(
+                new_left, key_cols=[self.left_pk], n_buckets=n,
+                touched=self._touched_pks(left_chunk, new_left, self.left_pk),
+            ),
+            f"{prefix}right_state": BucketedState(
+                new_right, key_cols=[self.right_pk], n_buckets=n,
+                touched=self._touched_pks(right_chunk, new_right, self.right_pk),
+            ),
+            f"{prefix}join_state": BucketedState(
+                new_join,
+                key_cols=join_cols if join_cols is not None else ["_none"],
+                n_buckets=n,
+                touched=touched_join,
+            ),
+        }
+
     def _persist(
         self,
         left_state: DataFrame | None,
         right_state: DataFrame | None,
         join_state: DataFrame | None,
         last_batch_id: int | None,
+        left_chunk: DataFrame | None = None,
+        right_chunk: DataFrame | None = None,
+        deltas: DataFrame | None = None,
     ) -> None:
         """Durable save from the (not-yet-committed) new state — part of
         the fold-then-commit ordering: the version counter advances only
         after the save succeeds, so a failed save retries under the same
-        version."""
+        version. All three relations grow with the corpus, so they save
+        incrementally: files rewritten ∝ the buckets the batch touched."""
         if self._store is None:
             return
         version = self._version + 1
         self._store.save(
             version,
-            {
-                "left_state": left_state,
-                "right_state": right_state,
-                "join_state": join_state,
-            },
+            {},
             extra={
                 "last_batch_id": last_batch_id,
                 "side_seen": getattr(self, "_side_seen", None),
                 "version": version,
             },
+            bucketed=self._bucketed_states(
+                left_chunk, right_chunk, deltas,
+                left_state, right_state, join_state,
+            ),
         )
         self._version = version
 
@@ -226,7 +298,10 @@ class IncrementalJoin:
 
         deltas, new_left, new_right, new_join = self._fold(left_chunk, right_chunk)
         new_bid = int(batch_id) if batch_id is not None else self.last_batch_id
-        self._persist(new_left, new_right, new_join, new_bid)
+        self._persist(
+            new_left, new_right, new_join, new_bid,
+            left_chunk=left_chunk, right_chunk=right_chunk, deltas=deltas,
+        )
         self._commit(new_left, new_right, new_join, new_bid)
         return deltas
 
@@ -506,23 +581,28 @@ class IncrementalJoinAgg:
         )
         if self._store is not None:
             version = self._version + 1
+            # agg state is group-bounded (small) — plain rewrite; the
+            # join's three corpus-scale relations save incrementally
+            # (files rewritten ∝ touched buckets), same one-meta-flip
             self._store.save(
                 version,
-                {
-                    "state": new_state,
-                    "join_left_state": new_left,
-                    "join_right_state": new_right,
-                    "join_join_state": new_join,
-                },
+                {"state": new_state},
                 extra={
                     "join_last_batch_id": new_bid,
                     "side_seen": getattr(self, "_side_seen", None),
                 },
+                bucketed=self.join._bucketed_states(
+                    left_chunk, right_chunk, deltas,
+                    new_left, new_right, new_join, prefix="join_",
+                ),
             )
             self._version = version
         # a join that carries its OWN store (standalone use composed
         # later) persists too — still before the joint commit
-        self.join._persist(new_left, new_right, new_join, new_bid)
+        self.join._persist(
+            new_left, new_right, new_join, new_bid,
+            left_chunk=left_chunk, right_chunk=right_chunk, deltas=deltas,
+        )
         self.join._commit(new_left, new_right, new_join, new_bid)
         self.state = new_state
         return new_state
@@ -752,23 +832,27 @@ class IncrementalJoinCollect:
         )
         if self._store is not None:
             version = self._version + 1
+            # listagg state is group-bounded — plain rewrite; the join's
+            # three corpus-scale relations save incrementally
             self._store.save(
                 version,
-                {
-                    "agg": new_agg,
-                    "join_left_state": new_left,
-                    "join_right_state": new_right,
-                    "join_join_state": new_join,
-                },
+                {"agg": new_agg},
                 extra={
                     "join_last_batch_id": new_bid,
                     "side_seen": getattr(self, "_side_seen", None),
                 },
+                bucketed=self.join._bucketed_states(
+                    left_chunk, right_chunk, deltas,
+                    new_left, new_right, new_join, prefix="join_",
+                ),
             )
             self._version = version
         # a join that carries its OWN store (standalone use composed
         # later) persists too — still before the joint commit
-        self.join._persist(new_left, new_right, new_join, new_bid)
+        self.join._persist(
+            new_left, new_right, new_join, new_bid,
+            left_chunk=left_chunk, right_chunk=right_chunk, deltas=deltas,
+        )
         self.join._commit(new_left, new_right, new_join, new_bid)
         self.agg = new_agg
         return new_agg

@@ -504,3 +504,122 @@ def test_cep_attach_on_matches_df_file_stream(spark, tmp_path):
     q.stop()
     got = sorted(tuple(r) for r in spark.read.parquet(out_dir).collect())
     assert got == want
+
+
+# -- Touched-bucket saves for the remaining corpus-scale relations -------
+# (r11 verdict #3: files rewritten ∝ touched buckets, restore exact)
+
+
+def _bucket_dirs(root, name, vid):
+    import os
+
+    p = os.path.join(root, f"{name}.buckets", f"v{vid}")
+    if not os.path.isdir(p):
+        return []
+    return [d for d in os.listdir(p) if d.startswith("_bucket=")]
+
+
+def test_data_quality_seen_saves_touched_buckets(spark, tmp_path):
+    from flink_streaming_etl_spark.streaming.data_quality import (
+        DataQualityAccumulator,
+    )
+    from tests.test_round10 import _tables
+
+    t = _tables(spark)
+    orders, customer = t["orders"], t["customer"]
+    dim = {r["c_custkey"] for r in customer.select("c_custkey").collect()}
+    rows = orders.orderBy("o_orderkey").collect()
+    root = str(tmp_path / "st")
+    acc = DataQualityAccumulator(dim_keys=dim, state_dir=root, state_buckets=8)
+    acc.add_batch(spark.createDataFrame(rows[:100], orders.schema), batch_id=0)
+    assert len(_bucket_dirs(root, "seen", 0)) >= 2
+    # batch 1: ONE genuinely new key -> at most one bucket rewritten
+    acc.add_batch(spark.createDataFrame([rows[100]], orders.schema), batch_id=1)
+    assert len(_bucket_dirs(root, "seen", 1)) == 1
+    # batch 2: only ALREADY-SEEN keys -> the relation is unchanged, and
+    # the save rewrites ZERO buckets
+    acc.add_batch(spark.createDataFrame(rows[:5], orders.schema), batch_id=2)
+    assert len(_bucket_dirs(root, "seen", 2)) == 0
+    # restore equals live state (n_rows, violations, seen relation)
+    acc2 = DataQualityAccumulator(dim_keys=dim, state_dir=root)
+    assert acc2.restore(spark)
+    assert acc2.n_rows == acc.n_rows
+    assert dict(acc2.violations) == dict(acc.violations)
+    assert sorted(r[0] for r in acc2._seen.collect()) == sorted(
+        r[0] for r in acc._seen.collect()
+    )
+
+
+def test_incremental_collect_saves_touched_buckets(spark, tmp_path):
+    from flink_streaming_etl_spark.sources.cdc import CdcSource
+    from flink_streaming_etl_spark.streaming.collect import IncrementalCollect
+    from tests.test_cdc import ORDER_SCHEMA, env, order, raw_df
+
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    B = lambda lines: src.parse(raw_df(spark, lines))  # noqa: E731
+    root = str(tmp_path / "st")
+    acc = IncrementalCollect(
+        pk="id", group_cols=["status"], value_cols=["id"],
+        state_dir=root, state_buckets=8,
+    )
+    b0 = [env("c", order(f"o{i}", f"u{i}", float(i), f"s{i}"), ts=i)
+          for i in range(1, 9)]
+    acc.apply(B(b0), batch_id=0)
+    assert len(_bucket_dirs(root, "state", 0)) >= 2
+    assert len(_bucket_dirs(root, "agg", 0)) >= 2
+    # ONE new pk in ONE group -> one state bucket, one agg bucket
+    acc.apply(B([env("c", order("o9", "u9", 9.0, "s1"), ts=9)]), batch_id=1)
+    assert len(_bucket_dirs(root, "state", 1)) == 1
+    assert len(_bucket_dirs(root, "agg", 1)) == 1
+    # restore equals live state
+    acc2 = IncrementalCollect(
+        pk="id", group_cols=["status"], value_cols=["id"],
+        state_dir=root, state_buckets=8,
+    )
+    assert acc2.restore(spark)
+    assert sorted(tuple(r) for r in acc2.result().collect()) == sorted(
+        tuple(r) for r in acc.result().collect()
+    )
+    assert sorted(tuple(r) for r in acc2.state.collect()) == sorted(
+        tuple(r) for r in acc.state.collect()
+    )
+
+
+def test_incremental_join_saves_touched_buckets(spark, tmp_path):
+    import os
+
+    from flink_streaming_etl_spark.streaming.incremental_join import (
+        IncrementalJoin,
+    )
+    from tests.test_round9 import _join_scenario, _rows
+
+    L, R, batches = _join_scenario(spark)
+    root = str(tmp_path / "st")
+    acc = IncrementalJoin(
+        left_pk="id", right_pk="id", left_key="user_id", right_key="id",
+        state_dir=root, state_buckets=8,
+    )
+    for i, (ll, rr) in enumerate(batches):
+        acc.apply(L(ll), R(rr), batch_id=i)
+    # batch 5 (version 5) was dimension-side only: the LEFT state's save
+    # rewrote zero buckets (untouched side -> empty touched relation)
+    assert len(_bucket_dirs(root, "left_state", 5)) == 0
+    # batch 1 (version 1) was dimension-side only too: inserts landed in
+    # right_state (buckets written), none in left_state
+    assert len(_bucket_dirs(root, "right_state", 1)) >= 1
+    assert len(_bucket_dirs(root, "left_state", 1)) == 0
+    # the deleted dimension key's bucket is marked empty in the meta map
+    # (its bucket was touched by the batch-5 delete and ended bare)
+    import json
+
+    with open(os.path.join(root, "meta.json")) as f:
+        meta = json.load(f)
+    assert "empty" in meta["bucketed"]["right_state"]["map"].values()
+    # restore equals live state (multiset result + both latest states)
+    acc2 = IncrementalJoin(
+        left_pk="id", right_pk="id", left_key="user_id", right_key="id",
+        state_dir=root, state_buckets=8,
+    )
+    assert acc2.restore(spark)
+    assert _rows(acc2.result()) == _rows(acc.result())
+    assert _rows(acc2.recompute()) == _rows(acc.recompute())
