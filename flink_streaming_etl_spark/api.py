@@ -1213,9 +1213,19 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "cep_vshape_matches": (
         # the canonical SQL:2016 example: PATTERN (STRT DOWN+ UP+) with
-        # DEFINE over PREV(value) — direction-run algebra, declarative
+        # DEFINE over PREV(value) — since r12 a thin wrapper over the
+        # generalized DEFINE-predicate kernel; the unchanged oracle pins
+        # the re-expression
         _q(cep.cep_vshape_matches, "events"),
         cep.CEP_VSHAPE_SQL,
+    ),
+    "cep_define_peak_matches": (
+        # r12: generalized MATCH_RECOGNIZE DEFINE clauses — arbitrary
+        # per-variable predicates over (value, event_type, PREV(...))
+        # with greedy '+' quantifiers in the exclusive-DEFINE fragment;
+        # witness: the Λ-shape PATTERN (BASE RISE+ DROP+) WITHIN 24h
+        _q(cep.cep_define_peak_matches, "events"),
+        cep.CEP_DEFINE_PEAK_SQL,
     ),
     "cep_relaxed_timeout_report": (
         # relaxed-contiguity timeout companion: starts whose followedBy
@@ -1271,27 +1281,35 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: rotate to the tail (still re-checked every run by
 #: tests/test_oracle_parity.py).
 _SAMPLE_FRONT = [
-    # round-11: the CEP family (first driver rows), the new oracle-earning
-    # twin + new operator, and the entries whose implementation / SQL
-    # builder changed
-    "cep_funnel_matches",
-    "cep_greedy_matches",
-    "cep_timeout_report",
-    "cep_relaxed_matches",
-    "cep_quantified_matches",
+    # round-12: the new DEFINE-predicate kernel entry (first driver row),
+    # the re-expressed v-shape, the CUSUM P_0 fix, and the whole CEP
+    # family whose greedy-selection closure was rewritten (explicit
+    # repartition width + real-stats checkpoints)
+    "cep_define_peak_matches",
     "cep_vshape_matches",
     "cusum_changepoints",
-    "l_diversity_report",
-    "cep_alternation_matches",
+    "cep_greedy_matches",
+    "cep_relaxed_matches",
     "cep_relaxed_timeout_report",
+    "cep_funnel_matches",
+    "cep_timeout_report",
+    "cep_quantified_matches",
+    "cep_alternation_matches",
+    # neardup rides the label-propagation loop whose checkpoint stats
+    # discipline changed this round — fresh rows for it and its riders
+    "neardup_clusters",
+    "softdedup_weights",
+    "dedup_tier_agreement_report",
+    "graph_clustering_report",
+    # r11 additions whose rows are one round old
+    "l_diversity_report",
     "dynamic_rule_hits",
     "pack_sequences_ffd_stats",
     "k_anonymity_report",
-    # (a) never sampled / (b) new oracle-backed twins
+    # rotation: older blocks re-sampled for freshness
     "vocab_growth_curve",
     "whitening_identity_report",
     "bpe_encode_pinned",
-    # (c) round-10 changes needing fresh rows
     "moore_lewis_selection",
     "diverse_sample_report",
     "decontaminate_apply",
@@ -1299,24 +1317,19 @@ _SAMPLE_FRONT = [
     "bigram_logprob_score",
     "jm_fluency",
     "kneser_ney_fluency",
-    # round-10 additions — first driver rows
     "blocklist_filter_report",
     "distinct_ngram_report",
     "quality_ensemble_report",
-    "dedup_tier_agreement_report",
     "hard_negative_mining",
     "pagerank_pinned",
     "rfm_segmentation",
-    "softdedup_weights",
     "burstiness_report",
     "pca_power_pinned",
     "knn_outlier_report",
     "label_centroid_confusion",
     "top_event_paths",
     "ann_graph_expand",
-    "graph_clustering_report",
     "data_quality_report",
-    # r9 additions (rows one round old)
     "ann_pq_rerank",
     "kmeans_update_pinned",
     "semantic_contamination_check",
@@ -1325,16 +1338,9 @@ _SAMPLE_FRONT = [
     "fuzzy_prefix_pairs",
     "nearest_neighbor_report",
     "kmv_distinct_report",
-    "quality_calibration_report",
-    "heldout_perplexity_report",
-    # reference-parity + dedup/ANN/text core anchors
-    # (r8 block: substring_dup_spans rotated to the tail for r11 wave 8)
-    # (substring_dedup_cut rotated to the tail for r11 wave 3)
-    # (substring_dup_rate_report rotated to the tail for r11 wave 2)
     "pricing_summary",
-    # (sql_pricing_summary, scalar_battery, minhash_lsh_pairs, simhash_pairs, neardup_clusters join
-    # bloom_incremental_dedup + contamination_check in the tail rotation
-    # for the r11 CEP additions — all multi-round green, still
+    # (quality_calibration_report + heldout_perplexity_report rotate to
+    # the tail for the r12 additions — multi-round green, still
     # parity-checked locally every run)
 ]
 assert len(_SAMPLE_FRONT) == 50 and len(set(_SAMPLE_FRONT)) == 50

@@ -939,100 +939,33 @@ def cep_vshape_matches(events: DataFrame) -> DataFrame:
     """MATCH_RECOGNIZE ``PATTERN (STRT DOWN+ UP+)`` over each user's
     value series with MEASURES: (user_id, start_event_id,
     bottom_event_id, end_event_id, start_value, bottom_value, end_value,
-    n_down, n_up, start_us, end_us). Flat steps (value equal to the
-    previous row) satisfy neither DEFINE and break both runs."""
-    from flink_streaming_etl_spark.functions import q6
+    n_down, n_up, start_us, end_us) — the canonical SQL:2016 V-shape
+    with ``DEFINE DOWN AS value < PREV(value), UP AS value >
+    PREV(value)``. Flat steps (value equal to the previous row) satisfy
+    neither DEFINE and break both runs.
 
-    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
-    prev_v = F.lag("value").over(w)
-    direction = (
-        F.when(F.col("value") < prev_v, F.lit("D"))
-        .when(F.col("value") > prev_v, F.lit("U"))
-        .otherwise(F.lit(None).cast("string"))
-    )
-    dw = Window.partitionBy("user_id", "dir").orderBy("rn")
-    evs = (
-        events.select(
-            "user_id",
-            F.row_number().over(w).alias("rn"),
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-            "event_id",
-            "value",
-            direction.alias("dir"),
-        )
-        .withColumn(
-            "grp",
-            F.when(
-                F.col("dir").isNotNull(),
-                F.col("rn") - F.row_number().over(dw),
-            ),
-        )
-        .localCheckpoint(eager=True)
-    )
-    runs = (
-        evs.filter(F.col("dir").isNotNull())
-        .groupBy("user_id", "dir", "grp")
-        .agg(
-            F.min("rn").alias("srn"),
-            F.max("rn").alias("ern"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
-    downs = runs.filter(F.col("dir") == "D").select(
+    Since round 12 this is a thin wrapper over the generalized
+    :func:`cep_define_matches` DEFINE-predicate kernel (r11 verdict
+    next-step #4); the unchanged DuckDB oracle pins the re-expression
+    exactly."""
+    steps = [
+        DefineStep("strt"),
+        DefineStep("down", lambda c: c["value"] < c["prev_value"], "+"),
+        DefineStep("up", lambda c: c["value"] > c["prev_value"], "+"),
+    ]
+    m = cep_define_matches(events, steps)
+    return m.select(
         "user_id",
-        F.col("srn").alias("d_srn"),
-        F.col("ern").alias("d_ern"),
-        F.col("n").alias("n_down"),
-    )
-    ups = runs.filter(F.col("dir") == "U").select(
-        "user_id",
-        F.col("srn").alias("u_srn"),
-        F.col("ern").alias("u_ern"),
-        F.col("n").alias("n_up"),
-    )
-    v = _nsj(
-        downs, ups.withColumn("d_ern", F.col("u_srn") - 1), ["user_id"], ["d_ern"]
-    )
-    strt = evs.select(
-        "user_id",
-        (F.col("rn") + 1).alias("d_srn"),
-        F.col("event_id").alias("start_event_id"),
-        q6(F.col("value")).alias("start_value"),
-        F.col("us").alias("start_us"),
-    )
-    bottom = evs.select(
-        "user_id",
-        F.col("rn").alias("d_ern"),
-        F.col("event_id").alias("bottom_event_id"),
-        q6(F.col("value")).alias("bottom_value"),
-    )
-    peak = evs.select(
-        "user_id",
-        F.col("rn").alias("u_ern"),
-        F.col("event_id").alias("end_event_id"),
-        q6(F.col("value")).alias("end_value"),
-        F.col("us").alias("end_us"),
-    )
-    return (
-        _nsj(
-            _nsj(_nsj(v, strt, ["user_id"], ["d_srn"]), bottom, ["user_id"], ["d_ern"]),
-            peak,
-            ["user_id"],
-            ["u_ern"],
-        )
-        .select(
-            "user_id",
-            "start_event_id",
-            "bottom_event_id",
-            "end_event_id",
-            "start_value",
-            "bottom_value",
-            "end_value",
-            F.col("n_down").cast("long").alias("n_down"),
-            F.col("n_up").cast("long").alias("n_up"),
-            "start_us",
-            "end_us",
-        )
+        F.col("strt_first_event_id").alias("start_event_id"),
+        F.col("down_last_event_id").alias("bottom_event_id"),
+        F.col("up_last_event_id").alias("end_event_id"),
+        F.col("strt_first_value").alias("start_value"),
+        F.col("down_last_value").alias("bottom_value"),
+        F.col("up_last_value").alias("end_value"),
+        F.col("down_n").alias("n_down"),
+        F.col("up_n").alias("n_up"),
+        "start_us",
+        "end_us",
     )
 
 
@@ -1215,4 +1148,254 @@ SELECT user_id, start_event_id,
             ELSE 'over_within' END AS reason
 FROM m
 WHERE end_rn IS NULL OR end_us - start_us > {within_us}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Generalized DEFINE predicates (SQL:2016 MATCH_RECOGNIZE DEFINE clauses;
+# Flink docs "Detecting Patterns in Tables" — DEFINE section)
+
+
+class DefineStep:
+    """One pattern variable of a MATCH_RECOGNIZE DEFINE pattern.
+
+    ``pred`` is None (no DEFINE clause — always true, like the canonical
+    STRT variable) or a callable receiving a column mapping
+    ``{"value", "event_type", "us", "prev_value", "prev_event_type",
+    "prev_us"}`` (``prev_*`` are LAG-1 over the per-key order — SQL:2016
+    ``PREV(...)``) and returning a boolean Column. ``quant`` is ``"1"``
+    (exactly one row) or ``"+"`` (one-or-more, matched as the MAXIMAL
+    contiguous run — SQL:2016 greedy)."""
+
+    __slots__ = ("name", "pred", "quant")
+
+    def __init__(self, name: str, pred=None, quant: str = "1"):
+        assert quant in ("1", "+"), quant
+        self.name = name
+        self.pred = pred
+        self.quant = quant
+
+
+def cep_define_matches(
+    events: DataFrame,
+    steps: list,
+    within_hours: int | None = None,
+) -> DataFrame:
+    """``MATCH_RECOGNIZE`` with arbitrary per-variable DEFINE predicates
+    over (value, event_type, PREV(...)) — the generalization that
+    subsumes :func:`cep_vshape_matches` (see the wrapper below) and the
+    type-literal patterns.
+
+    Supported pattern grammar: any sequence of :class:`DefineStep`;
+    ``+``-quantified variables match their MAXIMAL contiguous run (the
+    deterministic greedy reading). CONTRACT (documented restriction —
+    this is the exclusive-DEFINE fragment of SQL:2016, not the full
+    backtracking regex): the predicates of the ``+``-quantified
+    variables must be pairwise exclusive per row (e.g. ``value <
+    PREV(value)`` vs ``value > PREV(value)``); overlapping quantified
+    DEFINEs would need NFA backtracking, which this run-algebra kernel
+    deliberately does not implement. ``1``-quantified variables carry no
+    exclusivity requirement (their predicate is checked positionally on
+    the single adjacent row).
+
+    Plan shape (100 TB): ONE key exchange for the ordered relation, a
+    gaps-and-islands run aggregation, then one position join per
+    pattern variable (all key-partitioned equi joins; match-bounded
+    relations after the anchor) — no Python row loops, no collects.
+
+    Output, one row per match: ``user_id``, per variable
+    ``{name}_first_event_id / {name}_last_event_id / {name}_n /
+    {name}_first_value / {name}_last_value`` (q6-floored values), plus
+    ``start_us`` / ``end_us``. Matches whose span exceeds ``within``
+    are dropped when ``within_hours`` is given.
+    """
+    from flink_streaming_etl_spark.functions import q6
+
+    steps = [
+        s if isinstance(s, DefineStep) else DefineStep(*s) for s in steps
+    ]
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = events.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        us.alias("us"),
+        "event_id",
+        "event_type",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lag("event_type").over(w).alias("prev_event_type"),
+        F.lag(us).over(w).alias("prev_us"),
+    )
+    cols = {
+        "value": F.col("value"),
+        "event_type": F.col("event_type"),
+        "us": F.col("us"),
+        "prev_value": F.col("prev_value"),
+        "prev_event_type": F.col("prev_event_type"),
+        "prev_us": F.col("prev_us"),
+    }
+    for i, s in enumerate(steps):
+        p = F.lit(True) if s.pred is None else s.pred(cols)
+        base = base.withColumn(f"_p{i}", F.coalesce(p, F.lit(False)))
+    # label each row with its (exclusive) quantified variable, if any
+    quant_idx = [i for i, s in enumerate(steps) if s.quant == "+"]
+    label = None
+    for i in quant_idx:
+        c = F.when(F.col(f"_p{i}"), F.lit(steps[i].name))
+        label = c if label is None else label.when(F.col(f"_p{i}"), F.lit(steps[i].name))
+    evs = base.withColumn(
+        "_lbl", label if label is not None else F.lit(None).cast("string")
+    ).localCheckpoint(eager=True)
+    lw = Window.partitionBy("user_id", "_lbl").orderBy("rn")
+    runs = (
+        evs.filter(F.col("_lbl").isNotNull())
+        .withColumn("_grp", F.col("rn") - F.row_number().over(lw))
+        .groupBy("user_id", "_lbl", "_grp")
+        .agg(
+            F.min("rn").alias("srn"),
+            F.max("rn").alias("ern"),
+            F.count(F.lit(1)).alias("n"),
+            F.min_by("event_id", "rn").alias("first_eid"),
+            F.max_by("event_id", "rn").alias("last_eid"),
+            F.min_by("value", "rn").alias("first_value"),
+            F.max_by("value", "rn").alias("last_value"),
+            F.min("us").alias("first_us"),
+            F.max("us").alias("last_us"),
+        )
+    )
+
+    def run_segment(i):
+        nm = steps[i].name
+        return runs.filter(F.col("_lbl") == nm).select(
+            F.col("user_id").alias(f"_u{i}"),
+            F.col("srn").alias(f"_s{i}"),
+            F.col("ern").alias(f"_e{i}"),
+            F.col("n").alias(f"{nm}_n"),
+            F.col("first_eid").alias(f"{nm}_first_event_id"),
+            F.col("last_eid").alias(f"{nm}_last_event_id"),
+            F.col("first_value").alias(f"_fv{i}"),
+            F.col("last_value").alias(f"_lv{i}"),
+            F.col("first_us").alias(f"_fus{i}"),
+            F.col("last_us").alias(f"_lus{i}"),
+        )
+
+    def row_segment(i):
+        nm = steps[i].name
+        return evs.filter(F.col(f"_p{i}")).select(
+            F.col("user_id").alias(f"_u{i}"),
+            F.col("rn").alias(f"_s{i}"),
+            F.col("rn").alias(f"_e{i}"),
+            F.lit(1).alias(f"{nm}_n"),
+            F.col("event_id").alias(f"{nm}_first_event_id"),
+            F.col("event_id").alias(f"{nm}_last_event_id"),
+            F.col("value").alias(f"_fv{i}"),
+            F.col("value").alias(f"_lv{i}"),
+            F.col("us").alias(f"_fus{i}"),
+            F.col("us").alias(f"_lus{i}"),
+        )
+
+    # anchor on the first quantified variable's runs (corpus-bounded by
+    # pattern hits); a pattern with no quantifier anchors on variable 0
+    a = quant_idx[0] if quant_idx else 0
+    acc = run_segment(a) if steps[a].quant == "+" else row_segment(a)
+    # earlier variables are all '1'-quantified (the anchor is the FIRST
+    # quantified one): each sits exactly (a - j) rows before the anchor
+    for j in range(a - 1, -1, -1):
+        seg = row_segment(j)
+        acc = acc.join(
+            seg,
+            F.col(f"_u{a}").eqNullSafe(F.col(f"_u{j}"))
+            & (F.col(f"_s{j}") == F.col(f"_s{a}") - F.lit(a - j)),
+        ).drop(f"_u{j}")
+    # forward chain: each later variable starts right after the previous
+    for i in range(a + 1, len(steps)):
+        seg = run_segment(i) if steps[i].quant == "+" else row_segment(i)
+        acc = acc.join(
+            seg,
+            F.col(f"_u{a}").eqNullSafe(F.col(f"_u{i}"))
+            & (F.col(f"_s{i}") == F.col(f"_e{i - 1}") + F.lit(1)),
+        ).drop(f"_u{i}")
+    first_i, last_i = 0, len(steps) - 1
+    out_cols = [F.col(f"_u{a}").alias("user_id")]
+    for i, s in enumerate(steps):
+        nm = s.name
+        out_cols += [
+            F.col(f"{nm}_first_event_id"),
+            F.col(f"{nm}_last_event_id"),
+            F.col(f"{nm}_n").cast("long").alias(f"{nm}_n"),
+            q6(F.col(f"_fv{i}")).alias(f"{nm}_first_value"),
+            q6(F.col(f"_lv{i}")).alias(f"{nm}_last_value"),
+        ]
+    out_cols += [
+        F.col(f"_fus{first_i}").alias("start_us"),
+        F.col(f"_lus{last_i}").alias("end_us"),
+    ]
+    out = acc.select(*out_cols)
+    if within_hours is not None:
+        out = out.filter(
+            F.col("end_us") - F.col("start_us")
+            <= F.lit(within_hours * _US_PER_HOUR)
+        )
+    return out
+
+
+def cep_define_peak_matches(events: DataFrame) -> DataFrame:
+    """Registry witness for the DEFINE-predicate kernel: the Λ-shape
+    (peak) pattern ``PATTERN (BASE RISE+ DROP+)`` with ``DEFINE RISE AS
+    value > PREV(value), DROP AS value < PREV(value)`` and a 24 h
+    WITHIN — the mirror of the canonical SQL:2016 V-shape, expressed
+    purely through :func:`cep_define_matches`."""
+    steps = [
+        DefineStep("base"),
+        DefineStep("rise", lambda c: c["value"] > c["prev_value"], "+"),
+        DefineStep("drop", lambda c: c["value"] < c["prev_value"], "+"),
+    ]
+    m = cep_define_matches(events, steps, within_hours=CEP_WITHIN_HOURS)
+    return m.select(
+        "user_id",
+        F.col("base_first_event_id").alias("start_event_id"),
+        F.col("base_first_value").alias("start_value"),
+        F.col("rise_last_event_id").alias("peak_event_id"),
+        F.col("rise_last_value").alias("peak_value"),
+        F.col("drop_last_event_id").alias("end_event_id"),
+        F.col("drop_last_value").alias("end_value"),
+        F.col("rise_n").alias("n_rise"),
+        F.col("drop_n").alias("n_drop"),
+        "start_us",
+        "end_us",
+    )
+
+
+CEP_DEFINE_PEAK_SQL = f"""
+WITH evs AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         ROW_NUMBER() OVER w AS rn,
+         CASE WHEN value > LAG(value) OVER w THEN 'rise'
+              WHEN value < LAG(value) OVER w THEN 'drop' END AS lbl
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), grps AS (
+  SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id, lbl ORDER BY rn) AS grp
+  FROM evs WHERE lbl IS NOT NULL
+), runs AS (
+  SELECT user_id, lbl, grp, MIN(rn) AS srn, MAX(rn) AS ern, COUNT(*) AS n,
+         arg_max(event_id, rn) AS last_eid,
+         arg_max(value, rn) AS last_value,
+         MIN(us) AS first_us, MAX(us) AS last_us
+  FROM grps GROUP BY user_id, lbl, grp
+)
+SELECT r.user_id,
+       b.event_id AS start_event_id,
+       floor(b.value * 1000000.0) / 1000000.0 AS start_value,
+       r.last_eid AS peak_event_id,
+       floor(r.last_value * 1000000.0) / 1000000.0 AS peak_value,
+       d.last_eid AS end_event_id,
+       floor(d.last_value * 1000000.0) / 1000000.0 AS end_value,
+       r.n AS n_rise, d.n AS n_drop,
+       b.us AS start_us, d.last_us AS end_us
+FROM runs r
+JOIN runs d ON d.user_id = r.user_id AND d.lbl = 'drop' AND d.srn = r.ern + 1
+JOIN evs b ON b.user_id = r.user_id AND b.rn = r.srn - 1
+WHERE r.lbl = 'rise'
+  AND d.last_us - b.us <= {24 * 3600 * 1000000}
 """

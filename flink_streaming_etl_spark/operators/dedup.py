@@ -620,10 +620,15 @@ def _label_propagation_loop(edges: DataFrame, max_iter: int) -> DataFrame:
             .agg(F.min("label").alias("label"))
         )
         lk = propagated.select(F.col("node").alias("ln"), F.col("label").alias("ll"))
-        labels = (
+        # eager_checkpoint (ckpt.py): `propagated` joins ITSELF via lk,
+        # so a plain localCheckpoint would inherit origin stats whose
+        # sizeInBytes digit count doubles every round — the pointer-
+        # doubling pathology fixed in operators/cep.py's closure.
+        from flink_streaming_etl_spark.ckpt import eager_checkpoint
+
+        labels = eager_checkpoint(
             propagated.join(lk, propagated["label"] == lk["ln"], "left")
             .select("node", F.coalesce(F.col("ll"), F.col("label")).alias("label"))
-            .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:

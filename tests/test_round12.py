@@ -623,3 +623,85 @@ def test_incremental_join_saves_touched_buckets(spark, tmp_path):
     assert acc2.restore(spark)
     assert _rows(acc2.result()) == _rows(acc.result())
     assert _rows(acc2.recompute()) == _rows(acc.recompute())
+
+
+# -- Generalized DEFINE predicates (r11 verdict next-step #4) -----------
+
+
+def test_cep_define_matches_four_step_pattern(spark):
+    """PATTERN (LOW UP+ DN+ TAIL) with DEFINE LOW AS value < 50,
+    UP AS value > PREV(value), DN AS value < PREV(value),
+    TAIL AS event_type = 'purchase' — predicated single variables on
+    BOTH flanks of the quantified runs, plus the WITHIN filter."""
+    from datetime import datetime, timedelta
+
+    from flink_streaming_etl_spark.operators.cep import (
+        DefineStep,
+        cep_define_matches,
+    )
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+
+    def series(uid, vals_types, hours_apart=1):
+        return [
+            (uid * 100 + i, t0 + timedelta(hours=i * hours_apart), uid, ty, v)
+            for i, (v, ty) in enumerate(vals_types)
+        ]
+
+    shape = [(10.0, "view"), (20.0, "click"), (30.0, "click"),
+             (25.0, "click"), (40.0, "purchase")]
+    rows = (
+        series(1, shape)                                      # full match
+        + series(2, shape[:-1] + [(40.0, "click")])           # tail not purchase
+        # LOW fails: the only up-run's preceding row is 60 >= 50, and the
+        # dn-run ends the series so TAIL has no row either
+        + series(3, [(60.0, "view"), (70.0, "click"), (80.0, "click"),
+                     (75.0, "click"), (40.0, "purchase")])
+        + series(4, shape, hours_apart=30)                    # spans 120h
+    )
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double",
+    )
+    steps = [
+        DefineStep("low", lambda c: c["value"] < 50),
+        DefineStep("up", lambda c: c["value"] > c["prev_value"], "+"),
+        DefineStep("dn", lambda c: c["value"] < c["prev_value"], "+"),
+        DefineStep("tail", lambda c: c["event_type"] == "purchase"),
+    ]
+    out = {r["user_id"]: r for r in cep_define_matches(ev, steps).collect()}
+    # users 1 and 4 match (no WITHIN); user 2 fails TAIL, user 3 fails LOW
+    assert set(out) == {1, 4}
+    m = out[1]
+    assert m["low_first_event_id"] == 100 and m["low_n"] == 1
+    assert m["up_first_event_id"] == 101 and m["up_last_event_id"] == 102
+    assert m["up_n"] == 2 and m["dn_n"] == 1
+    assert m["dn_first_event_id"] == 103
+    assert m["tail_first_event_id"] == 104 and m["tail_n"] == 1
+    assert m["low_first_value"] == 10.0 and m["up_last_value"] == 30.0
+    assert m["dn_last_value"] == 25.0 and m["tail_last_value"] == 40.0
+    assert m["end_us"] - m["start_us"] == 4 * 3600 * 1_000_000
+    # WITHIN 24h drops user 4's 120-hour span
+    within = {
+        r["user_id"]
+        for r in cep_define_matches(ev, steps, within_hours=24).collect()
+    }
+    assert within == {1}
+
+
+def test_cep_vshape_equals_define_kernel_reexpression(spark):
+    """The v-shape entry is now a thin wrapper over cep_define_matches;
+    its unchanged DuckDB oracle pins the re-expression exactly."""
+    from flink_streaming_etl_spark.operators import cep
+    from tests.conftest import SF_SMOKE
+    from tests.oracle import compare, duck_connection
+
+    from flink_streaming_etl_spark.catalog import load_tables
+
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    con = duck_connection(SF_SMOKE)
+    try:
+        ok, msg = compare(cep.cep_vshape_matches(ev), con, cep.CEP_VSHAPE_SQL)
+        assert ok, msg
+    finally:
+        con.close()
