@@ -210,6 +210,8 @@ PROBES = [
     "cep_alternation_matches",
     "dynamic_rule_hits",
     "cep_relaxed_timeout_report",
+    # round-12 addition
+    "cep_define_peak_matches",
 ]
 
 
