@@ -58,10 +58,14 @@ class AnomalyZScoreAccumulator:
     def add_batch(self, batch_events: DataFrame, batch_id: int | None = None) -> None:
         """foreachBatch hook: one exact batch-sized aggregation, additive
         merge driver-side, replay-idempotent by batch id."""
+        # Transactional fold ordering (T6, the streaming/cep.py
+        # discipline): replay guard CHECKED here, batch id COMMITTED only
+        # after the fold succeeds — a batch whose Spark job fails and is
+        # retried under the same epoch id re-folds instead of being
+        # misclassified as a replay.
         if batch_id is not None:
             if self.last_batch_id is not None and batch_id <= self.last_batch_id:
                 return
-            self.last_batch_id = int(batch_id)
         rows = (
             batch_events.select(
                 "event_type",
@@ -76,6 +80,9 @@ class AnomalyZScoreAccumulator:
             series = self.totals[r["event_type"]]
             series[r["day"]] = series.get(r["day"], 0) + int(r["x"])
             self._evict(r["event_type"])
+
+        if batch_id is not None:
+            self.last_batch_id = int(batch_id)
 
     def _evict(self, event_type: str) -> None:
         if self.retention_days is None:

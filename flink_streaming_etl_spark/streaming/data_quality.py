@@ -17,10 +17,11 @@ only O(1) rows (scalar aggregates):
   state discipline in ``streaming/incremental.py``): the batch's
   per-key counts left-join the seen relation and one SUM scalar yields
   the batch's duplicate count; the seen relation then absorbs the
-  batch's keys via union+distinct. Per-batch state-maintenance cost is
-  ∝ state size (the externalized-state trade ``state_store.py``
-  documents); driver memory is O(1) regardless of corpus volume — the
-  round-10 unbounded driver seen-set is gone.
+  batch's keys via a shuffle-free append. Since round 12 the durable
+  save is also incremental: the relation is bucket-partitioned and a
+  batch rewrites only the buckets its NEW keys hash into
+  (``state_store.py`` BucketedState); driver memory is O(1) regardless
+  of corpus volume — the round-10 unbounded driver seen-set is gone.
 
 NULL-key semantics match the batch operator exactly (ADVICE r10): the
 batch computes ``n_rows − count_distinct(o_orderkey)`` and

@@ -119,10 +119,14 @@ class MisraGriesAccumulator:
         cannot double-count into ``counts``/``n_total`` — the idempotent-
         sink discipline the upsert sinks follow, applied to the summary.
         """
+        # Transactional fold ordering (T6, the streaming/cep.py
+        # discipline): replay guard CHECKED here, batch id COMMITTED only
+        # after the fold succeeds — a batch whose Spark job fails and is
+        # retried under the same epoch id re-folds instead of being
+        # misclassified as a replay.
         if batch_id is not None:
             if self.last_batch_id is not None and batch_id <= self.last_batch_id:
                 return
-            self.last_batch_id = int(batch_id)
         rows = self._summarize_batch(batch_documents)
         # a token tracked by several partition summaries contributes the SUM
         # of its per-partition counts (a dict comprehension would keep one)
@@ -133,6 +137,9 @@ class MisraGriesAccumulator:
         n = sum(r["n"] for r in rows)
         under = sum(r["under"] for r in rows)
         self.add_summary(part_counts, undercount=under, n=n)
+
+        if batch_id is not None:
+            self.last_batch_id = int(batch_id)
 
     def add_counter(self, batch_counts: Counter) -> None:
         """Merge an EXACT batch counter (no undercount)."""

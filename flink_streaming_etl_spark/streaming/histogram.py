@@ -41,10 +41,14 @@ class ValueHistogramAccumulator:
     # -- streaming side -----------------------------------------------------
 
     def add_batch(self, batch_events: DataFrame, batch_id: int | None = None) -> None:
+        # Transactional fold ordering (T6, the streaming/cep.py
+        # discipline): replay guard CHECKED here, batch id COMMITTED only
+        # after the fold succeeds — a batch whose Spark job fails and is
+        # retried under the same epoch id re-folds instead of being
+        # misclassified as a replay.
         if batch_id is not None:
             if self.last_batch_id is not None and batch_id <= self.last_batch_id:
                 return  # replay — already folded
-            self.last_batch_id = int(batch_id)
         width = (HIST_HI - HIST_LO) / HIST_BINS
         bin_ = F.least(
             F.lit(HIST_BINS - 1),
@@ -60,6 +64,9 @@ class ValueHistogramAccumulator:
             # null-bin row; the twin must match it, not crash on int(None)
             b = None if r["bin"] is None else int(r["bin"])
             self.counts[(r["event_type"], b)] += int(r["n"])
+
+        if batch_id is not None:
+            self.last_batch_id = int(batch_id)
 
     def attach(self, stream_events: DataFrame, **start_kwargs):
         return (

@@ -42,10 +42,14 @@ class KmvDistinctAccumulator:
     def add_batch(
         self, batch_documents: DataFrame, batch_id: int | None = None
     ) -> None:
+        # Transactional fold ordering (T6, the streaming/cep.py
+        # discipline): replay guard CHECKED here, batch id COMMITTED only
+        # after the fold succeeds — a batch whose Spark job fails and is
+        # retried under the same epoch id re-folds instead of being
+        # misclassified as a replay.
         if batch_id is not None:
             if self.last_batch_id is not None and batch_id <= self.last_batch_id:
                 return  # replay — already folded
-            self.last_batch_id = int(batch_id)
         from pyspark.sql.window import Window
 
         from flink_streaming_etl_spark.functions import md5_int
@@ -75,6 +79,9 @@ class KmvDistinctAccumulator:
         for src, hs in fresh.items():
             merged = sorted(set(self.kmin.get(src, [])) | set(hs))
             self.kmin[src] = merged[: self.k]
+
+        if batch_id is not None:
+            self.last_batch_id = int(batch_id)
 
     def attach(self, stream_documents: DataFrame, **start_kwargs):
         return (

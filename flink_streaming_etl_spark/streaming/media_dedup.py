@@ -112,10 +112,14 @@ class MediaChunkDedupAccumulator:
         """foreachBatch hook: count each new media's shared chunks against
         every previously-seen owner (and earlier media of the same batch,
         in media_id order), then fold the batch into state."""
+        # Transactional fold ordering (T6, the streaming/cep.py
+        # discipline): replay guard CHECKED here, batch id COMMITTED only
+        # after the fold succeeds — a batch whose Spark job fails and is
+        # retried under the same epoch id re-folds instead of being
+        # misclassified as a replay.
         if batch_id is not None:
             if self.last_batch_id is not None and batch_id <= self.last_batch_id:
                 return  # replay — already folded
-            self.last_batch_id = int(batch_id)
         rows = self._batch_chunks(batch_documents)
         self.n_batches += 1
         by_media: dict[int, list[str]] = defaultdict(list)
@@ -143,6 +147,9 @@ class MediaChunkDedupAccumulator:
                     own.append(mid)
                 self.last_seen[ch] = self.n_batches
         self._evict()
+
+        if batch_id is not None:
+            self.last_batch_id = int(batch_id)
 
     def _evict(self) -> None:
         if self.retention_batches is None:

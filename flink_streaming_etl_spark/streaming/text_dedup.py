@@ -92,10 +92,14 @@ class BloomTextDedupAccumulator:
         the seen-corpus state (bloom prefilter, exact verify), then fold
         the batch's fingerprints into state. Within a batch, lower doc_id
         wins — the batch operator's deterministic keep-first rule."""
+        # Transactional fold ordering (T6, the streaming/cep.py
+        # discipline): replay guard CHECKED here, batch id COMMITTED only
+        # after the fold succeeds — a batch whose Spark job fails and is
+        # retried under the same epoch id re-folds instead of being
+        # misclassified as a replay.
         if batch_id is not None:
             if self.last_batch_id is not None and batch_id <= self.last_batch_id:
                 return  # replay — already folded
-            self.last_batch_id = int(batch_id)
         rows = sorted(self._batch_fps(batch_documents), key=lambda r: r["doc_id"])
         self.n_batches += 1
         for r in rows:
@@ -114,6 +118,9 @@ class BloomTextDedupAccumulator:
             self.bloom.update(pos)
             self.last_seen[fp] = self.n_batches
         self._evict()
+
+        if batch_id is not None:
+            self.last_batch_id = int(batch_id)
 
     def _evict(self) -> None:
         if self.retention_batches is None:

@@ -53,12 +53,14 @@ class EventTransitionAccumulator:
     # -- streaming side -----------------------------------------------------
 
     def add_batch(self, batch_events: DataFrame, batch_id: int | None = None) -> None:
+        # Transactional fold ordering (T6, the streaming/cep.py
+        # discipline): replay guard CHECKED here, batch id COMMITTED only
+        # after the fold succeeds — a batch whose Spark job fails and is
+        # retried under the same epoch id re-folds instead of being
+        # misclassified as a replay.
         if batch_id is not None:
             if self.last_batch_id is not None and batch_id <= self.last_batch_id:
                 return  # replay — already folded
-            self.last_batch_id = int(batch_id)
-        self.n_batches += 1
-
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         base = batch_events.select("user_id", "ts", "event_id", "event_type")
         within = (
@@ -75,6 +77,8 @@ class EventTransitionAccumulator:
             .collect()  # bounded by the batch's distinct users
         )
 
+        # Spark work done — the driver fold below is pure dict ops
+        self.n_batches += 1
         for r in within:
             self.counts[(r["f"], r["t"])] += r["n"]
         for r in bounds:
@@ -87,6 +91,9 @@ class EventTransitionAccumulator:
             self.last_event[uid] = (last["ts"], last["event_id"], last["event_type"])
             self.last_active[uid] = self.n_batches
         self._evict()
+
+        if batch_id is not None:
+            self.last_batch_id = int(batch_id)
 
     def _evict(self) -> None:
         if self.retention_batches is None:

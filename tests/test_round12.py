@@ -705,3 +705,90 @@ def test_cep_vshape_equals_define_kernel_reexpression(spark):
         assert ok, msg
     finally:
         con.close()
+
+
+# -- The seven simpler accumulators: same-epoch retry after a failed
+#    Spark phase must re-fold (the r11 verdict #1 discipline, swept
+#    across EVERY accumulator in the package, not just the six named)
+
+
+def test_simple_accumulators_failed_fold_retry_is_not_a_replay(spark, monkeypatch):
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDataFrame
+
+    from flink_streaming_etl_spark.streaming.anomaly import (
+        AnomalyZScoreAccumulator,
+    )
+    from flink_streaming_etl_spark.streaming.heavy_hitters import (
+        MisraGriesAccumulator,
+    )
+    from flink_streaming_etl_spark.streaming.histogram import (
+        ValueHistogramAccumulator,
+    )
+    from flink_streaming_etl_spark.streaming.kmv import KmvDistinctAccumulator
+    from flink_streaming_etl_spark.streaming.media_dedup import (
+        MediaChunkDedupAccumulator,
+    )
+    from flink_streaming_etl_spark.streaming.text_dedup import (
+        BloomTextDedupAccumulator,
+    )
+    from flink_streaming_etl_spark.streaming.transitions import (
+        EventTransitionAccumulator,
+    )
+    from tests.test_round10 import _tables
+
+    t = _tables(spark)
+    ev = t["events"].orderBy("event_id").limit(200).collect()
+    docs = t["documents"].orderBy("doc_id").limit(60).collect()
+    ev_b = [spark.createDataFrame(ev[:100], t["events"].schema),
+            spark.createDataFrame(ev[100:], t["events"].schema)]
+    doc_b = [spark.createDataFrame(docs[:30], t["documents"].schema),
+             spark.createDataFrame(docs[30:], t["documents"].schema)]
+
+    def state(acc):
+        if isinstance(acc, MisraGriesAccumulator):
+            return (acc.n_total, acc.max_undercount, dict(acc.counts))
+        if isinstance(acc, BloomTextDedupAccumulator):
+            return sorted(tuple(r) for r in acc.kept_ids(spark).collect())
+        return sorted(tuple(r) for r in acc.result(spark).collect())
+
+    cases = [
+        (lambda: MisraGriesAccumulator(cap=50), doc_b),
+        (lambda: AnomalyZScoreAccumulator(), ev_b),
+        (lambda: ValueHistogramAccumulator(), ev_b),
+        (lambda: KmvDistinctAccumulator(k=16), doc_b),
+        (lambda: MediaChunkDedupAccumulator(), doc_b),
+        (lambda: BloomTextDedupAccumulator(), doc_b),
+        (lambda: EventTransitionAccumulator(), ev_b),
+    ]
+    orig_collect = ClassicDataFrame.collect
+    for mk, batches in cases:
+        clean = mk()
+        for i, b in enumerate(batches):
+            clean.add_batch(b, batch_id=i)
+        want = state(clean)
+
+        acc = mk()
+        acc.add_batch(batches[0], batch_id=0)
+        # arm a one-shot failure in the Spark phase of the NEXT fold
+        armed = {"on": True}
+
+        def flaky(self):
+            if armed["on"]:
+                armed["on"] = False
+                raise RuntimeError("transient executor loss")
+            return orig_collect(self)
+
+        monkeypatch.setattr(ClassicDataFrame, "collect", flaky)
+        try:
+            with pytest.raises(RuntimeError):
+                acc.add_batch(batches[1], batch_id=1)
+            # guard did NOT commit: the same-epoch retry re-folds
+            assert acc.last_batch_id == 0, type(acc).__name__
+            acc.add_batch(batches[1], batch_id=1)
+        finally:
+            monkeypatch.setattr(ClassicDataFrame, "collect", orig_collect)
+        assert acc.last_batch_id == 1, type(acc).__name__
+        assert state(acc) == want, type(acc).__name__
+        # and a genuine replay is still a no-op
+        acc.add_batch(batches[1], batch_id=1)
+        assert state(acc) == want, type(acc).__name__
