@@ -25,6 +25,12 @@ Position isolation (round 7): operator memo caches and the Spark session
 cache are cleared BETWEEN queries, so a timing never depends on what ran
 before it (r06's uniform ~1.5x sweep-position drift).
 
+Position randomization (round 13): the timed passes run in per-pass
+deterministic hash-permuted order (md5(pass_idx:name)) and the per-query
+MIN is reported — sweep position no longer tracks registry insertion
+order (r12's registry reorder moved UNTOUCHED queries 1.15x median), and
+each query is timed against three different neighborhoods.
+
 Quiet-window re-timing (round 8): the r07 warm10 control re-timed 7 of
 the 10 slowest queries 20-30% BELOW their sweep minima — the sweep's
 timed windows still carried ambient inflation (the between-queries
@@ -348,19 +354,34 @@ def main() -> None:
             pass  # warmup is best-effort; the timed run surfaces real errors
         isolate(spark)
 
-    # Two timed passes, per-query minimum: steady-state throughput, robust
-    # to transient host stalls (single-pass numbers showed 5-10x outliers
-    # on identical plans). The builder runs INSIDE the timed region so
-    # operators that execute eagerly (iterative CC, codebook training) are
-    # measured honestly.
+    # Three timed passes, per-query minimum, each pass in a DIFFERENT
+    # deterministic position-randomized order (round 13, r12 verdict #4):
+    # the r12 registry reorder shifted every query's position in the
+    # shared-JVM sweep and moved UNTOUCHED queries by up to 1.15x median
+    # — the fixed registry order made every timing a function of its
+    # neighbors. Ordering each pass by md5(pass_idx:name) (a) decouples
+    # the sweep position from registry insertion order, so adding a
+    # query no longer shifts the whole battery, and (b) gives each query
+    # three different neighborhoods, so the per-query min is the timing
+    # with its LEAST-interfering neighbors — a far tighter steady-state
+    # estimate than min-of-2 at one fixed position. Deterministic (no
+    # RNG state): reruns see identical orders.
+    # The builder runs INSIDE the timed region so operators that execute
+    # eagerly (iterative CC, codebook training) are measured honestly.
     # Per-query failure isolation: one broken query must never zero the
     # round's whole perf signal. Failures are recorded as {"err": "..."}
     # entries and the sweep continues; exit code is 0 as long as most of
     # the battery produced a timing.
+    import hashlib
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for _ in range(2):
-        for name in HEADLINE:
+    for pass_idx in range(3):
+        order = sorted(
+            HEADLINE,
+            key=lambda n: hashlib.md5(f"{pass_idx}:{n}".encode()).hexdigest(),
+        )
+        for name in order:
             if name in errors:
                 continue
             t0 = time.perf_counter()

@@ -359,10 +359,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         multimodal.MEDIA_DEDUP_SQL,
     ),
     "media_features": (
-        lambda spark, sf_dir: multimodal.extract_features(
-            multimodal.documents_as_media(load_tables(spark, sf_dir, register=False)["documents"])
-        ),
-        None,  # mapInPandas feature extraction — not SQL-expressible
+        # round 13: a REAL decode — documents encoded as genuine binary
+        # PPM (P6) images, then header-parsed and raster-reduced in an
+        # Arrow-batched mapInPandas; exact DuckDB oracle (integer sums /
+        # power-of-two pixel count). The byte-stat extract_features
+        # plumbing remains available as the library API for formats
+        # whose decoders aren't in this container.
+        _q(multimodal.media_ppm_features, "documents"),
+        multimodal.MEDIA_PPM_FEATURES_SQL,
     ),
     "media_resize": (
         lambda spark, sf_dir: multimodal.resize_images(

@@ -30,9 +30,27 @@ from pyspark.sql import DataFrame
 def eager_checkpoint(df: DataFrame) -> DataFrame:
     """localCheckpoint whose LogicalRDD inherits REAL (cache-measured)
     statistics instead of the origin plan's estimate product."""
+    sl = df.storageLevel
+    if sl.useMemory or sl.useDisk:
+        # the caller (or a concurrent query — CacheManager keys entries
+        # by logical plan) already cached this plan: reuse it and do NOT
+        # unpersist, or we would silently drop their shared cache entry
+        df.count()
+        return df.localCheckpoint(eager=True)
     cached = df.persist()
     try:
         cached.count()  # materialize: InMemoryRelation now has real stats
         return cached.localCheckpoint(eager=True)
     finally:
         cached.unpersist()
+
+
+# Measured note (round 13): an "amortized" variant — plain localCheckpoint
+# most rounds, a full eager reset every K rounds — was implemented for the
+# r12-verdict #5 suggestion and benchmarked on the cep.py pointer-doubling
+# closure at sf0.1. It was SLOWER than eager_checkpoint every round
+# (~4.7-5.7 s vs ~3.0-3.7 s steady-state): the win of eager_checkpoint is
+# not only bounded BigInt stats arithmetic but PLAN QUALITY — real
+# cache-measured sizes let Catalyst broadcast the pointer table in the
+# next round's self-join, which the inflated inherited estimates forbid.
+# Iterated relations should therefore always use eager_checkpoint.

@@ -613,17 +613,19 @@ def _label_propagation_loop(edges: DataFrame, max_iter: int) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     prev_sum = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         propagated = (
             edges_self.join(labels, edges_self["a_id"] == labels["node"])
             .groupBy(F.col("b_id").alias("node"))
             .agg(F.min("label").alias("label"))
         )
         lk = propagated.select(F.col("node").alias("ln"), F.col("label").alias("ll"))
-        # eager_checkpoint (ckpt.py): `propagated` joins ITSELF via lk,
-        # so a plain localCheckpoint would inherit origin stats whose
-        # sizeInBytes digit count doubles every round — the pointer-
-        # doubling pathology fixed in operators/cep.py's closure.
+        # eager_checkpoint EVERY round (ckpt.py): `propagated` joins
+        # ITSELF via lk, so plain checkpoints would inherit stats whose
+        # sizeInBytes digit count doubles per round — and the r13
+        # measurement on the cep.py closure showed always-eager is also
+        # FASTER than a periodic reset: real stats keep the next
+        # round's joins broadcastable.
         from flink_streaming_etl_spark.ckpt import eager_checkpoint
 
         labels = eager_checkpoint(

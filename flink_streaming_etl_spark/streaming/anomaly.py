@@ -76,18 +76,24 @@ class AnomalyZScoreAccumulator:
             .agg(F.sum("_v").alias("x"))
             .collect()  # bounded: types x days-in-batch
         )
+        # fold into LOCAL copies; self.* commits atomically at the end
+        # (a driver failure mid-merge retried under the same epoch would
+        # otherwise double-count the already-merged rows — ADVICE r12)
+        totals = defaultdict(
+            dict, {et: dict(s) for et, s in self.totals.items()}
+        )
         for r in rows:
-            series = self.totals[r["event_type"]]
+            series = totals[r["event_type"]]
             series[r["day"]] = series.get(r["day"], 0) + int(r["x"])
-            self._evict(r["event_type"])
+            self._evict(series)
 
+        self.totals = totals
         if batch_id is not None:
             self.last_batch_id = int(batch_id)
 
-    def _evict(self, event_type: str) -> None:
+    def _evict(self, series: dict) -> None:
         if self.retention_days is None:
             return
-        series = self.totals[event_type]
         horizon = max(series) - dt.timedelta(days=self.retention_days - 1)
         for day in [d for d in series if d < horizon]:
             del series[day]

@@ -403,16 +403,23 @@ class _BaseCepAccumulator:
         **start_kwargs,
     ):
         """foreachBatch driver: fold each micro-batch, hand its finalized
-        matches to ``on_matches`` (tuples on the driver — alert-shaped
-        volumes) or ``on_matches_df`` (the matches DataFrame to a
-        distributed sink — high-match-rate patterns, O(1) driver
-        transfer)."""
+        matches to ``on_matches_df`` (the matches DataFrame to a
+        distributed sink — the DEFAULT path: O(1) driver transfer,
+        survives high-match-rate patterns at 100×) or ``on_matches``
+        (tuples on the driver — the documented alert-shaped option for
+        explicitly row-callback consumers). When NEITHER is given the
+        matches are folded distributed and discarded without ever being
+        materialized on the driver (r12 verdict #2 — the old default
+        collected them pointlessly)."""
 
         def _fold(batch: DataFrame, bid: int) -> None:
             # delivery happens INSIDE add_batch, before the durable
             # commit — a sink failure fails the epoch pre-commit
+            df_sink = on_matches_df
+            if on_matches is None and df_sink is None:
+                df_sink = lambda df: None  # noqa: E731 — distributed discard
             self.add_batch(
-                batch, bid, on_matches=on_matches, on_matches_df=on_matches_df
+                batch, bid, on_matches=on_matches, on_matches_df=df_sink
             )
 
         return (

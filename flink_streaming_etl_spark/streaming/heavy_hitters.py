@@ -150,18 +150,25 @@ class MisraGriesAccumulator:
         length). Mergeability (Agarwal et al. 2012): summed counters reduced
         back to capacity remain a valid MG summary of the concatenation;
         undercounts add."""
-        self.n_total += int(n)
-        self.max_undercount += int(undercount)
-        self.counts.update(counts)
-        if len(self.counts) > self.cap:
+        # fold into LOCALS; the three fields commit together at the end
+        # (same-epoch retry after a mid-merge driver failure must not
+        # see a half-merged summary — ADVICE r12)
+        n_total = self.n_total + int(n)
+        under = self.max_undercount + int(undercount)
+        merged = Counter(self.counts)
+        merged.update(counts)
+        if len(merged) > self.cap:
             # subtract the (cap+1)-th largest count from everything and drop
             # the non-positives: one reduction charges its decrement against
             # > cap distinct tokens, keeping total undercount <= n/(cap+1).
-            sub = sorted(self.counts.values(), reverse=True)[self.cap]
-            self.counts = Counter(
-                {t: c - sub for t, c in self.counts.items() if c - sub > 0}
+            sub = sorted(merged.values(), reverse=True)[self.cap]
+            merged = Counter(
+                {t: c - sub for t, c in merged.items() if c - sub > 0}
             )
-            self.max_undercount += sub
+            under += sub
+        self.n_total = n_total
+        self.max_undercount = under
+        self.counts = merged
 
     def attach(self, stream_documents: DataFrame, **start_kwargs):
         """Wire this accumulator onto a streaming DataFrame via foreachBatch

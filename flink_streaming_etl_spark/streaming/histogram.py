@@ -59,12 +59,17 @@ class ValueHistogramAccumulator:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()  # bounded: types x bins
         )
+        # fold into a LOCAL copy; self.* commits atomically at the end
+        # (same-epoch retry after a mid-merge driver failure must not
+        # double-count the already-merged rows — ADVICE r12)
+        counts = defaultdict(int, self.counts)
         for r in rows:
             # NULL values bin to None — the batch operator emits a
             # null-bin row; the twin must match it, not crash on int(None)
             b = None if r["bin"] is None else int(r["bin"])
-            self.counts[(r["event_type"], b)] += int(r["n"])
+            counts[(r["event_type"], b)] += int(r["n"])
 
+        self.counts = counts
         if batch_id is not None:
             self.last_batch_id = int(batch_id)
 

@@ -76,10 +76,15 @@ class KmvDistinctAccumulator:
         fresh: dict[str, list[int]] = {}
         for r in rows:
             fresh.setdefault(r["source"], []).append(int(r["h"]))
+        # fold into a LOCAL copy; self.* commits atomically at the end
+        # (a driver failure mid-merge retried under the same epoch would
+        # otherwise double-merge the already-folded sources — ADVICE r12)
+        kmin = {src: list(hs) for src, hs in self.kmin.items()}
         for src, hs in fresh.items():
-            merged = sorted(set(self.kmin.get(src, [])) | set(hs))
-            self.kmin[src] = merged[: self.k]
+            merged = sorted(set(kmin.get(src, [])) | set(hs))
+            kmin[src] = merged[: self.k]
 
+        self.kmin = kmin
         if batch_id is not None:
             self.last_batch_id = int(batch_id)
 

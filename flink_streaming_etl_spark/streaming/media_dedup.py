@@ -1,48 +1,64 @@
 """Streaming media chunk dedup: new-batch-vs-seen-corpus duplicate pairs
 maintained across micro-batches — the streaming twin of
-:func:`~flink_streaming_etl_spark.operators.multimodal.media_chunk_dedup`
-(r7 verdict #6: the text dedup loop has ``bloom_incremental_dedup`` for
-new-vs-corpus; media had none).
+:func:`~flink_streaming_etl_spark.operators.multimodal.media_chunk_dedup`.
 
-Per micro-batch the HEAVY work stays distributed: one batch-sized Spark
-job slices payloads into fixed 64-byte chunks and md5-hashes them
-(identical chunking to the batch operator), emitting the batch's
-DISTINCT (media_id, chash) rows. The driver collect is bounded by the
-BATCH's chunk count (payload bytes / chunk_bytes per batch), never by
-corpus volume. Driver state maps ``chash -> owner media_ids`` with two
-bounds:
+Since round 13 the state is fully DISTRIBUTED (r12 verdict #1 — the
+driver ``chash → owners`` dict and per-row pairing loop were the repo's
+last 100-TB bottleneck class):
 
-- **hot-chunk cap** (the batch operator's owner_cap discipline): a
-  chunk's owner list is tracked only up to ``owner_cap + 1`` ids; once
-  it exceeds the cap it is marked hot and excluded from pair counting
-  from then on — container boilerplate, exactly like hot LSH buckets.
-  The cap is applied AS-OF processing time (the batch operator applies
-  it over the final corpus — the honest semantic difference of any
-  one-pass incremental dedup).
-- **idle retention** (the reference's T5 discipline, like
-  ``streaming/anomaly.py``): with ``retention_batches=N``, chunks not
-  seen for N batches are evicted, bounding state by the active window
-  instead of corpus lifetime. At 100 TB the driver dict becomes a
-  distributed state store or a bloom+exact-verify tier
-  (``bloom_incremental_dedup``'s pattern); the per-batch Spark job and
-  the decision rule are unchanged by that swap.
+- the seen-corpus tier is an **owner relation** ``(chash, media_id,
+  last_seen)`` — ≤ ``owner_cap + 1`` rows per chunk hash, held as a
+  localCheckpoint'd DataFrame (the ``streaming/data_quality.py``
+  discipline). The accumulated **pair relation** ``(a_id, b_id,
+  shared_chunks)`` is distributed too.
+- the old per-media driver loop is replaced by window algebra that is
+  EXACTLY equivalent to processing the batch's media in ascending
+  media_id order (the pinned deterministic rule): per chunk hash, rank
+  the batch's media by id; with ``e`` existing owners and
+  ``cum_already`` earlier batch media that were already registered,
+  the owner-list length a media observes is ``e + (rank-1) -
+  cum_already``. It pairs (and registers) exactly when that length is
+  ≤ ``owner_cap`` — the same monotone count the loop maintained, so
+  hot-chunk cutoff happens at the identical media. Partners are the
+  existing owners plus every earlier not-yet-registered batch media
+  (while the list is under the cap ALL earlier media registered, so
+  visibility is total — no per-step list needed).
+- **idle retention** (T5): owner rows whose chunk hash goes untouched
+  for ``retention_batches`` folds are dropped relation-side via the
+  carried ``last_seen`` fold-stamp.
+- durable state rides ``BucketedState`` when ``store_root`` is given
+  (buckets rewritten ∝ chashes/pairs the batch touched).
 
-Replays are idempotent by batch id (same contract as
-``MisraGriesAccumulator`` / ``AnomalyZScoreAccumulator``).
+Driver transfer per fold: O(1) scalars (checkpoint counts). Pinned by
+the round-13 collect-spy test.
+
+Replays are idempotent by batch id; fold-then-commit (T6): all state
+folds build fresh relations, ``self.*`` and ``last_batch_id`` commit
+only after every Spark phase and the durable save succeed.
 
 Equality contract (pytest ``test_streaming_media_chunk_handover``): fed
 the corpus in media_id-ordered micro-batches with no hot chunks, the
 accumulated pair relation EQUALS the batch operator's output on the
-full corpus — same (a_id, b_id, shared_chunks) rows.
+full corpus. Re-delivery of a media under a NEW batch id neither
+self-pairs nor double-registers (pinned in test_round10.py) — the
+``already`` flag marks (chash, media) rows that are registered owners,
+excluding them from re-registration while still re-counting their
+pairs idempotently (pair rows overwrite by orientation-normalized key).
 """
 
 from __future__ import annotations
 
-from collections import defaultdict
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
+from flink_streaming_etl_spark.ckpt import eager_checkpoint
 from flink_streaming_etl_spark.operators.multimodal import (
     MEDIA_CHUNK_BYTES,
     MEDIA_CHUNK_MIN_SHARED,
@@ -50,9 +66,27 @@ from flink_streaming_etl_spark.operators.multimodal import (
     documents_as_media,
 )
 
+_OWNER_SCHEMA = StructType(
+    [
+        StructField("chash", StringType()),
+        StructField("media_id", LongType()),
+        StructField("last_seen", LongType()),
+    ]
+)
+
+_PAIR_SCHEMA = StructType(
+    [
+        StructField("a_id", LongType()),
+        StructField("b_id", LongType()),
+        StructField("shared_chunks", LongType()),
+    ]
+)
+
 
 class MediaChunkDedupAccumulator:
-    """Incremental chunk-level media dedup with bounded driver state."""
+    """Incremental chunk-level media dedup with distributed state."""
+
+    _N_BUCKETS = 64
 
     def __init__(
         self,
@@ -60,26 +94,97 @@ class MediaChunkDedupAccumulator:
         min_shared: int = MEDIA_CHUNK_MIN_SHARED,
         owner_cap: int = MEDIA_CHUNK_OWNER_CAP,
         retention_batches: int | None = None,
+        store_root: str | None = None,
+        spark: SparkSession | None = None,
     ):
         self.chunk_bytes = chunk_bytes
         self.min_shared = min_shared
         self.owner_cap = owner_cap
         self.retention_batches = retention_batches
-        #: chash -> list of owner media_ids (len <= owner_cap + 1; the
-        #: sentinel overflow entry marks the chunk hot)
-        self.owners: dict[str, list[int]] = {}
-        #: chash -> last batch index that touched it (retention eviction)
-        self.last_seen: dict[str, int] = {}
-        #: (a_id, b_id) -> shared chunk count over non-hot chunks
-        self.pairs: dict[tuple[int, int], int] = defaultdict(int)
+        #: (chash, media_id, last_seen) — DISTRIBUTED, ≤ owner_cap + 1
+        #: rows per chash (the overflow row marks the chunk hot)
+        self.owner_rel: DataFrame | None = None
+        #: (a_id, b_id, shared_chunks), a_id < b_id — DISTRIBUTED
+        self.pairs_rel: DataFrame | None = None
         self.n_batches = 0
         self.last_batch_id: int | None = None
+        self._save_seq = 0
+        self.store = None
+        self._restored = True
+        if store_root is not None:
+            from flink_streaming_etl_spark.streaming.state_store import (
+                AccumulatorStateStore,
+            )
+
+            self.store = AccumulatorStateStore(store_root)
+            self._restored = False
+            if spark is not None:
+                self._restore(spark)
+
+    # -- durability -------------------------------------------------------
+
+    def _restore(self, spark: SparkSession) -> None:
+        self._restored = True
+        loaded = self.store.load(spark)
+        if loaded is None:
+            return
+        bid, rels, extra = loaded
+        self._save_seq = bid
+        self.last_batch_id = extra.get("last_batch_id", bid)
+        self.n_batches = int(extra.get("n_batches", 0))
+        if "owner" in rels:
+            self.owner_rel = rels["owner"].localCheckpoint(eager=True)
+        if "pairs" in rels:
+            self.pairs_rel = rels["pairs"].localCheckpoint(eager=True)
+
+    def _save(
+        self,
+        spark: SparkSession,
+        last_bid: int | None,
+        owner_rel: DataFrame | None,
+        pairs_rel: DataFrame | None,
+        n_batches: int,
+        touched_chashes: DataFrame | None,
+        touched_pairs: DataFrame | None,
+    ) -> None:
+        if self.store is None:
+            return
+        from flink_streaming_etl_spark.streaming.state_store import (
+            BucketedState,
+        )
+
+        seq = self._save_seq + 1
+        self.store.save(
+            seq,
+            {},
+            extra={"last_batch_id": last_bid, "n_batches": n_batches},
+            bucketed={
+                "owner": BucketedState(
+                    owner_rel
+                    if owner_rel is not None
+                    else spark.createDataFrame([], _OWNER_SCHEMA),
+                    ["chash"],
+                    n_buckets=self._N_BUCKETS,
+                    touched=touched_chashes,
+                ),
+                "pairs": BucketedState(
+                    pairs_rel
+                    if pairs_rel is not None
+                    else spark.createDataFrame([], _PAIR_SCHEMA),
+                    ["a_id", "b_id"],
+                    n_buckets=self._N_BUCKETS,
+                    touched=touched_pairs,
+                ),
+            },
+        )
+        self._save_seq = seq
 
     # -- streaming side -----------------------------------------------------
 
-    def _batch_chunks(self, batch_documents: DataFrame) -> list:
+    def _batch_chunks(self, batch_documents: DataFrame) -> DataFrame:
         """Distributed chunking identical to the batch operator: distinct
-        (media_id, chash) of fixed-size payload slices."""
+        (media_id, chash) of fixed-size payload slices — a RELATION, never
+        collected."""
         m = documents_as_media(batch_documents).select(
             "media_id", "payload", "n_bytes"
         )
@@ -103,63 +208,147 @@ class MediaChunkDedupAccumulator:
                 ).alias("chash"),
             )
             .distinct()
-            .collect()  # bounded by the BATCH's chunk count
         )
 
     def add_batch(
         self, batch_documents: DataFrame, batch_id: int | None = None
     ) -> None:
-        """foreachBatch hook: count each new media's shared chunks against
-        every previously-seen owner (and earlier media of the same batch,
-        in media_id order), then fold the batch into state."""
-        # Transactional fold ordering (T6, the streaming/cep.py
-        # discipline): replay guard CHECKED here, batch id COMMITTED only
-        # after the fold succeeds — a batch whose Spark job fails and is
-        # retried under the same epoch id re-folds instead of being
-        # misclassified as a replay.
+        """Fold one micro-batch: window algebra counts each new media's
+        shared chunks against every previously-seen owner (and earlier
+        media of the same batch, in media_id order) — all relation-side."""
+        spark = batch_documents.sparkSession
+        if not self._restored:
+            self._restore(spark)
+        # replay guard CHECKED here, state/batch id COMMITTED at the end
+        # (T6 fold-then-commit)
         if batch_id is not None:
             if self.last_batch_id is not None and batch_id <= self.last_batch_id:
-                return  # replay — already folded
-        rows = self._batch_chunks(batch_documents)
-        self.n_batches += 1
-        by_media: dict[int, list[str]] = defaultdict(list)
-        for r in rows:
-            by_media[r["media_id"]].append(r["chash"])
-        # media_id order within the batch = deterministic intra-batch
-        # pairing; pairs are stored ORIENTATION-NORMALIZED (min, max) so
-        # out-of-id-order arrival across batches still matches the batch
-        # operator's a_id < b_id schema, and a media_id re-delivered
-        # under a new batch id neither self-pairs nor double-registers.
-        for mid in sorted(by_media):
-            shared: dict[int, int] = defaultdict(int)
-            for ch in by_media[mid]:
-                own = self.owners.get(ch)
-                if own is not None and len(own) <= self.owner_cap:
-                    for prior in own:
-                        if prior != mid:  # re-delivery: never self-pair
-                            shared[prior] += 1
-            for prior, n in shared.items():
-                if n >= self.min_shared:
-                    self.pairs[(min(prior, mid), max(prior, mid))] = n
-            for ch in by_media[mid]:
-                own = self.owners.setdefault(ch, [])
-                if len(own) <= self.owner_cap and mid not in own:
-                    own.append(mid)
-                self.last_seen[ch] = self.n_batches
-        self._evict()
+                return  # replay of a COMMITTED batch — already folded
+        n = self.n_batches + 1
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+        bc = self._batch_chunks(batch_documents).localCheckpoint(eager=True)
+
+        if self.owner_rel is not None:
+            ow = self.owner_rel
+            e_cnt = ow.groupBy("chash").agg(F.count(F.lit(1)).alias("_e"))
+            already = bc.join(
+                ow.select("chash", "media_id").withColumn("_own", F.lit(1)),
+                ["chash", "media_id"],
+                "left",
+            )
+        else:
+            ow = spark.createDataFrame([], _OWNER_SCHEMA)
+            e_cnt = ow.groupBy("chash").agg(F.count(F.lit(1)).alias("_e"))
+            already = bc.withColumn("_own", F.lit(None).cast("int"))
+
+        w = Window.partitionBy("chash").orderBy("media_id")
+        marked = (
+            already.withColumn(
+                "_already", F.when(F.col("_own").isNotNull(), 1).otherwise(0)
+            )
+            .withColumn("_r", F.row_number().over(w))
+            .withColumn(
+                "_cum_already",
+                F.coalesce(
+                    F.sum("_already").over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .join(e_cnt, "chash", "left")
+            .withColumn("_e", F.coalesce(F.col("_e"), F.lit(0)))
+            # owner-list length this media observes at its turn — the
+            # loop invariant the old driver code maintained in place
+            .withColumn(
+                "_before",
+                F.col("_e") + F.col("_r") - 1 - F.col("_cum_already"),
+            )
+            .localCheckpoint(eager=True)  # reused 3×
+        )
+        counted = marked.filter(F.col("_before") <= self.owner_cap)
+
+        # partners: existing owners of the chash (≠ self — re-delivery)…
+        from_existing = counted.alias("c").join(
+            ow.select("chash", F.col("media_id").alias("_p")), "chash"
+        ).filter(F.col("_p") != F.col("media_id"))
+        # …plus earlier unregistered batch media (registered ones are in
+        # the owner relation already — counted by from_existing)
+        from_batch = (
+            counted.alias("c")
+            .join(
+                marked.filter(F.col("_already") == 0)
+                .select(
+                    "chash",
+                    F.col("media_id").alias("_p"),
+                    F.col("_r").alias("_pr"),
+                )
+                .alias("b"),
+                "chash",
+            )
+            .filter(F.col("_pr") < F.col("_r"))
+        )
+        new_pairs = (
+            from_existing.select("chash", "media_id", "_p")
+            .unionByName(from_batch.select("chash", "media_id", "_p"))
+            .groupBy(
+                F.least(F.col("media_id"), F.col("_p")).alias("a_id"),
+                F.greatest(F.col("media_id"), F.col("_p")).alias("b_id"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("shared_chunks"))
+            .filter(F.col("shared_chunks") >= self.min_shared)
+            .localCheckpoint(eager=True)  # reused: fold + save
+        )
+
+        # pair fold: orientation-normalized keys overwrite (re-delivery
+        # recounts idempotently — the old dict-assignment semantics)
+        if self.pairs_rel is not None:
+            new_pairs_rel = (
+                self.pairs_rel.join(new_pairs, ["a_id", "b_id"], "anti")
+                .unionByName(new_pairs)
+            )
+        else:
+            new_pairs_rel = new_pairs
+        new_pairs_rel = eager_checkpoint(new_pairs_rel.coalesce(width))
+
+        # owner fold: registered rows restamp last_seen, unregistered
+        # batch media under the cap append, untouched chashes carry over
+        appended = marked.filter(
+            (F.col("_already") == 0) & (F.col("_before") <= self.owner_cap)
+        ).select(
+            "chash", "media_id", F.lit(n).cast("long").alias("last_seen")
+        )
+        touched_chashes = bc.select("chash").distinct()
+        if self.owner_rel is not None:
+            untouched = self.owner_rel.join(touched_chashes, "chash", "anti")
+            restamped = (
+                self.owner_rel.join(touched_chashes, "chash", "semi")
+                .select("chash", "media_id")
+                .withColumn("last_seen", F.lit(n).cast("long"))
+            )
+            new_owner = untouched.unionByName(restamped).unionByName(appended)
+        else:
+            new_owner = appended
+        # idle retention (T5) decided relation-side
+        if self.retention_batches is not None:
+            horizon = n - self.retention_batches
+            if horizon > 0:
+                new_owner = new_owner.filter(F.col("last_seen") > horizon)
+        new_owner = eager_checkpoint(new_owner.coalesce(width))
+
+        # durable save from the NEW state, then commit memory + batch id
+        if self.store is not None and batch_id is not None:
+            self._save(
+                spark, batch_id, new_owner, new_pairs_rel, n,
+                touched_chashes=touched_chashes,
+                touched_pairs=new_pairs.select("a_id", "b_id"),
+            )
+        self.owner_rel = new_owner
+        self.pairs_rel = new_pairs_rel
+        self.n_batches = n
         if batch_id is not None:
             self.last_batch_id = int(batch_id)
-
-    def _evict(self) -> None:
-        if self.retention_batches is None:
-            return
-        horizon = self.n_batches - self.retention_batches
-        if horizon <= 0:
-            return
-        for ch in [c for c, b in self.last_seen.items() if b <= horizon]:
-            del self.last_seen[ch]
-            self.owners.pop(ch, None)
 
     def attach(self, stream_documents: DataFrame, **start_kwargs):
         """Wire onto a streaming DataFrame via foreachBatch and start."""
@@ -171,14 +360,43 @@ class MediaChunkDedupAccumulator:
 
     # -- query side ---------------------------------------------------------
 
+    @property
+    def owners(self) -> dict:
+        """Diagnostic/test accessor: {chash: [owner media_ids]} —
+        COLLECTS the owner relation; never part of the fold path."""
+        out: dict = {}
+        if self.owner_rel is None:
+            return out
+        for r in self.owner_rel.collect():
+            out.setdefault(r["chash"], []).append(r["media_id"])
+        for v in out.values():
+            v.sort()
+        return out
+
+    @property
+    def last_seen(self) -> dict:
+        """Diagnostic/test accessor: {chash: last fold index} — collects."""
+        if self.owner_rel is None:
+            return {}
+        return {
+            r["chash"]: r["last_seen"] for r in self.owner_rel.collect()
+        }
+
+    @property
+    def pairs(self) -> dict:
+        """Diagnostic/test accessor: {(a_id, b_id): n} — collects."""
+        if self.pairs_rel is None:
+            return {}
+        return {
+            (r["a_id"], r["b_id"]): r["shared_chunks"]
+            for r in self.pairs_rel.collect()
+        }
+
     def result(self, spark: SparkSession) -> DataFrame:
         """Accumulated duplicate pairs — same schema and (under the
-        equality contract above) same rows as the batch operator."""
-        out = [
-            (a, b, int(n))
-            for (a, b), n in sorted(self.pairs.items())
-            if n >= self.min_shared
-        ]
-        return spark.createDataFrame(
-            out, "a_id long, b_id long, shared_chunks long"
+        equality contract) same rows as the batch operator."""
+        if self.pairs_rel is None:
+            return spark.createDataFrame([], _PAIR_SCHEMA)
+        return self.pairs_rel.filter(
+            F.col("shared_chunks") >= self.min_shared
         )

@@ -4,25 +4,34 @@ maintained across micro-batches — the third member of the behavioral
 streaming trio (transitions.py gives the Markov edges, windows.py the
 session envelopes, this the full-path distribution).
 
-Per micro-batch the HEAVY work stays distributed: one batch-sized Spark
-job sessionizes the batch with the SAME lag+running-sum recipe as the
-batch operator and folds each within-batch session to (ordered type
-list capped at max_steps, first/last event micro-times) — the collect
-is bounded by the batch's session count, never corpus lifetime. The
-driver stitches batch boundaries: a user's stored OPEN session absorbs
-their first batch session when the gap is within the session threshold
-(paths concatenate, still capped), every non-final session closes into
-an additive path→count map, and the user's last session stays open.
-State is O(active users) open-session tuples + the path-frequency map
-(bounded by the observed path-head, itself ≤ |types|^max_steps).
+Since round 13 the open-session state is a DISTRIBUTED relation
+``(user_id, types array ≤ max_steps, last_us, _last_fold)`` (r12
+verdict #1 — the driver ``open``/``last_active`` dicts grew with the
+corpus's active users). Per micro-batch:
 
-Ordering contract: per-user batch-monotone delivery (the PK-keyed Kafka
-guarantee, S6); within a batch any order (the window sorts). Replays
-are idempotent by batch id. Idle retention (T5): users idle for
-``retention_batches`` have their open session CLOSED into the counts
-and their state evicted — exactly what a session timeout means, so
-eviction here is semantics, not approximation, provided the retention
-horizon ≥ the session gap in batch time.
+- the batch sessionizes with the SAME lag+running-sum recipe as the
+  batch operator, folding to per-session (user_id, session_idx, types,
+  first_us, last_us) rows — a RELATION, never collected;
+- boundary stitching is decided by ONE join of the batch's first
+  sessions against the open relation: an open session within the gap
+  absorbs the first batch session (arrays concatenate, still capped);
+  otherwise it closes. Every non-final batch session closes by
+  construction. All relation-side — the old per-user driver loop is
+  gone.
+- closed sessions fold to (path, n) counts; ONLY that path-bounded
+  aggregate crosses to the driver (O(results): distinct paths are
+  ≤ Σ|types|^k, k ≤ max_steps — the same bound that made the counts
+  dict safe before).
+- idle retention (T5): users idle past ``retention_batches`` have
+  their open session CLOSED into the counts (a session timeout is
+  semantics, not approximation) and their rows dropped — both decided
+  relation-side.
+
+Durable state rides ``BucketedState`` when ``store_root`` is given.
+Replays are idempotent by batch id; fold-then-commit (T6): folds land
+in locals/fresh relations, ``self.*`` + ``last_batch_id`` commit only
+after every Spark phase (and the durable save) succeeds — pinned by
+tests/test_round12.py's failure-at-the-last-step retry test.
 
 Equality pin (tests/test_round10.py): fed any batch-monotone split,
 ``result()`` (closed + still-open paths) equals the batch operator's
@@ -36,44 +45,135 @@ from collections import defaultdict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
+from flink_streaming_etl_spark.ckpt import eager_checkpoint
 from flink_streaming_etl_spark.operators.analytics import (
     PATH_GAP_MINUTES,
     PATH_MAX_STEPS,
 )
 
+_OPEN_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("types", ArrayType(StringType())),
+        StructField("last_us", LongType()),
+        StructField("_last_fold", LongType()),
+    ]
+)
+
 
 class EventPathAccumulator:
-    """Incremental gap-session path counting with bounded state."""
+    """Incremental gap-session path counting, state relation-side."""
+
+    _N_BUCKETS = 64
 
     def __init__(
         self,
         gap_minutes: int = PATH_GAP_MINUTES,
         max_steps: int = PATH_MAX_STEPS,
         retention_batches: int | None = None,
+        store_root: str | None = None,
+        spark: SparkSession | None = None,
     ):
         self.gap_us = gap_minutes * 60 * 1_000_000
         self.max_steps = max_steps
         self.retention_batches = retention_batches
-        #: user_id -> (types tuple ≤ max_steps, last event us) of the OPEN session
-        self.open: dict = {}
-        self.last_active: dict = {}
+        #: OPEN sessions as a DISTRIBUTED relation (never a driver dict)
+        self.open_rel: DataFrame | None = None
+        #: path → n_sessions — bounded by the observed path-head
+        #: (≤ Σ|types|^k), the same bound as before
         self.counts: dict[str, int] = defaultdict(int)
         self.n_batches = 0
         self.last_batch_id: int | None = None
+        self._save_seq = 0
+        self.store = None
+        self._restored = True
+        if store_root is not None:
+            from flink_streaming_etl_spark.streaming.state_store import (
+                AccumulatorStateStore,
+            )
+
+            self.store = AccumulatorStateStore(store_root)
+            self._restored = False
+            if spark is not None:
+                self._restore(spark)
+
+    # -- durability -------------------------------------------------------
+
+    def _restore(self, spark: SparkSession) -> None:
+        self._restored = True
+        loaded = self.store.load(spark)
+        if loaded is None:
+            return
+        bid, rels, extra = loaded
+        self._save_seq = bid
+        self.last_batch_id = extra.get("last_batch_id", bid)
+        self.n_batches = int(extra.get("n_batches", 0))
+        self.counts = defaultdict(
+            int, {k: int(v) for k, v in extra.get("counts", {}).items()}
+        )
+        if "open" in rels:
+            self.open_rel = rels["open"].localCheckpoint(eager=True)
+
+    def _save(
+        self,
+        spark: SparkSession,
+        last_bid: int | None,
+        open_rel: DataFrame | None,
+        counts: dict,
+        n_batches: int,
+        touched_users: DataFrame | None,
+    ) -> None:
+        if self.store is None:
+            return
+        from flink_streaming_etl_spark.streaming.state_store import (
+            BucketedState,
+        )
+
+        seq = self._save_seq + 1
+        self.store.save(
+            seq,
+            {},
+            extra={
+                "last_batch_id": last_bid,
+                "n_batches": n_batches,
+                "counts": dict(counts),
+            },
+            bucketed={
+                "open": BucketedState(
+                    open_rel
+                    if open_rel is not None
+                    else spark.createDataFrame([], _OPEN_SCHEMA),
+                    ["user_id"],
+                    n_buckets=self._N_BUCKETS,
+                    touched=touched_users,
+                )
+            },
+        )
+        self._save_seq = seq
 
     # -- streaming side -----------------------------------------------------
 
     def add_batch(self, batch_events: DataFrame, batch_id: int | None = None) -> None:
-        # Transactional fold ordering (T6, the streaming/cep.py
-        # discipline): replay guard CHECKED here, all state and the batch
-        # id COMMITTED only after the whole fold succeeds — a mid-fold
-        # failure (e.g. in the sessionize job) retried under the same
-        # epoch id re-folds cleanly instead of being skipped as a replay.
+        spark = batch_events.sparkSession
+        if not self._restored:
+            self._restore(spark)
+        # Transactional fold ordering (T6): replay guard CHECKED here,
+        # all state and the batch id COMMITTED only after the whole fold
+        # succeeds — a mid-fold failure retried under the same epoch id
+        # re-folds cleanly instead of being skipped as a replay.
         if batch_id is not None:
             if self.last_batch_id is not None and batch_id <= self.last_batch_id:
                 return  # replay of a COMMITTED batch — already folded
         n_batches = self.n_batches + 1
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
         us = F.unix_micros(F.col("ts").cast("timestamp"))
         w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
@@ -81,7 +181,8 @@ class EventPathAccumulator:
         is_new = F.when(
             prev_us.isNull() | ((us - prev_us) > self.gap_us), 1
         ).otherwise(0)
-        sessions = (
+        wu = Window.partitionBy("user_id")
+        sess = (
             batch_events.withColumn(
                 "session_idx",
                 F.sum(is_new).over(
@@ -105,70 +206,175 @@ class EventPathAccumulator:
                 F.min(us).alias("first_us"),
                 F.max(us).alias("last_us"),
             )
-            .collect()  # bounded by the batch's session count
+            .withColumn("_k", F.max("session_idx").over(wu))
+            .localCheckpoint(eager=True)  # reused: stitch, close, open fold
+        )
+
+        open_cols = (
+            self.open_rel.select(
+                "user_id",
+                F.col("types").alias("_open_types"),
+                F.col("last_us").alias("_open_last_us"),
+            )
+            if self.open_rel is not None
+            else None
+        )
+        cap = self.max_steps
+        path_of = lambda c: F.concat_ws(">", F.slice(c, 1, cap))  # noqa: E731
+
+        if open_cols is not None:
+            first = sess.filter(F.col("session_idx") == 1).join(
+                open_cols, "user_id", "left"
+            )
+            stitched = F.col("_open_types").isNotNull() & (
+                (F.col("first_us") - F.col("_open_last_us")) <= self.gap_us
+            )
+            # stored open sessions that do NOT stitch close now
+            closed_from_open = first.filter(
+                F.col("_open_types").isNotNull() & ~stitched
+            ).select(path_of(F.col("_open_types")).alias("path"))
+            merged_types = F.when(
+                stitched,
+                F.slice(
+                    F.concat(F.col("_open_types"), F.col("types")), 1, cap
+                ),
+            ).otherwise(F.slice(F.col("types"), 1, cap))
+            first = first.select(
+                "user_id",
+                F.col("session_idx"),
+                merged_types.alias("types"),
+                "first_us",
+                "last_us",
+                "_k",
+            )
+            rest = sess.filter(F.col("session_idx") > 1).select(
+                "user_id", "session_idx",
+                F.slice(F.col("types"), 1, cap).alias("types"),
+                "first_us", "last_us", "_k",
+            )
+            resolved = first.unionByName(rest)
+        else:
+            closed_from_open = None
+            resolved = sess.select(
+                "user_id", "session_idx",
+                F.slice(F.col("types"), 1, cap).alias("types"),
+                "first_us", "last_us", "_k",
+            )
+        resolved = resolved.localCheckpoint(eager=True)  # reused 2×
+
+        # every non-final batch session closes by construction
+        closed_batch = resolved.filter(
+            F.col("session_idx") < F.col("_k")
+        ).select(path_of(F.col("types")).alias("path"))
+        closed = (
+            closed_batch
+            if closed_from_open is None
+            else closed_batch.unionByName(closed_from_open)
+        )
+
+        # the final batch session per user stays (or becomes) open
+        stamped = resolved.filter(F.col("session_idx") == F.col("_k")).select(
+            "user_id",
+            "types",
+            F.col("last_us").cast("long").alias("last_us"),
+            F.lit(n_batches).cast("long").alias("_last_fold"),
+        )
+        users_df = sess.select("user_id").distinct()
+        if self.open_rel is not None:
+            untouched = self.open_rel.join(
+                F.broadcast(users_df), "user_id", "anti"
+            )
+        else:
+            untouched = None
+
+        # idle retention (T5): a session timeout CLOSES the session —
+        # decided relation-side on the carried fold stamp
+        evicted_paths = None
+        if (
+            self.retention_batches is not None
+            and untouched is not None
+        ):
+            horizon = n_batches - self.retention_batches
+            if horizon > 0:
+                idle = F.col("_last_fold") <= horizon
+                evicted_paths = untouched.filter(idle).select(
+                    path_of(F.col("types")).alias("path")
+                )
+                untouched = untouched.filter(~idle)
+        if evicted_paths is not None:
+            closed = closed.unionByName(evicted_paths)
+
+        new_open = (
+            stamped
+            if untouched is None
+            else untouched.unionByName(stamped)
+        )
+        new_open = eager_checkpoint(new_open.coalesce(width))
+
+        # ONLY the path-bounded aggregate crosses to the driver
+        closed_counts = (
+            closed.groupBy("path").agg(F.count(F.lit(1)).alias("n")).collect()
         )
 
         # fold into LOCAL copies; self.* commits only at the end
-        open_ = dict(self.open)
         counts = defaultdict(int, self.counts)
-        last_active = dict(self.last_active)
-        by_user: dict = defaultdict(list)
-        for r in sessions:
-            by_user[r["user_id"]].append(r)
-        for uid, sess in by_user.items():
-            sess.sort(key=lambda r: r["session_idx"])
-            prev = open_.pop(uid, None)
-            if prev is not None:
-                types, last_us = prev
-                first = sess[0]
-                if first["first_us"] - last_us <= self.gap_us:
-                    # stitch: the stored open session continues
-                    merged = (list(types) + list(first["types"]))[: self.max_steps]
-                    sess[0] = {
-                        "types": merged,
-                        "last_us": first["last_us"],
-                    }
-                else:
-                    counts[">".join(types)] += 1
-            # every non-final batch session is closed by construction
-            for r in sess[:-1]:
-                counts[">".join(list(r["types"])[: self.max_steps])] += 1
-            last = sess[-1]
-            open_[uid] = (
-                tuple(list(last["types"])[: self.max_steps]),
-                last["last_us"],
+        for r in closed_counts:
+            counts[r["path"]] += int(r["n"])
+        self._evict()
+        if self.store is not None and batch_id is not None:
+            self._save(
+                spark, batch_id, new_open, counts, n_batches,
+                touched_users=users_df,
             )
-            last_active[uid] = n_batches
-        self._evict(open_, counts, last_active, n_batches)
         # fold succeeded — commit memory + batch id
-        self.open = open_
+        self.open_rel = new_open
         self.counts = counts
-        self.last_active = last_active
         self.n_batches = n_batches
         if batch_id is not None:
             self.last_batch_id = int(batch_id)
 
-    def _evict(self, open_: dict, counts: dict, last_active: dict, n_batches: int) -> None:
-        if self.retention_batches is None:
-            return
-        horizon = n_batches - self.retention_batches
-        if horizon <= 0:
-            return
-        for uid in [u for u, b in last_active.items() if b <= horizon]:
-            del last_active[uid]
-            types, _ = open_.pop(uid)
-            # a session timeout CLOSES the session — semantics, not loss
-            counts[">".join(types)] += 1
+    def _evict(self) -> None:
+        """Eviction is decided relation-side inside :meth:`add_batch`;
+        this hook marks the end of the fold's Spark phases and exists as
+        the pre-commit failure-injection point the T6 retry tests pin."""
+
+    def attach(self, stream_events: DataFrame, **start_kwargs):
+        return (
+            stream_events.writeStream.outputMode("append")
+            .foreachBatch(lambda batch, bid: self.add_batch(batch, bid))
+            .start(**start_kwargs)
+        )
 
     # -- query side -----------------------------------------------------------
+
+    @property
+    def open(self) -> dict:
+        """Diagnostic/test accessor: {user_id: (types tuple, last_us)} —
+        COLLECTS the open-session relation; never part of the fold."""
+        if self.open_rel is None:
+            return {}
+        return {
+            r["user_id"]: (tuple(r["types"]), r["last_us"])
+            for r in self.open_rel.collect()
+        }
 
     def result(self, spark: SparkSession, include_open: bool = True) -> DataFrame:
         """Path frequencies (path, n_sessions); ``include_open`` folds the
         still-open sessions in, matching the batch operator on a full
         replay (the batch view has no notion of 'open')."""
-        total: dict[str, int] = defaultdict(int, self.counts)
-        if include_open:
-            for types, _ in self.open.values():
-                total[">".join(types)] += 1
-        rows = [(p, n) for p, n in total.items()]
-        return spark.createDataFrame(rows, "path string, n_sessions long")
+        closed = spark.createDataFrame(
+            [(p, n) for p, n in self.counts.items()],
+            "path string, n_sessions long",
+        )
+        if not include_open or self.open_rel is None:
+            return closed
+        open_paths = self.open_rel.select(
+            F.concat_ws(">", F.slice(F.col("types"), 1, self.max_steps)).alias(
+                "path"
+            )
+        ).groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        return (
+            closed.unionByName(open_paths)
+            .groupBy("path")
+            .agg(F.sum("n_sessions").cast("long").alias("n_sessions"))
+        )

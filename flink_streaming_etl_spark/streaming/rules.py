@@ -131,23 +131,30 @@ class BroadcastRuleEngine:
     # -- rules side ------------------------------------------------------
 
     def add_rules_batch(
-        self, rules_changelog: DataFrame, batch_id: int | None = None
+        self,
+        rules_changelog: DataFrame,
+        batch_id: int | None = None,
+        seq_col: str | None = None,
     ) -> None:
         """Fold one rules micro-batch: last op per rule_id wins within
         the batch ('u' upserts, 'd' deletes), then the chunk merges over
         the current state.
 
-        Ordering caveat (the sources/cdc.py ``_seq`` trade, not a
-        guarantee): "last op wins" is ordered by
-        ``monotonically_increasing_id``, which is PARTITION-LOCAL. A
-        single-partition rules changelog (file fixtures, or one Kafka
-        partition — the reference keys control topics by rule id, so
-        per-key order holds) resolves in arrival order; a
-        multi-partition batch where the same rule_id lands in different
-        partitions resolves in partition-layout order instead. Sources
-        that carry a real sequence (Kafka offset, Debezium ts_ms+pos)
-        should pre-sort or pre-dedupe the batch on it before handing it
-        here."""
+        ``seq_col`` (r12 verdict #8) names a REAL per-record sequence
+        column carried by the source — Kafka offset, Debezium
+        ``ts_ms``+``pos``, a CDC LSN — and makes "last op wins"
+        layout-independent: ties resolve by the highest ``seq_col``
+        value per rule_id regardless of how the batch's partitions are
+        laid out. The column is consumed here (not part of rule state).
+
+        Without it, the fallback ordering is the sources/cdc.py
+        ``_seq`` trade, not a guarantee: ``monotonically_increasing_id``
+        is PARTITION-LOCAL, so a single-partition rules changelog (file
+        fixtures, or one Kafka partition — the reference keys control
+        topics by rule id, so per-key order holds) resolves in arrival
+        order, while a multi-partition batch where the same rule_id
+        lands in different partitions resolves in partition-layout
+        order instead."""
         spark = rules_changelog.sparkSession
         if not self._restored:
             self._restore(spark)
@@ -157,9 +164,12 @@ class BroadcastRuleEngine:
             and batch_id <= self.last_rules_batch_id
         ):
             return
-        chunk = rules_changelog.withColumn(
-            "_seq", F.monotonically_increasing_id()
-        )
+        if seq_col is not None:
+            chunk = rules_changelog.withColumn("_seq", F.col(seq_col))
+        else:
+            chunk = rules_changelog.withColumn(
+                "_seq", F.monotonically_increasing_id()
+            )
         w = Window.partitionBy("rule_id").orderBy(F.col("_seq").desc())
         last = (
             chunk.withColumn("_rk", F.row_number().over(w))

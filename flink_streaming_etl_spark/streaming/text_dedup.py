@@ -2,136 +2,262 @@
 dedup maintained across micro-batches — the streaming twin of
 :func:`~flink_streaming_etl_spark.operators.dedup.bloom_incremental_dedup`
 (the batch operator models ONE day's batch against a static corpus; this
-accumulator is the daily loop itself, closing the text dedup tier the way
-``streaming/media_dedup.py`` closed the media tier in round 8).
+accumulator is the daily loop itself).
 
-Per micro-batch the HEAVY work stays distributed: one batch-sized Spark
-job normalizes and fingerprints the batch's documents (identical prefix
-key to the batch operator), emitting distinct (doc_id, fp) rows; the
-driver collect is bounded by the BATCH size, never corpus volume. Driver
-state is two-tier, mirroring the batch operator's scale design:
+Since round 13 the state is fully DISTRIBUTED (r12 verdict #1 — the
+driver ``fp → first_owner`` dict and per-row decision loop were the
+repo's canonical 100-TB bottleneck class):
 
-- a **Bloom bit-set over seen fingerprints** (same BLOOM_BITS /
-  BLOOM_HASHES parameters, same md5-salted positions): the O(1)-memory
-  tier that survives 100 TB — at scale THIS is the broadcast state and
-  candidates pay an exact verification join;
-- an **exact fp → first-owner map** standing in for that verification
-  join locally, so decisions here are exact (no false positives), which
-  is what the equality pin against the batch operator checks;
-- **idle retention** (T5 discipline, like ``streaming/anomaly.py``):
-  with ``retention_batches=N``, fingerprints unseen for N batches are
-  evicted from the exact map (the bloom bits, being the bounded tier,
-  only reset wholesale — documented one-way growth, exactly a
-  production rotating-bloom).
+- the seen-corpus tier is an **owner relation** ``(fp, owner,
+  last_seen)`` held as a localCheckpoint'd DataFrame, exactly the
+  ``streaming/data_quality.py`` seen-key discipline. A batch's
+  keep/drop decisions are ONE left join of the batch's distinct
+  fingerprints against it; no fingerprint ever visits the driver.
+- the keep/drop **decision log** is a relation too ``(doc_id, kept)``
+  — at corpus scale decisions are data, not driver memory; re-delivery
+  overwrites via anti∪union (last decision wins, the old dict
+  semantics).
+- the batch operator's *bloom prefilter* tier is deliberately absent
+  from the fold: it exists there to make a STATIC corpus digest
+  broadcastable, but a stateful fold must touch the owner rows of
+  every batch fingerprint anyway (retention re-stamping and the
+  new-owner append), so the anti∪union state fold subsumes the probe —
+  a bloom would add a pass without removing one. The exact-verify join
+  IS the scale path.
+- **idle retention** (T5): owner rows unseen for ``retention_batches``
+  folds are dropped relation-side (a filter on the carried
+  ``last_seen`` fold-stamp) — no driver-side eviction scan.
+- durable state rides :class:`~flink_streaming_etl_spark.streaming
+  .state_store.BucketedState` when ``store_root`` is given: a batch
+  rewrites only the buckets its touched fingerprints / doc ids hash
+  into.
 
-Replays are idempotent by batch id (same contract as the other
-accumulators). First-owner contract (pinned in tests/test_round9.py):
-seeding the corpus (even doc_ids) then feeding the incoming split (odd
-doc_ids) in batches keeps, per fingerprint, only the FIRST arriving
-owner — a SUBSET of what ``bloom_incremental_dedup`` keeps on the full
-corpus, since the batch operator keeps every incoming doc whose
-fingerprint is absent from the corpus side even when several incoming
-docs share it. The two sets are equal exactly when no fingerprint is
-duplicated only within the incoming split (ADVICE r9).
+Driver transfer per fold: O(1) scalars (the eager_checkpoint counts).
+Pinned by the round-13 collect-spy test.
+
+Replays are idempotent by batch id; the fold-then-commit ordering
+(T6) folds into locals/fresh relations and commits ``self.*`` plus
+``last_batch_id`` only after every Spark phase and the durable save
+succeed. First-owner contract (pinned in tests/test_round9.py):
+per fingerprint only the FIRST arriving owner is kept; within a batch
+the lowest doc_id wins — identical to the old per-row loop.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
-from flink_streaming_etl_spark.operators.dedup import (
-    BLOOM_BITS,
-    BLOOM_HASHES,
-    _prefix_fp,
+from flink_streaming_etl_spark.ckpt import eager_checkpoint
+from flink_streaming_etl_spark.operators.dedup import _prefix_fp
+
+_OWNER_SCHEMA = StructType(
+    [
+        StructField("fp", StringType()),
+        StructField("owner", LongType()),
+        StructField("last_seen", LongType()),
+    ]
+)
+
+_KEPT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kept", BooleanType()),
+    ]
 )
 
 
-def _bloom_positions(fp: str) -> list[int]:
-    """Driver-side twin of the batch operator's md5-salted bit positions
-    (functions.md5_int(fp, salt=f"bloom{i}") % BLOOM_BITS)."""
-    out = []
-    for i in range(BLOOM_HASHES):
-        h = hashlib.md5(f"bloom{i}:{fp}".encode()).hexdigest()[:8]
-        out.append(int(h, 16) % BLOOM_BITS)
-    return out
-
-
 class BloomTextDedupAccumulator:
-    """Incremental new-vs-corpus text dedup with bounded driver state."""
+    """Incremental new-vs-corpus text dedup with distributed state."""
 
-    def __init__(self, retention_batches: int | None = None):
+    _N_BUCKETS = 64
+
+    def __init__(
+        self,
+        retention_batches: int | None = None,
+        store_root: str | None = None,
+        spark: SparkSession | None = None,
+    ):
         self.retention_batches = retention_batches
-        self.bloom: set[int] = set()  # set bit positions (≤ BLOOM_BITS)
-        #: fp -> first owner doc_id (the exact-verify tier)
-        self.first_owner: dict[str, int] = {}
-        self.last_seen: dict[str, int] = {}
-        #: doc_id -> kept? decision log (replay-stable)
-        self.kept: dict[int, bool] = {}
+        #: fp → (owner, last_seen) as a DISTRIBUTED relation — never a
+        #: driver dict (r12 verdict #1)
+        self.owner_rel: DataFrame | None = None
+        #: (doc_id, kept) decision log, distributed
+        self.kept_rel: DataFrame | None = None
         self.n_batches = 0
         self.last_batch_id: int | None = None
-
-    # -- streaming side -----------------------------------------------------
-
-    def _batch_fps(self, batch_documents: DataFrame) -> list:
-        """Distributed fingerprinting identical to the batch operator."""
-        return (
-            batch_documents.select(
-                "doc_id", _prefix_fp(F.col("text")).alias("fp")
+        self._save_seq = 0
+        self.store = None
+        self._restored = True
+        if store_root is not None:
+            from flink_streaming_etl_spark.streaming.state_store import (
+                AccumulatorStateStore,
             )
-            .distinct()
-            .collect()  # bounded by the BATCH's row count
+
+            self.store = AccumulatorStateStore(store_root)
+            self._restored = False
+            if spark is not None:
+                self._restore(spark)
+
+    # -- durability -----------------------------------------------------
+
+    def _restore(self, spark: SparkSession) -> None:
+        self._restored = True
+        loaded = self.store.load(spark)
+        if loaded is None:
+            return
+        bid, rels, extra = loaded
+        self._save_seq = bid
+        self.last_batch_id = extra.get("last_batch_id", bid)
+        self.n_batches = int(extra.get("n_batches", 0))
+        if "owner" in rels:
+            self.owner_rel = rels["owner"].localCheckpoint(eager=True)
+        if "kept" in rels:
+            self.kept_rel = rels["kept"].localCheckpoint(eager=True)
+
+    def _save(
+        self,
+        spark: SparkSession,
+        last_bid: int | None,
+        owner_rel: DataFrame | None,
+        kept_rel: DataFrame | None,
+        n_batches: int,
+        touched_fps: DataFrame | None,
+        touched_docs: DataFrame | None,
+    ) -> None:
+        if self.store is None:
+            return
+        from flink_streaming_etl_spark.streaming.state_store import (
+            BucketedState,
         )
+
+        seq = self._save_seq + 1
+        self.store.save(
+            seq,
+            {},
+            extra={"last_batch_id": last_bid, "n_batches": n_batches},
+            bucketed={
+                "owner": BucketedState(
+                    owner_rel
+                    if owner_rel is not None
+                    else spark.createDataFrame([], _OWNER_SCHEMA),
+                    ["fp"],
+                    n_buckets=self._N_BUCKETS,
+                    touched=touched_fps,
+                ),
+                "kept": BucketedState(
+                    kept_rel
+                    if kept_rel is not None
+                    else spark.createDataFrame([], _KEPT_SCHEMA),
+                    ["doc_id"],
+                    n_buckets=self._N_BUCKETS,
+                    touched=touched_docs,
+                ),
+            },
+        )
+        self._save_seq = seq
+
+    # -- streaming side -------------------------------------------------
 
     def add_batch(
         self, batch_documents: DataFrame, batch_id: int | None = None
     ) -> None:
-        """foreachBatch hook: decide keep/drop for each batch doc against
-        the seen-corpus state (bloom prefilter, exact verify), then fold
-        the batch's fingerprints into state. Within a batch, lower doc_id
-        wins — the batch operator's deterministic keep-first rule."""
-        # Transactional fold ordering (T6, the streaming/cep.py
-        # discipline): replay guard CHECKED here, batch id COMMITTED only
-        # after the fold succeeds — a batch whose Spark job fails and is
-        # retried under the same epoch id re-folds instead of being
-        # misclassified as a replay.
+        """Fold one micro-batch: ONE distributed join decides keep/drop
+        for every batch doc against the owner relation; within a batch,
+        lower doc_id wins (the batch operator's deterministic rule)."""
+        spark = batch_documents.sparkSession
+        if not self._restored:
+            self._restore(spark)
+        # replay guard CHECKED here, state/batch id COMMITTED at the end
+        # (T6 fold-then-commit)
         if batch_id is not None:
             if self.last_batch_id is not None and batch_id <= self.last_batch_id:
-                return  # replay — already folded
-        rows = sorted(self._batch_fps(batch_documents), key=lambda r: r["doc_id"])
-        self.n_batches += 1
-        for r in rows:
-            doc_id, fp = r["doc_id"], r["fp"]
-            pos = _bloom_positions(fp)
-            candidate = all(p in self.bloom for p in pos)
-            # bloom says "maybe seen" → exact verify against the owner map
-            # (at 100 TB this is the distributed anti-join of the batch
-            # operator; a bloom false positive is caught here)
-            dup = candidate and fp in self.first_owner and (
-                self.first_owner[fp] != doc_id
-            )
-            self.kept[doc_id] = not dup
-            if fp not in self.first_owner:
-                self.first_owner[fp] = doc_id
-            self.bloom.update(pos)
-            self.last_seen[fp] = self.n_batches
-        self._evict()
+                return  # replay of a COMMITTED batch — already folded
+        n = self.n_batches + 1
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+        # distributed fingerprinting, identical key to the batch operator;
+        # checkpointed once, reused by the decision join AND the state fold
+        bf = (
+            batch_documents.select(
+                "doc_id", _prefix_fp(F.col("text")).alias("fp")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # intra-batch first owner per fingerprint
+        win = bf.groupBy("fp").agg(F.min("doc_id").alias("min_id"))
+        if self.owner_rel is not None:
+            owned = win.join(
+                self.owner_rel.select("fp", "owner"), "fp", "left"
+            )
+        else:
+            owned = win.withColumn("owner", F.lit(None).cast("long"))
+        owned = owned.localCheckpoint(eager=True)  # reused 2×
+
+        # decisions for EVERY batch doc, relation-side: a doc is kept iff
+        # its fp is unowned and it is the batch's first owner, or it IS
+        # the owner (re-delivery)
+        dec = bf.join(owned, "fp").select(
+            "doc_id",
+            F.when(
+                F.col("owner").isNull(), F.col("doc_id") == F.col("min_id")
+            )
+            .otherwise(F.col("owner") == F.col("doc_id"))
+            .alias("kept"),
+        )
+
+        # state folds into FRESH relations (commit below)
+        new_owner_rows = owned.filter(F.col("owner").isNull()).select(
+            "fp",
+            F.col("min_id").alias("owner"),
+            F.lit(n).cast("long").alias("last_seen"),
+        )
+        touched_fps = win.select("fp")
+        if self.owner_rel is not None:
+            untouched = self.owner_rel.join(touched_fps, "fp", "anti")
+            restamped = (
+                self.owner_rel.join(touched_fps, "fp", "semi")
+                .select("fp", "owner")
+                .withColumn("last_seen", F.lit(n).cast("long"))
+            )
+            new_owner = untouched.unionByName(restamped).unionByName(
+                new_owner_rows
+            )
+        else:
+            new_owner = new_owner_rows
+        # idle retention (T5) decided relation-side
+        if self.retention_batches is not None:
+            horizon = n - self.retention_batches
+            if horizon > 0:
+                new_owner = new_owner.filter(F.col("last_seen") > horizon)
+        new_owner = eager_checkpoint(new_owner.coalesce(width))
+
+        batch_docs = bf.select("doc_id").distinct()
+        if self.kept_rel is not None:
+            new_kept = self.kept_rel.join(batch_docs, "doc_id", "anti").unionByName(dec)
+        else:
+            new_kept = dec
+        new_kept = eager_checkpoint(new_kept.coalesce(width))
+
+        # durable save from the NEW state, then commit memory + batch id
+        if self.store is not None and batch_id is not None:
+            self._save(
+                spark, batch_id, new_owner, new_kept, n,
+                touched_fps=touched_fps, touched_docs=batch_docs,
+            )
+        self.owner_rel = new_owner
+        self.kept_rel = new_kept
+        self.n_batches = n
         if batch_id is not None:
             self.last_batch_id = int(batch_id)
-
-    def _evict(self) -> None:
-        if self.retention_batches is None:
-            return
-        horizon = self.n_batches - self.retention_batches
-        if horizon <= 0:
-            return
-        for fp in [f for f, b in self.last_seen.items() if b <= horizon]:
-            del self.last_seen[fp]
-            self.first_owner.pop(fp, None)
-            # bloom bits stay set — the bounded tier only rotates wholesale
 
     def attach(self, stream_documents: DataFrame, **start_kwargs):
         """Wire onto a streaming DataFrame via foreachBatch and start."""
@@ -141,14 +267,34 @@ class BloomTextDedupAccumulator:
             .start(**start_kwargs)
         )
 
-    # -- query side ---------------------------------------------------------
+    # -- query side -------------------------------------------------------
 
-    def kept_ids(self, spark: SparkSession, *, only: set[int] | None = None) -> DataFrame:
-        """Doc ids decided KEEP so far (optionally restricted to a split,
-        e.g. the odd-id incoming side of the batch operator's contract)."""
-        ids = [
-            (d,)
-            for d, keep in sorted(self.kept.items())
-            if keep and (only is None or d in only)
-        ]
-        return spark.createDataFrame(ids, "doc_id long")
+    @property
+    def kept(self) -> dict:
+        """Diagnostic/test accessor: the decision log as {doc_id: kept}.
+        COLLECTS the log relation — never part of the fold path."""
+        if self.kept_rel is None:
+            return {}
+        return {r["doc_id"]: r["kept"] for r in self.kept_rel.collect()}
+
+    @property
+    def first_owner(self) -> dict:
+        """Diagnostic/test accessor: {fp: owner doc_id} — collects."""
+        if self.owner_rel is None:
+            return {}
+        return {r["fp"]: r["owner"] for r in self.owner_rel.collect()}
+
+    def kept_ids(
+        self, spark: SparkSession, *, only: set[int] | None = None
+    ) -> DataFrame:
+        """Doc ids decided KEEP so far, as a relation (optionally
+        restricted to a split, e.g. the odd-id incoming side)."""
+        if self.kept_rel is None:
+            return spark.createDataFrame([], "doc_id long")
+        out = self.kept_rel.filter(F.col("kept")).select("doc_id")
+        if only is not None:
+            ids = spark.createDataFrame(
+                [(int(i),) for i in sorted(only)], "doc_id long"
+            )
+            out = out.join(ids, "doc_id", "semi")
+        return out

@@ -751,17 +751,25 @@ def test_simple_accumulators_failed_fold_retry_is_not_a_replay(spark, monkeypatc
             return sorted(tuple(r) for r in acc.kept_ids(spark).collect())
         return sorted(tuple(r) for r in acc.result(spark).collect())
 
+    # failure injection point per accumulator: the dict-folding ones
+    # collect their batch aggregates; the round-13 externalized ones
+    # (media/text dedup) never collect in the fold — fail their state
+    # checkpointing instead (same "Spark phase dies mid-fold" scenario)
     cases = [
-        (lambda: MisraGriesAccumulator(cap=50), doc_b),
-        (lambda: AnomalyZScoreAccumulator(), ev_b),
-        (lambda: ValueHistogramAccumulator(), ev_b),
-        (lambda: KmvDistinctAccumulator(k=16), doc_b),
-        (lambda: MediaChunkDedupAccumulator(), doc_b),
-        (lambda: BloomTextDedupAccumulator(), doc_b),
-        (lambda: EventTransitionAccumulator(), ev_b),
+        (lambda: MisraGriesAccumulator(cap=50), doc_b, "collect"),
+        (lambda: AnomalyZScoreAccumulator(), ev_b, "collect"),
+        (lambda: ValueHistogramAccumulator(), ev_b, "collect"),
+        (lambda: KmvDistinctAccumulator(k=16), doc_b, "collect"),
+        (lambda: MediaChunkDedupAccumulator(), doc_b, "localCheckpoint"),
+        (lambda: BloomTextDedupAccumulator(), doc_b, "localCheckpoint"),
+        (lambda: EventTransitionAccumulator(), ev_b, "collect"),
     ]
-    orig_collect = ClassicDataFrame.collect
-    for mk, batches in cases:
+    originals = {
+        "collect": ClassicDataFrame.collect,
+        "localCheckpoint": ClassicDataFrame.localCheckpoint,
+    }
+    for mk, batches, inject in cases:
+        orig_fn = originals[inject]
         clean = mk()
         for i, b in enumerate(batches):
             clean.add_batch(b, batch_id=i)
@@ -772,13 +780,13 @@ def test_simple_accumulators_failed_fold_retry_is_not_a_replay(spark, monkeypatc
         # arm a one-shot failure in the Spark phase of the NEXT fold
         armed = {"on": True}
 
-        def flaky(self):
+        def flaky(self, *a, **kw):
             if armed["on"]:
                 armed["on"] = False
                 raise RuntimeError("transient executor loss")
-            return orig_collect(self)
+            return orig_fn(self, *a, **kw)
 
-        monkeypatch.setattr(ClassicDataFrame, "collect", flaky)
+        monkeypatch.setattr(ClassicDataFrame, inject, flaky)
         try:
             with pytest.raises(RuntimeError):
                 acc.add_batch(batches[1], batch_id=1)
@@ -786,7 +794,7 @@ def test_simple_accumulators_failed_fold_retry_is_not_a_replay(spark, monkeypatc
             assert acc.last_batch_id == 0, type(acc).__name__
             acc.add_batch(batches[1], batch_id=1)
         finally:
-            monkeypatch.setattr(ClassicDataFrame, "collect", orig_collect)
+            monkeypatch.setattr(ClassicDataFrame, inject, orig_fn)
         assert acc.last_batch_id == 1, type(acc).__name__
         assert state(acc) == want, type(acc).__name__
         # and a genuine replay is still a no-op

@@ -1,0 +1,469 @@
+"""Round 13: the four externalized streaming accumulators (r12 verdict
+task #1) — distributed state relations, O(results) driver transfer
+(collect-spy pinned), durable BucketedState save/restore — plus the
+native ``applyInPandasWithState`` transition twin (task #6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_streaming_etl_spark.api import load_tables
+from tests.conftest import SF_SMOKE
+
+
+def _tables(spark):
+    return load_tables(spark, SF_SMOKE, register=False)
+
+
+class _CollectSpy:
+    """Counts rows transferred through ClassicDataFrame.collect."""
+
+    def __init__(self, monkeypatch):
+        from pyspark.sql.classic.dataframe import DataFrame as ClassicDataFrame
+
+        self.calls: list[int] = []
+        self._cls = ClassicDataFrame
+        self._orig = ClassicDataFrame.collect
+        self._mp = monkeypatch
+
+    def __enter__(self):
+        orig = self._orig
+        calls = self.calls
+
+        def spy(df):
+            out = orig(df)
+            calls.append(len(out))
+            return out
+
+        self._mp.setattr(self._cls, "collect", spy)
+        return self
+
+    def __exit__(self, *exc):
+        self._mp.setattr(self._cls, "collect", self._orig)
+
+
+def _doc_batches(spark, n_batches=2, limit=60):
+    t = _tables(spark)
+    docs = t["documents"].orderBy("doc_id").limit(limit).collect()
+    cut = len(docs) // n_batches
+    return [
+        spark.createDataFrame(docs[i * cut : (i + 1) * cut if i < n_batches - 1 else None],
+                              t["documents"].schema)
+        for i in range(n_batches)
+    ]
+
+
+def _event_batches(spark, n_batches=2, limit=300):
+    t = _tables(spark)
+    ev = t["events"].orderBy("ts", "event_id").limit(limit).collect()
+    cut = len(ev) // n_batches
+    return [
+        spark.createDataFrame(ev[i * cut : (i + 1) * cut if i < n_batches - 1 else None],
+                              t["events"].schema)
+        for i in range(n_batches)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Collect-spy pins: driver transfer per fold is O(results), never O(state)
+
+
+def test_text_dedup_fold_never_collects(spark, monkeypatch):
+    """The r12-verdict bottleneck is gone: a BloomTextDedupAccumulator
+    fold moves ZERO rows to the driver — decisions and owner state are
+    relations."""
+    from pyspark.sql import DataFrame
+
+    from flink_streaming_etl_spark.streaming.text_dedup import (
+        BloomTextDedupAccumulator,
+    )
+
+    acc = BloomTextDedupAccumulator()
+    for i, b in enumerate(_doc_batches(spark)):
+        with _CollectSpy(monkeypatch) as spy:
+            acc.add_batch(b, batch_id=i)
+        assert spy.calls == [], spy.calls
+    assert isinstance(acc.owner_rel, DataFrame)
+    assert isinstance(acc.kept_rel, DataFrame)
+    assert not hasattr(acc, "bloom") and "first_owner" not in vars(acc)
+
+
+def test_media_dedup_fold_never_collects(spark, monkeypatch):
+    from pyspark.sql import DataFrame
+
+    from flink_streaming_etl_spark.streaming.media_dedup import (
+        MediaChunkDedupAccumulator,
+    )
+
+    acc = MediaChunkDedupAccumulator()
+    for i, b in enumerate(_doc_batches(spark)):
+        with _CollectSpy(monkeypatch) as spy:
+            acc.add_batch(b, batch_id=i)
+        assert spy.calls == [], spy.calls
+    assert isinstance(acc.owner_rel, DataFrame)
+    assert isinstance(acc.pairs_rel, DataFrame)
+    assert "owners" not in vars(acc) and "pairs" not in vars(acc)
+
+
+def test_transitions_driver_transfer_is_matrix_bounded(spark, monkeypatch):
+    """The per-user state never crosses to the driver — only the two
+    |types|²-bounded (from, to) aggregates do."""
+    from pyspark.sql import DataFrame
+
+    from flink_streaming_etl_spark.streaming.transitions import (
+        EventTransitionAccumulator,
+    )
+
+    batches = _event_batches(spark)
+    n_types = _tables(spark)["events"].select("event_type").distinct().count()
+    bound = n_types * n_types
+    acc = EventTransitionAccumulator()
+    for i, b in enumerate(batches):
+        with _CollectSpy(monkeypatch) as spy:
+            acc.add_batch(b, batch_id=i)
+        assert len(spy.calls) <= 2 and all(c <= bound for c in spy.calls), spy.calls
+    assert isinstance(acc.last_rel, DataFrame)
+    assert "last_event" not in vars(acc) and "last_active" not in vars(acc)
+
+
+def test_paths_driver_transfer_is_path_bounded(spark, monkeypatch):
+    """Open-session state stays distributed; only the closed-path count
+    aggregate (bounded by distinct paths, not users) is collected."""
+    from pyspark.sql import DataFrame
+
+    from flink_streaming_etl_spark.streaming.paths import EventPathAccumulator
+
+    batches = _event_batches(spark)
+    acc = EventPathAccumulator()
+    for i, b in enumerate(batches):
+        with _CollectSpy(monkeypatch) as spy:
+            acc.add_batch(b, batch_id=i)
+        # one collect: the (path, n) aggregate of the batch's closures
+        assert len(spy.calls) <= 1, spy.calls
+    assert isinstance(acc.open_rel, DataFrame)
+    assert "last_active" not in vars(acc) and "open" not in vars(acc)
+
+
+# ---------------------------------------------------------------------------
+# Durable save/restore (BucketedState) for the four externalized twins
+
+
+def test_text_dedup_store_restore(spark, tmp_path):
+    from flink_streaming_etl_spark.streaming.text_dedup import (
+        BloomTextDedupAccumulator,
+    )
+
+    b0, b1 = _doc_batches(spark)
+    root = str(tmp_path / "td")
+    acc = BloomTextDedupAccumulator(store_root=root, spark=spark)
+    acc.add_batch(b0, batch_id=0)
+    acc.add_batch(b1, batch_id=1)
+    want = sorted(tuple(r) for r in acc.kept_ids(spark).collect())
+
+    fresh = BloomTextDedupAccumulator(store_root=root, spark=spark)
+    assert sorted(tuple(r) for r in fresh.kept_ids(spark).collect()) == want
+    # the restored replay guard skips the already-folded batch
+    fresh.add_batch(b1, batch_id=1)
+    assert sorted(tuple(r) for r in fresh.kept_ids(spark).collect()) == want
+
+
+def test_media_dedup_store_restore(spark, tmp_path):
+    from flink_streaming_etl_spark.streaming.media_dedup import (
+        MediaChunkDedupAccumulator,
+    )
+
+    b0, b1 = _doc_batches(spark)
+    root = str(tmp_path / "md")
+    acc = MediaChunkDedupAccumulator(store_root=root, spark=spark)
+    acc.add_batch(b0, batch_id=0)
+    acc.add_batch(b1, batch_id=1)
+    want = sorted(tuple(r) for r in acc.result(spark).collect())
+
+    fresh = MediaChunkDedupAccumulator(store_root=root, spark=spark)
+    assert sorted(tuple(r) for r in fresh.result(spark).collect()) == want
+    fresh.add_batch(b1, batch_id=1)  # replay: no-op
+    assert sorted(tuple(r) for r in fresh.result(spark).collect()) == want
+
+
+def test_transitions_store_restore(spark, tmp_path):
+    from flink_streaming_etl_spark.streaming.transitions import (
+        EventTransitionAccumulator,
+    )
+
+    b0, b1 = _event_batches(spark)
+    root = str(tmp_path / "tr")
+    acc = EventTransitionAccumulator(store_root=root, spark=spark)
+    acc.add_batch(b0, batch_id=0)
+    acc.add_batch(b1, batch_id=1)
+    want = sorted(tuple(r) for r in acc.result(spark).collect())
+
+    fresh = EventTransitionAccumulator(store_root=root, spark=spark)
+    assert sorted(tuple(r) for r in fresh.result(spark).collect()) == want
+    fresh.add_batch(b1, batch_id=1)  # replay: no-op
+    assert sorted(tuple(r) for r in fresh.result(spark).collect()) == want
+
+
+def test_paths_store_restore(spark, tmp_path):
+    from flink_streaming_etl_spark.streaming.paths import EventPathAccumulator
+
+    b0, b1 = _event_batches(spark)
+    root = str(tmp_path / "pa")
+    acc = EventPathAccumulator(store_root=root, spark=spark)
+    acc.add_batch(b0, batch_id=0)
+    acc.add_batch(b1, batch_id=1)
+    want = sorted(tuple(r) for r in acc.result(spark).collect())
+
+    fresh = EventPathAccumulator(store_root=root, spark=spark)
+    assert sorted(tuple(r) for r in fresh.result(spark).collect()) == want
+    fresh.add_batch(b1, batch_id=1)  # replay: no-op
+    assert sorted(tuple(r) for r in fresh.result(spark).collect()) == want
+
+
+# ---------------------------------------------------------------------------
+# Retention still behaves after externalization (relation-side eviction)
+
+
+def test_text_dedup_retention_relation_side(spark):
+    from flink_streaming_etl_spark.streaming.text_dedup import (
+        BloomTextDedupAccumulator,
+    )
+
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    acc = BloomTextDedupAccumulator(retention_batches=1)
+    acc.add_batch(mk([(0, "same prefix body here", "en", "s", 20)]), batch_id=0)
+    acc.add_batch(mk([(10, "unrelated filler one", "en", "s", 20)]), batch_id=1)
+    acc.add_batch(mk([(11, "unrelated filler two", "en", "s", 20)]), batch_id=2)
+    # the fp idled past the horizon → evicted from the owner relation
+    assert all(r["last_seen"] > 1 for r in acc.owner_rel.collect())
+    acc.add_batch(mk([(5, "same prefix body here", "en", "s", 20)]), batch_id=3)
+    assert acc.kept[5]
+
+
+# ---------------------------------------------------------------------------
+# DEFINE-fragment validation (r12 verdict task #3 + ADVICE r12)
+
+
+def _define_events(spark, vals_types, uid=1):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (uid * 100 + i, t0 + timedelta(hours=i), uid, ty, v)
+        for i, (v, ty) in enumerate(vals_types)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+
+
+def test_define_rejects_overlapping_quantified_predicates(spark):
+    """Two '+'-quantified DEFINEs that co-fire on a row are outside the
+    exclusive fragment: ValueError, not silently-wrong labels."""
+    from flink_streaming_etl_spark.operators.cep import (
+        DefineStep,
+        cep_define_matches,
+    )
+
+    ev = _define_events(
+        spark, [(1.0, "view"), (5.0, "click"), (20.0, "click"), (3.0, "view")]
+    )
+    steps = [
+        DefineStep("a", lambda c: c["value"] > 0, "+"),       # fires on all
+        DefineStep("b", lambda c: c["value"] > 10, "+"),      # overlaps a
+    ]
+    with pytest.raises(ValueError, match="exclusive fragment"):
+        cep_define_matches(ev, steps).collect()
+    # validate=False accepts the documented first-variable-wins reading
+    cep_define_matches(ev, steps, validate=False).collect()
+
+
+def test_define_warns_on_greedy_absorption_boundary(spark):
+    """The ADVICE r12 scenario: a '1'-step row absorbed into the
+    neighbouring maximal '+' run (tail purchase with value < prev after
+    dn+). Detected precisely at the run boundary: warning by default,
+    ValueError under strict=True."""
+    from flink_streaming_etl_spark.operators.cep import (
+        DefineStep,
+        cep_define_matches,
+    )
+
+    # dn-run = (30 → 20 → 10-purchase); the purchase row satisfies BOTH
+    # dn (10 < 20) and tail (purchase), and no row follows it
+    ev = _define_events(
+        spark,
+        [(5.0, "view"), (30.0, "click"), (20.0, "click"), (10.0, "purchase")],
+    )
+    steps = [
+        DefineStep("low", lambda c: c["value"] < 50),
+        DefineStep("up", lambda c: c["value"] > c["prev_value"], "+"),
+        DefineStep("dn", lambda c: c["value"] < c["prev_value"], "+"),
+        DefineStep("tail", lambda c: c["event_type"] == "purchase"),
+    ]
+    with pytest.warns(UserWarning, match="greedy absorption"):
+        cep_define_matches(ev, steps).collect()
+    with pytest.raises(ValueError, match="greedy absorption"):
+        cep_define_matches(ev, steps, strict=True).collect()
+
+
+def test_define_exclusive_pattern_passes_validation_silently(spark):
+    """The flagship peak pattern (rise/drop are exclusive; the anchor is
+    an undefined positional variable) validates clean — no warning, no
+    error, same matches."""
+    import warnings as _w
+
+    from flink_streaming_etl_spark.operators.cep import (
+        cep_define_peak_matches,
+    )
+
+    ev = _tables(spark)["events"]
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        n = cep_define_peak_matches(ev).count()
+    assert n >= 0
+    assert not [w for w in caught if "greedy absorption" in str(w.message)]
+
+
+# ---------------------------------------------------------------------------
+# CEP default delivery is the distributed path (r12 verdict task #2)
+
+
+def test_cep_attach_default_path_never_collects_matches(spark, tmp_path, monkeypatch):
+    """attach() with NO callback folds through the distributed
+    on_matches_df path: the whole file-replay run performs ZERO
+    driver collects (matches are never materialized), and the state
+    still advances correctly."""
+    import json as _json
+
+    from flink_streaming_etl_spark.streaming.cep import CepAccumulator
+    from tests.test_cep import _synth_stream
+
+    df, _ = _synth_stream(spark, 131, n_users=2, n_per_user=24)
+    ordered = df.orderBy("ts", "event_id").collect()
+    src = tmp_path / "cep_src"
+    src.mkdir()
+    half = len(ordered) // 2
+    for i, ch in enumerate((ordered[:half], ordered[half:])):
+        with open(src / f"{i:03d}.json", "w") as f:
+            for r in ch:
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": r["event_id"],
+                            "ts": r["ts"].strftime("%Y-%m-%d %H:%M:%S.%f"),
+                            "user_id": r["user_id"],
+                            "event_type": r["event_type"],
+                        }
+                    )
+                    + "\n"
+                )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts string, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    )
+    acc = CepAccumulator()
+    with _CollectSpy(monkeypatch) as spy:
+        q = acc.attach(stream, checkpointLocation=str(tmp_path / "ckpt"))
+        q.processAllAvailable()
+        q.stop()
+    assert spy.calls == [], spy.calls
+    assert acc.last_batch_id == 1 and acc.tails_rel is not None
+
+
+# ---------------------------------------------------------------------------
+# Real media decode: PPM/P6 (r12 verdict task #7)
+
+
+def test_ppm_parser_spec_compliance():
+    """The decoder is a real netpbm P6 parser: '#' header comments,
+    arbitrary whitespace, exact raster length — and it REJECTS malformed
+    payloads instead of falling back to byte stats."""
+    from flink_streaming_etl_spark.operators.multimodal import _parse_ppm
+
+    raster = bytes(range(27))
+    w, h, mx, r = _parse_ppm(
+        b"P6\n# comment line\n3 3\n# another\n255\n" + raster
+    )
+    assert (w, h, mx) == (3, 3, 255) and r == raster
+    with pytest.raises(ValueError, match="P6"):
+        _parse_ppm(b"P5\n3 3\n255\n" + raster)
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_ppm(b"P6\n3 3\n255\n" + raster[:-1])
+
+
+def test_media_ppm_features_known_values(spark):
+    """Hand-checked decode: a 3-char text tiles to a raster whose R/G/B
+    channels are each a constant byte; an empty text is a black image."""
+    from flink_streaming_etl_spark.operators.multimodal import (
+        media_ppm_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc", "en", "s", 3), (2, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["media_id"]: r for r in media_ppm_features(docs).collect()}
+    # 'abc' tiled: position i holds ord('abc'[i % 3]); channel = i % 3
+    assert got[1]["mean_r"] == float(ord("a"))
+    assert got[1]["mean_g"] == float(ord("b"))
+    assert got[1]["mean_b"] == float(ord("c"))
+    assert got[2]["mean_r"] == got[2]["mean_g"] == got[2]["mean_b"] == 0.0
+    assert got[1]["width"] == 8 and got[1]["n_pixels"] == 64
+
+
+# ---------------------------------------------------------------------------
+# Native executor-resident state: applyInPandasWithState twin (task #6)
+
+
+def test_stateful_transitions_equals_foreachbatch_twin(spark, tmp_path):
+    """The applyInPandasWithState transform, run over a file-replayed
+    stream of the events table, accumulates the SAME transition matrix
+    as the foreachBatch accumulator (and hence the batch operator)."""
+    from flink_streaming_etl_spark.operators.analytics import (
+        event_transition_report,
+    )
+    from flink_streaming_etl_spark.streaming.transitions import (
+        StatefulEventTransitions,
+    )
+
+    ev = _tables(spark)["events"].orderBy("ts", "event_id").limit(400)
+    src_dir = tmp_path / "src"
+    # two replay files = two micro-batches, globally (ts, event_id)
+    # ordered → per-user batch-monotone (the S6 contract)
+    rows = ev.collect()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        spark.createDataFrame(chunk, ev.schema).select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        ).coalesce(1).write.json(str(src_dir / f"b{i}"))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts string, user_id long, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src_dir / "*"))
+        .withColumn("ts", F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    )
+    st = StatefulEventTransitions()
+    q = st.attach(
+        stream, checkpointLocation=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(240)
+
+    want = sorted(
+        tuple(r) for r in event_transition_report(ev).collect()
+    )
+    got = sorted(tuple(r) for r in st.result(spark).collect())
+    assert got == want

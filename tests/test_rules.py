@@ -194,3 +194,36 @@ def test_failed_rules_fold_retry_applies(spark):
     assert eng.last_rules_batch_id is None and eng.rule_count() == 0
     eng.add_rules_batch(_rules(spark, [("u", 1, "click", 3.0)]), 0)
     assert eng.rule_count() == 1
+
+
+def test_rules_explicit_seq_col_is_layout_independent(spark):
+    """r12 verdict #8: with a real per-record sequence column, "last op
+    wins" resolves by the SEQUENCE, not the partition layout — the same
+    interleaved multi-partition batch folds identically however Spark
+    lays it out."""
+    rows = [
+        # (op, rule_id, event_type, min_value, seq) — the HIGHEST seq
+        # per rule is authoritative: rule 1 ends at min_value=7, rule 2
+        # is deleted, rule 3 survives its out-of-order early delete
+        ("u", 1, "click", 3.0, 10),
+        ("u", 1, "click", 99.0, 5),    # stale update, lower seq
+        ("u", 1, "click", 7.0, 20),
+        ("u", 2, "view", 1.0, 11),
+        ("d", 2, None, None, 30),
+        ("d", 3, None, None, 2),       # early delete, superseded
+        ("u", 3, "purchase", 4.0, 8),
+    ]
+    want = {(1, "click", 7.0), (3, "purchase", 4.0)}
+    for n_parts in (1, 4, 7):
+        eng = BroadcastRuleEngine()
+        chunk = spark.createDataFrame(
+            rows,
+            "op string, rule_id long, event_type string, min_value double, "
+            "seq long",
+        ).repartition(n_parts)  # scramble the layout
+        eng.add_rules_batch(chunk, 0, seq_col="seq")
+        got = {
+            (r["rule_id"], r["event_type"], r["min_value"])
+            for r in eng.rules.collect()
+        }
+        assert got == want, n_parts
