@@ -293,6 +293,8 @@ HEADLINE = [
     "cep_alternation_matches",
     "dynamic_rule_hits",
     "cep_relaxed_timeout_report",
+    # round-13 additions
+    "cep_backtrack_matches",
 ]
 
 

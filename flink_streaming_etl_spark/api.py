@@ -1231,6 +1231,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(cep.cep_define_peak_matches, "events"),
         cep.CEP_DEFINE_PEAK_SQL,
     ),
+    "cep_backtrack_matches": (
+        # r13: the BACKTRACKING fragment — PATTERN (A+ B) with
+        # OVERLAPPING DEFINEs (every rising purchase also satisfies the
+        # rising-run predicate), which the exclusive-fragment kernel
+        # provably cannot express. Closed form: one match per maximal
+        # A-run at the largest B-position in [a+1, e+1]; proved equal to
+        # the brute-force NFA in tests/test_round13.py.
+        _q(cep.cep_backtrack_matches, "events"),
+        cep.CEP_BACKTRACK_SQL,
+    ),
     "cep_relaxed_timeout_report": (
         # relaxed-contiguity timeout companion: starts whose followedBy
         # chain never completes or completes past WITHIN — the batch
@@ -1285,10 +1295,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: rotate to the tail (still re-checked every run by
 #: tests/test_oracle_parity.py).
 _SAMPLE_FRONT = [
-    # round-12: the new DEFINE-predicate kernel entry (first driver row),
-    # the re-expressed v-shape, the CUSUM P_0 fix, and the whole CEP
-    # family whose greedy-selection closure was rewritten (explicit
-    # repartition width + real-stats checkpoints)
+    # round-13 first rows: the backtracking CEP kernel and the real
+    # PPM-decode media_features (its first oracle-backed row)
+    "cep_backtrack_matches",
+    "media_features",
+    # round-12/13: the DEFINE-predicate kernel (r13 added fragment
+    # validation), the re-expressed v-shape, the CUSUM P_0 fix, and the
+    # CEP closure family
     "cep_define_peak_matches",
     "cep_vshape_matches",
     "cusum_changepoints",
@@ -1341,11 +1354,9 @@ _SAMPLE_FRONT = [
     "event_transition_report",
     "fuzzy_prefix_pairs",
     "nearest_neighbor_report",
-    "kmv_distinct_report",
-    "pricing_summary",
-    # (quality_calibration_report + heldout_perplexity_report rotate to
-    # the tail for the r12 additions — multi-round green, still
-    # parity-checked locally every run)
+    # (kmv_distinct_report + pricing_summary rotate to the tail for the
+    # r13 additions — multi-round green, still parity-checked locally
+    # every run)
 ]
 assert len(_SAMPLE_FRONT) == 50 and len(set(_SAMPLE_FRONT)) == 50
 assert all(name in REGISTRY for name in _SAMPLE_FRONT)

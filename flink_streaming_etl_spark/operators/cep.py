@@ -1545,3 +1545,164 @@ JOIN evs b ON b.user_id = r.user_id AND b.rn = r.srn - 1
 WHERE r.lbl = 'rise'
   AND d.last_us - b.us <= {24 * 3600 * 1000000}
 """
+
+
+# ---------------------------------------------------------------------------
+# Backtracking fragment (round 13, r12 verdict #3 stretch): PATTERN (A+ B)
+# with OVERLAPPING DEFINEs — the case the greedy run-algebra kernel above
+# rejects/warns about. For this pattern shape the full SQL:2016
+# greedy-with-backtracking + AFTER MATCH SKIP PAST LAST ROW semantics
+# admit a CLOSED FORM, so no NFA scan (and no Python row loop) is needed:
+#
+#   Per maximal contiguous A-run [a..e] (per key), the ONLY match is
+#   (start=a, end=t) with t = max{ p in [a+1, e+1] : B(p) }, if any.
+#
+# Why (proved against the brute-force NFA in tests/test_round13.py):
+# greedy A+ from start a binds a..e, then backtracks e+1, e, ..., a+1
+# until B matches — i.e. t is the LARGEST B-position in [a+1, e+1]. If
+# none exists, no later start inside the run can match either (its B
+# range is a subset), so the whole run is skipped. If a match ends at
+# t <= e, the resumed scan at t+1 finds B's range [t+2, e+1] empty (t was
+# the maximum), so a run never yields a second match. Runs are separated
+# by non-A rows, so every run's first row is reachable by the scan.
+
+
+def cep_backtrack_matches(
+    events: DataFrame,
+    a_pred=None,
+    b_pred=None,
+    within_hours: int | None = CEP_WITHIN_HOURS,
+) -> DataFrame:
+    """``PATTERN (A+ B)`` with FULL backtracking semantics — overlapping
+    ``A``/``B`` DEFINEs allowed (``B ⊆ A`` included). Defaults: A =
+    ``value > PREV(value)`` (rising), B = rising purchase — a pattern the
+    exclusive-fragment kernel provably cannot express, since every B row
+    also satisfies A and is greedily absorbed into the maximal run.
+
+    Preds receive the same column mapping as :class:`DefineStep`.
+
+    Plan shape (100 TB): one key exchange for the ordered relation, a
+    gaps-and-islands run aggregation, one key-partitioned join of B rows
+    into run spans, one match-bounded max_by aggregation, one positional
+    join for the start row. No Python loops, no collects, no NFA scan —
+    the closed form above IS the backtracking semantics for this shape.
+    """
+    if a_pred is None:
+        a_pred = lambda c: c["value"] > c["prev_value"]  # noqa: E731
+    if b_pred is None:
+        b_pred = lambda c: (c["event_type"] == F.lit("purchase")) & (
+            c["value"] > c["prev_value"]
+        )  # noqa: E731
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = events.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        us.alias("us"),
+        "event_id",
+        "event_type",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lag("event_type").over(w).alias("prev_event_type"),
+        F.lag(us).over(w).alias("prev_us"),
+    )
+    cols = {
+        "value": F.col("value"),
+        "event_type": F.col("event_type"),
+        "us": F.col("us"),
+        "prev_value": F.col("prev_value"),
+        "prev_event_type": F.col("prev_event_type"),
+        "prev_us": F.col("prev_us"),
+    }
+    base = base.withColumn(
+        "_pa", F.coalesce(a_pred(cols), F.lit(False))
+    ).withColumn("_pb", F.coalesce(b_pred(cols), F.lit(False)))
+    lw = Window.partitionBy("user_id", "_pa").orderBy("rn")
+    runs = (
+        base.filter(F.col("_pa"))
+        .withColumn("_grp", F.col("rn") - F.row_number().over(lw))
+        .groupBy("user_id", "_grp")
+        .agg(
+            F.min("rn").alias("a_rn"),
+            F.max("rn").alias("e_rn"),
+            F.min_by("event_id", "rn").alias("start_event_id"),
+            F.min("us").alias("start_us"),
+        )
+    )
+    bs = base.filter(F.col("_pb")).select(
+        F.col("user_id").alias("_bu"),
+        F.col("rn").alias("_brn"),
+        F.col("event_id").alias("_beid"),
+        F.col("us").alias("_bus"),
+        F.col("value").alias("_bval"),
+    )
+    # B candidates inside each run's backtracking range [a+1, e+1];
+    # greedy-with-backtracking keeps the LARGEST position per run
+    from flink_streaming_etl_spark.functions import q6
+
+    matched = (
+        runs.join(
+            bs,
+            runs["user_id"].eqNullSafe(bs["_bu"])
+            & (bs["_brn"] >= runs["a_rn"] + 1)
+            & (bs["_brn"] <= runs["e_rn"] + 1),
+        )
+        .groupBy("user_id", "_grp")
+        .agg(
+            F.first("start_event_id").alias("start_event_id"),
+            F.first("start_us").alias("start_us"),
+            F.first("a_rn").alias("a_rn"),
+            F.max_by("_beid", "_brn").alias("end_event_id"),
+            F.max("_brn").alias("_t"),
+            F.max_by("_bus", "_brn").alias("end_us"),
+            F.max_by("_bval", "_brn").alias("end_value"),
+        )
+        .select(
+            "user_id",
+            "start_event_id",
+            "end_event_id",
+            (F.col("_t") - F.col("a_rn")).cast("long").alias("n_a"),
+            q6(F.col("end_value")).alias("end_value"),
+            "start_us",
+            "end_us",
+        )
+    )
+    if within_hours is not None:
+        matched = matched.filter(
+            F.col("end_us") - F.col("start_us")
+            <= F.lit(within_hours * _US_PER_HOUR)
+        )
+    return matched
+
+
+CEP_BACKTRACK_SQL = f"""
+WITH evs AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us,
+         ROW_NUMBER() OVER w AS rn,
+         value > LAG(value) OVER w AS pa,
+         event_type = 'purchase' AND value > LAG(value) OVER w AS pb
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), pa_rows AS (
+  SELECT user_id, rn, us, event_id,
+         rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM evs WHERE COALESCE(pa, FALSE)
+), runs AS (
+  SELECT user_id, grp, MIN(rn) AS a_rn, MAX(rn) AS e_rn,
+         arg_min(event_id, rn) AS start_event_id,
+         MIN(us) AS start_us
+  FROM pa_rows GROUP BY user_id, grp
+)
+SELECT r.user_id,
+       r.start_event_id,
+       arg_max(b.event_id, b.rn) AS end_event_id,
+       CAST(MAX(b.rn) - r.a_rn AS BIGINT) AS n_a,
+       floor(arg_max(b.value, b.rn) * 1000000.0) / 1000000.0 AS end_value,
+       r.start_us,
+       arg_max(b.us, b.rn) AS end_us
+FROM runs r
+JOIN evs b ON b.user_id = r.user_id
+          AND COALESCE(b.pb, FALSE)
+          AND b.rn BETWEEN r.a_rn + 1 AND r.e_rn + 1
+GROUP BY r.user_id, r.grp, r.start_event_id, r.a_rn, r.start_us
+HAVING arg_max(b.us, b.rn) - r.start_us <= {24 * 3600 * 1000000}
+"""

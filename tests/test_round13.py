@@ -379,6 +379,136 @@ def test_cep_attach_default_path_never_collects_matches(spark, tmp_path, monkeyp
 
 
 # ---------------------------------------------------------------------------
+# Backtracking fragment: PATTERN (A+ B) with overlapping DEFINEs
+# (r12 verdict task #3 stretch) — closed form vs brute-force NFA
+
+
+def _nfa_backtrack_matches(rows, a_pred, b_pred):
+    """Brute-force SQL:2016 reference: greedy A+ with backtracking,
+    AFTER MATCH SKIP PAST LAST ROW. ``rows`` sorted by (ts, event_id);
+    preds take (rows, i) and may look at rows[i-1]."""
+    out, i, n = [], 0, len(rows)
+    while i < n:
+        if a_pred(rows, i):
+            e = i
+            while e + 1 < n and a_pred(rows, e + 1):
+                e += 1
+            t = None
+            for p in range(min(e + 1, n - 1), i, -1):  # greedy: largest first
+                if b_pred(rows, p):
+                    t = p
+                    break
+            if t is not None:
+                out.append((i, t))
+                i = t + 1
+                continue
+        i += 1
+    return out
+
+
+def test_backtrack_matches_equal_brute_force_nfa(spark):
+    """The closed form (one match per maximal A-run, at the largest
+    B-position in [a+1, e+1]) IS greedy-with-backtracking: equality with
+    a row-by-row NFA over randomized multi-user streams where every B
+    row also satisfies A (the overlap the exclusive fragment rejects)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from flink_streaming_etl_spark.operators.cep import cep_backtrack_matches
+
+    rng = random.Random(1313)
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    for uid in range(6):
+        for i in range(rng.randrange(15, 40)):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    t0 + timedelta(minutes=10 * i),
+                    uid,
+                    rng.choice(["view", "click", "purchase", "purchase"]),
+                    float(rng.randrange(0, 40)),
+                )
+            )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    got = sorted(
+        (r["user_id"], r["start_event_id"], r["end_event_id"], r["n_a"])
+        for r in cep_backtrack_matches(ev, within_hours=None).collect()
+    )
+
+    a_pred = lambda rs, i: i > 0 and rs[i][4] > rs[i - 1][4]  # noqa: E731
+    b_pred = (  # noqa: E731
+        lambda rs, i: rs[i][3] == "purchase" and i > 0 and rs[i][4] > rs[i - 1][4]
+    )
+    want = []
+    by_user: dict = {}
+    for r in sorted(rows, key=lambda r: (r[1], r[0])):
+        by_user.setdefault(r[2], []).append(r)
+    for uid, urows in by_user.items():
+        for s, t in _nfa_backtrack_matches(urows, a_pred, b_pred):
+            want.append((uid, urows[s][0], urows[t][0], t - s))
+    assert got == sorted(want)
+    assert got, "synthetic stream must contain matches"
+
+
+def test_backtrack_matches_oracle_parity(spark):
+    """Exact DuckDB parity for the registry entry at the gate SF —
+    an overlapping-DEFINE pattern with a green cross-engine oracle."""
+    from flink_streaming_etl_spark.operators import cep
+    from tests.oracle import compare, duck_connection
+
+    ev = _tables(spark)["events"]
+    con = duck_connection(SF_SMOKE)
+    try:
+        ok, msg = compare(
+            cep.cep_backtrack_matches(ev), con, cep.CEP_BACKTRACK_SQL
+        )
+        assert ok, msg
+    finally:
+        con.close()
+
+
+def test_backtrack_finds_matches_the_exclusive_kernel_cannot(spark):
+    """Witness that backtracking is REQUIRED: on a rising run ending in
+    a rising purchase, the exclusive-fragment kernel's positional join
+    (purchase expected at run end + 1) finds nothing, while the
+    backtracking kernel reports the match."""
+    from flink_streaming_etl_spark.operators.cep import (
+        DefineStep,
+        cep_backtrack_matches,
+        cep_define_matches,
+    )
+
+    # 5 → 10 → 20-purchase: the rising run is rows 101-102 (row 100 has
+    # no PREV), and the purchase IS the run's last rise
+    ev = _define_events(
+        spark, [(5.0, "view"), (10.0, "click"), (20.0, "purchase")]
+    )
+    got = cep_backtrack_matches(ev, within_hours=None).collect()
+    assert len(got) == 1 and got[0]["n_a"] == 1
+    assert got[0]["start_event_id"] == 101 and got[0]["end_event_id"] == 102
+
+    steps = [
+        DefineStep("up", lambda c: c["value"] > c["prev_value"], "+"),
+        DefineStep(
+            "tail",
+            lambda c: (c["event_type"] == "purchase")
+            & (c["value"] > c["prev_value"]),
+        ),
+    ]
+    # the greedy kernel absorbs the purchase into the run and misses it
+    # (exactly what its validation warns about)
+    with pytest.warns(UserWarning, match="greedy absorption"):
+        assert cep_define_matches(ev, steps).count() == 0
+
+
+# ---------------------------------------------------------------------------
 # Real media decode: PPM/P6 (r12 verdict task #7)
 
 
