@@ -369,16 +369,20 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         multimodal.MEDIA_PPM_FEATURES_SQL,
     ),
     "media_resize": (
-        lambda spark, sf_dir: multimodal.resize_images(
-            multimodal.documents_as_media(load_tables(spark, sf_dir, register=False)["documents"])
-        ),
-        None,  # stubbed decode (deterministic fake) — not SQL-expressible
+        # round 13: a REAL resize — PPM decode, nearest-neighbor 8×8→4×4
+        # sample, P6 re-encode, then the real decoder re-reads the
+        # resized payloads; the oracle replays the sampling arithmetic.
+        # The byte-tiling resize_images fake remains the library API for
+        # formats whose decoders aren't in this container.
+        _q(multimodal.media_resize_report, "documents"),
+        multimodal.MEDIA_RESIZE_REPORT_SQL,
     ),
     "media_frames": (
-        lambda spark, sf_dir: multimodal.sample_frames(
-            multimodal.documents_as_media(load_tables(spark, sf_dir, register=False)["documents"])
-        ),
-        None,  # stubbed decode (deterministic fake) — not SQL-expressible
+        # round 13: REAL frame extraction — documents encoded as 3-frame
+        # netpbm P6 streams, frames recovered by repeated header parsing
+        # (the actual stream grammar), every 2nd frame reported.
+        _q(multimodal.media_frames_report, "documents"),
+        multimodal.MEDIA_FRAMES_REPORT_SQL,
     ),
     # --- round-4 training-pipeline additions ---
     "gopher_quality": (
@@ -1296,9 +1300,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: tests/test_oracle_parity.py).
 _SAMPLE_FRONT = [
     # round-13 first rows: the backtracking CEP kernel and the real
-    # PPM-decode media_features (its first oracle-backed row)
+    # PPM-decode media entries (their first oracle-backed rows)
     "cep_backtrack_matches",
     "media_features",
+    "media_resize",
+    "media_frames",
     # round-12/13: the DEFINE-predicate kernel (r13 added fragment
     # validation), the re-expressed v-shape, the CUSUM P_0 fix, and the
     # CEP closure family
@@ -1352,11 +1358,9 @@ _SAMPLE_FRONT = [
     "semantic_contamination_check",
     "media_dup_rate_report",
     "event_transition_report",
-    "fuzzy_prefix_pairs",
-    "nearest_neighbor_report",
-    # (kmv_distinct_report + pricing_summary rotate to the tail for the
-    # r13 additions — multi-round green, still parity-checked locally
-    # every run)
+    # (kmv_distinct_report, pricing_summary, fuzzy_prefix_pairs and
+    # nearest_neighbor_report rotate to the tail for the r13 additions —
+    # multi-round green, still parity-checked locally every run)
 ]
 assert len(_SAMPLE_FRONT) == 50 and len(set(_SAMPLE_FRONT)) == 50
 assert all(name in REGISTRY for name in _SAMPLE_FRONT)

@@ -204,12 +204,15 @@ def documents_as_ppm(documents: DataFrame) -> DataFrame:
     )
 
 
-def _parse_ppm(b: bytes) -> tuple[int, int, int, bytes]:
-    """Real netpbm P6 parse: magic, '#' comments, whitespace-separated
-    width/height/maxval, ONE whitespace byte, then the raw raster."""
-    if b is None or len(b) < 2 or b[:2] != b"P6":
+def _parse_ppm_at(b: bytes, pos: int = 0) -> tuple[int, int, int, bytes, int]:
+    """Real netpbm P6 parse starting at ``pos``: magic, '#' comments,
+    whitespace-separated width/height/maxval, ONE whitespace byte, then
+    the raw raster. Returns (w, h, maxval, raster, next_pos) —
+    ``next_pos`` is the offset just past this image, which is where the
+    NEXT image of a multi-frame PNM stream begins."""
+    if b is None or len(b) < pos + 2 or b[pos : pos + 2] != b"P6":
         raise ValueError("not a P6 PPM payload")
-    pos = 2
+    pos += 2
     fields: list[int] = []
     while len(fields) < 3:
         while pos < len(b) and b[pos : pos + 1].isspace():
@@ -231,6 +234,12 @@ def _parse_ppm(b: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(
             f"PPM raster truncated: want {w * h * 3} bytes, got {len(raster)}"
         )
+    return w, h, maxval, raster, pos + w * h * 3
+
+
+def _parse_ppm(b: bytes) -> tuple[int, int, int, bytes]:
+    """Single-image convenience wrapper over :func:`_parse_ppm_at`."""
+    w, h, maxval, raster, _end = _parse_ppm_at(b, 0)
     return w, h, maxval, raster
 
 
@@ -268,6 +277,186 @@ def media_ppm_features(documents: DataFrame) -> DataFrame:
     exact cross-engine oracle (the r12 rows-only ``media_features`` cell
     earned its oracle row here)."""
     return ppm_decode_features(documents_as_ppm(documents))
+
+
+def ppm_resize(media_ppm: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """REAL image resize over PPM payloads: decode (header parse +
+    raster reshape), nearest-neighbor sample to ``out_w``×``out_h``,
+    re-encode as a valid P6 payload. The output rows are genuine PPM
+    images — :func:`ppm_decode_features` runs on them unchanged.
+    Payloads never leave the executor (Arrow-batched mapInPandas)."""
+    import numpy as np
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        header = f"P6\n{out_w} {out_h}\n255\n".encode()
+        for pdf in batches:
+            ids, outs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, _maxval, raster = _parse_ppm(bytes(payload))
+                px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+                # nearest-neighbor: source row/col = floor(out_idx * in/out)
+                rows = (np.arange(out_h) * h) // out_h
+                cols = (np.arange(out_w) * w) // out_w
+                small = px[rows][:, cols]
+                ids.append(mid)
+                outs.append(header + small.tobytes())
+            yield pd.DataFrame({"media_id": ids, "payload": outs})
+
+    return media_ppm.mapInPandas(compute, schema=schema)
+
+
+def media_resize_report(documents: DataFrame) -> DataFrame:
+    """Registry entry: encode → REAL resize (nearest-neighbor 8×8 → 4×4)
+    → REAL decode of the resized payloads. Every stage is a genuine PPM
+    round-trip; the oracle replays the sampling arithmetic exactly."""
+    return ppm_decode_features(ppm_resize(documents_as_ppm(documents)))
+
+
+# resized pixel (rr, cc) samples source pixel (rr*8//4, cc*8//4) =
+# (2*rr, 2*cc); source byte index of channel ch = ((2*rr)*8 + 2*cc)*3 + ch
+MEDIA_RESIZE_REPORT_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
+  FROM documents
+), px AS (
+  SELECT media_id, ch,
+         CASE WHEN n = 0 THEN 0
+              ELSE ascii(substr(text,
+                   CAST(((2 * (k // 4)) * 8 + 2 * (k % 4)) * 3 + ch AS INT)
+                   % n + 1, 1)) END AS v
+  FROM m,
+       (SELECT UNNEST(range(0, 16)) AS k) pk,
+       (SELECT UNNEST(range(0, 3)) AS ch) pc
+)
+SELECT media_id,
+       4 AS width, 4 AS height, 255 AS maxval, 16 AS n_pixels,
+       AVG(CASE WHEN ch = 0 THEN v END) AS mean_r,
+       AVG(CASE WHEN ch = 1 THEN v END) AS mean_g,
+       AVG(CASE WHEN ch = 2 THEN v END) AS mean_b
+FROM px
+GROUP BY media_id
+"""
+
+
+# --- multi-frame PNM streams (the "video" modality) ------------------------
+# A concatenation of P6 images is a real format (netpbm streams; what
+# ppmtoy4m consumes). Frame f of a document tiles the text bytes with a
+# rotating offset, so frames differ deterministically.
+
+PNM_FRAMES = 3
+_FRAME_OFFSET = 17
+
+
+def documents_as_pnm_stream(documents: DataFrame) -> DataFrame:
+    """Encode every document as a 3-frame P6 stream: frame f's raster is
+    the text's bytes tiled from offset ``f*17 mod n``. Engine-side binary
+    concat — each payload is a genuine multi-image netpbm stream."""
+    n = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    header = F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n".encode())
+    frames = []
+    for f in range(PNM_FRAMES):
+        off = f * _FRAME_OFFSET
+        # rotate by off then tile: slice the repeated text starting at
+        # char (off % n) + 1 for RASTER chars (single-byte corpus:
+        # char slicing == byte slicing, as in documents_as_ppm)
+        rot = (
+            f"substring(repeat(text, CAST(ceil(({_PPM_RASTER} + {off}) / "
+            f"octet_length(encode(text, 'UTF-8'))) AS INT) + 1), "
+            f"CAST({off} % octet_length(encode(text, 'UTF-8')) AS INT) + 1, "
+            f"{_PPM_RASTER})"
+        )
+        body = F.when(n == 0, F.lit(bytes(_PPM_RASTER))).otherwise(
+            F.expr(f"encode({rot}, 'UTF-8')")
+        )
+        frames.append(header)
+        frames.append(body)
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(*frames).alias("payload"),
+    )
+
+
+_PNM_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("mean_r", DoubleType(), False),
+        StructField("mean_g", DoubleType(), False),
+        StructField("mean_b", DoubleType(), False),
+    ]
+)
+
+
+def pnm_sample_frames(media_stream: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame extraction: parse consecutive P6 images out of each
+    stream payload (repeated header parse — the actual netpbm stream
+    grammar), keep every ``every_n``-th frame, report per-frame channel
+    means. The 1:N explode stage of a video pipeline, frames
+    executor-local."""
+    import numpy as np
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                pos, fi = 0, 0
+                while pos < len(b):
+                    w, h, _maxval, raster, pos = _parse_ppm_at(b, pos)
+                    if fi % every_n == 0:
+                        px = np.frombuffer(raster, dtype=np.uint8).reshape(
+                            w * h, 3
+                        )
+                        means = px.astype(np.float64).mean(axis=0)
+                        rows.append(
+                            (mid, fi, float(means[0]), float(means[1]),
+                             float(means[2]))
+                        )
+                    fi += 1
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return media_stream.mapInPandas(compute, schema=_PNM_FRAME_SCHEMA)
+
+
+def media_frames_report(documents: DataFrame) -> DataFrame:
+    """Registry entry: encode → REAL multi-frame stream parse → sampled
+    per-frame channel means (frames 0 and 2 of 3)."""
+    return pnm_sample_frames(documents_as_pnm_stream(documents))
+
+
+# frame f tiles text bytes from offset f*17: byte i of frame f =
+# text[(i + f*17) % n]; sampled frames = 0 and 2 (every_n=2 of 3)
+MEDIA_FRAMES_REPORT_SQL = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
+  FROM documents
+), px AS (
+  SELECT media_id, fr * 2 AS frame_idx, i % 3 AS channel,
+         CASE WHEN n = 0 THEN 0
+              ELSE ascii(substr(text,
+                   CAST((i + fr * 2 * {_FRAME_OFFSET}) % n AS INT) + 1, 1))
+         END AS v
+  FROM m,
+       (SELECT UNNEST(range(0, {_PPM_RASTER})) AS i) pi,
+       (SELECT UNNEST(range(0, 2)) AS fr) pf
+)
+SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       AVG(CASE WHEN channel = 0 THEN v END) AS mean_r,
+       AVG(CASE WHEN channel = 1 THEN v END) AS mean_g,
+       AVG(CASE WHEN channel = 2 THEN v END) AS mean_b
+FROM px
+GROUP BY media_id, frame_idx
+"""
 
 
 MEDIA_PPM_FEATURES_SQL = f"""

@@ -212,6 +212,11 @@ PROBES = [
     "cep_relaxed_timeout_report",
     # round-12 addition
     "cep_define_peak_matches",
+    # round-13 additions
+    "cep_backtrack_matches",
+    "media_features",
+    "media_resize",
+    "media_frames",
 ]
 
 

@@ -549,6 +549,72 @@ def test_media_ppm_features_known_values(spark):
     assert got[1]["width"] == 8 and got[1]["n_pixels"] == 64
 
 
+def test_media_resize_is_a_real_ppm_roundtrip(spark):
+    """Resize = decode → nearest-neighbor sample → re-encode: the output
+    payloads are themselves valid P6 images the real decoder re-reads;
+    constant-channel inputs stay constant through the roundtrip."""
+    from flink_streaming_etl_spark.operators.multimodal import (
+        _parse_ppm,
+        documents_as_ppm,
+        media_resize_report,
+        ppm_resize,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc", "en", "s", 3), (2, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    resized = {r["media_id"]: r for r in
+               ppm_resize(documents_as_ppm(docs)).collect()}
+    w, h, mx, raster = _parse_ppm(bytes(resized[1]["payload"]))
+    assert (w, h, mx) == (4, 4, 255) and len(raster) == 48
+    got = {r["media_id"]: r for r in media_resize_report(docs).collect()}
+    # 'abc' tiling is channel-constant, so any pixel sample preserves it
+    assert got[1]["mean_r"] == float(ord("a"))
+    assert got[1]["mean_g"] == float(ord("b"))
+    assert got[1]["mean_b"] == float(ord("c"))
+    assert got[1]["n_pixels"] == 16 and got[2]["mean_r"] == 0.0
+
+
+def test_media_frames_parses_real_pnm_stream(spark):
+    """The 3-frame stream is parsed by REPEATED header parsing; frames
+    0 and 2 are sampled. Frame 2 tiles from offset 34 ≡ 1 (mod 3), so
+    its channels rotate: (b, c, a) for text 'abc'."""
+    from flink_streaming_etl_spark.operators.multimodal import (
+        media_frames_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["frame_idx"]: r for r in media_frames_report(docs).collect()}
+    assert set(got) == {0, 2}
+    assert got[0]["mean_r"] == float(ord("a"))
+    assert got[2]["mean_r"] == float(ord("b"))
+    assert got[2]["mean_g"] == float(ord("c"))
+    assert got[2]["mean_b"] == float(ord("a"))
+
+
+def test_media_resize_and_frames_oracle_parity(spark):
+    from flink_streaming_etl_spark.operators import multimodal as mm
+    from tests.oracle import compare, duck_connection
+
+    docs = _tables(spark)["documents"]
+    con = duck_connection(SF_SMOKE)
+    try:
+        ok, msg = compare(
+            mm.media_resize_report(docs), con, mm.MEDIA_RESIZE_REPORT_SQL
+        )
+        assert ok, ("resize", msg)
+        ok, msg = compare(
+            mm.media_frames_report(docs), con, mm.MEDIA_FRAMES_REPORT_SQL
+        )
+        assert ok, ("frames", msg)
+    finally:
+        con.close()
+
+
 # ---------------------------------------------------------------------------
 # Native executor-resident state: applyInPandasWithState twin (task #6)
 
