@@ -494,11 +494,22 @@ class RelaxedCepAccumulator(_BaseCepAccumulator):
         store_root: str | None = None,
         spark: SparkSession | None = None,
         retention_batches: int | None = None,
+        on_timeouts_df=None,
     ):
         self.steps = tuple(steps)
         self.within_hours = int(within_hours)
-        #: the most recent batch's timed-out partial starts
+        #: the most recent batch's timed-out partial starts (driver
+        #: tuples — populated only when no distributed sink is set)
         self.last_timeouts: list[tuple] = []
+        #: DISTRIBUTED timeout delivery (r13, mirroring on_matches_df):
+        #: when set, each batch's timed-out-partial side output goes to
+        #: this sink as a DataFrame (user_id, start_event_id, start_us,
+        #: reason) and is never collected on the driver — the right path
+        #: for high-expiry-rate patterns at 100×. The collect path stays
+        #: the default: timeouts are alert-shaped for the reference's
+        #: funnel patterns, and the exactly-once contract is identical
+        #: (delivery happens inside the fold, before the commit).
+        self.on_timeouts_df = on_timeouts_df
         super().__init__(store_root, spark, retention_batches)
 
     def _reset_side_outputs(self) -> None:
@@ -508,13 +519,22 @@ class RelaxedCepAccumulator(_BaseCepAccumulator):
         matches, tails, timeouts = cep_relaxed_with_state(
             batch, self.steps, self.within_hours, with_timeouts=True
         )
-        # FlinkCEP's timed-out-partial side output: stash the batch's
-        # timeouts (each dead start reports exactly once — see kernel);
-        # read via last_timeouts after add_batch
-        self.last_timeouts = [
-            (r["user_id"], r["start_event_id"], r["start_us"], r["reason"])
-            for r in timeouts.collect()
-        ]
+        # FlinkCEP's timed-out-partial side output: each dead start
+        # reports exactly once (see kernel)
+        if self.on_timeouts_df is not None:
+            # distributed: materialize once (the sink may re-scan),
+            # never collect — same discipline as on_matches_df
+            out = timeouts.select(
+                "user_id", "start_event_id", "start_us", "reason"
+            ).localCheckpoint(eager=True)
+            self.on_timeouts_df(out)
+            self.last_timeouts = []
+        else:
+            # read via last_timeouts after add_batch (alert-shaped)
+            self.last_timeouts = [
+                (r["user_id"], r["start_event_id"], r["start_us"], r["reason"])
+                for r in timeouts.collect()
+            ]
         return matches, tails
 
     def flush(self, spark: SparkSession) -> list[tuple]:
@@ -549,15 +569,20 @@ class RelaxedCepAccumulator(_BaseCepAccumulator):
             tuple(r[f] for f in self._match_fields)
             for r in matches_df.collect()
         ]
-        reported = [
-            (
-                r["user_id"],
-                r["start_event_id"],
-                r["start_us"],
-                "end_of_stream" if r["reason"] == "expired" else r["reason"],
-            )
-            for r in timeouts.collect()
-        ]
+        relabeled = timeouts.select(
+            "user_id",
+            "start_event_id",
+            "start_us",
+            F.when(F.col("reason") == "expired", F.lit("end_of_stream"))
+            .otherwise(F.col("reason"))
+            .alias("reason"),
+        )
+        if self.on_timeouts_df is not None:
+            # distributed side-output delivery, as in the per-batch fold
+            self.on_timeouts_df(relabeled.localCheckpoint(eager=True))
+            reported = []
+        else:
+            reported = [tuple(r) for r in relabeled.collect()]
         if self.store is not None:
             self._save(spark, self.last_batch_id, None, touched_df=None)
         self.tails_rel = None

@@ -379,6 +379,58 @@ def test_cep_attach_default_path_never_collects_matches(spark, tmp_path, monkeyp
 
 
 # ---------------------------------------------------------------------------
+# Distributed timeout side-output delivery (mirrors on_matches_df)
+
+
+def test_relaxed_cep_on_timeouts_df_never_collects(spark, monkeypatch):
+    """With a distributed timeout sink, the timed-out-partial side
+    output reaches the sink as a DataFrame and the fold performs ZERO
+    driver collects; the delivered rows equal the collect path's."""
+    import datetime as dt
+
+    from flink_streaming_etl_spark.streaming.cep import RelaxedCepAccumulator
+
+    _US = 1_000_000
+    base = 1_700_000_000 * _US
+    h = 3600 * _US
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, us long, event_type string"
+        ).select(
+            "event_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "user_id",
+            "event_type",
+        )
+
+    b0 = [(1, 1, base, "view"), (2, 1, base + h, "click")]
+    b1 = [(3, 1, base + 30 * h, "error")]  # start expired by now
+
+    ref = RelaxedCepAccumulator()
+    ref.add_batch(batch(b0), 0)
+    ref.add_batch(batch(b1), 1)
+    want = sorted(ref.last_timeouts)
+    assert want, "scenario must produce a timeout"
+
+    sunk_dfs: list = []
+    acc = RelaxedCepAccumulator(on_timeouts_df=sunk_dfs.append)
+    with _CollectSpy(monkeypatch) as spy:
+        acc.add_batch(batch(b0), 0, on_matches_df=lambda df: None)
+        acc.add_batch(batch(b1), 1, on_matches_df=lambda df: None)
+    assert spy.calls == [], spy.calls
+    assert acc.last_timeouts == []
+    # the sink's DataFrames were checkpointed pre-delivery: reading them
+    # AFTER the spy window proves the fold itself moved nothing
+    sunk = [
+        (r["user_id"], r["start_event_id"], r["start_us"], r["reason"])
+        for df in sunk_dfs
+        for r in df.collect()
+    ]
+    assert sorted(sunk) == want
+
+
+# ---------------------------------------------------------------------------
 # Backtracking fragment: PATTERN (A+ B) with overlapping DEFINEs
 # (r12 verdict task #3 stretch) — closed form vs brute-force NFA
 
