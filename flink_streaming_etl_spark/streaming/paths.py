@@ -378,3 +378,111 @@ class EventPathAccumulator:
             .groupBy("path")
             .agg(F.sum("n_sessions").cast("long").alias("n_sessions"))
         )
+
+
+# ---------------------------------------------------------------------------
+# Native executor-resident state (round 13, the second template after
+# transitions.StatefulEventTransitions): gap-session path counting on
+# ``applyInPandasWithState`` — the canonical GroupState use case (open
+# session per key, engine-owned state placement and checkpointing).
+
+
+#: GroupState layout: the user's OPEN session (types capped at max_steps,
+#: last event micro-time) — exactly the tuple the foreachBatch twin keeps
+#: per user in its open-session relation
+_GS_STATE = "types array<string>, last_us long"
+#: emission: per-batch CLOSED-session path deltas
+_GS_OUTPUT = "user_id long, path string, n long"
+
+
+def _path_fold(gap_us: int, max_steps: int):
+    """Build the per-user GroupState fold (closure over the knobs)."""
+
+    def fold(key, pdf_iter, state):
+        import pandas as pd
+
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values(["us", "event_id"], kind="mergesort")
+        if state.exists:
+            types, last_us = state.get
+            types = list(types)
+        else:
+            types, last_us = [], None
+        closed: dict[str, int] = {}
+        for us, t in zip(rows["us"].tolist(), rows["event_type"].tolist()):
+            if last_us is not None and us - last_us > gap_us:
+                p = ">".join(types[:max_steps])
+                closed[p] = closed.get(p, 0) + 1
+                types = []
+            if len(types) < max_steps:
+                types.append(str(t))
+            last_us = int(us)
+        if last_us is not None:
+            state.update((types[:max_steps], last_us))
+        (uid,) = key
+        yield pd.DataFrame(
+            [{"user_id": uid, "path": p, "n": n} for p, n in closed.items()],
+            columns=["user_id", "path", "n"],
+        )
+
+    return fold
+
+
+class StatefulEventPaths:
+    """``applyInPandasWithState`` twin of :class:`EventPathAccumulator`
+    for the CLOSED-path counts — the open session lives in Spark's
+    GroupState on the executors and closes through the same gap rule as
+    events arrive (the still-open tail is engine state, not a report
+    row). Pinned equal to the foreachBatch twin's closed counts in
+    tests/test_round13.py."""
+
+    def __init__(
+        self,
+        gap_minutes: int = PATH_GAP_MINUTES,
+        max_steps: int = PATH_MAX_STEPS,
+    ):
+        self.gap_us = gap_minutes * 60 * 1_000_000
+        self.max_steps = max_steps
+        self.counts: dict[str, int] = defaultdict(int)
+
+    def transform(self, stream_events: DataFrame) -> DataFrame:
+        """Streaming events → per-batch closed-session (path, n) deltas."""
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        prepared = stream_events.select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id",
+            "event_type",
+        )
+        return prepared.groupBy("user_id").applyInPandasWithState(
+            _path_fold(self.gap_us, self.max_steps),
+            outputStructType=_GS_OUTPUT,
+            stateStructType=_GS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def attach(self, stream_events: DataFrame, **start_kwargs):
+        """Run the stateful transform and fold its path-bounded delta
+        stream into the driver counts."""
+        deltas = self.transform(stream_events)
+
+        def _fold(batch: DataFrame, bid: int) -> None:
+            for r in (
+                batch.groupBy("path").agg(F.sum("n").alias("n")).collect()
+            ):
+                self.counts[r["path"]] += int(r["n"])
+
+        return (
+            deltas.writeStream.outputMode("append")
+            .foreachBatch(_fold)
+            .start(**start_kwargs)
+        )
+
+    def result(self, spark: SparkSession) -> DataFrame:
+        """CLOSED-session path frequencies accumulated so far."""
+        return spark.createDataFrame(
+            [(p, n) for p, n in self.counts.items()],
+            "path string, n_sessions long",
+        )

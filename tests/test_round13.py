@@ -715,3 +715,44 @@ def test_stateful_transitions_equals_foreachbatch_twin(spark, tmp_path):
     )
     got = sorted(tuple(r) for r in st.result(spark).collect())
     assert got == want
+
+
+def test_stateful_paths_equals_foreachbatch_closed_counts(spark, tmp_path):
+    """The second native-state template: gap-session paths on
+    applyInPandasWithState (open session = GroupState). Over a
+    file-replayed stream its CLOSED-path counts equal the foreachBatch
+    accumulator's after the same batches (open sessions live in engine
+    state vs the open relation — both excluded)."""
+    from flink_streaming_etl_spark.streaming.paths import (
+        EventPathAccumulator,
+        StatefulEventPaths,
+    )
+
+    ev = _tables(spark)["events"].orderBy("ts", "event_id").limit(400)
+    rows = ev.collect()
+    half = len(rows) // 2
+    src_dir = tmp_path / "src"
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        spark.createDataFrame(chunk, ev.schema).select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "user_id",
+            "event_type",
+        ).coalesce(1).write.json(str(src_dir / f"b{i}"))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts string, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src_dir / "*"))
+        .withColumn("ts", F.to_timestamp("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    )
+    st = StatefulEventPaths()
+    q = st.attach(stream, checkpointLocation=str(tmp_path / "ckpt"))
+    q.awaitTermination(240)
+
+    acc = EventPathAccumulator()
+    acc.add_batch(spark.createDataFrame(rows[:half], ev.schema), batch_id=0)
+    acc.add_batch(spark.createDataFrame(rows[half:], ev.schema), batch_id=1)
+    assert dict(st.counts) == dict(acc.counts)
+    assert st.counts, "replay must close at least one session"
