@@ -295,6 +295,7 @@ HEADLINE = [
     "cep_relaxed_timeout_report",
     # round-13 additions
     "cep_backtrack_matches",
+    "cep_nfa_backtrack_matches",
     "media_resize",
     "media_frames",
 ]

@@ -1245,6 +1245,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(cep.cep_backtrack_matches, "events"),
         cep.CEP_BACKTRACK_SQL,
     ),
+    "cep_nfa_backtrack_matches": (
+        # r13: the GENERAL full-backtracking NFA (applyInPandas scan
+        # over JVM-evaluated flags — FlinkCEP's keyed-NFA placement) on
+        # the same overlapping pattern as cep_backtrack_matches: two
+        # independent engines, one oracle.
+        _q(cep.cep_nfa_backtrack_matches, "events"),
+        cep.CEP_BACKTRACK_SQL,
+    ),
     "cep_relaxed_timeout_report": (
         # relaxed-contiguity timeout companion: starts whose followedBy
         # chain never completes or completes past WITHIN — the batch
@@ -1302,6 +1310,7 @@ _SAMPLE_FRONT = [
     # round-13 first rows: the backtracking CEP kernel and the real
     # PPM-decode media entries (their first oracle-backed rows)
     "cep_backtrack_matches",
+    "cep_nfa_backtrack_matches",
     "media_features",
     "media_resize",
     "media_frames",
@@ -1357,10 +1366,10 @@ _SAMPLE_FRONT = [
     "kmeans_update_pinned",
     "semantic_contamination_check",
     "media_dup_rate_report",
-    "event_transition_report",
-    # (kmv_distinct_report, pricing_summary, fuzzy_prefix_pairs and
-    # nearest_neighbor_report rotate to the tail for the r13 additions —
-    # multi-round green, still parity-checked locally every run)
+    # (kmv_distinct_report, pricing_summary, fuzzy_prefix_pairs,
+    # nearest_neighbor_report and event_transition_report rotate to the
+    # tail for the r13 additions — multi-round green, still
+    # parity-checked locally every run)
 ]
 assert len(_SAMPLE_FRONT) == 50 and len(set(_SAMPLE_FRONT)) == 50
 assert all(name in REGISTRY for name in _SAMPLE_FRONT)

@@ -1706,3 +1706,197 @@ JOIN evs b ON b.user_id = r.user_id
 GROUP BY r.user_id, r.grp, r.start_event_id, r.a_rn, r.start_us
 HAVING arg_max(b.us, b.rn) - r.start_us <= {24 * 3600 * 1000000}
 """
+
+
+# ---------------------------------------------------------------------------
+# General backtracking NFA (round 13): FULL SQL:2016 greedy-with-
+# backtracking for ANY linear DefineStep pattern — overlapping DEFINEs,
+# mixed '1'/'+' quantifiers, no fragment restriction. Engine split:
+# predicate evaluation stays SPARK-SIDE (one codegen'd projection builds
+# the per-step boolean flags — Python never sees a predicate), and the
+# per-key scan runs as an Arrow-batched applyInPandas over user groups —
+# exactly FlinkCEP's keyed-NFA placement (state and scan local to the
+# key's partition; parallelism = keys). This is the (b)-tier fallback for
+# semantics the run-algebra kernels can't compose; the closed-form
+# cep_backtrack_matches above stays the (a)-tier plan for PATTERN (A+ B).
+
+
+def _define_base(events: DataFrame, steps: list) -> DataFrame:
+    """Shared prelude: per-key ordered relation + one boolean flag per
+    pattern variable (JVM-evaluated DEFINE predicates)."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = events.select(
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        us.alias("us"),
+        "event_id",
+        "event_type",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lag("event_type").over(w).alias("prev_event_type"),
+        F.lag(us).over(w).alias("prev_us"),
+    )
+    cols = {
+        "value": F.col("value"),
+        "event_type": F.col("event_type"),
+        "us": F.col("us"),
+        "prev_value": F.col("prev_value"),
+        "prev_event_type": F.col("prev_event_type"),
+        "prev_us": F.col("prev_us"),
+    }
+    for i, s in enumerate(steps):
+        p = F.lit(True) if s.pred is None else s.pred(cols)
+        base = base.withColumn(f"_p{i}", F.coalesce(p, F.lit(False)))
+    return base
+
+
+def _nfa_scan(flags, quants):
+    """Pure flag-driven greedy-with-backtracking scan (AFTER MATCH SKIP
+    PAST LAST ROW). ``flags[i][j]`` = does row j satisfy step i;
+    ``quants[i]`` in {'1', '+'}. Returns a list of matches, each a list
+    of (seg_start, seg_end) inclusive row-index bounds per step."""
+    n = len(flags[0]) if flags else 0
+    n_steps = len(flags)
+
+    def match_from(pos, step):
+        if step == n_steps:
+            return []
+        f = flags[step]
+        if quants[step] == "1":
+            if pos < n and f[pos]:
+                rest = match_from(pos + 1, step + 1)
+                if rest is not None:
+                    return [(pos, pos)] + rest
+            return None
+        # '+': greedy maximal run, then give back one row at a time
+        k = 0
+        while pos + k < n and f[pos + k]:
+            k += 1
+        while k >= 1:
+            rest = match_from(pos + k, step + 1)
+            if rest is not None:
+                return [(pos, pos + k - 1)] + rest
+            k -= 1
+        return None
+
+    out, pos = [], 0
+    while pos < n:
+        m = match_from(pos, 0)
+        if m is not None:
+            out.append(m)
+            pos = m[-1][1] + 1  # skip past last row
+        else:
+            pos += 1
+    return out
+
+
+def cep_define_matches_nfa(
+    events: DataFrame,
+    steps: list,
+    within_hours: int | None = None,
+) -> DataFrame:
+    """FULL-backtracking MATCH_RECOGNIZE over arbitrary DefineStep
+    patterns — the general engine behind the restricted kernels: no
+    exclusivity requirement, mixed quantifiers, overlapping DEFINEs.
+    Same output schema as :func:`cep_define_matches`. Cross-pinned in
+    tests/test_round13.py: equals :func:`cep_backtrack_matches` (a
+    completely independent closed-form implementation) on PATTERN
+    (A+ B), and finds the mixed-pattern matches the exclusive-fragment
+    kernel's validation warns it must miss."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType as _D,
+        LongType as _L,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    steps = [
+        s if isinstance(s, DefineStep) else DefineStep(*s) for s in steps
+    ]
+    base = _define_base(events, steps)
+    quants = [s.quant for s in steps]
+    names = [s.name for s in steps]
+    n_steps = len(steps)
+
+    fields = [_SF("user_id", _L())]
+    for nm in names:
+        fields += [
+            _SF(f"{nm}_first_event_id", _L()),
+            _SF(f"{nm}_last_event_id", _L()),
+            _SF(f"{nm}_n", _L()),
+            _SF(f"_raw_fv_{nm}", _D()),
+            _SF(f"_raw_lv_{nm}", _D()),
+        ]
+    fields += [_SF("start_us", _L()), _SF("end_us", _L())]
+    schema = _ST(fields)
+    out_names = [f.name for f in fields]
+
+    def scan_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn", kind="mergesort").reset_index(drop=True)
+        flags = [pdf[f"_p{i}"].tolist() for i in range(n_steps)]
+        eids = pdf["event_id"].tolist()
+        vals = pdf["value"].tolist()
+        uss = pdf["us"].tolist()
+        uid = pdf["user_id"].iloc[0] if len(pdf) else None
+        rows = []
+        for m in _nfa_scan(flags, quants):
+            row = [uid]
+            for (s0, s1) in m:
+                row += [
+                    eids[s0], eids[s1], s1 - s0 + 1, vals[s0], vals[s1],
+                ]
+            row += [uss[m[0][0]], uss[m[-1][1]]]
+            rows.append(row)
+        return pd.DataFrame(rows, columns=out_names)
+
+    out = base.groupBy("user_id").applyInPandas(scan_group, schema=schema)
+    # q6 flooring applied ENGINE-side so value semantics match the
+    # run-algebra kernels bit-for-bit
+    from flink_streaming_etl_spark.functions import q6
+
+    sel = [F.col("user_id")]
+    for nm in names:
+        sel += [
+            F.col(f"{nm}_first_event_id"),
+            F.col(f"{nm}_last_event_id"),
+            F.col(f"{nm}_n"),
+            q6(F.col(f"_raw_fv_{nm}")).alias(f"{nm}_first_value"),
+            q6(F.col(f"_raw_lv_{nm}")).alias(f"{nm}_last_value"),
+        ]
+    sel += [F.col("start_us"), F.col("end_us")]
+    out = out.select(*sel)
+    if within_hours is not None:
+        out = out.filter(
+            F.col("end_us") - F.col("start_us")
+            <= F.lit(within_hours * _US_PER_HOUR)
+        )
+    return out
+
+
+def cep_nfa_backtrack_matches(events: DataFrame) -> DataFrame:
+    """Registry witness for the general NFA: the SAME overlapping
+    PATTERN (A+ B) as :func:`cep_backtrack_matches`, run through the
+    full-backtracking scan instead of the closed form, projected to the
+    identical schema — two independent engines against ONE DuckDB
+    oracle (CEP_BACKTRACK_SQL)."""
+    steps = [
+        DefineStep("up", lambda c: c["value"] > c["prev_value"], "+"),
+        DefineStep(
+            "tail",
+            lambda c: (c["event_type"] == F.lit("purchase"))
+            & (c["value"] > c["prev_value"]),
+        ),
+    ]
+    m = cep_define_matches_nfa(events, steps, within_hours=CEP_WITHIN_HOURS)
+    return m.select(
+        "user_id",
+        F.col("up_first_event_id").alias("start_event_id"),
+        F.col("tail_last_event_id").alias("end_event_id"),
+        F.col("up_n").cast("long").alias("n_a"),
+        F.col("tail_last_value").alias("end_value"),
+        "start_us",
+        "end_us",
+    )

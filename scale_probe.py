@@ -214,6 +214,7 @@ PROBES = [
     "cep_define_peak_matches",
     # round-13 additions
     "cep_backtrack_matches",
+    "cep_nfa_backtrack_matches",
     "media_features",
     "media_resize",
     "media_frames",

@@ -560,6 +560,94 @@ def test_backtrack_finds_matches_the_exclusive_kernel_cannot(spark):
         assert cep_define_matches(ev, steps).count() == 0
 
 
+def test_nfa_engine_equals_closed_form_on_corpus(spark):
+    """Two INDEPENDENT implementations of the same overlapping pattern —
+    the closed-form run algebra and the general backtracking NFA — agree
+    row-for-row on the events table."""
+    from flink_streaming_etl_spark.operators.cep import (
+        cep_backtrack_matches,
+        cep_nfa_backtrack_matches,
+    )
+
+    ev = _tables(spark)["events"]
+    a = sorted(tuple(r) for r in cep_backtrack_matches(ev).collect())
+    b = sorted(tuple(r) for r in cep_nfa_backtrack_matches(ev).collect())
+    assert a == b and a
+
+
+def test_nfa_engine_handles_mixed_pattern_backtracking(spark):
+    """The general NFA finds the mixed-pattern match the exclusive
+    kernel's validation warns it must miss: LOW UP+ DN+ TAIL where the
+    TAIL purchase is the dn-run's own last row."""
+    from flink_streaming_etl_spark.operators.cep import (
+        DefineStep,
+        cep_define_matches,
+        cep_define_matches_nfa,
+    )
+
+    ev = _define_events(
+        spark,
+        [(5.0, "view"), (30.0, "click"), (20.0, "click"), (10.0, "purchase")],
+    )
+    steps = [
+        DefineStep("low", lambda c: c["value"] < 50),
+        DefineStep("up", lambda c: c["value"] > c["prev_value"], "+"),
+        DefineStep("dn", lambda c: c["value"] < c["prev_value"], "+"),
+        DefineStep("tail", lambda c: c["event_type"] == "purchase"),
+    ]
+    got = cep_define_matches_nfa(ev, steps).collect()
+    assert len(got) == 1
+    m = got[0]
+    # backtracking gives the dn run's last row back to TAIL
+    assert m["low_first_event_id"] == 100 and m["up_first_event_id"] == 101
+    assert m["dn_first_event_id"] == 102 and m["dn_n"] == 1
+    assert m["tail_first_event_id"] == 103 and m["tail_last_value"] == 10.0
+    with pytest.warns(UserWarning, match="greedy absorption"):
+        assert cep_define_matches(ev, steps).count() == 0
+
+
+def test_nfa_engine_equals_exclusive_kernel_on_separated_peaks(spark):
+    """On an exclusive-fragment pattern whose matches are WELL-SEPARATED
+    (flat rows between peaks, none at a partition edge) the two engines
+    coincide exactly. Separation matters: the run-algebra kernel anchors
+    each run positionally without consuming rows, so back-to-back peaks
+    sharing an anchor row (a W-shape) are a DOCUMENTED divergence from
+    the NFA's AFTER MATCH SKIP PAST LAST ROW — flats remove the overlap."""
+    from datetime import datetime, timedelta
+
+    from flink_streaming_etl_spark.operators.cep import (
+        DefineStep,
+        cep_define_matches,
+        cep_define_matches_nfa,
+    )
+
+    t0 = datetime(2024, 6, 1)
+    rows, eid = [], 0
+    # per user: flat, flat, rise, rise, drop, flat, rise, drop, drop, flat
+    shape = [10.0, 10.0, 12.0, 14.0, 13.0, 13.0, 20.0, 15.0, 9.0, 9.0]
+    for uid in range(3):
+        for i, v in enumerate(shape):
+            eid += 1
+            rows.append((eid, t0 + timedelta(minutes=5 * i), uid, "view",
+                         v + uid))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+    steps = [
+        DefineStep("base"),
+        DefineStep("rise", lambda c: c["value"] > c["prev_value"], "+"),
+        DefineStep("drop", lambda c: c["value"] < c["prev_value"], "+"),
+    ]
+    a = sorted(
+        tuple(r) for r in cep_define_matches(ev, steps, validate=False).collect()
+    )
+    b = sorted(tuple(r) for r in cep_define_matches_nfa(ev, steps).collect())
+    assert a == b
+    assert len(a) == 6  # two separated peaks per user
+
+
 # ---------------------------------------------------------------------------
 # Real media decode: PPM/P6 (r12 verdict task #7)
 
