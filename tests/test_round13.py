@@ -146,6 +146,94 @@ def test_paths_driver_transfer_is_path_bounded(spark, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
+# The media window-algebra fold vs the sequential reference algorithm:
+# randomized batch splits, LOW owner caps (hot cutoffs inside batches),
+# and re-delivery — the exact per-media loop the relations replaced.
+
+
+def _media_brute(batches, cap, min_shared):
+    """Pure-Python replica of the pre-r13 sequential fold: process each
+    batch's media in ascending id order against the live owner map."""
+    owners: dict = {}
+    pairs: dict = {}
+    for rows in batches:
+        by_media: dict = {}
+        for mid, ch in rows:
+            by_media.setdefault(mid, set()).add(ch)
+        for mid in sorted(by_media):
+            shared: dict = {}
+            for ch in by_media[mid]:
+                own = owners.get(ch)
+                if own is not None and len(own) <= cap:
+                    for prior in own:
+                        if prior != mid:
+                            shared[prior] = shared.get(prior, 0) + 1
+            for prior, n in shared.items():
+                if n >= min_shared:
+                    pairs[(min(prior, mid), max(prior, mid))] = n
+            for ch in by_media[mid]:
+                own = owners.setdefault(ch, [])
+                if len(own) <= cap and mid not in own:
+                    own.append(mid)
+    return pairs
+
+
+def test_media_window_algebra_equals_sequential_fold(spark):
+    """Randomized splits + owner_cap=2 + re-delivery: the relation-side
+    fold reproduces the sequential loop exactly, including mid-batch hot
+    cutoffs (the e + rank−1 − cum_already invariant)."""
+    import random
+
+    from flink_streaming_etl_spark.operators.multimodal import (
+        documents_as_media,
+    )
+    from flink_streaming_etl_spark.streaming.media_dedup import (
+        MediaChunkDedupAccumulator,
+    )
+
+    blocks = ["".join(f"{c}{i:03d}" for i in range(16)) for c in "wxyz"]
+    rng = random.Random(4242)
+    docs = [
+        (mid, rng.choice(blocks) + rng.choice(blocks) + f"tail-{mid}")
+        for mid in range(1, 25)
+    ]
+    docs += docs[3:7]  # re-delivered media (same ids, later batches)
+
+    for trial in range(3):
+        order = docs[:]
+        rng.shuffle(order)
+        cuts = sorted(rng.sample(range(1, len(order)), 3))
+        batches = [
+            order[a:b]
+            for a, b in zip([0] + cuts, cuts + [len(order)])
+            if order[a:b]
+        ]
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            [(m, t, "en", "s", len(t)) for m, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        acc = MediaChunkDedupAccumulator(min_shared=2, owner_cap=2)
+        chunk_batches = []
+        for i, rows in enumerate(batches):
+            df = mk(rows)
+            chunk_batches.append(
+                [(r["media_id"], r["chash"])
+                 for r in acc._batch_chunks(df).collect()]
+            )
+            acc.add_batch(df, batch_id=i)
+        want = {
+            k: v
+            for k, v in _media_brute(chunk_batches, cap=2, min_shared=2).items()
+            if v >= 2
+        }
+        got = {
+            (r["a_id"], r["b_id"]): r["shared_chunks"]
+            for r in acc.result(spark).collect()
+        }
+        assert got == want, (trial, len(batches))
+
+
+# ---------------------------------------------------------------------------
 # Durable save/restore (BucketedState) for the four externalized twins
 
 
