@@ -611,3 +611,41 @@ def test_round10_wave2_plan_shapes(spark):
 
     p = plan_of(similarity.knn_outlier_report(t["embeddings"]))
     assert "CartesianProduct" not in p, p
+
+
+def test_backtrack_join_is_keyed_not_cartesian(spark):
+    """The backtracking closed form's candidate join carries the
+    user_id equi component — the [a+1, e+1] range rides as a post-join
+    filter on a keyed join, never a cartesian/nested-loop product."""
+    from flink_streaming_etl_spark.operators import cep
+
+    ev = load_tables(spark, SF_SMOKE, register=False)["events"]
+    p = plan_text(cep.cep_backtrack_matches(ev))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_nfa_flags_are_jvm_projected_before_the_python_scan(spark):
+    """The general NFA evaluates DEFINE predicates in ONE codegen'd
+    window projection; exactly one Python stage (the per-key Arrow
+    scan) appears in the plan."""
+    from flink_streaming_etl_spark.operators import cep
+
+    ev = load_tables(spark, SF_SMOKE, register=False)["events"]
+    p = plan_text(cep.cep_nfa_backtrack_matches(ev))
+    # formatted plans print nodes twice (tree + detail)
+    assert p.count("FlatMapGroupsInPandas") <= 2, p
+    assert "BatchEvalPython" not in p  # no row-at-a-time Python UDFs
+
+
+def test_media_ppm_pipeline_stays_arrow_batched(spark):
+    """The real decode paths are mapInPandas (Arrow) over a single scan
+    — no row-at-a-time Python evaluation anywhere."""
+    from flink_streaming_etl_spark.operators import multimodal as mm
+
+    docs = load_tables(spark, SF_SMOKE, register=False)["documents"]
+    for df in (mm.media_ppm_features(docs), mm.media_resize_report(docs),
+               mm.media_frames_report(docs)):
+        p = plan_text(df)
+        assert "BatchEvalPython" not in p
+        assert "MapInPandas" in p
