@@ -616,12 +616,43 @@ class QuantifiedCepAccumulator(_BaseCepAccumulator):
         store_root: str | None = None,
         spark: SparkSession | None = None,
         retention_batches: int | None = None,
+        on_timeouts_df=None,
     ):
         self.pre, self.loop, self.post = pre, loop, post
         self.within_hours = int(within_hours)
+        #: the most recent batch's dead partial starts (driver tuples —
+        #: populated only when no distributed sink is set)
+        self.last_timeouts: list[tuple] = []
+        #: DISTRIBUTED timeout delivery (r14, r13 verdict #6 — the same
+        #: side-output path RelaxedCepAccumulator grew in r13): when
+        #: set, each batch's dead-partial relation (user_id,
+        #: start_event_id, start_us, reason ∈ over_within|expired|
+        #: broken) goes to this sink as a DataFrame and is never
+        #: collected on the driver — no high-expiry pattern is forced
+        #: through a driver collect.
+        self.on_timeouts_df = on_timeouts_df
         super().__init__(store_root, spark, retention_batches)
 
+    def _reset_side_outputs(self) -> None:
+        self.last_timeouts = []
+
     def _kernel(self, batch: DataFrame):
-        return cep_quantified_with_tails(
-            batch, self.pre, self.loop, self.post, self.within_hours
+        matches, tails, timeouts = cep_quantified_with_tails(
+            batch, self.pre, self.loop, self.post, self.within_hours,
+            with_timeouts=True,
         )
+        if self.on_timeouts_df is not None:
+            # distributed: materialize once (the sink may re-scan),
+            # never collect — same discipline as on_matches_df
+            out = timeouts.select(
+                "user_id", "start_event_id", "start_us", "reason"
+            ).localCheckpoint(eager=True)
+            self.on_timeouts_df(out)
+            self.last_timeouts = []
+        else:
+            # read via last_timeouts after add_batch (alert-shaped)
+            self.last_timeouts = [
+                (r["user_id"], r["start_event_id"], r["start_us"], r["reason"])
+                for r in timeouts.collect()
+            ]
+        return matches, tails

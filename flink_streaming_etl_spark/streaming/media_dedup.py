@@ -400,3 +400,156 @@ class MediaChunkDedupAccumulator:
         return self.pairs_rel.filter(
             F.col("shared_chunks") >= self.min_shared
         )
+
+
+# ---------------------------------------------------------------------------
+# Native executor-resident state (round 14, r13 verdict #1): the SAME
+# sequential owner-list semantics on ``applyInPandasWithState``, keyed
+# by CHUNK HASH. Each chash's owner list (≤ owner_cap entries) lives in
+# Spark's GroupState on the executor owning its hash partition —
+# per-fold cost is O(batch chunks) point updates, not the foreachBatch
+# twin's O(|state|) anti∪union re-materialization. The per-group fold
+# below is the literal ascending-media_id loop the r13 window algebra
+# was proved equal to (test_media_window_algebra_equals_sequential_fold)
+# — here the loop is CORRECT placement, because it runs once per chash
+# over that chash's batch rows only.
+
+#: GroupState layout per chunk hash: the registered owner media ids
+_GS_MEDIA_STATE = "owners array<long>"
+#: emission: per-chash shared-chunk pair contributions for this batch
+_GS_MEDIA_OUTPUT = "a_id long, b_id long, n long"
+
+
+def _media_chunk_fold(owner_cap: int):
+    """Build the per-chash GroupState fold (closure over the cap)."""
+
+    def fold(key, pdf_iter, state):
+        import pandas as pd
+
+        media = sorted(
+            {int(x) for pdf in pdf_iter for x in pdf["media_id"].tolist()}
+        )
+        pre = [int(o) for o in state.get[0]] if state.exists else []
+        pre_set = set(pre)
+        e = len(pre)
+        pairs: dict = {}
+        batch_nonalready: list[int] = []
+        new_reg: list[int] = []
+        cum_already = 0
+        for i, m in enumerate(media, start=1):
+            already = m in pre_set
+            # owner-list length this media observes at its turn — the
+            # twin's `_before` invariant (all earlier non-already media
+            # registered while the list was under the cap)
+            before = e + (i - 1) - cum_already
+            if before <= owner_cap:
+                for o in pre:
+                    if o != m:
+                        k = (min(m, o), max(m, o))
+                        pairs[k] = pairs.get(k, 0) + 1
+                for o in batch_nonalready:
+                    k = (min(m, o), max(m, o))
+                    pairs[k] = pairs.get(k, 0) + 1
+                if not already:
+                    new_reg.append(m)
+            if already:
+                cum_already += 1
+            else:
+                batch_nonalready.append(m)
+        if media or pre:
+            state.update((pre + new_reg,))
+        yield pd.DataFrame(
+            [(a, b, n) for (a, b), n in sorted(pairs.items())],
+            columns=["a_id", "b_id", "n"],
+        )
+
+    return fold
+
+
+class StatefulMediaChunkDedup:
+    """``applyInPandasWithState`` twin of
+    :class:`MediaChunkDedupAccumulator` — executor-resident keyed state
+    (r13 verdict #1). Emits per-batch per-chash pair contributions;
+    summing a batch's contributions per (a_id, b_id) and filtering
+    ``>= min_shared`` reproduces the twin's per-batch new pairs exactly
+    (each unordered pair completes in the single batch where its later
+    media arrives). Pinned equal on arbitrary chunkings + restart in
+    tests/test_round14.py; fold-cost probe in scale_probe.py."""
+
+    def __init__(
+        self,
+        chunk_bytes: int = MEDIA_CHUNK_BYTES,
+        min_shared: int = MEDIA_CHUNK_MIN_SHARED,
+        owner_cap: int = MEDIA_CHUNK_OWNER_CAP,
+    ):
+        self.chunk_bytes = chunk_bytes
+        self.min_shared = min_shared
+        self.owner_cap = owner_cap
+
+    def _chunks(self, stream_documents: DataFrame) -> DataFrame:
+        """The twin's distributed chunking, applied to the stream (all
+        narrow ops — valid on a streaming DataFrame)."""
+        m = documents_as_media(stream_documents).select(
+            "media_id", "payload", "n_bytes"
+        )
+        nchunks = F.greatest(
+            F.ceil(F.col("n_bytes") / F.lit(self.chunk_bytes)).cast("int"),
+            F.lit(1),
+        )
+        return (
+            m.select(
+                "media_id",
+                "payload",
+                F.explode(F.sequence(F.lit(0), nchunks - 1)).alias("ci"),
+            )
+            .select(
+                "media_id",
+                F.md5(
+                    F.expr(
+                        f"substring(payload, ci * {self.chunk_bytes} + 1,"
+                        f" {self.chunk_bytes})"
+                    )
+                ).alias("chash"),
+            )
+            # NOTE: no stream-level distinct — per-batch (media_id,
+            # chash) dedup happens inside the per-chash fold (a set over
+            # the group's rows), exactly the twin's per-batch .distinct()
+        )
+
+    def transform(self, stream_documents: DataFrame) -> DataFrame:
+        """Streaming documents → per-batch (a_id, b_id, n) pair-count
+        contributions (one row per chash-bucket pair observation)."""
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        return self._chunks(stream_documents).groupBy(
+            "chash"
+        ).applyInPandasWithState(
+            _media_chunk_fold(self.owner_cap),
+            outputStructType=_GS_MEDIA_OUTPUT,
+            stateStructType=_GS_MEDIA_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def attach(
+        self, stream_documents: DataFrame, on_pairs_df=None, **start_kwargs
+    ):
+        """Run the stateful transform; each batch's aggregated
+        duplicate-pair DataFrame (a_id, b_id, shared_chunks ≥
+        min_shared) goes to ``on_pairs_df`` (distributed sink; None →
+        fold distributed and discard)."""
+        deltas = self.transform(stream_documents)
+        sink = on_pairs_df if on_pairs_df is not None else (lambda df: None)
+
+        def _fold(batch: DataFrame, bid: int) -> None:
+            sink(
+                batch.groupBy("a_id", "b_id")
+                .agg(F.sum("n").cast("long").alias("shared_chunks"))
+                .filter(F.col("shared_chunks") >= self.min_shared)
+            )
+
+        return (
+            deltas.writeStream.outputMode("append")
+            .foreachBatch(_fold)
+            .start(**start_kwargs)
+        )

@@ -18,10 +18,12 @@ corpus's active users). Per micro-batch:
   otherwise it closes. Every non-final batch session closes by
   construction. All relation-side — the old per-user driver loop is
   gone.
-- closed sessions fold to (path, n) counts; ONLY that path-bounded
-  aggregate crosses to the driver (O(results): distinct paths are
-  ≤ Σ|types|^k, k ≤ max_steps — the same bound that made the counts
-  dict safe before).
+- closed sessions fold into a DISTRIBUTED (path, n_sessions) counts
+  relation (r13 verdict #2: the Σ|types|^k path bound, k ≤ max_steps,
+  is not small for a high-cardinality event-type alphabet, so counts
+  are data, not driver memory). NOTHING crosses to the driver in the
+  fold — collection happens only in the diagnostic ``counts``
+  accessor and ``top_paths(k)`` (k rows).
 - idle retention (T5): users idle past ``retention_batches`` have
   their open session CLOSED into the counts (a session timeout is
   semantics, not approximation) and their rows dropped — both decided
@@ -68,6 +70,13 @@ _OPEN_SCHEMA = StructType(
     ]
 )
 
+_COUNTS_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("n_sessions", LongType()),
+    ]
+)
+
 
 class EventPathAccumulator:
     """Incremental gap-session path counting, state relation-side."""
@@ -87,9 +96,11 @@ class EventPathAccumulator:
         self.retention_batches = retention_batches
         #: OPEN sessions as a DISTRIBUTED relation (never a driver dict)
         self.open_rel: DataFrame | None = None
-        #: path → n_sessions — bounded by the observed path-head
-        #: (≤ Σ|types|^k), the same bound as before
-        self.counts: dict[str, int] = defaultdict(int)
+        #: closed-path frequencies (path, n_sessions) as a DISTRIBUTED
+        #: relation (r14, r13 verdict #2 — |types|^k is driver-unsafe
+        #: for large alphabets); collected only by the diagnostic
+        #: ``counts`` accessor and ``top_paths(k)``
+        self.counts_rel: DataFrame | None = None
         self.n_batches = 0
         self.last_batch_id: int | None = None
         self._save_seq = 0
@@ -116,9 +127,15 @@ class EventPathAccumulator:
         self._save_seq = bid
         self.last_batch_id = extra.get("last_batch_id", bid)
         self.n_batches = int(extra.get("n_batches", 0))
-        self.counts = defaultdict(
-            int, {k: int(v) for k, v in extra.get("counts", {}).items()}
-        )
+        if "counts" in rels:
+            self.counts_rel = rels["counts"].localCheckpoint(eager=True)
+        elif extra.get("counts"):
+            # pre-r14 stores carried the counts dict in extra — rebuild
+            # the relation once on restore (one-way migration)
+            self.counts_rel = spark.createDataFrame(
+                [(p, int(n)) for p, n in extra["counts"].items()],
+                _COUNTS_SCHEMA,
+            ).localCheckpoint(eager=True)
         if "open" in rels:
             self.open_rel = rels["open"].localCheckpoint(eager=True)
 
@@ -127,9 +144,10 @@ class EventPathAccumulator:
         spark: SparkSession,
         last_bid: int | None,
         open_rel: DataFrame | None,
-        counts: dict,
+        counts_rel: DataFrame | None,
         n_batches: int,
         touched_users: DataFrame | None,
+        touched_paths: DataFrame | None,
     ) -> None:
         if self.store is None:
             return
@@ -144,7 +162,6 @@ class EventPathAccumulator:
             extra={
                 "last_batch_id": last_bid,
                 "n_batches": n_batches,
-                "counts": dict(counts),
             },
             bucketed={
                 "open": BucketedState(
@@ -154,7 +171,17 @@ class EventPathAccumulator:
                     ["user_id"],
                     n_buckets=self._N_BUCKETS,
                     touched=touched_users,
-                )
+                ),
+                # only the buckets of paths this batch closed are
+                # rewritten — save volume ∝ batch, not lifetime paths
+                "counts": BucketedState(
+                    counts_rel
+                    if counts_rel is not None
+                    else spark.createDataFrame([], _COUNTS_SCHEMA),
+                    ["path"],
+                    n_buckets=self._N_BUCKETS,
+                    touched=touched_paths,
+                ),
             },
         )
         self._save_seq = seq
@@ -311,24 +338,34 @@ class EventPathAccumulator:
         )
         new_open = eager_checkpoint(new_open.coalesce(width))
 
-        # ONLY the path-bounded aggregate crosses to the driver
-        closed_counts = (
-            closed.groupBy("path").agg(F.count(F.lit(1)).alias("n")).collect()
+        # counts fold stays RELATION-SIDE (r14): the batch's closed-path
+        # aggregate merges into the counts relation via union + groupBy
+        # (untouched paths pass through; per-fold driver transfer is the
+        # eager_checkpoint scalars only — collect-spy pinned)
+        closed_agg = (
+            closed.groupBy("path")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+            .localCheckpoint(eager=True)  # reused: fold + touched save
         )
-
-        # fold into LOCAL copies; self.* commits only at the end
-        counts = defaultdict(int, self.counts)
-        for r in closed_counts:
-            counts[r["path"]] += int(r["n"])
+        if self.counts_rel is not None:
+            new_counts = (
+                self.counts_rel.unionByName(closed_agg)
+                .groupBy("path")
+                .agg(F.sum("n_sessions").cast("long").alias("n_sessions"))
+            )
+        else:
+            new_counts = closed_agg
+        new_counts = eager_checkpoint(new_counts.coalesce(width))
         self._evict()
         if self.store is not None and batch_id is not None:
             self._save(
-                spark, batch_id, new_open, counts, n_batches,
+                spark, batch_id, new_open, new_counts, n_batches,
                 touched_users=users_df,
+                touched_paths=closed_agg.select("path"),
             )
         # fold succeeded — commit memory + batch id
         self.open_rel = new_open
-        self.counts = counts
+        self.counts_rel = new_counts
         self.n_batches = n_batches
         if batch_id is not None:
             self.last_batch_id = int(batch_id)
@@ -358,13 +395,38 @@ class EventPathAccumulator:
             for r in self.open_rel.collect()
         }
 
+    @property
+    def counts(self) -> dict:
+        """Diagnostic/test accessor: {path: n closed sessions} —
+        COLLECTS the counts relation; never part of the fold (the
+        operational state is :attr:`counts_rel`)."""
+        if self.counts_rel is None:
+            return {}
+        return {
+            r["path"]: int(r["n_sessions"]) for r in self.counts_rel.collect()
+        }
+
+    def top_paths(self, spark: SparkSession, k: int = 10) -> list[tuple]:
+        """The top-k report — the ONLY sanctioned driver materialization
+        of path counts (r13 verdict #2): a distributed TopK over the
+        counts relation, k rows back."""
+        if self.counts_rel is None:
+            return []
+        return [
+            (r["path"], int(r["n_sessions"]))
+            for r in self.counts_rel.orderBy(
+                F.desc("n_sessions"), F.asc("path")
+            ).limit(int(k)).collect()
+        ]
+
     def result(self, spark: SparkSession, include_open: bool = True) -> DataFrame:
         """Path frequencies (path, n_sessions); ``include_open`` folds the
         still-open sessions in, matching the batch operator on a full
         replay (the batch view has no notion of 'open')."""
-        closed = spark.createDataFrame(
-            [(p, n) for p, n in self.counts.items()],
-            "path string, n_sessions long",
+        closed = (
+            self.counts_rel
+            if self.counts_rel is not None
+            else spark.createDataFrame([], _COUNTS_SCHEMA)
         )
         if not include_open or self.open_rel is None:
             return closed

@@ -128,8 +128,10 @@ def test_transitions_driver_transfer_is_matrix_bounded(spark, monkeypatch):
 
 
 def test_paths_driver_transfer_is_path_bounded(spark, monkeypatch):
-    """Open-session state stays distributed; only the closed-path count
-    aggregate (bounded by distinct paths, not users) is collected."""
+    """Open-session state AND the closed-path counts stay distributed
+    (r14 extended the pin to the counts fold — r13 verdict #2): the
+    fold performs ZERO driver collects; only top_paths(k) collects, and
+    exactly k rows."""
     from pyspark.sql import DataFrame
 
     from flink_streaming_etl_spark.streaming.paths import EventPathAccumulator
@@ -139,10 +141,18 @@ def test_paths_driver_transfer_is_path_bounded(spark, monkeypatch):
     for i, b in enumerate(batches):
         with _CollectSpy(monkeypatch) as spy:
             acc.add_batch(b, batch_id=i)
-        # one collect: the (path, n) aggregate of the batch's closures
-        assert len(spy.calls) <= 1, spy.calls
+        assert len(spy.calls) == 0, spy.calls
     assert isinstance(acc.open_rel, DataFrame)
+    assert isinstance(acc.counts_rel, DataFrame)
     assert "last_active" not in vars(acc) and "open" not in vars(acc)
+    # the counts dict is a diagnostic PROPERTY, not fold state
+    assert "counts" not in vars(acc)
+    with _CollectSpy(monkeypatch) as spy:
+        top = acc.top_paths(spark, k=3)
+    assert spy.calls == [len(top)] and len(top) <= 3
+    # top_paths is the head of the full distribution
+    full = sorted(acc.counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert top == full[: len(top)]
 
 
 # ---------------------------------------------------------------------------
@@ -351,10 +361,13 @@ def _define_events(spark, vals_types, uid=1):
 
 def test_define_rejects_overlapping_quantified_predicates(spark):
     """Two '+'-quantified DEFINEs that co-fire on a row are outside the
-    exclusive fragment: ValueError, not silently-wrong labels."""
+    exclusive fragment: since r14 the entry point ROUTES to the
+    backtracking NFA (performance-tier warning, never silently-wrong
+    labels); strict=True still rejects with ValueError."""
     from flink_streaming_etl_spark.operators.cep import (
         DefineStep,
         cep_define_matches,
+        cep_define_matches_nfa,
     )
 
     ev = _define_events(
@@ -364,16 +377,22 @@ def test_define_rejects_overlapping_quantified_predicates(spark):
         DefineStep("a", lambda c: c["value"] > 0, "+"),       # fires on all
         DefineStep("b", lambda c: c["value"] > 10, "+"),      # overlaps a
     ]
+    with pytest.warns(UserWarning, match="exclusive fragment"):
+        routed = sorted(tuple(r) for r in cep_define_matches(ev, steps).collect())
+    want = sorted(tuple(r) for r in cep_define_matches_nfa(ev, steps).collect())
+    assert routed == want
     with pytest.raises(ValueError, match="exclusive fragment"):
-        cep_define_matches(ev, steps).collect()
+        cep_define_matches(ev, steps, strict=True).collect()
     # validate=False accepts the documented first-variable-wins reading
     cep_define_matches(ev, steps, validate=False).collect()
 
 
-def test_define_warns_on_greedy_absorption_boundary(spark):
+def test_define_routes_greedy_absorption_boundary_to_nfa(spark):
     """The ADVICE r12 scenario: a '1'-step row absorbed into the
     neighbouring maximal '+' run (tail purchase with value < prev after
-    dn+). Detected precisely at the run boundary: warning by default,
+    dn+). Detected precisely at the run boundary; since r14 the entry
+    point returns the NFA's backtracking matches (the one the greedy
+    kernel provably misses) with a performance-tier warning, and
     ValueError under strict=True."""
     from flink_streaming_etl_spark.operators.cep import (
         DefineStep,
@@ -393,9 +412,18 @@ def test_define_warns_on_greedy_absorption_boundary(spark):
         DefineStep("tail", lambda c: c["event_type"] == "purchase"),
     ]
     with pytest.warns(UserWarning, match="greedy absorption"):
-        cep_define_matches(ev, steps).collect()
+        got = cep_define_matches(ev, steps).collect()
+    # the routed result IS the backtracking match the greedy reading
+    # misses (pinned against the brute-force expectations below)
+    assert len(got) == 1
+    m = got[0]
+    assert m["low_first_event_id"] == 100 and m["up_first_event_id"] == 101
+    assert m["dn_first_event_id"] == 102 and m["dn_n"] == 1
+    assert m["tail_first_event_id"] == 103 and m["tail_last_value"] == 10.0
     with pytest.raises(ValueError, match="greedy absorption"):
         cep_define_matches(ev, steps, strict=True).collect()
+    # validate=False keeps the documented greedy no-backtracking reading
+    assert cep_define_matches(ev, steps, validate=False).count() == 0
 
 
 def test_define_exclusive_pattern_passes_validation_silently(spark):
@@ -642,10 +670,15 @@ def test_backtrack_finds_matches_the_exclusive_kernel_cannot(spark):
             & (c["value"] > c["prev_value"]),
         ),
     ]
-    # the greedy kernel absorbs the purchase into the run and misses it
-    # (exactly what its validation warns about)
+    # the greedy reading (validate=False) absorbs the purchase into the
+    # run and misses it; the validated entry point detects exactly that
+    # and routes to the NFA, which agrees with the closed form (r14)
+    assert cep_define_matches(ev, steps, validate=False).count() == 0
     with pytest.warns(UserWarning, match="greedy absorption"):
-        assert cep_define_matches(ev, steps).count() == 0
+        routed = cep_define_matches(ev, steps).collect()
+    assert len(routed) == 1
+    assert routed[0]["up_first_event_id"] == 101
+    assert routed[0]["tail_first_event_id"] == 102
 
 
 def test_nfa_engine_equals_closed_form_on_corpus(spark):
@@ -690,8 +723,12 @@ def test_nfa_engine_handles_mixed_pattern_backtracking(spark):
     assert m["low_first_event_id"] == 100 and m["up_first_event_id"] == 101
     assert m["dn_first_event_id"] == 102 and m["dn_n"] == 1
     assert m["tail_first_event_id"] == 103 and m["tail_last_value"] == 10.0
+    # the entry point now ROUTES here (r14): same single match through
+    # cep_define_matches, with the performance-tier warning; the greedy
+    # reading stays available behind validate=False
     with pytest.warns(UserWarning, match="greedy absorption"):
-        assert cep_define_matches(ev, steps).count() == 0
+        assert cep_define_matches(ev, steps).count() == 1
+    assert cep_define_matches(ev, steps, validate=False).count() == 0
 
 
 def test_nfa_engine_equals_exclusive_kernel_on_separated_peaks(spark):
