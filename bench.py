@@ -142,7 +142,6 @@ HEADLINE = [
     "kmeans_assign_pinned",
     "standardize_by_label_stats",
     "profile_orders_hll",
-    "sketch_profile_flat",
     # round-4 training-pipeline additions
     "gopher_quality",
     "span_dedup",
@@ -228,7 +227,6 @@ HEADLINE = [
     "zipf_fit_report",
     "doclen_percentile_report",
     "embedding_covariance",
-    "pca_top_component",
     "media_simhash_pairs",
     "tokenizer_vocab_coverage",
     "embedding_norm_report",

@@ -314,11 +314,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(analytics.sketch_profile, "events"),
         None,  # engine-specific estimators — error-bound-tested instead
     ),
-    "sketch_profile_flat": (
-        # driver-hashable twin (quantile array → string); still rows-only
-        _q(analytics.sketch_profile_flat, "events"),
-        None,
-    ),
+    # NOTE: analytics.sketch_profile_flat (the string-quantiles twin
+    # kept from when the base op emitted an array) stays library API
+    # but is no longer registered (r14, r13 verdict #5): the base op is
+    # scalar-only/hashable itself, so the twin's registry row was a
+    # duplicate rows-only check of the same engine-specific sketch.
     "rolling_spend_7d": (
         _q(analytics.rolling_spend_7d, "orders"),
         analytics.ROLLING_SPEND_7D_SQL,
@@ -863,12 +863,12 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(similarity.embedding_covariance, "embeddings"),
         similarity.embedding_covariance_sql(),
     ),
-    "pca_top_component": (
-        # power iteration on the d^2-bounded collected covariance;
-        # iterative — no SQL oracle (numpy-verified in tests)
-        _q(similarity.pca_top_component, "embeddings"),
-        None,
-    ),
+    # NOTE: similarity.pca_top_component (the converging power loop)
+    # stays library API + pytest-covered but is no longer registered
+    # (r14, r13 verdict #5 — the kmeans_assign retirement precedent):
+    # its registry value was a rows-only row, and ★pca_power_pinned
+    # value-checks the identical kernel exactly (fixed-order iteration,
+    # recursive-CTE oracle).
     "media_simhash_pairs": (
         # byte-level SimHash near-dup tier, banded candidates + hot cap
         _q(multimodal.media_simhash_pairs, "documents"),
@@ -896,9 +896,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "bpe_train_merges": (
         # full iterative BPE merge table over the collected top-V
-        # word-frequency vocabulary; iterative — no SQL oracle
+        # word-frequency vocabulary; EXACT oracle since r14 — the
+        # training loop unrolled as chained best-pair/re-tokenize CTEs
+        # (r13 verdict #5: the pack_sequences_ffd_stats recipe)
         _q(text.bpe_train_merges, "documents"),
-        None,
+        text.bpe_train_merges_sql(),
     ),
     "linear_quality_classifier": (
         # broadcast-weights sparse dot product + sigmoid — the
@@ -1260,6 +1262,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
         _q(cep.cep_relaxed_timeout_report, "events"),
         cep.cep_relaxed_timeout_report_sql(),
     ),
+    "cep_quantified_timeout_report": (
+        # r14: quantified-pattern dead-partial report (over_within /
+        # expired / broken / end_of_stream) — the batch twin of
+        # QuantifiedCepAccumulator's streaming side output
+        _q(cep.cep_quantified_timeout_report, "events"),
+        cep.cep_quantified_timeout_report_sql(),
+    ),
     "cep_alternation_matches": (
         # SQL:2016 alternation PATTERN (A (B|C) D): step predicates
         # become isin over the lead columns — same single window pass
@@ -1307,8 +1316,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 #: rotate to the tail (still re-checked every run by
 #: tests/test_oracle_parity.py).
 _SAMPLE_FRONT = [
-    # round-13 first rows: the backtracking CEP kernel and the real
-    # PPM-decode media entries (their first oracle-backed rows)
+    # round-14 first rows: bpe_train_merges' FIRST oracle-backed row
+    # (the unrolled-training-loop oracle, r13 verdict #5) and the new
+    # quantified dead-partial report
+    "bpe_train_merges",
+    "cep_quantified_timeout_report",
+    # round-13 first rows: the backtracking CEP kernel (r14 memoized its
+    # scan — fresh rows prove the rewrite) and the real PPM-decode media
+    # entries
     "cep_backtrack_matches",
     "cep_nfa_backtrack_matches",
     "media_features",
@@ -1364,12 +1379,11 @@ _SAMPLE_FRONT = [
     "data_quality_report",
     "ann_pq_rerank",
     "kmeans_update_pinned",
-    "semantic_contamination_check",
-    "media_dup_rate_report",
-    # (kmv_distinct_report, pricing_summary, fuzzy_prefix_pairs,
-    # nearest_neighbor_report and event_transition_report rotate to the
-    # tail for the r13 additions — multi-round green, still
-    # parity-checked locally every run)
+    # (semantic_contamination_check and media_dup_rate_report rotate to
+    # the tail for the r14 first rows; kmv_distinct_report, pricing_summary,
+    # fuzzy_prefix_pairs, nearest_neighbor_report and
+    # event_transition_report rotated in r13 — all multi-round green,
+    # still parity-checked locally every run)
 ]
 assert len(_SAMPLE_FRONT) == 50 and len(set(_SAMPLE_FRONT)) == 50
 assert all(name in REGISTRY for name in _SAMPLE_FRONT)

@@ -1140,6 +1140,117 @@ def cep_quantified_with_tails(
     return matches, tails, timeouts
 
 
+def cep_quantified_timeout_report(
+    events: DataFrame,
+    pre: str = "view",
+    loop: str = "click",
+    post: str = "purchase",
+    within_hours: int = CEP_WITHIN_HOURS,
+) -> DataFrame:
+    """Batch twin of the QuantifiedCepAccumulator dead-partial side
+    output (r14): every ``pre``-typed row that does NOT head an emitted
+    ``A B+ C WITHIN w`` match, with the reason its partial died —
+
+    * ``over_within`` — completed, but past the bound;
+    * ``expired`` — incomplete, aged past WITHIN of the key's newest
+      row (no future row could close it in-bound);
+    * ``broken`` — incomplete and interrupted (a non-continuing row
+      follows; strict contiguity is unrepairable);
+    * ``end_of_stream`` — incomplete, unexpired trailing suffix (the
+      streaming kernel carries exactly these as pending state).
+
+    Classification uses END-OF-HISTORY knowledge: a start the streaming
+    side reported ``broken`` while young may re-classify ``expired``
+    here once the key's later rows age it past WITHIN — the streaming
+    label is the state at reporting time, this one the state at the end
+    (same dead set either way; pinned in tests/test_round14.py).
+
+    One run-position join + one closer join + one key-max join — all
+    key-partitioned; oracle: cep_quantified_timeout_report_sql()."""
+    within_us = within_hours * _US_PER_HOUR
+    evs, runs = _quantified_prep(events, loop)
+    keylast = evs.groupBy("user_id").agg(
+        F.max("rn").alias("_maxrn"), F.max("us").alias("_kmax")
+    )
+    a_all = evs.filter(F.col("event_type") == pre).select(
+        "user_id",
+        "rn",
+        F.col("event_id").alias("start_event_id"),
+        F.col("us").alias("start_us"),
+    )
+    run_after = runs.select(
+        "user_id", (F.col("srn") - 1).alias("rn"), F.col("ern").alias("_ern")
+    )
+    closer = evs.select(
+        "user_id",
+        (F.col("rn") - 1).alias("_ern"),
+        F.col("event_type").alias("_ct"),
+        F.col("us").alias("_cus"),
+    )
+    cls = _nsj(a_all, run_after, ["user_id"], ["rn"], how="left")
+    cls = _nsj(cls, closer, ["user_id"], ["_ern"], how="left")
+    cls = _nsj(cls, keylast, ["user_id"])
+    complete = F.col("_ct") == post
+    emitted = complete & ((F.col("_cus") - F.col("start_us")) <= within_us)
+    expired = F.col("start_us") < (F.col("_kmax") - within_us)
+    # trailing suffix: the A is the key's last row, or its run reaches it
+    trailing = (F.col("rn") == F.col("_maxrn")) | (
+        F.col("_ern") == F.col("_maxrn")
+    )
+    return (
+        cls.withColumn(
+            "reason",
+            F.when(emitted, F.lit(None).cast("string"))
+            .when(complete, F.lit("over_within"))
+            .when(expired, F.lit("expired"))
+            .when(trailing, F.lit("end_of_stream"))
+            .otherwise(F.lit("broken")),
+        )
+        .filter(F.col("reason").isNotNull())
+        .select("user_id", "start_event_id", "start_us", "reason")
+    )
+
+
+def cep_quantified_timeout_report_sql(
+    pre: str = "view",
+    loop: str = "click",
+    post: str = "purchase",
+    within_hours: int = CEP_WITHIN_HOURS,
+) -> str:
+    within_us = within_hours * _US_PER_HOUR
+    return f"""
+WITH evs AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         ROW_NUMBER() OVER w AS rn,
+         ROW_NUMBER() OVER w
+           - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS grp
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT user_id, grp, MIN(rn) AS srn, MAX(rn) AS ern
+  FROM evs WHERE event_type = '{loop}' GROUP BY user_id, grp
+), keylast AS (
+  SELECT user_id, MAX(rn) AS maxrn, MAX(us) AS kmax FROM evs GROUP BY user_id
+), cls AS (
+  SELECT a.user_id, a.rn, a.event_id AS start_event_id, a.us AS start_us,
+         r.ern, c.event_type AS ct, c.us AS cus, k.maxrn, k.kmax
+  FROM evs a
+  LEFT JOIN runs r ON r.user_id = a.user_id AND r.srn = a.rn + 1
+  LEFT JOIN evs c ON c.user_id = a.user_id AND c.rn = r.ern + 1
+  JOIN keylast k ON k.user_id = a.user_id
+  WHERE a.event_type = '{pre}'
+)
+SELECT user_id, start_event_id, start_us,
+       CASE WHEN ct = '{post}' THEN 'over_within'
+            WHEN start_us < kmax - {within_us} THEN 'expired'
+            WHEN rn = maxrn OR ern = maxrn THEN 'end_of_stream'
+            ELSE 'broken' END AS reason
+FROM cls
+WHERE NOT (ct = '{post}' AND cus - start_us <= {within_us})
+   OR ct IS NULL
+"""
+
+
 def cep_relaxed_timeout_report(
     events: DataFrame,
     steps: tuple[str, ...] = CEP_FUNNEL_STEPS,

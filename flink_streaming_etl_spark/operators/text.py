@@ -4066,6 +4066,91 @@ def bpe_train_merges(
     )
 
 
+def bpe_train_merges_sql(
+    n_merges: int = BPE_TRAIN_MERGES, vocab_cap: int = BPE_TRAIN_VOCAB_CAP
+) -> str:
+    """Exact DuckDB oracle for :func:`bpe_train_merges` (r14, r13
+    verdict #5 — the registry's last iterative rows-only entry with an
+    expressible oracle). The training loop is UNROLLED: one (best-pair,
+    re-tokenize) CTE stage per merge rank, per-symbol ROWS as the vocab
+    state (no list lambdas — DuckDB 1.0 has no 3-arg list_reduce):
+
+    - ``b{{i}}``: weighted adjacent-pair counts over ``v{{i-1}}`` via one
+      lead() window + group-by, argmax with the Python loop's exact
+      tiebreak (n DESC, left, right) and its ``n >= 2`` stop rule — an
+      empty ``b{{i}}`` leaves the vocab unchanged, so all later stages
+      stay empty too (the loop's break).
+    - ``g{{i}}``/``v{{i}}``: non-overlapping left-to-right replacement as
+      window algebra — eligible positions alternate inside each
+      gaps-and-islands run of consecutive eligible pairs (merge at odd
+      in-run index), the following row is consumed via lag(), and
+      positions renumber. Identical-sequence regrouping is skipped: it
+      only sums freqs the pair counter would sum anyway.
+
+    ``MATERIALIZED`` pins each stage so the 50-deep chain doesn't
+    inline exponentially. ~2.4 s at the sf0.01 gate."""
+    parts = [f"""
+WITH tf AS (
+  SELECT t.term, CAST(COUNT(*) AS BIGINT) AS wcount
+  FROM documents,
+       LATERAL (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS term) t
+  WHERE t.term <> '' GROUP BY t.term
+),
+vocab AS (
+  SELECT term, wcount, rn AS word_id FROM (
+    SELECT term, wcount,
+           row_number() OVER (ORDER BY wcount DESC, term) AS rn
+    FROM tf)
+  WHERE rn <= {vocab_cap}
+),
+v0 AS MATERIALIZED (
+  SELECT word_id, wcount AS freq,
+         g.i AS pos, substring(term, g.i, 1) AS sym
+  FROM vocab, LATERAL (SELECT UNNEST(range(1, length(term) + 1)) AS i) g
+)"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f""",
+p{i} AS (
+  SELECT word_id, freq, pos, sym,
+         lead(sym) OVER (PARTITION BY word_id ORDER BY pos) AS nxt
+  FROM v{i - 1}
+),
+b{i} AS MATERIALIZED (
+  SELECT sym AS l, nxt AS r, CAST(SUM(freq) AS BIGINT) AS n
+  FROM p{i} WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt HAVING SUM(freq) >= 2
+  ORDER BY n DESC, l, r LIMIT 1
+),
+g{i} AS (
+  SELECT *, COALESCE(elig AND (row_number() OVER (
+      PARTITION BY word_id, pos - re ORDER BY pos) % 2 = 1), FALSE) AS do_merge
+  FROM (
+    SELECT *, CASE WHEN elig THEN row_number() OVER (
+        PARTITION BY word_id, elig ORDER BY pos) END AS re
+    FROM (
+      SELECT p.word_id, p.freq, p.pos, p.sym, p.nxt,
+             COALESCE(p.sym = b.l AND p.nxt = b.r, FALSE) AS elig
+      FROM p{i} p LEFT JOIN b{i} b ON TRUE))
+),
+v{i} AS MATERIALIZED (
+  SELECT word_id, freq,
+         row_number() OVER (PARTITION BY word_id ORDER BY pos) AS pos, sym
+  FROM (
+    SELECT word_id, freq, pos,
+           CASE WHEN do_merge THEN sym || nxt ELSE sym END AS sym,
+           lag(do_merge) OVER (PARTITION BY word_id ORDER BY pos) AS pm
+    FROM g{i})
+  WHERE pm IS NULL OR NOT pm
+)""")
+    sel = "\nUNION ALL\n".join(
+        f'SELECT CAST({i} AS INT) AS "rank", l AS "left", r AS "right", n '
+        f"FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Linear quality classifier — the fastText-shaped inference pattern over
 # the hashed bag-of-words space: score = sigmoid(Σ_b tf_b · w_b / T)

@@ -538,8 +538,12 @@ class StatefulMediaChunkDedup:
         duplicate-pair DataFrame (a_id, b_id, shared_chunks ≥
         min_shared) goes to ``on_pairs_df`` (distributed sink; None →
         fold distributed and discard)."""
+        from flink_streaming_etl_spark.streaming.stateful import (
+            discard_distributed,
+        )
+
         deltas = self.transform(stream_documents)
-        sink = on_pairs_df if on_pairs_df is not None else (lambda df: None)
+        sink = on_pairs_df if on_pairs_df is not None else discard_distributed
 
         def _fold(batch: DataFrame, bid: int) -> None:
             sink(

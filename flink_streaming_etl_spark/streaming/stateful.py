@@ -37,6 +37,16 @@ STATE_SCHEMA = StructType(
 )
 
 
+def discard_distributed(df: DataFrame) -> None:
+    """Fully process a foreachBatch DataFrame and throw the rows away
+    (noop datasource — every partition scans, nothing materializes).
+    Required as the no-sink default downstream of stateful transforms:
+    a foreachBatch body that ignores its batch leaves the state-store
+    partitions uncommitted and Spark fails the epoch
+    (STATE_STORE_COMMIT_VALIDATION_FAILED)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def running_user_stats(events: DataFrame, idle_timeout_ms: int = 0) -> DataFrame:
     """Continuously-updated per-user totals over an event stream: emits the
     new running (count, sum) for every user seen in each micro-batch.

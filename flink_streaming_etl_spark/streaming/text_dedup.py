@@ -372,8 +372,12 @@ class StatefulBloomTextDedup:
         goes to ``on_decisions_df`` (a distributed sink — the decision
         stream is corpus-scale, so there is NO driver-fold default: when
         None the decisions are folded distributed and discarded)."""
+        from flink_streaming_etl_spark.streaming.stateful import (
+            discard_distributed,
+        )
+
         deltas = self.transform(stream_documents)
-        sink = on_decisions_df if on_decisions_df is not None else (lambda df: None)
+        sink = on_decisions_df if on_decisions_df is not None else discard_distributed
 
         def _fold(batch: DataFrame, bid: int) -> None:
             sink(batch)

@@ -320,9 +320,126 @@ OVERRIDES = {
 }
 
 
+def fold_cost_dedup(spark) -> None:
+    """r14 fold-cost probe (r13 verdict #1 'Done' condition): per-fold
+    wall time of a FIXED 1k-doc batch against the text-dedup
+    accumulator pair at state:batch ratios 10x / 100x / 1000x —
+    the foreachBatch twin (anti∪union re-materializes the full owner
+    relation per fold, O(|state|)) vs the GroupState twin
+    (executor-resident keyed state, O(batch) point updates + the
+    engine's delta-file maintenance). Results → SCALE.md.
+
+    Run: ``python scale_probe.py fold_cost_dedup``."""
+    import shutil
+    import tempfile
+
+    from flink_streaming_etl_spark.streaming.text_dedup import (
+        BloomTextDedupAccumulator,
+        StatefulBloomTextDedup,
+    )
+
+    BATCH = 1_000
+    RATIOS = [10, 100, 1000]
+
+    def docs(start, n, tag):
+        return (
+            spark.range(start, start + n)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.lit(tag),
+                    F.md5(F.col("id").cast("string")),
+                    F.md5((F.col("id") + 1).cast("string")),
+                )
+                .alias("text"),
+            )
+            .withColumn("lang", F.lit("en"))
+            .withColumn("source", F.lit("probe"))
+            .withColumn("n_chars", F.length("text"))
+        )
+
+    out = {}
+    for ratio in RATIOS:
+        state_n = BATCH * ratio
+        # -- foreachBatch twin: seed one big fold, then time small folds
+        acc = BloomTextDedupAccumulator()
+        acc.add_batch(docs(0, state_n, "seed"), batch_id=0)
+        times = []
+        for i in range(3):
+            b = docs(10_000_000 + i * BATCH, BATCH, "fold")
+            t0 = time.perf_counter()
+            acc.add_batch(b, batch_id=i + 1)
+            times.append(time.perf_counter() - t0)
+        fb = round(min(times), 3)
+        # -- GroupState twin: same seed + folds through a parquet stream
+        root = tempfile.mkdtemp(prefix="foldcost_")
+        src, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
+        os.makedirs(src)
+        schema = "doc_id long, text string, lang string, source string, n_chars long"
+        docs(0, state_n, "seed").coalesce(4).write.parquet(
+            os.path.join(src, "b000")
+        )
+        st = StatefulBloomTextDedup()
+        q = st.attach(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*"),
+            checkpointLocation=ckpt,
+        )
+        q.processAllAvailable()  # seed fold
+        gs_times = []
+        for i in range(3):
+            docs(20_000_000 + i * BATCH, BATCH, "fold").coalesce(1).write.parquet(
+                os.path.join(src, f"b{i + 1:03d}")
+            )
+            t0 = time.perf_counter()
+            q.processAllAvailable()
+            gs_times.append(time.perf_counter() - t0)
+        q.stop()
+        shutil.rmtree(root, ignore_errors=True)
+        gs = round(min(gs_times), 3)
+        out[f"{ratio}x"] = {"foreachBatch": fb, "groupState": gs}
+        print(json.dumps({f"state_{state_n}": out[f"{ratio}x"]}))
+    print(json.dumps({"fold_cost_dedup": out}))
+
+
+def nfa_scan_probe() -> None:
+    """r14 NFA worst-case probe (r13 verdict #4 'Done' condition): one
+    pathological key — s all-true '+' steps + impossible tail — scanned
+    at n and 2n rows. Memoized scan is polynomial (expect ~4x at 2n for
+    the quadratic bound); the pre-r14 scan was O(n^s). Also times the
+    within-prune mode, whose per-start work is horizon-bounded.
+
+    Run: ``python scale_probe.py nfa_scan_probe``."""
+    from flink_streaming_etl_spark.operators.cep import _nfa_scan
+
+    out = {}
+    for n in (400, 800):
+        flags = [[True] * n for _ in range(5)] + [[False] * n]
+        quants = ["+"] * 5 + ["1"]
+        t0 = time.perf_counter()
+        _nfa_scan(flags, quants)
+        full = round(time.perf_counter() - t0, 3)
+        # prune mode: hourly rows, 50 h horizon → ≤50-row windows
+        uss = [i * 3_600_000_000 for i in range(n)]
+        t0 = time.perf_counter()
+        _nfa_scan(flags, quants, uss=uss, within_us=50 * 3_600_000_000)
+        pruned = round(time.perf_counter() - t0, 3)
+        out[str(n)] = {"memoized_full": full, "within_prune_50h": pruned}
+        print(json.dumps({f"n_{n}": out[str(n)]}))
+    print(json.dumps({"nfa_scan_probe": out}))
+
+
 def main() -> None:
     import sys
 
+    if "fold_cost_dedup" in sys.argv[1:]:
+        fold_cost_dedup(get_spark("fold-cost-probe"))
+        return
+    if "nfa_scan_probe" in sys.argv[1:]:
+        nfa_scan_probe()
+        return
     # optional argv filter: `python scale_probe.py name1 name2` probes only
     # the named entries (used for the per-round delta probes; the full
     # sweep stays the default).

@@ -123,6 +123,445 @@ def test_nfa_within_prune_bounds_scan_and_backtracks_inside_window(spark):
 
 
 # ---------------------------------------------------------------------------
+# Task 1: executor-resident GroupState twins of the corpus-scale-state
+# dedup accumulators (r13 verdict #1) — per-fold cost O(batch) point
+# updates against the engine's keyed state store, pinned equal to the
+# foreachBatch twins on arbitrary chunkings and across engine restarts.
+
+_DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows], _DOC_SCHEMA
+    )
+
+
+def _write_doc_files(spark, src_dir, chunks):
+    """One JSON file per chunk → one micro-batch per chunk under
+    maxFilesPerTrigger=1 (file order = write order)."""
+    for i, rows in enumerate(chunks):
+        _mk_docs(spark, rows).coalesce(1).write.json(
+            str(src_dir / f"b{i:03d}")
+        )
+
+
+def _doc_stream(spark, src_dir):
+    return (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src_dir / "*"))
+    )
+
+
+_TEXT_ROWS = [
+    (1, "alpha text one two three"),
+    (2, "beta body of text"),
+    (3, "alpha text one two three"),      # dups 1 (cross-batch)
+    (4, "gamma distinct content"),
+    (5, "beta body of text"),             # dups 2
+    (6, "delta unique line"),
+    (7, "alpha text one two three"),      # dups 1 again (intra-batch w/ 6)
+]
+
+
+@pytest.mark.parametrize(
+    "cuts", [((0, 2), (2, 5), (5, 7)), ((0, 7),), ((0, 1), (1, 4), (4, 6), (6, 7))]
+)
+def test_stateful_text_dedup_equals_foreachbatch_twin(spark, tmp_path, cuts):
+    """Arbitrary chunkings: the GroupState twin's decision stream folds
+    to exactly the foreachBatch accumulator's decision log."""
+    from flink_streaming_etl_spark.streaming.text_dedup import (
+        BloomTextDedupAccumulator,
+        StatefulBloomTextDedup,
+    )
+
+    chunks = [_TEXT_ROWS[a:b] for a, b in cuts]
+    acc = BloomTextDedupAccumulator()
+    for i, rows in enumerate(chunks):
+        acc.add_batch(_mk_docs(spark, rows), batch_id=i)
+    want = acc.kept
+
+    src = tmp_path / "src"
+    _write_doc_files(spark, src, chunks)
+    decisions: dict = {}
+
+    def sink(df):
+        for r in df.collect():
+            decisions[r["doc_id"]] = r["kept"]
+
+    st = StatefulBloomTextDedup()
+    q = st.attach(
+        _doc_stream(spark, src),
+        on_decisions_df=sink,
+        checkpointLocation=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert decisions == want
+    assert not all(decisions.values()), "corpus must contain duplicates"
+
+
+def test_stateful_text_dedup_restart_restores_owners(spark, tmp_path):
+    """Engine-owned durability: a NEW instance resumed from the same
+    checkpointLocation dedups post-restart docs against the owners
+    registered before the restart."""
+    from flink_streaming_etl_spark.streaming.text_dedup import (
+        StatefulBloomTextDedup,
+    )
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    _write_doc_files(spark, src, [_TEXT_ROWS[:2]])
+    got: dict = {}
+
+    def sink(df):
+        for r in df.collect():
+            got[r["doc_id"]] = r["kept"]
+
+    st = StatefulBloomTextDedup()
+    q = st.attach(_doc_stream(spark, src), on_decisions_df=sink,
+                  checkpointLocation=ckpt)
+    q.processAllAvailable()
+    q.stop()
+    assert got == {1: True, 2: True}
+
+    # restart: doc 8 duplicates doc 1's text, doc 9 is fresh — written
+    # AFTER the first run, so only the resumed query sees it
+    _mk_docs(
+        spark, [(8, "alpha text one two three"), (9, "fresh words")]
+    ).coalesce(1).write.json(str(src / "b900"))
+    st2 = StatefulBloomTextDedup()
+    q2 = st2.attach(_doc_stream(spark, src), on_decisions_df=sink,
+                    checkpointLocation=ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+    assert got[8] is False and got[9] is True
+
+
+def test_stateful_media_dedup_equals_foreachbatch_twin(spark, tmp_path):
+    """The GroupState media twin reproduces the foreachBatch twin's
+    accumulated duplicate pairs over a multi-batch replay (the round-8
+    handover corpus: cross-batch and intra-batch dups)."""
+    from flink_streaming_etl_spark.streaming.media_dedup import (
+        MediaChunkDedupAccumulator,
+        StatefulMediaChunkDedup,
+    )
+
+    blk_a = "".join(f"a{i:03d}" for i in range(64))  # 4 aligned chunks
+    blk_b = "".join(f"b{i:03d}" for i in range(64))
+    rows = [
+        (1, blk_a + "tail-one"),
+        (2, blk_b + "two-suffix"),
+        (3, blk_a + "tail-three"),
+        (4, "other content entirely " * 10),
+        (5, blk_b + "trailer-five"),
+        (6, blk_a + "tail-six"),
+        (7, blk_a + "tail-seven"),
+    ]
+    chunks = [rows[:2], rows[2:5], rows[5:]]
+
+    acc = MediaChunkDedupAccumulator()
+    for i, c in enumerate(chunks):
+        acc.add_batch(_mk_docs(spark, c), batch_id=i)
+    want = acc.pairs
+    assert want, "corpus must contain duplicate pairs"
+
+    src = tmp_path / "src"
+    _write_doc_files(spark, src, chunks)
+    pairs: dict = {}
+
+    def sink(df):
+        for r in df.collect():
+            pairs[(r["a_id"], r["b_id"])] = r["shared_chunks"]
+
+    st = StatefulMediaChunkDedup()
+    q = st.attach(
+        _doc_stream(spark, src),
+        on_pairs_df=sink,
+        checkpointLocation=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert pairs == want
+
+
+def test_stateful_media_fold_equals_sequential_brute(spark):
+    """The per-chash GroupState fold IS the sequential owner-list loop:
+    randomized splits + owner_cap=2 against the pure-Python replica
+    (the r13 window-algebra pin, applied to the r14 executor fold).
+    Exercised directly on the fold function — no stream needed."""
+    import random
+
+    import pandas as pd
+
+    from flink_streaming_etl_spark.streaming.media_dedup import (
+        _media_chunk_fold,
+    )
+    from tests.test_round13 import _media_brute
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    rng = random.Random(99)
+    chashes = [f"c{i}" for i in range(6)]
+    all_rows = [
+        (rng.randrange(1, 15), rng.choice(chashes)) for _ in range(120)
+    ]
+    cuts = sorted(rng.sample(range(1, len(all_rows)), 3))
+    batches = [
+        all_rows[a:b]
+        for a, b in zip([0] + cuts, cuts + [len(all_rows)])
+        if all_rows[a:b]
+    ]
+    cap = 2
+    fold = _media_chunk_fold(cap)
+    states: dict = {}
+    got: dict = {}
+    for rows in batches:
+        by_ch: dict = {}
+        for mid, ch in rows:
+            by_ch.setdefault(ch, []).append(mid)
+        contribs: dict = {}
+        for ch, mids in by_ch.items():
+            st = states.setdefault(ch, _FakeState())
+            pdf = pd.DataFrame({"media_id": mids, "chash": ch})
+            for out in fold((ch,), iter([pdf]), st):
+                for r in out.itertuples(index=False):
+                    k = (int(r.a_id), int(r.b_id))
+                    contribs[k] = contribs.get(k, 0) + int(r.n)
+        for k, n in contribs.items():
+            if n >= 2:  # min_shared
+                got[k] = n
+    want = {
+        k: v
+        for k, v in _media_brute(
+            [list(dict.fromkeys(b)) for b in batches], cap=cap, min_shared=2
+        ).items()
+        if v >= 2
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Task 7: engine-keyed-state ±delta pilot — NativeDistinctCount vs
+# IncrementalDistinctCount (equality, restart, retention). The
+# transformWithState variant is env-gated (google.protobuf absent here).
+
+
+def _dc_batches(spark):
+    """The round-10 cancellable-orders changelog (inserts, partial and
+    full retraction, group-vanishing update, same-batch churn)."""
+    from flink_streaming_etl_spark.sources.cdc import CdcSource
+    from tests.test_cdc import ORDER_SCHEMA, env, order, raw_df
+
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    lines = [
+        [env("c", order("o1", "u1", 10.0, "payed"), ts=1),
+         env("c", order("o2", "u1", 20.0, "payed"), ts=2),
+         env("c", order("o3", "u2", 30.0, "payed"), ts=3),
+         env("c", order("o4", "u3", 40.0, "created"), ts=4)],
+        [env("d", before=order("o1", "u1", 10.0, "payed"), ts=5)],
+        [env("d", before=order("o2", "u1", 20.0, "payed"), ts=6)],
+        [env("u", order("o4", "u3", 40.0, "payed"),
+             before=order("o4", "u3", 40.0, "created"), ts=7)],
+        [env("c", order("o5", "u4", 5.0, "payed"), ts=8),
+         env("d", before=order("o5", "u4", 5.0, "payed"), ts=9)],
+    ]
+    return [src.parse(raw_df(spark, ls)) for ls in lines]
+
+
+def _dc_stream_setup(spark, tmp_path, batches, start=0):
+    src_dir = tmp_path / "src"
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(str(src_dir / f"b{start + i:03d}"))
+    return (
+        spark.readStream.schema(batches[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+
+
+def _dc_sink(counts: dict):
+    def sink(df):
+        for r in df.collect():
+            if r["distinct_cnt"] > 0:
+                counts[r["k0"]] = r["distinct_cnt"]
+            else:
+                counts.pop(r["k0"], None)
+
+    return sink
+
+
+def test_native_distinct_count_equals_foreachbatch_twin(spark, tmp_path):
+    """Engine-keyed GroupState distinct count == IncrementalDistinctCount
+    over the full retraction scenario."""
+    from flink_streaming_etl_spark.streaming.incremental import (
+        IncrementalDistinctCount,
+    )
+    from flink_streaming_etl_spark.streaming.native_state import (
+        NativeDistinctCount,
+    )
+
+    batches = _dc_batches(spark)
+    inc = IncrementalDistinctCount(
+        key_exprs=lambda img: [img["status"]],
+        value=lambda img: img["user_id"],
+    )
+    for i, b in enumerate(batches):
+        inc.apply(b, batch_id=i)
+    want = sorted(
+        (r["k0"], r["distinct_cnt"]) for r in inc.result().collect()
+    )
+
+    counts: dict = {}
+    nat = NativeDistinctCount(
+        key_exprs=lambda img: [img["status"]],
+        value=lambda img: img["user_id"],
+    )
+    q = nat.attach(
+        _dc_stream_setup(spark, tmp_path, batches),
+        on_counts_df=_dc_sink(counts),
+        checkpointLocation=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(counts.items()) == want
+    assert want == [("payed", 2)]  # the scenario's known endpoint
+
+
+def test_native_distinct_count_restart_restores_refcounts(spark, tmp_path):
+    """Stop after the insert batches, resume a NEW instance from the
+    same checkpoint: the restored refcounts make the partial retraction
+    keep distinct=2 and the full retraction drop it — engine-owned
+    durability, no BucketedState."""
+    from flink_streaming_etl_spark.streaming.native_state import (
+        NativeDistinctCount,
+    )
+
+    batches = _dc_batches(spark)
+    counts: dict = {}
+    mk = lambda: NativeDistinctCount(  # noqa: E731
+        key_exprs=lambda img: [img["status"]],
+        value=lambda img: img["user_id"],
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = mk().attach(
+        _dc_stream_setup(spark, tmp_path, batches[:1]),
+        on_counts_df=_dc_sink(counts),
+        checkpointLocation=ckpt,
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(counts.items()) == [("created", 1), ("payed", 2)]
+
+    for i, b in enumerate(batches[1:], start=1):
+        b.coalesce(1).write.parquet(str(tmp_path / "src" / f"b{i:03d}"))
+    q2 = mk().attach(
+        spark.readStream.schema(batches[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src" / "*")),
+        on_counts_df=_dc_sink(counts),
+        checkpointLocation=ckpt,
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert sorted(counts.items()) == [("payed", 2)]
+
+
+def test_native_distinct_count_ttl_evicts_idle_groups(spark, tmp_path):
+    """Idle-group retention through the engine's ProcessingTimeTimeout:
+    a group untouched past the TTL is evicted (0-row removal signal); a
+    reappearing group starts fresh — Flink state-TTL semantics."""
+    import time as _t
+
+    from flink_streaming_etl_spark.sources.cdc import CdcSource
+    from flink_streaming_etl_spark.streaming.native_state import (
+        NativeDistinctCount,
+    )
+    from tests.test_cdc import ORDER_SCHEMA, env, order, raw_df
+
+    src = CdcSource("orders", ORDER_SCHEMA, "id")
+    b0 = src.parse(raw_df(spark, [
+        env("c", order("o1", "u1", 1.0, "payed"), ts=1),
+        env("c", order("o2", "u2", 1.0, "created"), ts=2),
+    ]))
+    b1 = src.parse(raw_df(spark, [
+        env("c", order("o3", "u9", 1.0, "created"), ts=3),
+    ]))
+    counts: dict = {}
+    nat = NativeDistinctCount(
+        key_exprs=lambda img: [img["status"]],
+        value=lambda img: img["user_id"],
+        retention_ms=1500,
+    )
+
+    def wait_for(cond, deadline_s=120.0):
+        # a ProcessingTimeTimeout query triggers continuous (empty)
+        # batches so expiries can fire — processAllAvailable never sees
+        # it quiesce; the harness polls the sink instead
+        end = _t.time() + deadline_s
+        while _t.time() < end:
+            if cond():
+                return
+            _t.sleep(0.5)
+        raise AssertionError(f"condition not reached; counts={counts}")
+
+    q = nat.attach(
+        _dc_stream_setup(spark, tmp_path, [b0]),
+        on_counts_df=_dc_sink(counts),
+        checkpointLocation=str(tmp_path / "ckpt"),
+    )
+    wait_for(lambda: sorted(counts.items())
+             == [("created", 1), ("payed", 1)])
+    # idle past the 1.5 s TTL: the live query's trigger loop fires the
+    # expiries for BOTH idle groups (0-row removal signals)
+    wait_for(lambda: counts == {})
+    b1.coalesce(1).write.parquet(str(tmp_path / "src" / "b001"))
+    # the reappearing group starts FRESH (u2's refcounts are gone) —
+    # Flink state-TTL semantics
+    wait_for(lambda: counts == {"created": 1})
+    q.stop()
+    assert counts == {"created": 1}
+
+
+def test_transform_with_state_gate_reports_honestly():
+    """The transformWithState variant must refuse cleanly where its
+    Python worker cannot run (no google.protobuf in this container) and
+    construct where it can — the documented env gate."""
+    from flink_streaming_etl_spark.streaming.native_state import (
+        TransformWithStateDistinctCount,
+        transform_with_state_available,
+    )
+
+    if transform_with_state_available():
+        TransformWithStateDistinctCount(
+            key_exprs=lambda img: [img["status"]],
+            value=lambda img: img["user_id"],
+        )
+    else:
+        with pytest.raises(ImportError, match="protobuf"):
+            TransformWithStateDistinctCount(
+                key_exprs=lambda img: [img["status"]],
+                value=lambda img: img["user_id"],
+            )
+
+
+# ---------------------------------------------------------------------------
 # Task 6: quantified-CEP dead-partial side output (mirrors the relaxed
 # accumulator's r13 on_timeouts_df path)
 
@@ -221,6 +660,45 @@ def test_quantified_cep_on_timeouts_df_never_collects(spark, monkeypatch):
         for r in df.collect()
     ]
     assert sorted(sunk) == want
+
+
+def test_quantified_timeout_streaming_equals_batch_report(spark):
+    """Streamed dead-partial reports ∪ pending-as-end_of_stream == the
+    batch report over the full table (ids exactly; reasons equal except
+    the documented broken→expired reclassification — the batch view
+    classifies with end-of-history knowledge)."""
+    from flink_streaming_etl_spark.operators.cep import (
+        cep_quantified_timeout_report,
+    )
+    from flink_streaming_etl_spark.streaming.cep import (
+        QuantifiedCepAccumulator,
+    )
+
+    ev = _tables(spark)["events"].orderBy("ts", "event_id").limit(400)
+    rows = ev.collect()
+    want = {
+        (r["user_id"], r["start_event_id"]): r["reason"]
+        for r in cep_quantified_timeout_report(ev).collect()
+    }
+
+    acc = QuantifiedCepAccumulator()
+    streamed: dict = {}
+    third = len(rows) // 3
+    chunks = [rows[:third], rows[third : 2 * third], rows[2 * third :]]
+    for i, c in enumerate(chunks):
+        acc.add_batch(spark.createDataFrame(c, ev.schema), batch_id=i)
+        for (uid, eid, _us, reason) in acc.last_timeouts:
+            streamed[(uid, eid)] = reason
+    # remaining pending starts = the batch report's end_of_stream rows
+    pend_ids = {
+        k for k, v in want.items() if v == "end_of_stream"
+    }
+    assert set(streamed) == set(want) - pend_ids
+    for k, r in streamed.items():
+        assert r == want[k] or (r == "broken" and want[k] == "expired"), (
+            k, r, want[k],
+        )
+    assert streamed, "corpus slice must produce dead partials"
 
 
 def test_nfa_budget_raises_end_to_end(spark):
