@@ -291,6 +291,7 @@ HEADLINE = [
     "cep_alternation_matches",
     "dynamic_rule_hits",
     "cep_relaxed_timeout_report",
+    "cep_quantified_timeout_report",
     # round-13 additions
     "cep_backtrack_matches",
     "cep_nfa_backtrack_matches",

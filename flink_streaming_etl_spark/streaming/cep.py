@@ -636,6 +636,43 @@ class QuantifiedCepAccumulator(_BaseCepAccumulator):
     def _reset_side_outputs(self) -> None:
         self.last_timeouts = []
 
+    def flush(self, spark: SparkSession) -> list[tuple]:
+        """End-of-stream: every pending ``A B+ C`` partial is dead (no
+        future row can close it). The carried tail of each key starts at
+        its pending A row by the carry-over contract, so the flush
+        reports exactly those starts on the timeout side output with
+        reason 'end_of_stream' (the batch twin
+        cep_quantified_timeout_report's label for trailing suffixes),
+        then clears and durably saves the state. Quantified emissions
+        are closed by their C row, so unlike the relaxed flush there are
+        never blocked matches to release — the return is [] by
+        construction, kept for signature parity."""
+        if self.tails_rel is None or not self.tails_rel.take(1):
+            self.last_timeouts = []
+            return []
+        pend = self.tails_rel.groupBy("user_id").agg(
+            F.min_by(
+                "event_id", F.struct(F.col("us"), F.col("event_id"))
+            ).alias("start_event_id"),
+            F.min("us").alias("start_us"),
+        ).select(
+            "user_id",
+            "start_event_id",
+            "start_us",
+            F.lit("end_of_stream").alias("reason"),
+        )
+        if self.on_timeouts_df is not None:
+            self.on_timeouts_df(pend.localCheckpoint(eager=True))
+            reported = []
+        else:
+            reported = [tuple(r) for r in pend.collect()]
+        if self.store is not None:
+            self._save(spark, self.last_batch_id, None, touched_df=None)
+        self.tails_rel = None
+        self.active_rel = None
+        self.last_timeouts = reported
+        return []
+
     def _kernel(self, batch: DataFrame):
         matches, tails, timeouts = cep_quantified_with_tails(
             batch, self.pre, self.loop, self.post, self.within_hours,

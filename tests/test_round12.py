@@ -669,7 +669,22 @@ def test_cep_define_matches_four_step_pattern(spark):
         DefineStep("dn", lambda c: c["value"] < c["prev_value"], "+"),
         DefineStep("tail", lambda c: c["event_type"] == "purchase"),
     ]
-    out = {r["user_id"]: r for r in cep_define_matches(ev, steps).collect()}
+    # user 3's dn-run ends in a purchase satisfying dn — an absorption
+    # boundary, so the validated entry point ROUTES to the NFA (r14);
+    # on THIS data backtracking and the greedy reading agree, so the
+    # routed result and the validate=False greedy kernel coincide —
+    # assert both engines end to end
+    with pytest.warns(UserWarning, match="greedy absorption"):
+        out = {
+            r["user_id"]: r for r in cep_define_matches(ev, steps).collect()
+        }
+    greedy = {
+        r["user_id"]: r
+        for r in cep_define_matches(ev, steps, validate=False).collect()
+    }
+    assert {u: tuple(r) for u, r in out.items()} == {
+        u: tuple(r) for u, r in greedy.items()
+    }
     # users 1 and 4 match (no WITHIN); user 2 fails TAIL, user 3 fails LOW
     assert set(out) == {1, 4}
     m = out[1]
@@ -681,10 +696,13 @@ def test_cep_define_matches_four_step_pattern(spark):
     assert m["low_first_value"] == 10.0 and m["up_last_value"] == 30.0
     assert m["dn_last_value"] == 25.0 and m["tail_last_value"] == 40.0
     assert m["end_us"] - m["start_us"] == 4 * 3600 * 1_000_000
-    # WITHIN 24h drops user 4's 120-hour span
+    # WITHIN 24h drops user 4's 120-hour span (greedy tier — the routed
+    # NFA path is covered above)
     within = {
         r["user_id"]
-        for r in cep_define_matches(ev, steps, within_hours=24).collect()
+        for r in cep_define_matches(
+            ev, steps, within_hours=24, validate=False
+        ).collect()
     }
     assert within == {1}
 

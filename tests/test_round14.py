@@ -689,16 +689,21 @@ def test_quantified_timeout_streaming_equals_batch_report(spark):
         acc.add_batch(spark.createDataFrame(c, ev.schema), batch_id=i)
         for (uid, eid, _us, reason) in acc.last_timeouts:
             streamed[(uid, eid)] = reason
-    # remaining pending starts = the batch report's end_of_stream rows
-    pend_ids = {
-        k for k, v in want.items() if v == "end_of_stream"
-    }
+    # before the flush: everything but the pending (end_of_stream) rows
+    pend_ids = {k for k, v in want.items() if v == "end_of_stream"}
     assert set(streamed) == set(want) - pend_ids
+    # flush reports exactly the pending starts as end_of_stream (r14) —
+    # the stream now covers the batch report's id set completely
+    assert acc.flush(spark) == []
+    for (uid, eid, _us, reason) in acc.last_timeouts:
+        streamed[(uid, eid)] = reason
+    assert set(streamed) == set(want)
     for k, r in streamed.items():
         assert r == want[k] or (r == "broken" and want[k] == "expired"), (
             k, r, want[k],
         )
-    assert streamed, "corpus slice must produce dead partials"
+    assert acc.tails_rel is None  # flush cleared the carried state
+    assert streamed and pend_ids, "slice must produce dead AND pending"
 
 
 def test_nfa_budget_raises_end_to_end(spark):
