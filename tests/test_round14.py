@@ -358,6 +358,118 @@ def test_stateful_media_fold_equals_sequential_brute(spark):
 
 
 # ---------------------------------------------------------------------------
+# Streaming NEAR-dup dedup (r14 extension): MinHash-LSH incremental
+# new-vs-corpus dedup — the near-dup tier beside text_dedup's exact tier.
+
+
+def test_streaming_neardup_single_batch_equals_dedup_apply(spark):
+    """Fed the whole corpus as ONE batch, the accumulator's kept set is
+    exactly dedup_apply's kept corpus (the intra-batch tier IS the batch
+    operator's keep-first rule)."""
+    from flink_streaming_etl_spark.operators.dedup import dedup_apply
+    from flink_streaming_etl_spark.streaming.neardup import (
+        MinHashNearDupAccumulator,
+    )
+
+    docs = _tables(spark)["documents"]
+    acc = MinHashNearDupAccumulator()
+    acc.add_batch(docs, batch_id=0)
+    got = sorted(r["doc_id"] for r in acc.kept_ids(spark).collect())
+    want = sorted(r["doc_id"] for r in dedup_apply(docs).collect())
+    assert got == want
+    assert len(got) < docs.count(), "corpus must contain near-dups"
+
+
+def _nd_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_streaming_neardup_sequential_cross_batch(spark):
+    """The chain scenario (a~b, b~c, a≁c) exercises the documented
+    order-dependence: sequentially delivered, c SURVIVES (its only match
+    b was never admitted to the corpus); in one batch, c drops through
+    the keep-first pair rule. Owners recorded deterministically."""
+    from flink_streaming_etl_spark.streaming.neardup import (
+        MinHashNearDupAccumulator,
+    )
+
+    base = [f"w{i}" for i in range(31)]
+    t_a = " ".join(base)
+    mid = list(base); mid[10] = "CHANGED1"
+    t_b = " ".join(mid)
+    far = list(mid); far[20] = "CHANGED2"
+    t_c = " ".join(far)
+    rows = [(1, t_a), (2, t_b), (3, t_c), (4, "entirely different words here")]
+
+    # sequential delivery: b drops against a; c survives (b not kept)
+    seq = MinHashNearDupAccumulator(threshold=0.85)
+    seq.add_batch(_nd_docs(spark, rows[:1]), batch_id=0)
+    seq.add_batch(_nd_docs(spark, rows[1:2]), batch_id=1)
+    seq.add_batch(_nd_docs(spark, rows[2:]), batch_id=2)
+    assert seq.kept == {1: True, 2: False, 3: True, 4: True}
+    assert seq.owners == {2: 1}
+
+    # one batch: keep-first pair semantics — c drops via its pair with b
+    one = MinHashNearDupAccumulator(threshold=0.85)
+    one.add_batch(_nd_docs(spark, rows), batch_id=0)
+    assert one.kept == {1: True, 2: False, 3: False, 4: True}
+    assert one.owners == {2: 1, 3: 2}
+
+
+def test_streaming_neardup_store_restore(spark, tmp_path):
+    """Durable BucketedState: a fresh accumulator restored from the
+    store still drops a later near-dup against the pre-restart corpus,
+    and replays of a committed batch are no-ops."""
+    from flink_streaming_etl_spark.streaming.neardup import (
+        MinHashNearDupAccumulator,
+    )
+
+    base = [f"t{i}" for i in range(31)]
+    t_a = " ".join(base)
+    mod = list(base); mod[5] = "X"
+    t_dup = " ".join(mod)
+    root = str(tmp_path / "nd")
+    acc = MinHashNearDupAccumulator(
+        threshold=0.85, store_root=root, spark=spark
+    )
+    acc.add_batch(_nd_docs(spark, [(1, t_a)]), batch_id=0)
+
+    fresh = MinHashNearDupAccumulator(
+        threshold=0.85, store_root=root, spark=spark
+    )
+    fresh.add_batch(_nd_docs(spark, [(2, t_dup)]), batch_id=1)
+    assert fresh.kept == {1: True, 2: False} and fresh.owners == {2: 1}
+    # replay of the committed batch is a no-op
+    fresh.add_batch(_nd_docs(spark, [(2, t_dup)]), batch_id=1)
+    assert fresh.kept == {1: True, 2: False}
+
+
+def test_streaming_neardup_retention_evicts_idle_owners(spark):
+    """T5: an owner unprobed for retention_batches folds leaves the
+    index — a later near-dup of it is KEPT (fresh-corpus semantics);
+    the decision log keeps history."""
+    from flink_streaming_etl_spark.streaming.neardup import (
+        MinHashNearDupAccumulator,
+    )
+
+    base = [f"r{i}" for i in range(31)]
+    t_a = " ".join(base)
+    mod = list(base); mod[7] = "Y"
+    t_dup = " ".join(mod)
+    acc = MinHashNearDupAccumulator(threshold=0.85, retention_batches=1)
+    acc.add_batch(_nd_docs(spark, [(1, t_a)]), batch_id=0)
+    # two folds of unrelated docs age doc 1 out of the index
+    acc.add_batch(_nd_docs(spark, [(5, "unrelated alpha beta gamma")]), 1)
+    acc.add_batch(_nd_docs(spark, [(6, "another disjoint text body")]), 2)
+    acc.add_batch(_nd_docs(spark, [(2, t_dup)]), batch_id=3)
+    assert acc.kept[2] is True  # the owner was evicted — no drop
+    assert acc.kept[1] is True  # history survives in the decision log
+
+
+# ---------------------------------------------------------------------------
 # Task 7: engine-keyed-state ±delta pilot — NativeDistinctCount vs
 # IncrementalDistinctCount (equality, restart, retention). The
 # transformWithState variant is env-gated (google.protobuf absent here).
