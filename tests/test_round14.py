@@ -470,6 +470,119 @@ def test_streaming_neardup_retention_evicts_idle_owners(spark):
 
 
 # ---------------------------------------------------------------------------
+# Streaming EMBEDDING-cosine dedup (r14 extension): the SemDeDup-style
+# semantic tier beside the exact and MinHash streaming dedups.
+
+
+def test_streaming_embedding_dedup_single_batch_equals_batch_apply(spark):
+    """Fed the whole corpus as ONE batch (exact tier), the accumulator's
+    kept set is exactly embedding_dedup_apply's kept corpus."""
+    from flink_streaming_etl_spark.operators.similarity import (
+        embedding_dedup_apply,
+    )
+    from flink_streaming_etl_spark.streaming.embedding_dedup import (
+        EmbeddingNearDupAccumulator,
+    )
+
+    emb = _tables(spark)["embeddings"]
+    acc = EmbeddingNearDupAccumulator(threshold=0.4)
+    acc.add_batch(emb, batch_id=0)
+    got = sorted(r["vec_id"] for r in acc.kept_ids(spark).collect())
+    want = sorted(r["vec_id"] for r in embedding_dedup_apply(emb).collect())
+    assert got == want
+    assert len(got) < emb.count(), "corpus must contain semantic dups"
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, v, "l") for i, v in rows],
+        "vec_id long, embedding array<double>, label string",
+    )
+
+
+def test_streaming_embedding_dedup_sequential_and_retention(spark):
+    """Chain a~b, b~c, a≁c at threshold 0.9 (25°-apart unit vectors):
+    sequential delivery keeps c (its only match b was never admitted);
+    with retention the evicted owner stops blocking later dups."""
+    import math
+
+    from flink_streaming_etl_spark.streaming.embedding_dedup import (
+        EmbeddingNearDupAccumulator,
+    )
+
+    deg = lambda d: [math.cos(math.radians(d)), math.sin(math.radians(d))]  # noqa: E731
+    rows = [(1, deg(0)), (2, deg(25)), (3, deg(50)), (4, [0.0, -1.0])]
+
+    seq = EmbeddingNearDupAccumulator(threshold=0.9)
+    for i, r in enumerate(rows):
+        seq.add_batch(_emb(spark, [r]), batch_id=i)
+    assert seq.kept == {1: True, 2: False, 3: True, 4: True}
+    assert seq.owners == {2: 1}
+
+    # one batch: keep-first pair semantics — c drops via its pair with b
+    one = EmbeddingNearDupAccumulator(threshold=0.9)
+    one.add_batch(_emb(spark, rows), batch_id=0)
+    assert one.kept == {1: True, 2: False, 3: False, 4: True}
+    assert one.owners == {2: 1, 3: 2}
+
+    # retention: after two idle folds the vec-1 owner ages out, so a
+    # fresh near-dup of it is kept (fresh-corpus semantics)
+    ret = EmbeddingNearDupAccumulator(threshold=0.9, retention_batches=1)
+    ret.add_batch(_emb(spark, [(1, deg(0))]), batch_id=0)
+    ret.add_batch(_emb(spark, [(8, [0.0, 1.0])]), batch_id=1)
+    ret.add_batch(_emb(spark, [(9, [-1.0, 0.0])]), batch_id=2)
+    ret.add_batch(_emb(spark, [(5, deg(10))]), batch_id=3)
+    assert ret.kept[5] is True and ret.kept[1] is True
+
+
+def test_streaming_embedding_dedup_bucket_tier_is_recall_bounded(spark):
+    """The n_planes sign-LSH tier only PREFILTERS: every drop it makes
+    is a genuine ≥-threshold pair (subset of the exact tier's drops),
+    so its kept set is a superset of the exact kept set."""
+    from flink_streaming_etl_spark.streaming.embedding_dedup import (
+        EmbeddingNearDupAccumulator,
+    )
+
+    emb = _tables(spark)["embeddings"]
+    exact = EmbeddingNearDupAccumulator(threshold=0.4)
+    exact.add_batch(emb, batch_id=0)
+    lsh = EmbeddingNearDupAccumulator(threshold=0.4, n_planes=4)
+    lsh.add_batch(emb, batch_id=0)
+    kept_exact = {k for k, v in exact.kept.items() if v}
+    kept_lsh = {k for k, v in lsh.kept.items() if v}
+    assert kept_exact <= kept_lsh
+    # every LSH drop is a real drop with the same or a later owner
+    exact_owner = exact.owners
+    for vid, owner in lsh.owners.items():
+        assert vid in exact_owner and owner >= exact_owner[vid]
+
+
+def test_streaming_embedding_dedup_store_restore(spark, tmp_path):
+    """Durable BucketedState: a restored accumulator drops a later
+    near-dup against the pre-restart corpus; replays are no-ops."""
+    import math
+
+    from flink_streaming_etl_spark.streaming.embedding_dedup import (
+        EmbeddingNearDupAccumulator,
+    )
+
+    deg = lambda d: [math.cos(math.radians(d)), math.sin(math.radians(d))]  # noqa: E731
+    root = str(tmp_path / "ed")
+    acc = EmbeddingNearDupAccumulator(
+        threshold=0.9, store_root=root, spark=spark
+    )
+    acc.add_batch(_emb(spark, [(1, deg(0))]), batch_id=0)
+
+    fresh = EmbeddingNearDupAccumulator(
+        threshold=0.9, store_root=root, spark=spark
+    )
+    fresh.add_batch(_emb(spark, [(2, deg(10))]), batch_id=1)
+    assert fresh.kept == {1: True, 2: False} and fresh.owners == {2: 1}
+    fresh.add_batch(_emb(spark, [(2, deg(10))]), batch_id=1)  # replay no-op
+    assert fresh.kept == {1: True, 2: False}
+
+
+# ---------------------------------------------------------------------------
 # Task 7: engine-keyed-state ±delta pilot — NativeDistinctCount vs
 # IncrementalDistinctCount (equality, restart, retention). The
 # transformWithState variant is env-gated (google.protobuf absent here).
