@@ -404,6 +404,88 @@ def fold_cost_dedup(spark) -> None:
     print(json.dumps({"fold_cost_dedup": out}))
 
 
+def fold_cost_media(spark) -> None:
+    """Companion of :func:`fold_cost_dedup` for the MEDIA pair (r13
+    verdict #1 covers both corpus-scale accumulators): per-fold wall
+    time of a FIXED 250-doc batch (~4 chunks each) vs the chunk-dedup
+    accumulator pair at state:batch ratios 10x / 100x.
+
+    Run: ``python scale_probe.py fold_cost_media``."""
+    import shutil
+    import tempfile
+
+    from flink_streaming_etl_spark.streaming.media_dedup import (
+        MediaChunkDedupAccumulator,
+        StatefulMediaChunkDedup,
+    )
+
+    BATCH = 250
+    RATIOS = [10, 100]
+
+    def docs(start, n, tag):
+        # ~256-byte unique payloads → 4 aligned 64-byte chunks each
+        body = F.concat_ws(
+            "|",
+            F.lit(tag),
+            F.md5(F.col("id").cast("string")),
+            F.md5((F.col("id") + 1).cast("string")),
+            F.md5((F.col("id") + 2).cast("string")),
+            F.md5((F.col("id") + 3).cast("string")),
+            F.md5((F.col("id") + 4).cast("string")),
+            F.md5((F.col("id") + 5).cast("string")),
+            F.md5((F.col("id") + 6).cast("string")),
+        )
+        return (
+            spark.range(start, start + n)
+            .select(F.col("id").alias("doc_id"), body.alias("text"))
+            .withColumn("lang", F.lit("en"))
+            .withColumn("source", F.lit("probe"))
+            .withColumn("n_chars", F.length("text"))
+        )
+
+    out = {}
+    for ratio in RATIOS:
+        state_n = BATCH * ratio
+        acc = MediaChunkDedupAccumulator()
+        acc.add_batch(docs(0, state_n, "seed"), batch_id=0)
+        times = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            acc.add_batch(docs(10_000_000 + i * BATCH, BATCH, "fold"), i + 1)
+            times.append(time.perf_counter() - t0)
+        fb = round(min(times), 3)
+
+        root = tempfile.mkdtemp(prefix="foldcost_media_")
+        src, ckpt = os.path.join(root, "src"), os.path.join(root, "ckpt")
+        os.makedirs(src)
+        schema = "doc_id long, text string, lang string, source string, n_chars long"
+        docs(0, state_n, "seed").coalesce(4).write.parquet(
+            os.path.join(src, "b000")
+        )
+        st = StatefulMediaChunkDedup()
+        q = st.attach(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*"),
+            checkpointLocation=ckpt,
+        )
+        q.processAllAvailable()
+        gs_times = []
+        for i in range(3):
+            docs(20_000_000 + i * BATCH, BATCH, "fold").coalesce(1).write.parquet(
+                os.path.join(src, f"b{i + 1:03d}")
+            )
+            t0 = time.perf_counter()
+            q.processAllAvailable()
+            gs_times.append(time.perf_counter() - t0)
+        q.stop()
+        shutil.rmtree(root, ignore_errors=True)
+        gs = round(min(gs_times), 3)
+        out[f"{ratio}x"] = {"foreachBatch": fb, "groupState": gs}
+        print(json.dumps({f"state_{state_n}": out[f"{ratio}x"]}))
+    print(json.dumps({"fold_cost_media": out}))
+
+
 def nfa_scan_probe() -> None:
     """r14 NFA worst-case probe (r13 verdict #4 'Done' condition): one
     pathological key — s all-true '+' steps + impossible tail — scanned
@@ -436,6 +518,9 @@ def main() -> None:
 
     if "fold_cost_dedup" in sys.argv[1:]:
         fold_cost_dedup(get_spark("fold-cost-probe"))
+        return
+    if "fold_cost_media" in sys.argv[1:]:
+        fold_cost_media(get_spark("fold-cost-probe"))
         return
     if "nfa_scan_probe" in sys.argv[1:]:
         nfa_scan_probe()

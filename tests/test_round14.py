@@ -582,6 +582,81 @@ def test_streaming_embedding_dedup_store_restore(spark, tmp_path):
     assert fresh.kept == {1: True, 2: False}
 
 
+def test_dedup_cascade_tiers_partition_and_attribute(spark):
+    """Exact → near cascade: identical docs die at the exact tier,
+    near-dups of kept docs at the near tier (including cross-batch),
+    uniques survive; exact-tier drops never reach the near tier's log
+    or index; the tier census adds up."""
+    from flink_streaming_etl_spark.streaming.dedup_cascade import DedupCascade
+
+    base = [f"c{i}" for i in range(31)]
+    t_a = " ".join(base)
+    mod = list(base); mod[4] = "EDITED"
+    t_near = " ".join(mod)
+    b0 = [
+        (1, t_a),
+        (2, t_a),            # exact dup of 1 (same prefix fingerprint)
+        (3, t_near),         # near-dup of 1 (fails exact, dies at near)
+        (4, "a completely different body of words"),
+    ]
+    # edit INSIDE the 8-token prefix so the exact fingerprint differs
+    mod2 = list(base); mod2[2] = "LATER"
+    b1 = [(5, " ".join(mod2))]  # cross-batch near-dup of kept doc 1
+
+    cas = DedupCascade(threshold=0.85)
+    cas.add_batch(_nd_docs(spark, b0), batch_id=0)
+    cas.add_batch(_nd_docs(spark, b1), batch_id=1)
+
+    dec = {
+        r["doc_id"]: (r["kept"], r["tier"])
+        for r in cas.decisions(spark).collect()
+    }
+    assert dec == {
+        1: (True, None),
+        2: (False, "exact"),
+        3: (False, "near"),
+        4: (True, None),
+        5: (False, "near"),
+    }
+    # the exact-tier drop never entered the near tier
+    assert 2 not in cas.near.kept
+    assert sorted(r["doc_id"] for r in cas.kept_ids(spark).collect()) == [1, 4]
+    census = {r["tier"]: r["n"] for r in cas.tier_census(spark).collect()}
+    assert census == {None: 2, "exact": 1, "near": 2}
+
+
+def test_new_dedup_accumulators_fold_never_collects(spark, monkeypatch):
+    """House discipline for the r14 accumulators: the fold path performs
+    ZERO driver collects — state stays relation-side; only the
+    diagnostic accessors collect."""
+    from tests.test_round13 import _CollectSpy
+
+    from flink_streaming_etl_spark.streaming.embedding_dedup import (
+        EmbeddingNearDupAccumulator,
+    )
+    from flink_streaming_etl_spark.streaming.neardup import (
+        MinHashNearDupAccumulator,
+    )
+
+    base = [f"s{i}" for i in range(31)]
+    docs0 = _nd_docs(spark, [(1, " ".join(base)), (2, "other body")])
+    mod = list(base); mod[3] = "Z"
+    docs1 = _nd_docs(spark, [(3, " ".join(mod))])
+    nd = MinHashNearDupAccumulator(threshold=0.85)
+    with _CollectSpy(monkeypatch) as spy:
+        nd.add_batch(docs0, batch_id=0)
+        nd.add_batch(docs1, batch_id=1)
+    assert spy.calls == [], spy.calls
+    assert nd.kept[3] is False  # the fold really decided something
+
+    ed = EmbeddingNearDupAccumulator(threshold=0.9)
+    with _CollectSpy(monkeypatch) as spy:
+        ed.add_batch(_emb(spark, [(1, [1.0, 0.0])]), batch_id=0)
+        ed.add_batch(_emb(spark, [(2, [0.99, 0.05])]), batch_id=1)
+    assert spy.calls == [], spy.calls
+    assert ed.kept[2] is False
+
+
 # ---------------------------------------------------------------------------
 # Task 7: engine-keyed-state ±delta pilot — NativeDistinctCount vs
 # IncrementalDistinctCount (equality, restart, retention). The
