@@ -213,19 +213,21 @@ def _chain_closure(
     relations are pinned at ``width`` partitions keyed on user_id, so
     the loop's joins co-partition on the key and the dedup after the
     union is the one width-sized exchange per round."""
-    from flink_streaming_etl_spark.ckpt import eager_checkpoint
-
     spark = ptr.sparkSession
-    ptr = ptr.localCheckpoint(eager=True)
+    # r14 pre-loop fusion (guide §1.2): previously ptr paid FOUR
+    # materialization jobs before the first round (localCheckpoint, count,
+    # then eager_checkpoint's persist+count+checkpoint). One persist+count
+    # now sizes the loop width AND fills the cache, and the width-keyed
+    # checkpoint reads back from it — the LogicalRDD's origin plan is
+    # Repartition(InMemoryRelation), so it inherits the cache's REAL
+    # measured stats (the same eager_checkpoint contract, see ckpt.py):
+    # the loop SELF-joins ptr, and inherited estimate-product stats would
+    # double their digit count every round.
+    cached = ptr.persist()
     session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    width = max(8, min(session_width, ptr.count() // 50_000))
-    # ptr gets eager_checkpoint (NOT plain localCheckpoint): the loop
-    # SELF-joins it, and inherited origin stats would double its
-    # sizeInBytes digit count every round (ckpt.py) — the driver would
-    # drown in BigInteger stats arithmetic after ~10 rounds. sel only
-    # unions (stats ADD, bounded once ptr's are real), so it keeps the
-    # cheaper plain checkpoint.
-    ptr = eager_checkpoint(ptr.repartition(width, "user_id"))
+    width = max(8, min(session_width, cached.count() // 50_000))
+    ptr = cached.repartition(width, "user_id").localCheckpoint(eager=True)
+    cached.unpersist(blocking=False)
     sel = firsts.repartition(width, "user_id").localCheckpoint(eager=True)
     return _chain_closure_loop(ptr, sel, max_iter, width)
 
@@ -243,16 +245,24 @@ def _chain_closure_loop(
             .select("user_id", F.col("nxt").alias("rn"))
         )
         # ONE explicit width-sized exchange; the dedup's clustering
-        # requirement is satisfied by the repartition's hash on user_id
-        sel = (
+        # requirement is satisfied by the repartition's hash on user_id.
+        # r14 (guide §1.2): the fixpoint COUNT is the cache-materialization
+        # job (persist + count fills the cache), the checkpoint reads back
+        # from it, and on the convergence round — n2 == n with sel's rows
+        # monotone-growing, so new_sel is the SAME set — the checkpoint is
+        # skipped entirely and the previous round's relation returned.
+        new_sel = (
             sel.unionByName(hop)
             .repartition(width, "user_id")
             .dropDuplicates()
-            .localCheckpoint(eager=True)
         )
-        n2 = sel.count()
+        cached = new_sel.persist()
+        n2 = cached.count()
         if n2 == n:
+            cached.unpersist(blocking=False)
             break
+        sel = cached.localCheckpoint(eager=True)
+        cached.unpersist(blocking=False)
         n = n2
         # double the pointer: 2^k -> 2^(k+1) hops. eager_checkpoint
         # EVERY round is the measured optimum, not just BigInt hygiene:

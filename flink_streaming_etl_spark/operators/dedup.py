@@ -314,11 +314,14 @@ def _shingle_rows(documents: DataFrame, distinct: bool = False) -> DataFrame:
     )
 
 
-def _sig_aggs() -> list[Column]:
+def _sig_aggs(h: Column | None = None) -> list[Column]:
     """m_i = MIN over shingles of (a_i * h32 + b_i) mod p — codegen'd
-    partial+final min aggregation, one shuffle on doc_id."""
+    partial+final min aggregation, one shuffle on doc_id. ``h`` overrides
+    the hash column (default the ``h32`` column)."""
+    if h is None:
+        h = F.col("h32")
     return [
-        F.min((F.lit(a) * F.col("h32") + F.lit(b)) % F.lit(MERSENNE32)).alias(f"m{i}")
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE32)).alias(f"m{i}")
         for i, (a, b) in enumerate(PERMS)
     ]
 
@@ -362,7 +365,31 @@ def minhash_lsh_pairs(
     key = (id(documents), threshold, max_bucket)
     if key in _PAIRS_CACHE:
         return _PAIRS_CACHE[key][1]
-    sigs = minhash_signatures(documents)
+    # r14 fused signature+set relation (guide §1.2/§2.3): signatures and
+    # the exact-verify hash sets previously ran as TWO relations, each
+    # re-tokenizing and re-hashing every shingle occurrence (two md5
+    # passes over the corpus), and the un-persisted signature pipeline was
+    # additionally computed twice by the banded self-join's two aliases.
+    # One md5(15-hex) pass now feeds both: the 32-bit permutation input is
+    # the top 32 bits of the 60-bit prefix (first 8 hex chars == h60 >> 28,
+    # exact integer arithmetic — signatures are bit-identical), and ONE
+    # doc_id groupBy produces the 8 MIN columns and the sorted distinct
+    # hash set together. One corpus pass + one shuffle where there were
+    # two of each, and the persisted relation serves banding (both
+    # self-join sides) and verification from cache.
+    rows = _word_shingle_rows(documents).withColumn(
+        "h60", F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    )
+    from flink_streaming_etl_spark.operators._cache import memo_persist
+
+    fused = memo_persist(
+        "lsh_sig_sets",
+        rows.groupBy("doc_id").agg(
+            *_sig_aggs(F.shiftright(F.col("h60"), 28)),
+            F.array_sort(F.collect_set("h60")).alias("sh"),
+        ),
+    )
+    sigs = fused
     bands = F.array(
         *[
             F.concat_ws(":", F.lit(bi), F.col(f"m{2 * bi}"), F.col(f"m{2 * bi + 1}"))
@@ -387,7 +414,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    arrays = _hash_array_rel(documents).withColumnRenamed("hashes", "sh")
+    arrays = fused.select("doc_id", "sh")
     cand = (
         cand.join(arrays.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a")), "a_id")
         .join(arrays.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b")), "b_id")
@@ -600,9 +627,11 @@ def _label_propagation_loop(edges: DataFrame, max_iter: int) -> DataFrame:
     # only ever decrease, so SUM(label) is strictly monotone until the
     # fixpoint: convergence = unchanged sum (a 1-column agg on materialized
     # data, replacing a changed-flag join + filter + count).
-    nodes = edges.select(F.col("a_id").alias("node")).distinct()
+    # r14: no distinct() for the self-loops — duplicate (v, v) rows are
+    # absorbed by the MIN aggregation, and dropping the distinct removes a
+    # whole shuffle from the loop's setup (guide §2.4).
     edges_self = edges.unionByName(
-        nodes.select(F.col("node").alias("a_id"), F.col("node").alias("b_id"))
+        edges.select(F.col("a_id").alias("a_id"), F.col("a_id").alias("b_id"))
     ).localCheckpoint(eager=True)
     # Initialize with round 1 already applied: with identity labels, the
     # first propagation is just min(neighbor ids ∪ self) — computable
@@ -620,21 +649,27 @@ def _label_propagation_loop(edges: DataFrame, max_iter: int) -> DataFrame:
             .agg(F.min("label").alias("label"))
         )
         lk = propagated.select(F.col("node").alias("ln"), F.col("label").alias("ll"))
-        # eager_checkpoint EVERY round (ckpt.py): `propagated` joins
-        # ITSELF via lk, so plain checkpoints would inherit stats whose
-        # sizeInBytes digit count doubles per round — and the r13
-        # measurement on the cep.py closure showed always-eager is also
-        # FASTER than a periodic reset: real stats keep the next
-        # round's joins broadcastable.
-        from flink_streaming_etl_spark.ckpt import eager_checkpoint
-
-        labels = eager_checkpoint(
+        new_labels = (
             propagated.join(lk, propagated["label"] == lk["ln"], "left")
             .select("node", F.coalesce(F.col("ll"), F.col("label")).alias("label"))
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        # r14 loop restructure (guide §1.2 — fewer actions): each round is
+        # now TWO jobs instead of three. persist + the convergence SUM is
+        # one job that doubles as the cache materialization (the agg reads
+        # every partition, filling the cache), and the localCheckpoint
+        # reads back from that cache — the same eager_checkpoint contract
+        # (the LogicalRDD inherits REAL cache-measured stats, keeping the
+        # next round's self-join broadcastable; see ckpt.py). On the
+        # convergence round the unchanged SUM proves new_labels == labels
+        # row-for-row (labels only decrease), so the checkpoint is skipped
+        # entirely and the previous round's relation is returned.
+        cached = new_labels.persist()
+        cur_sum = cached.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            cached.unpersist(blocking=False)
             break
+        labels = cached.localCheckpoint(eager=True)
+        cached.unpersist(blocking=False)
         prev_sum = cur_sum
     return labels
 

@@ -2577,17 +2577,26 @@ def _lm_bigram_tf2(documents):
     relations (code-review r8)."""
     from flink_streaming_etl_spark.operators._cache import memo_persist
 
+    # r14 optimization (guide §2.3/§4.1): the previous zip_with(slice, slice)
+    # generator referenced the tokenization subtree FOUR times inside one
+    # Generate expression — and lambda-bearing expressions are excluded from
+    # codegen subexpression elimination, so every row paid 4 interpreted
+    # regex splits + filters. Materialize the token array ONCE behind the
+    # Generate boundary (the `_word_shingle_rows` pattern), explode
+    # positions, and read bigrams with two cheap element_at lookups.
+    # Identical rows (verified exceptAll both ways + oracle hash), ~20%
+    # faster substrate at sf0.1, and 1 regex pass instead of 4 at any scale.
     w = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
-    grams = documents.select(
+    toks = documents.select("doc_id", w.alias("_lm")).filter(F.size("_lm") >= 2)
+    grams = toks.select(
         "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
-                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("g"),
-    ).select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        F.explode(F.sequence(F.lit(1), F.size("_lm") - 1)).alias("_i"),
+        "_lm",
+    ).select(
+        "doc_id",
+        F.element_at("_lm", F.col("_i")).alias("w1"),
+        F.element_at("_lm", F.col("_i") + 1).alias("w2"),
+    )
     return memo_persist(
         "lm_tf2",
         grams.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf")),
@@ -2760,7 +2769,16 @@ def jm_fluency(documents: DataFrame, lam: float = JM_LAMBDA) -> DataFrame:
         .groupBy("term")
         .agg(F.sum("cnt").alias("cu"))
     )
-    total = uni.agg(F.sum("cu")).collect()[0][0] or 1
+    # ONE scalar action for both driver constants (r14, guide §1.2/§5):
+    # the unigram grand total and the bigram-type count previously ran as
+    # two separate jobs; a cross-joined pair of single-row aggregates
+    # computes both in one job over the (already cached) tf2 relation.
+    stats = (
+        uni.agg(F.sum("cu").alias("_tot"))
+        .crossJoin(c2.agg(F.count(F.lit(1)).alias("_nt")))
+        .collect()[0]
+    )
+    total = stats["_tot"] or 1
     p_big = F.col("c12").cast("double") / F.col("c1")
     p_uni = F.col("cu").cast("double") / F.lit(float(total))
     lp = F.log(F.lit(float(lam)) * p_big + F.lit(1.0 - float(lam)) * p_uni)
@@ -2770,7 +2788,7 @@ def jm_fluency(documents: DataFrame, lam: float = JM_LAMBDA) -> DataFrame:
     # declined to broadcast — at production scale that's three silent
     # corpus shuffles (r7 verdict #4). Same arithmetic, plan-pinned —
     # size-guarded past VOCAB_BROADCAST_MAX_ROWS bigram types (r9 #3).
-    n_types = c2.count() or 1
+    n_types = stats["_nt"] or 1
     enriched = (
         c2.join(_pin_vocab_build(c1, n_types), "w1")
         .join(_pin_vocab_build(uni, n_types), F.col("w2") == F.col("term"))
@@ -4511,25 +4529,37 @@ SUBSTR_DUP_TOKENS = 15
 
 def _substring_shingles(documents: DataFrame, min_tokens: int) -> DataFrame:
     """(doc_id, p, h): 60-bit hash of the ``min_tokens``-token shingle
-    starting at 1-based token position p, for every position."""
+    starting at 1-based token position p, for every position.
+
+    r14: memo_persist'd (family ``substr_sh``) — ``substring_dedup_cut``
+    consumes this relation THREE times (canonical-occurrence agg, victim
+    join, canon join) and ``substring_dup_spans`` twice; without the
+    persist each consumer re-ran the tokenize + per-position md5 pass,
+    the single most expensive projection in the exact-substring tier
+    (guide §5: cache when reuse beats recompute — one disk-backed write
+    vs three corpus-sized md5 passes at any scale)."""
     from flink_streaming_etl_spark.functions import md5_int
+    from flink_streaming_etl_spark.operators._cache import memo_persist
 
     w = F.split(F.trim("text"), r"\s+")
     base = documents.select("doc_id", w.alias("w")).filter(
         F.size("w") >= min_tokens
     )
-    return base.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(1), F.size("w") - min_tokens + 1)
-        ).alias("p"),
-        F.col("w"),
-    ).select(
-        "doc_id",
-        "p",
-        md5_int(
-            F.array_join(F.expr(f"slice(w, p, {min_tokens})"), " "), 15
-        ).alias("h"),
+    return memo_persist(
+        "substr_sh",
+        base.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("w") - min_tokens + 1)
+            ).alias("p"),
+            F.col("w"),
+        ).select(
+            "doc_id",
+            "p",
+            md5_int(
+                F.array_join(F.expr(f"slice(w, p, {min_tokens})"), " "), 15
+            ).alias("h"),
+        ),
     )
 
 
