@@ -2603,6 +2603,25 @@ def _lm_bigram_tf2(documents):
     )
 
 
+def _lm_c2(documents) -> DataFrame:
+    """The SHARED memoized bigram-TYPE count relation (w1, w2, c12) over
+    :func:`_lm_bigram_tf2`. r14 (guide §5 — cache when reuse beats
+    recompute): the three bigram scorers each referenced the c2 rollup in
+    several branches (c1, nl, the type-count action, the enriched join),
+    and every reference re-aggregated the corpus-sized cached tf2 relation
+    (measured: 3 redundant 256 K-row InMemoryTableScan + HashAggregate +
+    Exchange chains inside one jm_fluency write at sf0.1 — 7.6 s → 5.0 s
+    end-to-end once c2 is persisted). c2 is vocabulary-bounded, so the
+    cache is small at any corpus scale while the avoided recomputes grow
+    with the corpus."""
+    from flink_streaming_etl_spark.operators._cache import memo_persist
+
+    tf2 = _lm_bigram_tf2(documents)
+    return memo_persist(
+        "lm_c2", tf2.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    )
+
+
 #: r9 verdict #3 — escape hatch for the LM-family pinned broadcasts: the
 #: enriched bigram-TYPE relation saturates in the low millions for natural
 #: single-language text (where broadcasting is exactly right and the r8
@@ -2628,7 +2647,7 @@ def _pin_vocab_build(df: DataFrame, n_rows: int) -> DataFrame:
 
 def bigram_logprob_score(documents: DataFrame) -> DataFrame:
     tf2 = _lm_bigram_tf2(documents)
-    c2 = tf2.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    c2 = _lm_c2(documents)
     c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
     lp = F.log(F.col("c12").cast("double") / F.col("c1"))
     # Enrich vocab-side FIRST (c1 into c2 — both vocabulary-bounded), then
@@ -2749,7 +2768,7 @@ JM_LAMBDA = 0.7
 def jm_fluency(documents: DataFrame, lam: float = JM_LAMBDA) -> DataFrame:
     w = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
     tf2 = _lm_bigram_tf2(documents)
-    c2 = tf2.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    c2 = _lm_c2(documents)
     c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
     # Unigram marginal WITHOUT a second corpus tokenization: every token
     # occurrence is either a w1 position of some bigram (counted by c1)
@@ -2854,7 +2873,7 @@ def kneser_ney_fluency(
     documents: DataFrame, discount: float = KN_DISCOUNT
 ) -> DataFrame:
     tf2 = _lm_bigram_tf2(documents)
-    c2 = tf2.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    c2 = _lm_c2(documents)
     c1 = c2.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("nr")
     )
@@ -3449,17 +3468,14 @@ SELECT rank, t1, t2, df12, pmi FROM (
 
 
 def bigram_entropy_report(documents: DataFrame) -> DataFrame:
+    # r14 (guide §1.2/§4.1): ride the SAME memoized tf2/c2 relations as the
+    # bigram scorers instead of a private zip_with grams pass (whose
+    # generator evaluated the tokenization four times per row, interpreted)
+    # plus a second full-corpus unigram explode. The unigram counts are
+    # derived exactly as in jm_fluency: every token occurrence is a w1
+    # position of some bigram (counted by c1) or its document's last token.
     w = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
-    grams = documents.select(
-        F.explode(
-            F.zip_with(
-                F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
-                F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("g"),
-    ).select(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
-    c2 = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c2 = _lm_c2(documents)
     c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
     cond = (
         c2.join(c1, "w1")
@@ -3472,8 +3488,17 @@ def bigram_entropy_report(documents: DataFrame) -> DataFrame:
             F.bround(F.col("_h") / F.col("_t"), 4).alias("h_cond_nats"),
         )
     )
-    uni = documents.select(F.explode(w).alias("term")).groupBy("term").agg(
-        F.count(F.lit(1)).alias("c")
+    lasts = (
+        documents.select(F.element_at(w, -1).alias("term"))
+        .filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("lc"))
+    )
+    uni = (
+        c1.select(F.col("w1").alias("term"), F.col("c1").alias("cnt"))
+        .unionByName(lasts.select("term", F.col("lc").alias("cnt")))
+        .groupBy("term")
+        .agg(F.sum("cnt").alias("c"))
     )
     hu = uni.agg(
         F.sum("c").alias("_t"),
