@@ -2591,6 +2591,10 @@ def basket_lift_pairs(
         .filter(F.col("_sz") <= max_basket)
         .select("ok")
     )
+    # r14 note: a memo_persist of this relation was measured and REJECTED
+    # (+25% wall at sf0.1) — AQE executes the four consumer branches
+    # concurrently, so the persist's materialization barrier costs more
+    # than the duplicated distinct+cap chain it avoids.
     items = items0.join(keep, "ok", "left_semi")
     n_orders = items.groupBy().agg(
         F.countDistinct("ok").cast("long").alias("_n")

@@ -598,7 +598,13 @@ def media_chunk_dedup(
     nchunks = F.greatest(
         F.ceil(F.col("n_bytes") / F.lit(chunk_bytes)).cast("int"), F.lit(1)
     )
-    chunks = (
+    from flink_streaming_etl_spark.operators._cache import memo_persist
+
+    # r14 (guide §5): the chunk-hash relation feeds BOTH the owner-count
+    # aggregation and the pair semi-join — memo-persisted so the
+    # per-chunk md5 pass over the payload bytes runs once, not twice.
+    chunks = memo_persist(
+        "media_chunks",
         m.select(
             "media_id",
             "payload",
@@ -610,7 +616,7 @@ def media_chunk_dedup(
                 F.expr(f"substring(payload, ci * {chunk_bytes} + 1, {chunk_bytes})")
             ).alias("chash"),
         )
-        .distinct()
+        .distinct(),
     )
     # hot-chunk cap: a chunk owned by more than owner_cap media is
     # structural boilerplate — joining it would explode quadratically.
@@ -713,7 +719,15 @@ def media_simhash_pairs(
         sig = sig + F.when(
             F.col(f"v{b}") >= 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0))
-    coded = g.select("media_id", sig.alias("code"))
+    from flink_streaming_etl_spark.operators._cache import memo_persist
+
+    # r14 (guide §5): the banded relation below is consumed by the hot-band
+    # aggregation AND the pair self-join (two aliases) — without a persist
+    # the whole byte-gram md5 + 32-vote pipeline (the expensive corpus
+    # pass) re-ran for each consumer. The coded relation is one row per
+    # media item (tiny at any scale), so the cache is cheap and every
+    # consumer reads it.
+    coded = memo_persist("media_simhash_coded", g.select("media_id", sig.alias("code")))
     band_bits = MEDIA_SIMHASH_BITS // MEDIA_SIMHASH_BANDS
     bands = coded.select(
         "media_id",

@@ -3675,6 +3675,20 @@ WINNOW_OWNER_CAP = 50
 WINNOW_MIN_SHARED = 2
 
 
+def _winnow_fp_set(documents: DataFrame, k: int, w: int) -> DataFrame:
+    """Memoized distinct (doc_id, fp) winnow fingerprint set. r14 (guide
+    §5): the winnow substrate (per-character-position md5 + sliding-window
+    min) is the most expensive text pass; winnow_dup_pairs consumed it
+    twice (owner count + pair semi-join) and winnow_containment_pairs
+    three times (+ the per-doc fp count), each a full recompute."""
+    from flink_streaming_etl_spark.operators._cache import memo_persist
+
+    return memo_persist(
+        "winnow_fps",
+        winnow_fingerprints(documents, k, w).select("doc_id", "fp").distinct(),
+    )
+
+
 def winnow_dup_pairs(
     documents: DataFrame,
     k: int = WINNOW_K,
@@ -3682,7 +3696,7 @@ def winnow_dup_pairs(
     min_shared: int = WINNOW_MIN_SHARED,
     owner_cap: int = WINNOW_OWNER_CAP,
 ) -> DataFrame:
-    fps = winnow_fingerprints(documents, k, w).select("doc_id", "fp").distinct()
+    fps = _winnow_fp_set(documents, k, w)
     owners = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_own"))
@@ -3750,10 +3764,18 @@ def tfidf_cosine_pairs(
         .agg(F.count(F.lit(1)).alias("df_t"))
         .filter((F.col("df_t") >= 2) & (F.col("df_t") <= cap))
     )
-    wvec = tf.join(dfr, "term").select(
-        "doc_id",
-        "term",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t"))).alias("wt"),
+    from flink_streaming_etl_spark.operators._cache import memo_persist
+
+    # r14 (guide §5): wvec feeds the norm rollup AND both pair self-join
+    # sides — memo-persisted so the tf-idf weighting join runs once, not
+    # three times.
+    wvec = memo_persist(
+        "tfidf_wvec",
+        tf.join(dfr, "term").select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t"))).alias("wt"),
+        ),
     )
     norms = wvec.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
@@ -4310,7 +4332,7 @@ def winnow_containment_pairs(
     owner_cap: int = WINNOW_OWNER_CAP,
     min_containment: float = WINNOW_MIN_CONTAINMENT,
 ) -> DataFrame:
-    fps = winnow_fingerprints(documents, k, w).select("doc_id", "fp").distinct()
+    fps = _winnow_fp_set(documents, k, w)
     counts = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     pairs = winnow_dup_pairs(documents, k, w, min_shared, owner_cap)
     ca = counts.select(F.col("doc_id").alias("a_id"), F.col("n_fp").alias("na"))
@@ -5232,12 +5254,18 @@ def moore_lewis_selection(
         .agg(F.sum("c_st").cast("long").alias("c_in"))
     )
     gen_tf = st.groupBy("term").agg(F.sum("c_st").cast("long").alias("c_gen"))
-    tot_in = in_tf.agg(F.sum("c_in").alias("t"), F.count(F.lit(1)).alias("v")).first()
-    tot_gen = gen_tf.agg(
-        F.sum("c_gen").alias("t"), F.count(F.lit(1)).alias("v")
-    ).first()
-    denom_in = float((tot_in["t"] or 0) + (tot_in["v"] or 0) + 1)
-    denom_gen = float((tot_gen["t"] or 0) + (tot_gen["v"] or 0) + 1)
+    # r14 (guide §1.2): one scalar action for both smoothing denominators
+    # (previously two sequential .first() jobs over the same cached
+    # source-term relation).
+    tots = (
+        in_tf.agg(F.sum("c_in").alias("ti"), F.count(F.lit(1)).alias("vi"))
+        .crossJoin(
+            gen_tf.agg(F.sum("c_gen").alias("tg"), F.count(F.lit(1)).alias("vg"))
+        )
+        .first()
+    )
+    denom_in = float((tots["ti"] or 0) + (tots["vi"] or 0) + 1)
+    denom_gen = float((tots["tg"] or 0) + (tots["vg"] or 0) + 1)
     term_gain = F.col("tf") * (
         F.log((F.coalesce(F.col("c_in"), F.lit(0)) + 1).cast("double") / F.lit(denom_in))
         - F.log((F.col("c_gen") + 1).cast("double") / F.lit(denom_gen))
