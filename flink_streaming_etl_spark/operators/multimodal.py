@@ -598,13 +598,12 @@ def media_chunk_dedup(
     nchunks = F.greatest(
         F.ceil(F.col("n_bytes") / F.lit(chunk_bytes)).cast("int"), F.lit(1)
     )
-    from flink_streaming_etl_spark.operators._cache import memo_persist
-
-    # r14 (guide §5): the chunk-hash relation feeds BOTH the owner-count
-    # aggregation and the pair semi-join — memo-persisted so the
-    # per-chunk md5 pass over the payload bytes runs once, not twice.
-    chunks = memo_persist(
-        "media_chunks",
+    # r14 note: a memo_persist of this relation (one md5 pass instead of
+    # two) was measured under the full bench methodology and REJECTED —
+    # media_chunk_dedup 1.8 s → 3.5 s at sf0.1: AQE overlaps the two
+    # consumer branches on idle cores, so the cache-materialization
+    # barrier costs more wall than the duplicated hashing pass it avoids.
+    chunks = (
         m.select(
             "media_id",
             "payload",
@@ -616,7 +615,7 @@ def media_chunk_dedup(
                 F.expr(f"substring(payload, ci * {chunk_bytes} + 1, {chunk_bytes})")
             ).alias("chash"),
         )
-        .distinct(),
+        .distinct()
     )
     # hot-chunk cap: a chunk owned by more than owner_cap media is
     # structural boilerplate — joining it would explode quadratically.
@@ -719,15 +718,12 @@ def media_simhash_pairs(
         sig = sig + F.when(
             F.col(f"v{b}") >= 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0))
-    from flink_streaming_etl_spark.operators._cache import memo_persist
-
-    # r14 (guide §5): the banded relation below is consumed by the hot-band
-    # aggregation AND the pair self-join (two aliases) — without a persist
-    # the whole byte-gram md5 + 32-vote pipeline (the expensive corpus
-    # pass) re-ran for each consumer. The coded relation is one row per
-    # media item (tiny at any scale), so the cache is cheap and every
-    # consumer reads it.
-    coded = memo_persist("media_simhash_coded", g.select("media_id", sig.alias("code")))
+    # r14 note: a memo_persist of the coded relation (the byte-gram md5 +
+    # 32-vote pipeline would run once instead of per consumer) was measured
+    # under the full bench methodology and REJECTED — media_simhash_pairs
+    # 2.4 s → 4.2 s at sf0.1, same AQE-overlap-vs-barrier trade as
+    # media_chunk_dedup above.
+    coded = g.select("media_id", sig.alias("code"))
     band_bits = MEDIA_SIMHASH_BITS // MEDIA_SIMHASH_BANDS
     bands = coded.select(
         "media_id",

@@ -3468,14 +3468,24 @@ SELECT rank, t1, t2, df12, pmi FROM (
 
 
 def bigram_entropy_report(documents: DataFrame) -> DataFrame:
-    # r14 (guide §1.2/§4.1): ride the SAME memoized tf2/c2 relations as the
-    # bigram scorers instead of a private zip_with grams pass (whose
-    # generator evaluated the tokenization four times per row, interpreted)
-    # plus a second full-corpus unigram explode. The unigram counts are
-    # derived exactly as in jm_fluency: every token occurrence is a w1
-    # position of some bigram (counted by c1) or its document's last token.
+    # r14: riding the memoized tf2/c2 relations was measured under the full
+    # bench methodology and REJECTED (1.8 s → 2.8 s at sf0.1): this report
+    # is a one-shot consumer, so chaining it onto the tf2 → c2 cache pair
+    # serializes two materialization barriers where the self-contained plan
+    # runs all branches concurrently. Only the 4×-interpreted-tokenization
+    # generator is fixed (position explode + element_at — the
+    # _lm_bigram_tf2 rewrite, change #1), and the unigram counts derive
+    # from c1 + per-doc last tokens instead of a second full-corpus explode.
     w = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda t: t != "")
-    c2 = _lm_c2(documents)
+    toks = documents.select("doc_id", w.alias("_lm")).filter(F.size("_lm") >= 2)
+    grams = toks.select(
+        F.explode(F.sequence(F.lit(1), F.size("_lm") - 1)).alias("_i"),
+        "_lm",
+    ).select(
+        F.element_at("_lm", F.col("_i")).alias("w1"),
+        F.element_at("_lm", F.col("_i") + 1).alias("w2"),
+    )
+    c2 = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
     cond = (
         c2.join(c1, "w1")
