@@ -14,6 +14,45 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Round-14 hardening: the Arrow-batched kernels (NFA scan, media decode)
+    are nested closures, but their pickles can still reference module-level
+    helpers by name — a worker that cannot import
+    ``flink_streaming_etl_spark`` (driver launched with a cwd outside the
+    repo and no PYTHONPATH) dies with ModuleNotFoundError at
+    ``read_udfs``. Reproduced: every Python-boundary query fails from
+    ``cwd=/tmp`` while passing from the repo root. One zip of the package
+    per SparkContext, added to the files the workers put on ``sys.path``,
+    makes the queries cwd-independent. No-op when already registered."""
+    sc = spark.sparkContext
+    if getattr(sc, "_fses_pyfile_added", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    try:
+        fd, zpath = tempfile.mkstemp(prefix="fses_pkg_", suffix=".zip")
+        os.close(fd)
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+        sc.addPyFile(zpath)
+        sc._fses_pyfile_added = True
+    except Exception:
+        # best-effort: a read-only FS or a restricted context must never
+        # break query building; the kernels remain usable from the repo cwd
+        pass
+
+
 def _cpus() -> int:
     try:
         return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -72,6 +111,7 @@ def get_spark(
 def tune_session(spark: SparkSession) -> None:
     """Runtime-settable knobs, safe to apply to a session we didn't build
     (the driver hands us its own session in ``__spark_entry__``)."""
+    _ensure_workers_can_import(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
