@@ -4584,17 +4584,20 @@ FROM spine s LEFT JOIN enters e ON s.fb = e.fb
 SUBSTR_DUP_TOKENS = 15
 
 
-def _substring_shingles(documents: DataFrame, min_tokens: int) -> DataFrame:
+def _substring_shingles(
+    documents: DataFrame, min_tokens: int, persist: bool = True
+) -> DataFrame:
     """(doc_id, p, h): 60-bit hash of the ``min_tokens``-token shingle
     starting at 1-based token position p, for every position.
 
-    r14: memo_persist'd (family ``substr_sh``) — ``substring_dedup_cut``
-    consumes this relation THREE times (canonical-occurrence agg, victim
-    join, canon join) and ``substring_dup_spans`` twice; without the
-    persist each consumer re-ran the tokenize + per-position md5 pass,
-    the single most expensive projection in the exact-substring tier
-    (guide §5: cache when reuse beats recompute — one disk-backed write
-    vs three corpus-sized md5 passes at any scale)."""
+    r14: memo_persist'd (family ``substr_sh``) for ``substring_dup_spans``
+    / ``substring_dup_rate_report`` — both consume the relation twice, and
+    the persist halved them under the full bench methodology (3.99→2.17 s,
+    3.98→2.49 s at sf0.1). ``substring_dedup_cut`` passes
+    ``persist=False``: measured the other way there (2.27→5.16 s WITH the
+    persist) — its three consumers run as concurrent AQE branches inside
+    deeper jobs, and the materialization barrier plus cached-relation plan
+    boundaries serialize what previously overlapped."""
     from flink_streaming_etl_spark.functions import md5_int
     from flink_streaming_etl_spark.operators._cache import memo_persist
 
@@ -4602,22 +4605,20 @@ def _substring_shingles(documents: DataFrame, min_tokens: int) -> DataFrame:
     base = documents.select("doc_id", w.alias("w")).filter(
         F.size("w") >= min_tokens
     )
-    return memo_persist(
-        "substr_sh",
-        base.select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.size("w") - min_tokens + 1)
-            ).alias("p"),
-            F.col("w"),
-        ).select(
-            "doc_id",
-            "p",
-            md5_int(
-                F.array_join(F.expr(f"slice(w, p, {min_tokens})"), " "), 15
-            ).alias("h"),
-        ),
+    rel = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("w") - min_tokens + 1)
+        ).alias("p"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        "p",
+        md5_int(
+            F.array_join(F.expr(f"slice(w, p, {min_tokens})"), " "), 15
+        ).alias("h"),
     )
+    return memo_persist("substr_sh", rel) if persist else rel
 
 
 def substring_dup_spans(
@@ -4699,7 +4700,7 @@ def substring_dedup_cut(
     relation is corpus-linear with ONE hash-keyed shuffle; token-level
     rebuild work is proportional to AFFECTED docs only (untouched docs
     pass through as a zero-shuffle projection)."""
-    sh = _substring_shingles(documents, min_tokens)
+    sh = _substring_shingles(documents, min_tokens, persist=False)
     # non-canonical occurrences: every (doc,p) of a >=2-occurrence hash
     # except the global min (doc_id, p) — arithmetic min-encoding keeps
     # it one aggregation (doc_id < 2^40 assumed, p < 2^23 enforced
