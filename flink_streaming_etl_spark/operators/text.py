@@ -1706,12 +1706,21 @@ def unigram_logprob_score(
         tokens = _lm_tokens(documents)
     tf = lm_tf_relation(tokens)
     counts = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
-    # empty corpus → SUM is NULL; 1 keeps the plan valid (no rows score)
-    total = counts.agg(F.sum("cnt")).collect()[0][0] or 1
-    lp = F.log(F.col("cnt").cast("double") / F.lit(float(total)))
+    # r15 (guide §1.2 — fewer driver actions): the grand total used to be
+    # a collected scalar (one extra job + driver barrier per consumer:
+    # this score, perplexity_buckets, ccnet_pipeline, filter_stack, the
+    # quality reports). It is now a single-row broadcast aggregate cross-
+    # joined into the plan — same exact integer-sum → double arithmetic
+    # (empty corpus → coalesce to 1 keeps the plan valid; no rows score).
+    total = counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(1)).cast("double").alias("_total")
+    )
+    lp = F.log(F.col("cnt").cast("double") / F.col("_total"))
     # counts is vocabulary-bounded — pin it broadcast so the corpus-sized
-    # tf relation never shuffles for scoring (r7 verdict #4).
-    scored = tf.join(F.broadcast(counts), "term").select(
+    # tf relation never shuffles for scoring (r7 verdict #4). The total
+    # rides INSIDE the broadcast build (vocab-sized crossJoin), so the
+    # corpus-side plan stays a single BroadcastHashJoin exactly as before.
+    scored = tf.join(F.broadcast(counts.crossJoin(total)), "term").select(
         "doc_id", "tf", (F.col("tf") * lp).alias("wlp")
     )
     doc = scored.groupBy("doc_id").agg(
@@ -1929,16 +1938,23 @@ def source_kl_report(documents: DataFrame) -> DataFrame:
     # pass runs once and repeat calls share one bounded CacheManager entry.
     st = _source_term_counts(documents)
     t = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
-    total = t.agg(F.sum("c_t")).collect()[0][0] or 1
+    # r15 (guide §1.2): corpus grand total folded into the plan as a
+    # single-row broadcast aggregate instead of a collected scalar — one
+    # job instead of two, identical exact-integer → double arithmetic.
+    total = t.agg(
+        F.coalesce(F.sum("c_t"), F.lit(1)).cast("double").alias("_total")
+    )
     joined = st.join(t, "term")
-    # per-source totals via a window-free second agg
-    s_tot = st.groupBy("source").agg(F.sum("c_st").alias("t_s"))
+    # per-source totals via a window-free second agg; the grand total
+    # rides the (sources-bounded) s_tot side so the corpus-sized join
+    # shape is unchanged
+    s_tot = st.groupBy("source").agg(F.sum("c_st").alias("t_s")).crossJoin(total)
     scored = joined.join(s_tot, "source").select(
         "source",
         "c_st",
         (
             (F.col("c_st") / F.col("t_s"))
-            * F.log((F.col("c_st") / F.col("t_s")) / (F.col("c_t") / F.lit(float(total))))
+            * F.log((F.col("c_st") / F.col("t_s")) / (F.col("c_t") / F.col("_total")))
         ).alias("term_kl"),
     )
     return scored.groupBy("source").agg(
@@ -2776,8 +2792,12 @@ def jm_fluency(documents: DataFrame, lam: float = JM_LAMBDA) -> DataFrame:
     # where last_count is a cheap per-row element_at(-1) projection into
     # a vocabulary-keyed agg (single-token docs land here too). Exactly
     # the model the independent tokenize-and-count would fit.
+    # try_element_at (r15, ADVICE): under Spark 4's ANSI default a plain
+    # element_at(w, -1) THROWS for a document whose a-z token array is
+    # empty (numeric/punctuation/non-Latin text); try_ returns NULL,
+    # which the isNotNull filter below already handles.
     lasts = (
-        documents.select(F.element_at(w, -1).alias("term"))
+        documents.select(F.try_element_at(w, F.lit(-1)).alias("term"))
         .filter(F.col("term").isNotNull())
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("lc"))
@@ -3101,12 +3121,19 @@ WHERE p.doc_id <> g.kept_doc_id
 # zero shuffle.
 
 
-def lang_confidence(documents: DataFrame) -> DataFrame:
+def _lang_marker_scores() -> dict[str, Column]:
+    """Per-language marker-score expressions over the ``text`` column —
+    shared by :func:`lang_confidence` and the ccnet_pipeline fused scan
+    (one definition, byte-identical expressions)."""
     padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
-    scores = {
+    return {
         lang: sum([_count_sub(padded, m) for m in markers], F.lit(0).cast("double"))
         for lang, markers in LANG_MARKERS.items()
     }
+
+
+def lang_confidence(documents: DataFrame) -> DataFrame:
+    scores = _lang_marker_scores()
     arr = F.array_sort(F.array(*scores.values()))
     best = F.element_at(arr, -1)
     second = F.element_at(arr, -2)
@@ -3172,16 +3199,32 @@ def ccnet_pipeline(
     from flink_streaming_etl_spark.operators.dedup import neardup_drop_list
 
     tag = perplexity_tagged(documents).select("doc_id", "bucket")
-    conf = lang_confidence(documents).select("doc_id", "confidence")
     drops = neardup_drop_list(documents, threshold).select(
         "doc_id", F.lit(1).alias("_dup")
     )
-    out = (
-        documents.select("doc_id", "lang")
-        .join(tag, "doc_id", "left")
-        .join(conf, "doc_id")
-        .join(drops, "doc_id", "left")
+    # r15 (guide §2.4 — remove a join outright): confidence is a per-row
+    # zero-shuffle projection of documents, so it is computed ON the base
+    # scan instead of materializing lang_confidence as a second corpus-
+    # sized relation and joining it back on doc_id. Same expressions
+    # (shared _lang_marker_scores builder), identical confidence values;
+    # the old inner join was 1:1 against an all-docs relation, so row
+    # membership is unchanged.
+    scores = _lang_marker_scores()
+    arr = F.array_sort(F.array(*scores.values()))
+    staged = documents.select(
+        "doc_id",
+        "lang",
+        F.element_at(arr, -1).alias("_b"),
+        F.element_at(arr, -2).alias("_s"),
     )
+    base = staged.select(
+        "doc_id",
+        "lang",
+        q6((F.col("_b") - F.col("_s")) / (F.col("_b") + F.lit(1.0))).alias(
+            "confidence"
+        ),
+    )
+    out = base.join(tag, "doc_id", "left").join(drops, "doc_id", "left")
     bucket = F.coalesce("bucket", F.lit("none"))
     lang_ok = (F.col("confidence") >= conf_min).cast("int")
     ppl_ok = bucket.isin("head", "middle").cast("int")
@@ -3384,7 +3427,9 @@ def pmi_top_pairs(
     )
     docterm = tf.join(F.broadcast(top), "term").select("doc_id", "term")
     dfr = docterm.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-    n_docs = documents.count()
+    # r15 (guide §1.2): the corpus doc count folded into the plan as a
+    # single-row broadcast aggregate instead of a driver .count() action.
+    nd = documents.agg(F.count(F.lit(1)).cast("double").alias("_nd"))
     a = docterm.select("doc_id", F.col("term").alias("t1"))
     b = docterm.select("doc_id", F.col("term").alias("t2"))
     pairs = (
@@ -3400,14 +3445,18 @@ def pmi_top_pairs(
             "t1",
         )
         .join(
-            F.broadcast(dfr.select(F.col("term").alias("t2"), F.col("df_t").alias("df2"))),
+            F.broadcast(
+                dfr.select(
+                    F.col("term").alias("t2"), F.col("df_t").alias("df2")
+                ).crossJoin(nd)
+            ),
             "t2",
         )
     )
     pmi = F.bround(
         F.log(
             F.col("df12").cast("double")
-            * F.lit(float(n_docs))
+            * F.col("_nd")
             / (F.col("df1") * F.col("df2"))
         ),
         4,
@@ -3498,8 +3547,10 @@ def bigram_entropy_report(documents: DataFrame) -> DataFrame:
             F.bround(F.col("_h") / F.col("_t"), 4).alias("h_cond_nats"),
         )
     )
+    # try_element_at (r15, ADVICE): ANSI-safe on token-less documents —
+    # element_at(w, -1) would throw on an empty array; NULL is filtered.
     lasts = (
-        documents.select(F.element_at(w, -1).alias("term"))
+        documents.select(F.try_element_at(w, F.lit(-1)).alias("term"))
         .filter(F.col("term").isNotNull())
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("lc"))
@@ -4428,17 +4479,28 @@ def heldout_perplexity_report(
     train = tf.filter(F.col("split") == "train").select(
         "term", F.col("tf").alias("c")
     )
+    # r15 (guide §1.2): T and V used to be a collected .first() — a whole
+    # extra tokenize+count pass before the main query (tf is not cached
+    # here). Folding them in as a single-row broadcast aggregate removes
+    # the action AND that full corpus pass; denom = T + V + 1 is the same
+    # exact-integer sum cast to double.
     totals = train.agg(
-        F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")
-    ).first()
-    t_train, v_train = int(totals["t"] or 0), int(totals["v"] or 0)
-    denom = float(t_train + v_train + 1)
-    heldout = tf.filter(F.col("split") != "train")
+        F.coalesce(F.sum("c"), F.lit(0)).alias("_t"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    denom = (F.col("_t") + F.col("_v") + F.lit(1)).cast("double")
+    # crossJoin BEFORE the left join (both sides here are vocabulary-
+    # bounded count relations, never corpus-sized): folding T/V into the
+    # broadcast side of the LEFT join would leave OOV rows with NULL
+    # totals.
+    heldout = tf.filter(F.col("split") != "train").crossJoin(
+        F.broadcast(totals)
+    )
     # train counts are vocabulary-bounded — pin broadcast (r7 verdict #4)
     joined = heldout.join(F.broadcast(train), "term", "left")
     # p = (c+1)/(T+V+1) for seen terms, 1/(T+V+1) for OOV — exact ints in
     nll_term = -F.col("tf") * F.log(
-        (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double") / F.lit(denom)
+        (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double") / denom
     )
     return (
         joined.groupBy("split")
@@ -5525,23 +5587,43 @@ def distinct_ngram_report_sql() -> str:
 
 
 def quality_ensemble_report(documents: DataFrame) -> DataFrame:
-    g = gopher_quality(documents).select(
-        "doc_id", F.col("keep").cast("int").alias("v_gopher")
+    # r15 (guide §2.4 — remove joins outright): the Gopher and entropy
+    # votes are per-row zero-shuffle projections of documents, so they are
+    # computed in ONE fused scan instead of materializing two corpus-sized
+    # relations and joining them back on doc_id (two joins + two corpus
+    # scans removed). Vote semantics are bit-identical: v_gopher coalesces
+    # a NULL keep (degenerate division) to 0 exactly as the old left join
+    # did; v_entropy is 1 iff the doc has scored chars AND its bround'd
+    # entropy clears the threshold — the old entropy_filter row-dropping +
+    # left-join-coalesce contract. Only the LM vote (an aggregation-backed
+    # signal) still joins.
+    staged = gopher_metrics(documents).select(
+        "doc_id",
+        F.col("keep").alias("_gk"),
+        _scored_chars().alias("_ch"),
     )
-    e = entropy_filter(documents).select(
-        "doc_id", (1 - F.col("is_low_entropy")).cast("int").alias("v_entropy")
+    folded = staged.select(
+        "doc_id",
+        "_gk",
+        F.size("_ch").cast("long").alias("_n"),
+        _char_run_entropy_sum(F.col("_ch")).alias("_s"),
+    )
+    ent = F.bround(F.log2("_n") - F.col("_s") / F.col("_n"), 4)
+    per_row = folded.select(
+        "doc_id",
+        F.coalesce(F.col("_gk").cast("int"), F.lit(0)).alias("v_gopher"),
+        F.when((F.col("_n") > 0) & (ent >= F.lit(ENTROPY_LOW_BITS)), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("v_entropy"),
     )
     p = perplexity_tagged(documents).select(
         "doc_id", (F.col("bucket") != "tail").cast("int").alias("v_lm")
     )
     per_doc = (
-        documents.select("doc_id")
-        .join(g, "doc_id", "left")
-        .join(e, "doc_id", "left")
-        .join(p, "doc_id", "left")
+        per_row.join(p, "doc_id", "left")
         .select(
-            F.coalesce("v_gopher", F.lit(0)).alias("v_gopher"),
-            F.coalesce("v_entropy", F.lit(0)).alias("v_entropy"),
+            "v_gopher",
+            "v_entropy",
             F.coalesce("v_lm", F.lit(0)).alias("v_lm"),
         )
     )
